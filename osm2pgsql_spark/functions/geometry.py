@@ -1,0 +1,642 @@
+"""Pure-python/numpy geometry kernels over WKB.
+
+This is the engine's equivalent of the reference's geometry layer:
+
+- geometry variant type:   /root/reference/src/geom.hpp:433-437
+  (nullgeom | point | linestring | polygon | multipoint |
+   multilinestring | multipolygon | collection), SRID attached.
+- WKB serialization:       /root/reference/src/wkb.cpp:573-579
+- scalar functions:        /root/reference/src/geom-functions.cpp
+  (area :351, spherical_area :394, length :439, centroid :812,
+   simplify :873-888, segmentize :324-342, line_merge :594-767,
+   reverse :514-557, transform :227-237, split_multi :497)
+- constructors from OSM:   /root/reference/src/geom-from-osm.cpp
+
+Kernels run inside Arrow-batched pandas UDFs (never row-at-a-time
+Python UDFs): WKB bytes in -> WKB bytes / scalars out.  shapely is
+not available in this container, so everything is implemented here;
+the implementations are deliberately small, vectorized with numpy
+where the math allows.
+
+Geometries are represented in python as:
+    None                                  null geometry
+    ("point", (x, y))
+    ("linestring", ndarray[N,2])
+    ("polygon", [ring0, ring1, ...])      rings are ndarray[N,2], first=outer
+    ("multipoint", [point payloads])
+    ("multilinestring", [ndarray[N,2]])
+    ("multipolygon", [polygon payloads])
+    ("collection", [(kind, payload), ...])
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterable
+
+import numpy as np
+
+# WKB geometry type codes
+_WKB_POINT = 1
+_WKB_LINESTRING = 2
+_WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+_WKB_MULTIPOLYGON = 6
+_WKB_COLLECTION = 7
+
+_KIND_TO_CODE = {
+    "point": _WKB_POINT,
+    "linestring": _WKB_LINESTRING,
+    "polygon": _WKB_POLYGON,
+    "multipoint": _WKB_MULTIPOINT,
+    "multilinestring": _WKB_MULTILINESTRING,
+    "multipolygon": _WKB_MULTIPOLYGON,
+    "collection": _WKB_COLLECTION,
+}
+_CODE_TO_KIND = {v: k for k, v in _KIND_TO_CODE.items()}
+
+EARTH_RADIUS = 6378137.0
+
+
+# ---------------------------------------------------------------- WKB IO
+
+def _pts_bytes(pts: np.ndarray) -> bytes:
+    a = np.asarray(pts, dtype="<f8").reshape(-1, 2)
+    return struct.pack("<I", a.shape[0]) + a.tobytes()
+
+
+def to_wkb(geom) -> bytes | None:
+    """Serialize to little-endian ISO WKB (reference geom_to_ewkb,
+    src/wkb.cpp:573 — we emit plain WKB; SRID travels out-of-band)."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    code = _KIND_TO_CODE[kind]
+    head = b"\x01" + struct.pack("<I", code)
+    if kind == "point":
+        return head + struct.pack("<dd", float(payload[0]), float(payload[1]))
+    if kind == "linestring":
+        return head + _pts_bytes(payload)
+    if kind == "polygon":
+        body = struct.pack("<I", len(payload))
+        for ring in payload:
+            body += _pts_bytes(ring)
+        return head + body
+    if kind in ("multipoint", "multilinestring", "multipolygon"):
+        sub = {"multipoint": "point", "multilinestring": "linestring", "multipolygon": "polygon"}[kind]
+        body = struct.pack("<I", len(payload))
+        for part in payload:
+            body += to_wkb((sub, part))
+        return head + body
+    if kind == "collection":
+        body = struct.pack("<I", len(payload))
+        for part in payload:
+            body += to_wkb(part)
+        return head + body
+    raise ValueError(f"unknown geometry kind {kind!r}")
+
+
+def _read_pts(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    a = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return a.copy(), off + 16 * n
+
+
+def _parse(buf: memoryview, off: int):
+    byte_order = buf[off]
+    fmt = "<" if byte_order == 1 else ">"
+    (code,) = struct.unpack_from(fmt + "I", buf, off + 1)
+    off += 5
+    srid = None
+    if code & 0x20000000:  # EWKB SRID flag
+        (srid,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        code &= ~0x20000000
+    code &= 0xFF
+    kind = _CODE_TO_KIND[code]
+    if kind == "point":
+        x, y = struct.unpack_from(fmt + "dd", buf, off)
+        return ("point", (x, y)), off + 16, srid
+    if kind == "linestring":
+        pts, off = _read_pts(buf, off)
+        return ("linestring", pts), off, srid
+    if kind == "polygon":
+        (nrings,) = struct.unpack_from(fmt + "I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            ring, off = _read_pts(buf, off)
+            rings.append(ring)
+        return ("polygon", rings), off, srid
+    # multi / collection
+    (nparts,) = struct.unpack_from(fmt + "I", buf, off)
+    off += 4
+    parts = []
+    for _ in range(nparts):
+        sub, off, _ = _parse(buf, off)
+        parts.append(sub if kind == "collection" else sub[1])
+    return (kind, parts), off, srid
+
+
+def from_wkb(wkb: bytes | None):
+    if wkb is None or len(wkb) == 0:
+        return None
+    geom, _, _ = _parse(memoryview(wkb), 0)
+    return geom
+
+
+# ------------------------------------------------------- constructors
+
+def make_point(x: float, y: float):
+    return ("point", (float(x), float(y)))
+
+
+def make_linestring(pts: Iterable[tuple[float, float]]):
+    """Linestring with consecutive-duplicate removal (invariant of the
+    reference point_list_t, src/geom.hpp:124-150); null if <2 points
+    remain (src/geom-from-osm.cpp:53-67 skip-missing semantics)."""
+    a = np.asarray(list(pts), dtype="f8").reshape(-1, 2)
+    if a.shape[0] >= 2:
+        keep = np.ones(a.shape[0], dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]).any(axis=1)
+        a = a[keep]
+    if a.shape[0] < 2:
+        return None
+    return ("linestring", a)
+
+
+def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
+    """Closed-way polygon (reference src/geom-from-osm.cpp:104-133):
+    way must be closed (first==last) and have >=4 points after dedup."""
+    ls = make_linestring(pts)
+    if ls is None:
+        return None
+    a = ls[1]
+    if a.shape[0] < 4 or not np.array_equal(a[0], a[-1]):
+        return None
+    return ("polygon", [a])
+
+
+# ------------------------------------------------------------ measures
+
+def _ring_area2(ring: np.ndarray) -> float:
+    """Twice the signed shoelace area."""
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def area(geom) -> float:
+    """Planar area (reference geom::area, src/geom-functions.cpp:351):
+    polygons and multipolygons; 0 for other types.  Outer minus inner
+    rings, absolute value per ring orientation handling."""
+    if geom is None:
+        return 0.0
+    kind, payload = geom
+    if kind == "polygon":
+        total = abs(_ring_area2(payload[0])) / 2.0
+        for ring in payload[1:]:
+            total -= abs(_ring_area2(ring)) / 2.0
+        return total
+    if kind == "multipolygon":
+        return sum(area(("polygon", p)) for p in payload)
+    if kind == "collection":
+        return sum(area(g) for g in payload)
+    return 0.0
+
+
+def spherical_area(geom, radius: float = EARTH_RADIUS) -> float:
+    """Area on the sphere in m^2 for 4326 geometries (reference
+    geom::spherical_area, src/geom-functions.cpp:394 — the reference
+    uses an ellipsoidal strategy; we use the spherical excess
+    (l'Huilier via Girard summation), within ~0.3% of ellipsoidal)."""
+    if geom is None:
+        return 0.0
+    kind, payload = geom
+    if kind == "multipolygon":
+        return sum(spherical_area(("polygon", p), radius) for p in payload)
+    if kind != "polygon":
+        return 0.0
+
+    def ring_solid_angle(ring: np.ndarray) -> float:
+        lam = np.radians(ring[:, 0])
+        phi = np.radians(ring[:, 1])
+        # Girard-style summation over edges on the unit sphere.
+        s = np.sum(
+            (lam[1:] - lam[:-1]) * (2.0 + np.sin(phi[1:]) + np.sin(phi[:-1]))
+        )
+        return abs(s / 2.0)
+
+    total = ring_solid_angle(payload[0])
+    for ring in payload[1:]:
+        total -= ring_solid_angle(ring)
+    return total * radius * radius
+
+
+def length(geom) -> float:
+    """Planar length (reference geom::length, src/geom-functions.cpp:439)."""
+    if geom is None:
+        return 0.0
+    kind, payload = geom
+    if kind == "linestring":
+        d = np.diff(payload, axis=0)
+        return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+    if kind == "multilinestring":
+        return sum(length(("linestring", p)) for p in payload)
+    if kind == "collection":
+        return sum(length(g) for g in payload)
+    return 0.0
+
+
+def spherical_length(geom, radius: float = EARTH_RADIUS) -> float:
+    """Great-circle (haversine) length in meters for 4326 linestrings
+    (reference uses Vincenty; haversine is within 0.5%)."""
+    if geom is None:
+        return 0.0
+    kind, payload = geom
+    if kind == "multilinestring":
+        return sum(spherical_length(("linestring", p), radius) for p in payload)
+    if kind != "linestring":
+        return 0.0
+    lam = np.radians(payload[:, 0])
+    phi = np.radians(payload[:, 1])
+    dlam = np.diff(lam)
+    dphi = np.diff(phi)
+    h = np.sin(dphi / 2) ** 2 + np.cos(phi[:-1]) * np.cos(phi[1:]) * np.sin(dlam / 2) ** 2
+    return float(radius * np.sum(2 * np.arcsin(np.sqrt(np.clip(h, 0, 1)))))
+
+
+def centroid(geom):
+    """Geometric centroid (reference geom::centroid,
+    src/geom-functions.cpp:812, boost::geometry semantics):
+    points: the point; linestrings: length-weighted; polygons:
+    area-weighted."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind == "point":
+        return geom
+    if kind == "linestring":
+        a = payload
+        d = np.diff(a, axis=0)
+        w = np.hypot(d[:, 0], d[:, 1])
+        if w.sum() == 0:
+            return ("point", (float(a[0, 0]), float(a[0, 1])))
+        mid = (a[:-1] + a[1:]) / 2.0
+        c = (mid * w[:, None]).sum(axis=0) / w.sum()
+        return ("point", (float(c[0]), float(c[1])))
+    if kind == "polygon":
+        cx = cy = aa = 0.0
+        for i, ring in enumerate(payload):
+            x, y = ring[:, 0], ring[:, 1]
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a2 = cross.sum()
+            if a2 == 0:
+                continue
+            rx = ((x[:-1] + x[1:]) * cross).sum() / (3.0 * a2)
+            ry = ((y[:-1] + y[1:]) * cross).sum() / (3.0 * a2)
+            sgn_area = abs(a2) / 2.0
+            if i > 0:
+                sgn_area = -sgn_area
+            cx += rx * sgn_area
+            cy += ry * sgn_area
+            aa += sgn_area
+        if aa == 0:
+            return ("point", (float(payload[0][0, 0]), float(payload[0][0, 1])))
+        return ("point", (cx / aa, cy / aa))
+    if kind in ("multipoint", "multilinestring", "multipolygon"):
+        sub = {"multipoint": "point", "multilinestring": "linestring", "multipolygon": "polygon"}[kind]
+        pts = [centroid((sub, p)) for p in payload]
+        # weight by measure of each part
+        if kind == "multipolygon":
+            ws = [area(("polygon", p)) for p in payload]
+        elif kind == "multilinestring":
+            ws = [length(("linestring", p)) for p in payload]
+        else:
+            ws = [1.0] * len(payload)
+        tw = sum(ws)
+        if tw == 0:
+            return pts[0] if pts else None
+        cx = sum(p[1][0] * w for p, w in zip(pts, ws)) / tw
+        cy = sum(p[1][1] * w for p, w in zip(pts, ws)) / tw
+        return ("point", (cx, cy))
+    return None
+
+
+# ------------------------------------------------------------ transforms
+
+def _dp_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas-Peucker keep-mask."""
+    n = pts.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        rel = pts[i + 1 : j] - pts[i]
+        seg_len2 = float(seg @ seg)
+        if seg_len2 == 0.0:
+            d2 = (rel * rel).sum(axis=1)
+        else:
+            t = np.clip((rel @ seg) / seg_len2, 0.0, 1.0)
+            proj = np.outer(t, seg)
+            diff = rel - proj
+            d2 = (diff * diff).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol2:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return keep
+
+
+def simplify(geom, tolerance: float):
+    """Douglas-Peucker simplification, linestrings only, may produce
+    invalid output — exactly the reference's restriction
+    (src/geom-functions.cpp:873-888: non-linestrings -> null geometry)."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind != "linestring":
+        return None
+    pts = payload
+    if pts.shape[0] <= 2:
+        return geom
+    out = pts[_dp_mask(pts, tolerance)]
+    if out.shape[0] < 2:
+        return None
+    return ("linestring", out)
+
+
+def segmentize(geom, max_segment_length: float):
+    """Split a linestring into a multilinestring of pieces no longer
+    than max_segment_length (reference src/geom-functions.cpp:324-342:
+    returns multilinestring; input linestrings only)."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind != "linestring":
+        return None
+    pts = payload
+    out_pts = [pts[0]]
+    for i in range(1, pts.shape[0]):
+        a, b = pts[i - 1], pts[i]
+        seg = b - a
+        d = math.hypot(seg[0], seg[1])
+        if d > max_segment_length:
+            nsplit = int(math.ceil(d / max_segment_length))
+            for k in range(1, nsplit):
+                out_pts.append(a + seg * (k / nsplit))
+        out_pts.append(b)
+    return ("multilinestring", [np.asarray(out_pts)])
+
+
+def reverse(geom):
+    """Reverse point order of every part (src/geom-functions.cpp:514-557)."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind == "point":
+        return geom
+    if kind in ("linestring",):
+        return (kind, payload[::-1].copy())
+    if kind == "polygon":
+        return (kind, [r[::-1].copy() for r in payload])
+    if kind == "multipoint":
+        return (kind, list(payload))
+    if kind in ("multilinestring",):
+        return (kind, [p[::-1].copy() for p in payload])
+    if kind == "multipolygon":
+        return (kind, [[r[::-1].copy() for r in p] for p in payload])
+    if kind == "collection":
+        return (kind, [reverse(g) for g in payload])
+    return None
+
+
+def transform_4326_to_3857(geom):
+    """Built-in web-mercator forward projection (reference has
+    hand-rolled 4326/3857, src/reprojection.cpp:17-102)."""
+
+    def f(a: np.ndarray) -> np.ndarray:
+        x = np.radians(a[:, 0]) * EARTH_RADIUS
+        y = np.log(np.tan(np.pi / 4.0 + np.radians(a[:, 1]) / 2.0)) * EARTH_RADIUS
+        return np.column_stack([x, y])
+
+    return _map_coords(geom, f)
+
+
+def transform_3857_to_4326(geom):
+    def f(a: np.ndarray) -> np.ndarray:
+        lon = np.degrees(a[:, 0] / EARTH_RADIUS)
+        lat = np.degrees(2.0 * np.arctan(np.exp(a[:, 1] / EARTH_RADIUS)) - np.pi / 2.0)
+        return np.column_stack([lon, lat])
+
+    return _map_coords(geom, f)
+
+
+def _map_coords(geom, f):
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind == "point":
+        out = f(np.asarray([payload], dtype="f8"))
+        return ("point", (float(out[0, 0]), float(out[0, 1])))
+    if kind == "linestring":
+        return (kind, f(payload))
+    if kind == "polygon":
+        return (kind, [f(r) for r in payload])
+    if kind == "multipoint":
+        out = f(np.asarray(payload, dtype="f8"))
+        return (kind, [tuple(p) for p in out])
+    if kind == "multilinestring":
+        return (kind, [f(p) for p in payload])
+    if kind == "multipolygon":
+        return (kind, [[f(r) for r in p] for p in payload])
+    if kind == "collection":
+        return (kind, [_map_coords(g, f) for g in payload])
+    return None
+
+
+# ----------------------------------------------------------- accessors
+
+def geometry_type(geom) -> str | None:
+    """Uppercase type name as the reference's geometry_type
+    (src/flex-lua-geom.cpp:146-230 exposes e.g. 'LINESTRING')."""
+    if geom is None:
+        return "NULL"
+    return geom[0].upper()
+
+
+def num_geometries(geom) -> int:
+    if geom is None:
+        return 0
+    kind, payload = geom
+    if kind in ("multipoint", "multilinestring", "multipolygon", "collection"):
+        return len(payload)
+    return 1
+
+
+def geometry_n(geom, n: int):
+    """1-based part extraction (reference src/geom-functions.cpp:40-140)."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind in ("multipoint", "multilinestring", "multipolygon", "collection"):
+        if not (1 <= n <= len(payload)):
+            return None
+        if kind == "collection":
+            return payload[n - 1]
+        sub = {"multipoint": "point", "multilinestring": "linestring", "multipolygon": "polygon"}[kind]
+        return (sub, payload[n - 1])
+    return geom if n == 1 else None
+
+
+def split_multi(geom) -> list:
+    """Explode a multi-geometry into its parts
+    (reference src/geom-functions.cpp:497)."""
+    if geom is None:
+        return []
+    kind, payload = geom
+    if kind == "collection":
+        return list(payload)
+    if kind in ("multipoint", "multilinestring", "multipolygon"):
+        sub = {"multipoint": "point", "multilinestring": "linestring", "multipolygon": "polygon"}[kind]
+        return [(sub, p) for p in payload]
+    return [geom]
+
+
+def n_points(geom) -> int:
+    if geom is None:
+        return 0
+    kind, payload = geom
+    if kind == "point":
+        return 1
+    if kind == "linestring":
+        return int(payload.shape[0])
+    if kind == "polygon":
+        return int(sum(r.shape[0] for r in payload))
+    if kind == "multipoint":
+        return len(payload)
+    if kind in ("multilinestring",):
+        return int(sum(p.shape[0] for p in payload))
+    if kind == "multipolygon":
+        return int(sum(sum(r.shape[0] for r in p) for p in payload))
+    if kind == "collection":
+        return sum(n_points(g) for g in payload)
+    return 0
+
+
+def get_bbox(geom) -> tuple[float, float, float, float] | None:
+    """(min_x, min_y, max_x, max_y) — reference src/geom-box.cpp,
+    Lua get_bbox (src/flex-lua-geom.cpp:290-305)."""
+    pts = _all_points(geom)
+    if pts is None or pts.shape[0] == 0:
+        return None
+    return (
+        float(pts[:, 0].min()),
+        float(pts[:, 1].min()),
+        float(pts[:, 0].max()),
+        float(pts[:, 1].max()),
+    )
+
+
+def _all_points(geom) -> np.ndarray | None:
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind == "point":
+        return np.asarray([payload], dtype="f8")
+    if kind == "linestring":
+        return payload
+    if kind == "polygon":
+        return np.vstack(payload) if payload else None
+    if kind == "multipoint":
+        return np.asarray(payload, dtype="f8")
+    if kind == "multilinestring":
+        return np.vstack(payload) if payload else None
+    if kind == "multipolygon":
+        rings = [r for p in payload for r in p]
+        return np.vstack(rings) if rings else None
+    if kind == "collection":
+        parts = [_all_points(g) for g in payload]
+        parts = [p for p in parts if p is not None]
+        return np.vstack(parts) if parts else None
+    return None
+
+
+# ----------------------------------------------------------- line_merge
+
+def line_merge(geom):
+    """Stitch multilinestring parts that share endpoints into maximal
+    chains (reference src/geom-functions.cpp:594-767: connects at
+    shared endpoints only, walking from degree-1 endpoints first).
+
+    Returns a multilinestring; null geometry for empty input."""
+    if geom is None:
+        return None
+    kind, payload = geom
+    if kind == "linestring":
+        parts = [payload]
+    elif kind == "multilinestring":
+        parts = list(payload)
+    else:
+        return None
+    if not parts:
+        return None
+
+    def key(pt) -> tuple[float, float]:
+        return (float(pt[0]), float(pt[1]))
+
+    # endpoint -> list of (part index, is_start)
+    from collections import defaultdict
+
+    endpoints: dict[tuple[float, float], list[tuple[int, bool]]] = defaultdict(list)
+    for i, p in enumerate(parts):
+        endpoints[key(p[0])].append((i, True))
+        endpoints[key(p[-1])].append((i, False))
+
+    used = [False] * len(parts)
+    out = []
+
+    def walk(start_idx: int, from_start: bool) -> np.ndarray:
+        chain = parts[start_idx] if from_start else parts[start_idx][::-1]
+        chain = [chain]
+        used[start_idx] = True
+        cur = key(chain[-1][-1])
+        while True:
+            nxt = [(i, s) for (i, s) in endpoints[cur] if not used[i]]
+            if len(nxt) != 1 or len(endpoints[cur]) != 2:
+                # junction (degree > 2) or dead end: stop — the
+                # reference only merges unambiguous degree-2 joins.
+                break
+            i, at_start = nxt[0]
+            seg = parts[i] if at_start else parts[i][::-1]
+            used[i] = True
+            chain.append(seg[1:])
+            cur = key(seg[-1])
+        return np.vstack(chain)
+
+    # first pass: start walks at degree-1 (or odd/junction) endpoints
+    for i, p in enumerate(parts):
+        if used[i]:
+            continue
+        for from_start, pt in ((True, p[0]), (False, p[-1])):
+            k = key(pt)
+            if len(endpoints[k]) != 2:
+                if not used[i]:
+                    out.append(walk(i, from_start))
+                break
+    # second pass: remaining parts form closed loops
+    for i, p in enumerate(parts):
+        if not used[i]:
+            out.append(walk(i, True))
+
+    if not out:
+        return None
+    return ("multilinestring", out)

@@ -1,0 +1,32 @@
+"""Loaders for the driver-provided parquet corpus (TESTDATA.md).
+
+At cluster scale these would be partitioned/bucketed tables; here the
+load is a plain parquet scan so Catalyst keeps predicate pushdown and
+column pruning (check ``.explain``: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osm2pgsql_spark.model import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (mirrors the driver's
+    DuckDB-side pre-registered views, so spark.sql text can match
+    oracle SQL nearly 1:1)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,178 @@
+"""Geometry kernel unit tests.
+
+Mirrors the reference's Catch2 vectors: tests/test-geom-points.cpp,
+-linestrings.cpp, -polygons.cpp, -transform.cpp (conceptually; values
+recomputed independently here)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from osm2pgsql_spark.functions import geometry as G
+
+
+def test_wkb_roundtrip_point():
+    g = G.make_point(1.5, -2.25)
+    assert G.from_wkb(G.to_wkb(g)) == g
+
+
+def test_wkb_roundtrip_linestring():
+    g = G.make_linestring([(0, 0), (1, 1), (2, 0)])
+    back = G.from_wkb(G.to_wkb(g))
+    assert back[0] == "linestring"
+    np.testing.assert_array_equal(back[1], g[1])
+
+
+def test_wkb_roundtrip_polygon_with_hole():
+    outer = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    inner = [(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]
+    g = ("polygon", [np.asarray(outer, dtype="f8"), np.asarray(inner, dtype="f8")])
+    back = G.from_wkb(G.to_wkb(g))
+    assert back[0] == "polygon" and len(back[1]) == 2
+    assert G.area(back) == pytest.approx(16 - 1)
+
+
+def test_wkb_roundtrip_multipolygon():
+    sq = lambda dx: np.asarray([(dx, 0), (dx + 1, 0), (dx + 1, 1), (dx, 1), (dx, 0)], dtype="f8")
+    g = ("multipolygon", [[sq(0)], [sq(5)]])
+    back = G.from_wkb(G.to_wkb(g))
+    assert G.area(back) == pytest.approx(2.0)
+
+
+def test_linestring_dedups_consecutive_points():
+    # reference invariant: src/geom.hpp:147-149
+    g = G.make_linestring([(0, 0), (0, 0), (1, 0), (1, 0), (2, 0)])
+    assert g[1].shape[0] == 3
+    assert G.length(g) == pytest.approx(2.0)
+
+
+def test_linestring_single_point_is_null():
+    assert G.make_linestring([(0, 0)]) is None
+    assert G.make_linestring([(0, 0), (0, 0)]) is None
+
+
+def test_polygon_requires_closed_ring():
+    assert G.make_polygon_from_way([(0, 0), (1, 0), (1, 1)]) is None
+    g = G.make_polygon_from_way([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+    assert g is not None
+    assert G.area(g) == pytest.approx(1.0)
+
+
+def test_centroid_square():
+    g = G.make_polygon_from_way([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)])
+    c = G.centroid(g)
+    assert c[1][0] == pytest.approx(1.0) and c[1][1] == pytest.approx(1.0)
+
+
+def test_centroid_linestring_weighted():
+    g = G.make_linestring([(0, 0), (2, 0), (2, 1)])
+    c = G.centroid(g)
+    # segments: len 2 mid (1,0); len 1 mid (2,0.5) -> ((2+2)/3, .5/3)
+    assert c[1][0] == pytest.approx(4 / 3)
+    assert c[1][1] == pytest.approx(1 / 6)
+
+
+def test_simplify_removes_collinear():
+    g = G.make_linestring([(0, 0), (1, 0.001), (2, 0), (3, 2), (4, 0)])
+    s = G.simplify(g, 0.01)
+    assert s[1].shape[0] == 4  # middle of first straight stretch removed
+    s2 = G.simplify(g, 10.0)
+    assert s2[1].shape[0] == 2
+
+
+def test_simplify_non_linestring_is_null():
+    g = G.make_polygon_from_way([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+    assert G.simplify(g, 0.1) is None  # reference: src/geom-functions.cpp:873-888
+
+
+def test_segmentize():
+    g = G.make_linestring([(0, 0), (10, 0)])
+    s = G.segmentize(g, 3.0)
+    assert s[0] == "multilinestring"
+    pts = s[1][0]
+    assert pts.shape[0] == 5  # 0, 2.5, 5, 7.5, 10
+    d = np.diff(pts[:, 0])
+    assert (d <= 3.0 + 1e-9).all()
+    assert G.length(("linestring", pts)) == pytest.approx(10.0)
+
+
+def test_reverse():
+    g = G.make_linestring([(0, 0), (1, 0), (1, 1)])
+    r = G.reverse(g)
+    np.testing.assert_array_equal(r[1], g[1][::-1])
+
+
+def test_transform_3857_roundtrip():
+    g = G.make_point(13.4, 52.5)  # Berlin-ish
+    m = G.transform_4326_to_3857(g)
+    assert m[1][0] == pytest.approx(13.4 * math.pi / 180 * G.EARTH_RADIUS)
+    back = G.transform_3857_to_4326(m)
+    assert back[1][0] == pytest.approx(13.4)
+    assert back[1][1] == pytest.approx(52.5)
+
+
+def test_spherical_length_equator_degree():
+    g = G.make_linestring([(0, 0), (1, 0)])
+    # one degree of longitude at the equator on the sphere
+    assert G.spherical_length(g) == pytest.approx(G.EARTH_RADIUS * math.pi / 180, rel=1e-9)
+
+
+def test_spherical_area_small_square():
+    # 0.1 x 0.1 degree square at the equator ~ (111.3 km)^2 / 100
+    d = 0.1
+    g = G.make_polygon_from_way([(0, 0), (d, 0), (d, d), (0, d), (0, 0)])
+    expect = (G.EARTH_RADIUS * math.pi / 180 * d) ** 2
+    assert G.spherical_area(g) == pytest.approx(expect, rel=1e-3)
+
+
+def test_bbox_and_npoints():
+    g = G.make_linestring([(0, -1), (2, 5), (-3, 2)])
+    assert G.get_bbox(g) == (-3.0, -1.0, 2.0, 5.0)
+    assert G.n_points(g) == 3
+
+
+def test_split_multi_and_geometry_n():
+    g = ("multilinestring", [np.asarray([(0, 0), (1, 0)], dtype="f8"),
+                             np.asarray([(5, 5), (6, 5)], dtype="f8")])
+    parts = G.split_multi(g)
+    assert len(parts) == 2 and parts[0][0] == "linestring"
+    assert G.geometry_n(g, 2)[1][0][0] == 5
+    assert G.geometry_n(g, 3) is None
+    assert G.num_geometries(g) == 2
+
+
+def test_line_merge_two_chains():
+    # reference semantics: src/geom-functions.cpp:594-767
+    ls = lambda *pts: np.asarray(pts, dtype="f8")
+    g = ("multilinestring", [ls((0, 0), (1, 0)), ls((1, 0), (2, 0)), ls((5, 5), (6, 6))])
+    m = G.line_merge(g)
+    assert m[0] == "multilinestring"
+    lens = sorted(p.shape[0] for p in m[1])
+    assert len(m[1]) == 2
+    assert lens == [2, 3]
+
+
+def test_line_merge_respects_junctions():
+    ls = lambda *pts: np.asarray(pts, dtype="f8")
+    # three lines meeting at (0,0): degree-3 junction, no merge through it
+    g = ("multilinestring", [ls((0, 0), (1, 0)), ls((0, 0), (0, 1)), ls((0, 0), (-1, 0))])
+    m = G.line_merge(g)
+    assert len(m[1]) == 3
+
+
+def test_line_merge_closed_loop():
+    ls = lambda *pts: np.asarray(pts, dtype="f8")
+    g = ("multilinestring", [ls((0, 0), (1, 0)), ls((1, 0), (1, 1)), ls((1, 1), (0, 0))])
+    m = G.line_merge(g)
+    assert len(m[1]) == 1
+    assert m[1][0].shape[0] == 4
+
+
+def test_line_merge_reversed_segment():
+    ls = lambda *pts: np.asarray(pts, dtype="f8")
+    # second segment runs backwards; merge must flip it
+    g = ("multilinestring", [ls((0, 0), (1, 0)), ls((2, 0), (1, 0))])
+    m = G.line_merge(g)
+    assert len(m[1]) == 1
+    assert m[1][0].shape[0] == 3
