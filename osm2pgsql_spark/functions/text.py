@@ -1,0 +1,113 @@
+"""Text-analysis expression library (training-data pipeline ops).
+
+These are beyond the reference's surface (it processes map tags, not
+documents) but reuse the same design rule as the tag transforms: the
+hot path is JVM-side Catalyst expressions — tokenization, ratios,
+fingerprints all stay inside whole-stage codegen.  At 100 TB of text
+a Python UDF here would be the bottleneck; none of these use one.
+
+Every function has a DuckDB-SQL twin (the *_SQL strings) evaluating
+the identical formula for the driver's oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions.rounding import roundn, roundn_sql
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic.  Tiny on purpose: the point is the operator
+# shape (broadcast dictionary + expression scoring), not lexicography.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank -> 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("bigint")
+
+
+def token_count_sql(col: str = "text") -> str:
+    return (
+        f"cast(case when trim({col}) = '' then 0 "
+        f"else len(string_split_regex(trim({col}), '\\s+')) end as bigint)"
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of alphabetic characters — a quality-score component."""
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(F.length(text) > 0, alpha.cast("double") / F.length(text)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio_sql(col: str = "text") -> str:
+    return (
+        f"case when length({col}) > 0 then "
+        f"cast(length(regexp_replace({col}, '[^A-Za-z]', '', 'g')) as double) / length({col}) "
+        f"else 0.0 end"
+    )
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens that are stopwords (JVM-side: split + filter)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+
+
+def stopword_count_sql(col: str = "text", stopwords: list[str] | None = None) -> str:
+    words = ", ".join(f"'{w}'" for w in (stopwords or STOPWORDS_EN))
+    return (
+        f"cast(len(list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+        f"w -> list_contains([{words}], w))) as bigint)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + alpha ratio +
+    stopword presence (the standard C4/Gopher-style cheap filters,
+    expressed as one arithmetic column)."""
+    n = F.length(text)
+    len_score = F.when((n >= 50) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    alpha_score = alpha_ratio(text) * 0.3
+    sw_score = F.when(stopword_count(text) >= 2, F.lit(0.3)).otherwise(F.lit(0.0))
+    return roundn(len_score + alpha_score + sw_score, 4)
+
+
+def quality_score_sql(col: str = "text") -> str:
+    raw = (
+        f"(case when length({col}) between 50 and 10000 then 0.4 else 0.0 end) "
+        f"+ ({alpha_ratio_sql(col)}) * 0.3 "
+        f"+ (case when ({stopword_count_sql(col)}) >= 2 then 0.3 else 0.0 end)"
+    )
+    return roundn_sql(raw, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: lowercase, whitespace-normalize,
+    sort tokens, md5.  Key for exact-ish dedup clustering."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.md5(F.array_join(F.array_sort(toks), " "))
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return (
+        f"md5(array_to_string(list_sort(string_split_regex(lower(trim({col})), '\\s+')), ' '))"
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Tiny language-ID heuristic: en if >=1 English stopword token,
+    else 'und'.  (Shape of the operator: dictionary scoring in an
+    expression; swap in bigger tables for real use.)"""
+    return F.when(stopword_count(text) >= 1, F.lit("en")).otherwise(F.lit("und"))
+
+
+def lang_guess_sql(col: str = "text") -> str:
+    return f"case when ({stopword_count_sql(col)}) >= 1 then 'en' else 'und' end"

@@ -1,0 +1,114 @@
+"""Approximate / exact nearest-neighbor search over an embedding
+column (ARRAY<FLOAT>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set
+against the full corpus; one narrow pass + per-query top-k via window.
+All math is JVM-side (zip_with/aggregate in doubles, left-to-right),
+which also makes it bit-reproducible against the DuckDB oracle.
+
+Scale path: LSH bucketing via signed random projections (the SimHash
+of the embedding): hash = sign bits against fixed pseudo-random
+hyperplanes -> candidates share >= 1 band -> exact re-rank.  The
+expensive cross product never materializes; the shuffle key is the
+bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions.rounding import round6
+from osm2pgsql_spark.functions.similarity import cosine_similarity, minhash_params
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — exact cosine top-k.
+
+    queries is expected small (broadcast); corpus streams through one
+    stage, per-query top-k via window over (query_id)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", round6(F.col("sim")).alias("sim"))
+    )
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket BIGINT): sign-of-dot-product LSH against n_bits
+    fixed pseudo-random hyperplanes (deterministic +-1 components from
+    the shared LCG). JVM-side only."""
+    params = minhash_params(n_bits * dim, seed)
+    bits = []
+    for b in range(n_bits):
+        comps = [1.0 if params[b * dim + d][0] % 2 == 0 else -1.0 for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in comps]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: join on LSH bucket, exact re-rank within
+    bucket.  Recall < 1.0 by construction; use brute_force_topk as the
+    correctness baseline."""
+    cb = random_projection_buckets(corpus, n_bits, dim, id_col=id_col, vec_col=vec_col)
+    qb = random_projection_buckets(queries, n_bits, dim, id_col=id_col, vec_col=vec_col)
+    q = qb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", round6(F.col("sim")).alias("sim"))
+    )

@@ -1,0 +1,129 @@
+"""Deduplication operators over a document table.
+
+Scale shape: exact/fingerprint dedup is one hash-groupBy (map-side
+combine, one shuffle).  MinHash+LSH is the 100 TB path: per-doc
+signatures (narrow), band keys (narrow), one shuffle on (band, sig)
+to produce candidate pairs, then Jaccard verification joins only the
+candidates — never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions import similarity as S
+from osm2pgsql_spark.functions.rounding import round4
+from osm2pgsql_spark.functions.text import fingerprint
+
+
+def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate clustering by md5 of the raw text."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def fingerprint_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-exact clustering by canonical fingerprint (lowercase,
+    whitespace-normalized, token-sorted md5)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signature columns.
+
+    Explode distinct shingles -> portable 32-bit hash -> k permuted
+    mins in one aggregation (k min() aggregates share one shuffle)."""
+    params = S.minhash_params(k)
+    sh = docs.select(
+        F.col(id_col), F.explode(S.shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).withColumn("h", S.hash32(F.col("shingle")))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(S.minhash_value(F.col("h"), a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = 8, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b) candidates sharing >= 1 LSH band.
+
+    Band signature = concat of rows_per_band consecutive minhash
+    values; self-join on (band, sig).  The join key is the band
+    signature, so co-bucketed docs land in the same partition — the
+    only shuffle that scales with corpus size."""
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("sig"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.alias("a")
+    bb = allb.alias("b")
+    return (
+        a.join(bb, ["band", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    docs: DataFrame,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: candidates -> exact shingle-set
+    Jaccard (JVM-side array_intersect/array_union) -> threshold."""
+    sigs = minhash_signatures(docs, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col)
+    cand = lsh_candidate_pairs(sigs, k=k, rows_per_band=rows_per_band, id_col=id_col)
+    sh = docs.select(F.col(id_col), S.shingles(F.col(text_col), shingle_n).alias("sh"))
+    j = (
+        cand.join(
+            sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+        )
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            round4(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash BIGINT) — 32-bit SimHash, integer-exact."""
+    return docs.select(F.col(id_col), S.simhash32(F.col(text_col)).alias("simhash"))

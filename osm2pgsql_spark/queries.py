@@ -1,0 +1,706 @@
+"""Query/oracle registry — the driver's correctness surface.
+
+Each entry maps one operator from SURVEY.md §2 onto the driver's
+TPC-H-ish corpus.  OSM-shaped inputs (nodes with coordinates, ways
+with ordered refs, regions, changesets) are *derived* from the corpus
+tables with deterministic arithmetic (osm2pgsql_spark.sources.
+osm_synth) so each Spark plan has an exactly-equivalent DuckDB oracle.
+
+Conventions for hash-stable cross-engine comparison:
+- every surfaced float goes through floor-based rounding
+  (functions.rounding) on BOTH sides;
+- aggregate/computed columns are aliased identically on both sides;
+- arrays are surfaced as sorted comma-joined strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions import similarity as S
+from osm2pgsql_spark.functions import text as TX
+from osm2pgsql_spark.functions import tiles as TI
+from osm2pgsql_spark.functions import tags as TG
+from osm2pgsql_spark.functions.rounding import round2, round4, round6, roundn_sql
+from osm2pgsql_spark.operators import ann, assembly, dedup, isolation, locator, reverse_deps
+from osm2pgsql_spark.sources import osm_synth
+from osm2pgsql_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational aggregation layer (baseline: the engine must do plain OLAP too)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=roundn_sql("sum(l_quantity)", 2),
+        sum_base=roundn_sql("sum(l_extendedprice)", 2),
+        sum_disc=roundn_sql("sum(l_extendedprice * (1 - l_discount))", 2),
+    ),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round2(F.sum("l_quantity")).alias("sum_qty"),
+            round2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources: bbox ingest filter (src/osmdata.cpp:48-50)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bbox_filter",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL})
+    SELECT node_id, lon, lat FROM nodes
+    WHERE lon >= -60 AND lon <= 60 AND lat >= -30 AND lat <= 30
+    """,
+)
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = osm_synth.nodes(spark, sf_dir)
+    return n.where(
+        (F.col("lon") >= -60) & (F.col("lon") <= 60) & (F.col("lat") >= -30) & (F.col("lat") <= 30)
+    ).select("node_id", "lon", "lat")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.8 multi-file merge with first-file-wins duplicate suppression
+# (src/input.cpp:261-303)
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_dedup",
+    oracle="""
+    WITH f1 AS (SELECT o_orderkey AS id, 1 AS file_no FROM orders WHERE o_orderkey % 3 = 0),
+         f2 AS (SELECT o_orderkey AS id, 2 AS file_no FROM orders WHERE o_orderkey % 2 = 0),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+         r AS (SELECT id, file_no,
+                      row_number() OVER (PARTITION BY id ORDER BY file_no) AS rn
+               FROM u)
+    SELECT id, file_no FROM r WHERE rn = 1
+    """,
+)
+def q_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f1 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"), F.lit(1).alias("file_no")
+    )
+    f2 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"), F.lit(2).alias("file_no")
+    )
+    u = f1.unionByName(f2)
+    w = Window.partitionBy("id").orderBy("file_no")
+    return (
+        u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select("id", "file_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 THE core join: way refs -> node locations (middle nodes_get_list)
+# ---------------------------------------------------------------------------
+
+@register(
+    "way_node_join",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL})
+    SELECT way_id,
+           count(*) AS n_resolved,
+           min(ref) AS min_ref,
+           max(ref) AS max_ref,
+           {roundn_sql('sum(lon)', 4)} AS sum_lon,
+           {roundn_sql('sum(lat)', 4)} AS sum_lat
+    FROM refs JOIN nodes ON ref = node_id
+    GROUP BY way_id
+    """,
+)
+def q_way_node_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = osm_synth.way_refs(spark, sf_dir)
+    nodes = osm_synth.nodes(spark, sf_dir)
+    j = refs.join(nodes, refs["ref"] == nodes["node_id"], "inner")
+    return j.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_resolved"),
+        F.min("ref").alias("min_ref"),
+        F.max("ref").alias("max_ref"),
+        round4(F.sum("lon")).alias("sum_lon"),
+        round4(F.sum("lat")).alias("sum_lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 way assembly -> linestring length (geom-from-osm.cpp:88-101 +
+# geom-functions.cpp:439), JVM-side fold over the assembled array
+# ---------------------------------------------------------------------------
+
+@register(
+    "way_length",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, pos, lon, lat,
+                   lead(lon) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlon,
+                   lead(lat) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlat
+            FROM refs JOIN nodes ON ref = node_id),
+         segs AS (
+            SELECT way_id,
+                   CASE WHEN nlon IS NULL OR (nlon = lon AND nlat = lat) THEN 0.0
+                        ELSE sqrt((nlon - lon) * (nlon - lon) + (nlat - lat) * (nlat - lat))
+                   END AS seg
+            FROM pts)
+    SELECT way_id, {roundn_sql('sum(seg)', 4)} AS length
+    FROM segs GROUP BY way_id
+    """,
+)
+def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = osm_synth.way_refs(spark, sf_dir)
+    nodes = osm_synth.nodes(spark, sf_dir)
+    a = assembly.assemble_points(
+        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
+    )
+    return a.select("way_id", round4(assembly.line_length(F.col("pts"))).alias("length"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 closed-ring shoelace area (geom-from-osm.cpp:104-133 + area :351)
+# ---------------------------------------------------------------------------
+
+@register(
+    "way_polygon_area",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, pos, lon, lat,
+                   lead(lon) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlon,
+                   lead(lat) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlat,
+                   first_value(lon) OVER (PARTITION BY way_id ORDER BY pos, ref) AS flon,
+                   first_value(lat) OVER (PARTITION BY way_id ORDER BY pos, ref) AS flat,
+                   count(*) OVER (PARTITION BY way_id) AS npts
+            FROM refs JOIN nodes ON ref = node_id),
+         terms AS (
+            SELECT way_id, npts,
+                   CASE WHEN nlon IS NULL THEN lon * flat - flon * lat
+                        ELSE lon * nlat - nlon * lat END AS t
+            FROM pts)
+    SELECT way_id, {roundn_sql('abs(sum(t)) / 2.0', 4)} AS area
+    FROM terms WHERE npts >= 3 GROUP BY way_id
+    """,
+)
+def q_way_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = osm_synth.way_refs(spark, sf_dir)
+    nodes = osm_synth.nodes(spark, sf_dir)
+    a = assembly.assemble_points(
+        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
+    )
+    return (
+        a.where(F.size("pts") >= 3)
+        .select("way_id", round4(assembly.shoelace_area(F.col("pts"))).alias("area"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 z_order + roads flag (tagtransform-c.cpp:28-89) — exact int semantics
+# ---------------------------------------------------------------------------
+
+_HIGHWAY_CASE = (
+    "CASE p_partkey % 25 "
+    + " ".join(
+        f"WHEN {i} THEN '{name}'" for i, (name, _o, _r) in enumerate(TG.HIGHWAY_LAYERS)
+    )
+    + " END"
+)
+_OFFSET_CASE = (
+    "CASE p_partkey % 25 "
+    + " ".join(f"WHEN {i} THEN {off}" for i, (_n, off, _r) in enumerate(TG.HIGHWAY_LAYERS))
+    + " END"
+)
+_ROADS_CASE = (
+    "CASE p_partkey % 25 "
+    + " ".join(
+        f"WHEN {i} THEN {str(r).lower()}" for i, (_n, _o, r) in enumerate(TG.HIGHWAY_LAYERS)
+    )
+    + " END"
+)
+
+
+@register(
+    "z_order",
+    oracle=f"""
+    SELECT p_partkey AS way_id,
+           cast(((p_size % 5) - 2) * 100
+                + ({_OFFSET_CASE})
+                + (CASE WHEN p_partkey % 7 = 0 THEN 35 ELSE 0 END)
+                + (CASE WHEN p_size > 40 THEN 100 ELSE 0 END)
+                - (CASE WHEN p_size < 5 THEN 100 ELSE 0 END) AS int) AS z_order,
+           (({_ROADS_CASE}) OR p_partkey % 7 = 0) AS roads
+    FROM part
+    """,
+)
+def q_z_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    tagged = p.select(
+        F.col("p_partkey").alias("way_id"),
+        F.expr(_HIGHWAY_CASE).alias("highway"),
+        F.expr("cast((p_size % 5) - 2 as string)").alias("layer"),
+        F.expr("CASE WHEN p_size > 40 THEN 'yes' ELSE 'no' END").alias("bridge"),
+        F.expr("CASE WHEN p_size < 5 THEN 'yes' ELSE 'no' END").alias("tunnel"),
+        F.expr("CASE WHEN p_partkey % 7 = 0 THEN 'rail' ELSE '' END").alias("railway"),
+    )
+    return tagged.select(
+        "way_id",
+        TG.z_order(
+            F.col("highway"),
+            layer=F.col("layer"),
+            bridge=F.col("bridge"),
+            tunnel=F.col("tunnel"),
+            railway=F.col("railway"),
+        ),
+        TG.roads_flag(F.col("highway"), railway=F.col("railway")).alias("roads"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 tag filter on a JSON props column (style-file keep/delete analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tag_filter_json",
+    oracle="""
+    SELECT event_id, event_type,
+           cast(json_extract_string(props, '$.k') AS bigint) AS k
+    FROM events
+    WHERE cast(json_extract_string(props, '$.k') AS bigint) >= 50
+      AND event_type <> 'error'
+    """,
+)
+def q_tag_filter_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .where((F.col("k") >= 50) & (F.col("event_type") != "error"))
+        .select("event_id", "event_type", "k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 tile expiry: point -> z14 tile, distinct, rolled up to z10..z14
+# (expire-tiles.cpp + expire-output.cpp:85-106)
+# ---------------------------------------------------------------------------
+
+_EXP_MAXZOOM = 14
+_EXP_MINZOOM = 10
+
+
+@register(
+    "tile_expiry_rollup",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         __tiles__ AS (
+            SELECT DISTINCT {TI.tile_x_sql('lon', _EXP_MAXZOOM)} AS x,
+                            {TI.tile_y_sql('lat', _EXP_MAXZOOM)} AS y
+            FROM nodes),
+         rolled AS ({TI.rollup_zoom_sql(_EXP_MINZOOM, _EXP_MAXZOOM)})
+    SELECT DISTINCT zoom, x, y FROM rolled
+    """,
+)
+def q_tile_expiry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = osm_synth.nodes(spark, sf_dir)
+    tiles = n.select(
+        TI.tile_x(F.col("lon"), _EXP_MAXZOOM).alias("x"),
+        TI.tile_y(F.col("lat"), _EXP_MAXZOOM).alias("y"),
+    ).distinct()
+    return TI.rollup_zoom(tiles, _EXP_MINZOOM, _EXP_MAXZOOM)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 reverse-dependency join: changed nodes -> parent ways
+# (middle-pgsql.cpp:575-657, osmdata.cpp:75-147)
+# ---------------------------------------------------------------------------
+
+@register(
+    "reverse_deps",
+    oracle=f"""
+    WITH refs AS ({osm_synth.WAY_REFS_SQL}),
+         changed AS (SELECT p_partkey AS node_id FROM part WHERE p_size >= 45)
+    SELECT DISTINCT way_id FROM refs
+    WHERE ref IN (SELECT node_id FROM changed)
+    """,
+)
+def q_reverse_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = osm_synth.way_refs(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    changed = p.where(F.col("p_size") >= 45).select(F.col("p_partkey").alias("node_id"))
+    return reverse_deps.parent_ways_of_nodes(refs, changed)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 locator spatial join (locator.cpp, flex-lua-locator.cpp
+# all_intersecting): broadcast region boxes vs synthetic nodes
+# ---------------------------------------------------------------------------
+
+_REGIONS_SQL = """
+    SELECT r_name AS name,
+           cast(r_regionkey * 60 - 150 AS double) AS min_x,
+           cast(r_regionkey * 15 - 60 AS double) AS min_y,
+           cast(r_regionkey * 60 - 70 AS double) AS max_x,
+           cast(r_regionkey * 15 + 20 AS double) AS max_y
+    FROM region
+"""
+
+
+@register(
+    "locator_all_intersecting",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         regions AS ({_REGIONS_SQL})
+    SELECT node_id,
+           string_agg(name, ',' ORDER BY name) AS regions,
+           count(*) AS n_regions
+    FROM nodes JOIN regions
+      ON lon >= min_x AND lon <= max_x AND lat >= min_y AND lat <= max_y
+    GROUP BY node_id
+    """,
+)
+def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = osm_synth.nodes(spark, sf_dir)
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"),
+        (F.col("r_regionkey") * 60 - 150).cast("double").alias("min_x"),
+        (F.col("r_regionkey") * 15 - 60).cast("double").alias("min_y"),
+        (F.col("r_regionkey") * 60 - 70).cast("double").alias("max_x"),
+        (F.col("r_regionkey") * 15 + 20).cast("double").alias("max_y"),
+    )
+    return locator.all_intersecting(n, r)
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact/fingerprint clustering (training-data extension)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT {TX.fingerprint_sql('text')} AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_groups(docs)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts, quality, language guess
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.token_count_sql('text')} AS n_tokens,
+           cast(length(text) AS bigint) AS n_chars,
+           {roundn_sql(TX.alpha_ratio_sql('text'), 4)} AS alpha_ratio,
+           {TX.stopword_count_sql('text')} AS n_stopwords,
+           {TX.quality_score_sql('text')} AS quality,
+           {TX.lang_guess_sql('text')} AS lang_guess
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars"),
+        round4(TX.alpha_ratio(F.col("text"))).alias("alpha_ratio"),
+        TX.stopword_count(F.col("text")).alias("n_stopwords"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: 32-bit SimHash (integer-exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "simhash",
+    oracle=f"""
+    SELECT doc_id, {S.simhash32_sql('text')} AS simhash FROM documents
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_table(docs)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH candidate pairs + exact Jaccard verification
+# ---------------------------------------------------------------------------
+
+_MH_K = 8
+_MH_BAND_ROWS = 2
+_MH_PARAMS = S.minhash_params(_MH_K)
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min({S.minhash_value_sql('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    n_bands = _MH_K // _MH_BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM mh".format(
+            b=b,
+            cols=", '_', ".join(
+                f"mh{b * _MH_BAND_ROWS + r}" for r in range(_MH_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {S.tokens_sql('text')} AS t FROM documents),
+         shl AS (SELECT doc_id, {S.shingles_from_tokens_sql('t', 3)} AS sh FROM toks),
+         sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+         hs AS (SELECT doc_id, {S.hash32_sql('shingle')} AS h FROM sh),
+         mh AS (SELECT doc_id, {mh_cols} FROM hs GROUP BY doc_id),
+         bands AS ({band_selects}),
+         cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.doc_id < b.doc_id),
+         jac AS (
+            SELECT doc_a, doc_b,
+                   {roundn_sql('cast(len(list_intersect(sa.sh, sb.sh)) AS double) / len(list_distinct(list_concat(sa.sh, sb.sh)))', 4)} AS jaccard
+            FROM cand
+            JOIN shl sa ON sa.doc_id = doc_a
+            JOIN shl sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+    """
+
+
+@register("minhash_near_dups", oracle=_minhash_oracle())
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.verified_near_dups(
+        docs, k=_MH_K, rows_per_band=_MH_BAND_ROWS, shingle_n=3, min_jaccard=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+_ANN_K = 5
+_ANN_NQ = 20
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_ANN_NQ}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> cast(qv[i] AS double) * cast(nv[i] AS double)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> cast(qv[i] AS double) * cast(qv[i] AS double))))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
+                            i -> cast(nv[i] AS double) * cast(nv[i] AS double))))) AS sim
+            FROM q, c WHERE query_id <> neighbor_id),
+         ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+    SELECT query_id, neighbor_id, rank, {roundn_sql('sim', 6)} AS sim
+    FROM ranked WHERE rank <= {_ANN_K}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < _ANN_NQ)
+    return ann.brute_force_topk(e, queries, k=_ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# incremental/streaming analog: sessionization over the events stream
+# (batch shape of Structured Streaming state logic)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS tus,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        FROM events),
+         marked AS (
+        SELECT user_id, tus,
+               CASE WHEN prev IS NULL OR tus - prev > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+        FROM e),
+         sess AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked),
+         per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id)
+    SELECT user_id,
+           count(*) AS n_sessions,
+           sum(n_events) AS n_events,
+           max(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
+    marked = e.select(
+        "user_id",
+        tus.alias("tus"),
+        F.when(
+            F.lag(tus).over(w).isNull() | ((tus - F.lag(tus).over(w)) > _SESSION_GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select("user_id", F.sum("new_session").over(w2).alias("session_id"))
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed event-time aggregation (streaming windowed-agg batch shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n,
+           {roundn_sql('sum(value)', 4)} AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.sum("value")).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6 discrete isolation (gen-discrete-isolation.cpp)
+# ---------------------------------------------------------------------------
+
+_DI_POINTS_SQL = """
+    SELECT c_custkey AS id,
+           ((c_custkey * 13) % 1000) / 10.0e0 AS x,
+           ((c_custkey * 29) % 1000) / 10.0e0 AS y,
+           c_acctbal AS importance
+    FROM customer
+"""
+
+
+@register(
+    "discrete_isolation",
+    oracle=f"""
+    WITH pts AS ({_DI_POINTS_SQL}),
+         iso AS (
+            SELECT a.id, a.importance,
+                   min(sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))) AS iso
+            FROM pts a LEFT JOIN pts b
+              ON (b.importance > a.importance)
+                 OR (b.importance = a.importance AND b.id < a.id)
+            GROUP BY a.id, a.importance)
+    SELECT id,
+           row_number() OVER (ORDER BY importance DESC, id) AS irank,
+           {roundn_sql('iso', 4)} AS iso
+    FROM iso
+    """,
+)
+def q_discrete_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 13) % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 29) % 1000) / 10.0).alias("y"),
+        F.col("c_acctbal").alias("importance"),
+    )
+    return isolation.exact(pts)
+
+
+# ---------------------------------------------------------------------------
+# public surface for __spark_entry__
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

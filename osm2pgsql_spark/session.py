@@ -32,6 +32,11 @@ def get_spark(app_name: str = "osm2pgsql-spark", shuffle_partitions: int | None 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the events table carries TIMESTAMP(NANOS) parquet values,
+        # which Spark only reads via this legacy flag (as raw int64);
+        # sources.testdata converts them back to timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 from osm2pgsql_spark.sources.testdata import load_table
 
 # -- formula single-source-of-truth (valid in both Spark SQL & DuckDB) --
-LON_EXPR = "((p_partkey * 37) % 3600) / 10.0 - 180.0"
-LAT_EXPR = "((p_partkey * 53) % 1700) / 10.0 - 85.0"
+# NB: float literals use the 1e0 exponent form: Spark and DuckDB both
+# parse bare `10.0` as DECIMAL (different scales/semantics), but both
+# parse `10.0e0` as DOUBLE — required for bit-identical results.
+LON_EXPR = "((p_partkey * 37) % 3600) / 10.0e0 - 180.0e0"
+LAT_EXPR = "((p_partkey * 53) % 1700) / 10.0e0 - 85.0e0"
 
 # SQL CTE bodies for oracles.  Keep in lock-step with the DataFrame
 # builders below (they use the identical expression strings).

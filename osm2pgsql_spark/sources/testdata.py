@@ -17,7 +17,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark only
+        # reads with the legacy nanosAsLong flag (as int64 nanos).  The
+        # flag is a runtime-settable session conf, but callers (e.g. the
+        # driver) may hand us a session that never set it — set it here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # convert int64 nanos to a microsecond timestamp (matches
+        # DuckDB's epoch_us truncation for positive epochs)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
