@@ -100,10 +100,13 @@ def shoelace_area(pts: Column) -> Column:
     return F.when(n >= 3, F.abs(total) / F.lit(2.0)).otherwise(F.lit(0.0))
 
 
-@pandas_udf("binary")
-def pts_to_linestring_wkb(pts: pd.Series) -> pd.Series:
-    """ARRAY<STRUCT<x,y>> -> linestring WKB (consecutive-dup removal +
-    <2 points -> null, reference src/geom-from-osm.cpp:53-101)."""
+# pandas UDFs are created lazily: @pandas_udf parses its return type
+# against the active SparkSession, so module-level decoration breaks
+# imports that happen before the session exists (e.g. bench.py).
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _linestring_kernel(pts: pd.Series) -> pd.Series:
     out = []
     for arr in pts:
         if arr is None or len(arr) == 0:
@@ -114,10 +117,7 @@ def pts_to_linestring_wkb(pts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
-def pts_to_polygon_wkb(pts: pd.Series) -> pd.Series:
-    """ARRAY<STRUCT<x,y>> -> polygon WKB for closed rings, else null
-    (reference src/geom-from-osm.cpp:104-133)."""
+def _polygon_kernel(pts: pd.Series) -> pd.Series:
     out = []
     for arr in pts:
         if arr is None or len(arr) == 0:
@@ -126,6 +126,22 @@ def pts_to_polygon_wkb(pts: pd.Series) -> pd.Series:
         g = G.make_polygon_from_way([(p["x"], p["y"]) for p in arr])
         out.append(G.to_wkb(g))
     return pd.Series(out, dtype=object)
+
+
+def pts_to_linestring_wkb(col: Column) -> Column:
+    """ARRAY<STRUCT<x,y>> -> linestring WKB (consecutive-dup removal +
+    <2 points -> null, reference src/geom-from-osm.cpp:53-101)."""
+    if "line" not in _UDF_CACHE:
+        _UDF_CACHE["line"] = pandas_udf(_linestring_kernel, "binary")
+    return _UDF_CACHE["line"](col)
+
+
+def pts_to_polygon_wkb(col: Column) -> Column:
+    """ARRAY<STRUCT<x,y>> -> polygon WKB for closed rings, else null
+    (reference src/geom-from-osm.cpp:104-133)."""
+    if "poly" not in _UDF_CACHE:
+        _UDF_CACHE["poly"] = pandas_udf(_polygon_kernel, "binary")
+    return _UDF_CACHE["poly"](col)
 
 
 def way_lines(
