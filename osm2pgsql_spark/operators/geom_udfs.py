@@ -1,0 +1,197 @@
+"""Arrow-batched geometry UDF wrappers around the pure-numpy kernels.
+
+All pandas UDFs are created lazily (the decorator needs an active
+SparkSession to parse its return type).  Each wrapper takes/returns
+WKB BINARY columns; scalar measures return doubles.
+
+Reference semantics per kernel: see functions/geometry.py docstrings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from osm2pgsql_spark.functions import geometry as G
+
+_CACHE: dict[str, object] = {}
+
+
+def _lazy(name: str, fn: Callable, rtype: str):
+    def wrapper(*cols: Column) -> Column:
+        if name not in _CACHE:
+            _CACHE[name] = pandas_udf(fn, rtype)
+        return _CACHE[name](*cols)
+
+    return wrapper
+
+
+# ------------------------------------------------------------- points
+
+def _point_wkb(lon: pd.Series, lat: pd.Series, srid: pd.Series) -> pd.Series:
+    out = []
+    for x, y, s in zip(lon, lat, srid):
+        if x is None or y is None or pd.isna(x) or pd.isna(y):
+            out.append(None)
+            continue
+        g = G.make_point(float(x), float(y))
+        if int(s) == 3857:
+            g = G.transform_4326_to_3857(g)
+        out.append(G.to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
+_point_udf = _lazy("point", _point_wkb, "binary")
+
+
+def point_wkb(lon: Column, lat: Column, srid: int = 4326) -> Column:
+    from pyspark.sql import functions as F
+
+    return _point_udf(lon, lat, F.lit(srid))
+
+
+# ------------------------------------- assembled way points -> geometry
+
+def _pts_line_3857(pts: pd.Series) -> pd.Series:
+    out = []
+    for arr in pts:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        g = G.make_linestring([(p["x"], p["y"]) for p in arr])
+        if g is not None:
+            g = G.transform_4326_to_3857(g)
+        out.append(G.to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
+def _pts_poly_3857(pts: pd.Series) -> pd.Series:
+    out = []
+    for arr in pts:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        g = G.make_polygon_from_way([(p["x"], p["y"]) for p in arr])
+        if g is not None:
+            g = G.transform_4326_to_3857(g)
+        out.append(G.to_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
+pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
+pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
+
+
+# ------------------------------------------------------ scalar measures
+
+def _measure(fn):
+    def inner(wkb: pd.Series) -> pd.Series:
+        return pd.Series([fn(G.from_wkb(w)) if w is not None else None for w in wkb], dtype="float64")
+
+    return inner
+
+
+wkb_area = _lazy("area", _measure(G.area), "double")
+wkb_spherical_area = _lazy("sph_area", _measure(G.spherical_area), "double")
+wkb_length = _lazy("length", _measure(G.length), "double")
+wkb_spherical_length = _lazy("sph_len", _measure(G.spherical_length), "double")
+
+
+def _npoints(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [G.n_points(G.from_wkb(w)) if w is not None else 0 for w in wkb], dtype="int64"
+    )
+
+
+wkb_num_points = _lazy("npoints", _npoints, "bigint")
+
+
+def _geom_type(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [G.geometry_type(G.from_wkb(w)) if w is not None else "NULL" for w in wkb],
+        dtype=object,
+    )
+
+
+wkb_geometry_type = _lazy("gtype", _geom_type, "string")
+
+
+# -------------------------------------------------------- transformers
+
+def _unary_geom(fn):
+    def inner(wkb: pd.Series) -> pd.Series:
+        out = []
+        for w in wkb:
+            if w is None:
+                out.append(None)
+                continue
+            out.append(G.to_wkb(fn(G.from_wkb(w))))
+        return pd.Series(out, dtype=object)
+
+    return inner
+
+
+wkb_centroid = _lazy("centroid", _unary_geom(G.centroid), "binary")
+wkb_reverse = _lazy("rev", _unary_geom(G.reverse), "binary")
+wkb_line_merge = _lazy("lmerge", _unary_geom(G.line_merge), "binary")
+wkb_transform_3857 = _lazy("to3857", _unary_geom(G.transform_4326_to_3857), "binary")
+wkb_transform_4326 = _lazy("to4326", _unary_geom(G.transform_3857_to_4326), "binary")
+
+
+def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for w, t in zip(wkb, tol):
+        if w is None:
+            out.append(None)
+            continue
+        out.append(G.to_wkb(G.simplify(G.from_wkb(w), float(t))))
+    return pd.Series(out, dtype=object)
+
+
+_simplify_udf = _lazy("simplify", _simplify, "binary")
+
+
+def wkb_simplify(wkb: Column, tolerance: float) -> Column:
+    from pyspark.sql import functions as F
+
+    return _simplify_udf(wkb, F.lit(float(tolerance)))
+
+
+def _segmentize(wkb: pd.Series, maxlen: pd.Series) -> pd.Series:
+    out = []
+    for w, t in zip(wkb, maxlen):
+        if w is None:
+            out.append(None)
+            continue
+        out.append(G.to_wkb(G.segmentize(G.from_wkb(w), float(t))))
+    return pd.Series(out, dtype=object)
+
+
+_segmentize_udf = _lazy("segmentize", _segmentize, "binary")
+
+
+def wkb_segmentize(wkb: Column, max_segment_length: float) -> Column:
+    from pyspark.sql import functions as F
+
+    return _segmentize_udf(wkb, F.lit(float(max_segment_length)))
+
+
+def _bbox(wkb: pd.Series) -> pd.DataFrame:
+    rows = []
+    for w in wkb:
+        b = G.get_bbox(G.from_wkb(w)) if w is not None else None
+        rows.append(
+            {"min_x": None, "min_y": None, "max_x": None, "max_y": None}
+            if b is None
+            else {"min_x": b[0], "min_y": b[1], "max_x": b[2], "max_y": b[3]}
+        )
+    return pd.DataFrame(rows, dtype="float64")
+
+
+wkb_bbox = _lazy(
+    "bbox", _bbox, "struct<min_x:double,min_y:double,max_x:double,max_y:double>"
+)

@@ -1,0 +1,160 @@
+"""Flex DSL end-to-end on the FIXTURES.md F1/F2/F3 mini-fixtures
+(mirrors reference BDD features tests/bdd/flex/area.feature etc.)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions import geometry as G
+from osm2pgsql_spark.model import NODE_SCHEMA, WAY_SCHEMA
+from osm2pgsql_spark.plans.flex import ColumnDef, FlexConfig
+
+
+@pytest.fixture()
+def fixture_dfs(spark):
+    # grid origin (9.0, 50.3), 0.1 deg cells — area.feature:3-7 style
+    def n(i, dx, dy, tags=None):
+        return (i, 50.3 + 0.1 * dy, 9.0 + 0.1 * dx, tags or {}, None, None, None, None, None, None)
+
+    nodes = spark.createDataFrame(
+        [
+            n(1, 0, 0, {"amenity": "restaurant", "name": "N1"}),
+            n(2, 1, 0),
+            n(3, 1, 1),
+            n(4, 0, 1),
+            n(5, 3, 3, {"amenity": "cafe", "name": "N5"}),
+            n(10, 5, 5),
+            n(11, 6, 5),
+            n(12, 6, 6),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            # closed square natural=water (F3)
+            (100, [1, 2, 3, 4, 1], {"natural": "water", "name": "poly"}, None, None, None, None, None, None),
+            # open highway (F2)
+            (101, [10, 11, 12], {"highway": "primary"}, None, None, None, None, None, None),
+            # way with missing node ref (skip-missing semantics)
+            (102, [10, 999, 11], {"highway": "service"}, None, None, None, None, None, None),
+            # single resolvable node -> null geometry
+            (103, [10, 998], {"highway": "path"}, None, None, None, None, None, None),
+        ],
+        WAY_SCHEMA,
+    )
+    return nodes, ways
+
+
+def test_flex_points_lines_polygons(spark, fixture_dfs):
+    nodes, ways = fixture_dfs
+    cfg = FlexConfig()
+    cfg.define_table(
+        "points",
+        ids="node",
+        columns=[
+            ColumnDef("name", "text"),
+            ColumnDef("geom", "point", srid=3857, not_null=True),
+        ],
+    )
+    cfg.define_table(
+        "lines",
+        ids="way",
+        columns=[
+            ColumnDef("highway", "text"),
+            ColumnDef("geom", "linestring", srid=4326, not_null=True),
+        ],
+    )
+    cfg.define_table(
+        "areas",
+        ids="area",
+        columns=[
+            ColumnDef("name", "text"),
+            ColumnDef("geom", "polygon", srid=4326, not_null=True),
+        ],
+    )
+
+    cfg.insert(
+        "points",
+        "node",
+        when=F.size("tags") > 0,
+        name=F.col("tags")["name"],
+    )
+    cfg.insert(
+        "lines",
+        "way",
+        when=F.col("tags")["highway"].isNotNull(),
+        highway=F.col("tags")["highway"],
+    )
+    cfg.insert(
+        "areas",
+        "way",
+        when=F.col("tags")["natural"] == "water",
+        name=F.col("tags")["name"],
+    )
+
+    out = cfg.run(nodes=nodes, ways=ways)
+
+    pts = {r["osm_id"]: r for r in out["points"].collect()}
+    assert set(pts) == {1, 5}  # untagged nodes dropped
+    g1 = G.from_wkb(pts[1]["geom"])
+    assert g1[0] == "point"
+    # 3857 x of lon 9.0
+    assert g1[1][0] == pytest.approx(9.0 * math.pi / 180 * G.EARTH_RADIUS)
+    assert pts[1]["name"] == "N1"
+
+    lines = {r["osm_id"]: r for r in out["lines"].collect()}
+    # way 103 has only 1 resolvable node -> null geom -> dropped (not_null)
+    assert set(lines) == {101, 102}
+    g101 = G.from_wkb(lines[101]["geom"])
+    assert g101[0] == "linestring" and g101[1].shape[0] == 3
+    # way 102: missing node 999 silently skipped -> 2 points
+    g102 = G.from_wkb(lines[102]["geom"])
+    assert g102[1].shape[0] == 2
+
+    areas = {r["osm_id"]: r for r in out["areas"].collect()}
+    assert set(areas) == {100}  # ways keep +id in area tables
+    g100 = G.from_wkb(areas[100]["geom"])
+    assert g100[0] == "polygon"
+    assert G.area(g100) == pytest.approx(0.01, rel=1e-6)  # 0.1 x 0.1 cell
+
+
+def test_flex_cast_semantics(spark):
+    # F10-style: flex-write.cpp cast semantics via tag values
+    nodes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, {"b": "yes", "d": "-1", "i": "42", "big": "99999999999999999999"},
+             None, None, None, None, None, None),
+            (2, 0.0, 0.0, {"b": "maybe", "d": "yes", "i": "3.5", "big": "7"},
+             None, None, None, None, None, None),
+        ],
+        NODE_SCHEMA,
+    )
+    cfg = FlexConfig()
+    cfg.define_table(
+        "t",
+        ids="node",
+        columns=[
+            ColumnDef("b", "boolean"),
+            ColumnDef("d", "direction"),
+            ColumnDef("i", "int4"),
+            ColumnDef("big", "int8"),
+        ],
+    )
+    cfg.insert(
+        "t",
+        "node",
+        b=F.col("tags")["b"],
+        d=F.col("tags")["d"],
+        i=F.col("tags")["i"],
+        big=F.col("tags")["big"],
+    )
+    rows = {r["osm_id"]: r for r in cfg.run(nodes=nodes)["t"].collect()}
+    assert rows[1]["b"] is True
+    assert rows[1]["d"] == -1
+    assert rows[1]["i"] == 42
+    assert rows[1]["big"] is None  # int8 overflow -> NULL
+    assert rows[2]["b"] is None  # unrecognized -> NULL
+    assert rows[2]["d"] == 1  # "yes" -> 1
+    assert rows[2]["i"] is None  # "3.5" not an integer literal
+    assert rows[2]["big"] == 7
