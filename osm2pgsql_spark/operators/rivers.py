@@ -1,0 +1,133 @@
+"""River-network generalization: chain contraction + downstream width
+propagation.
+
+Reference: /root/reference/src/gen/gen-rivers.cpp —
+- builds a graph of waterway segments keyed by endpoints, counts
+  node_order (degree) per point (:122-169)
+- merges degree-2 chains into single edges (:242-332)
+- propagates max width downstream (DFS along flow direction with
+  seen-list loop detection, :83-120)
+
+Spark-first: both steps are iterative fixpoints of joins.
+- Chain contraction = connected components over the "merge graph"
+  (segments adjacent at a degree-2 endpoint), via alternating
+  small-star label propagation: O(log n) rounds, each one shuffle.
+- Width propagation = repeated join head->tail taking max upstream
+  width until no row changes; terminates on cycles because max() is
+  monotone and bounded (the reference's seen-list serves the same
+  purpose).
+
+Each iteration is one shuffle on the endpoint key; at planet scale
+the waterway graph is sparse (~10^7 edges) so log-round convergence
+holds.  Inputs use exact endpoint coordinates as join keys, like the
+reference's point-based equal_range probing (:297-300).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def endpoint_degrees(edges: DataFrame) -> DataFrame:
+    """(px, py, degree) over both endpoints of every edge.
+
+    edges: (edge_id, x1, y1, x2, y2, ...)."""
+    pts = edges.select(F.col("x1").alias("px"), F.col("y1").alias("py")).unionByName(
+        edges.select(F.col("x2").alias("px"), F.col("y2").alias("py"))
+    )
+    return pts.groupBy("px", "py").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Assign a chain_id to every edge; edges sharing a degree-2
+    endpoint get the same chain_id (gen-rivers.cpp:242-332 merge).
+
+    Returns edges + chain_id.  Label propagation: each round, every
+    edge takes the min chain label among neighbors across degree-2
+    endpoints; converges when no label changes."""
+    deg = endpoint_degrees(edges)
+    deg2 = deg.where(F.col("degree") == 2).select("px", "py")
+
+    # adjacency via degree-2 endpoints: (edge_id, other_edge_id)
+    e1 = edges.select("edge_id", F.col("x1").alias("px"), F.col("y1").alias("py"))
+    e2 = edges.select("edge_id", F.col("x2").alias("px"), F.col("y2").alias("py"))
+    incid = e1.unionByName(e2).join(deg2, ["px", "py"], "inner")
+    a = incid.alias("a")
+    b = incid.alias("b")
+    adj = (
+        a.join(b, ["px", "py"])
+        .where(F.col("a.edge_id") != F.col("b.edge_id"))
+        .select(F.col("a.edge_id").alias("edge_id"), F.col("b.edge_id").alias("nbr"))
+        .distinct()
+    )
+
+    labels = edges.select("edge_id", F.col("edge_id").alias("chain_id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels.withColumnRenamed("edge_id", "nbr"), "nbr")
+            .groupBy("edge_id")
+            .agg(F.min("chain_id").alias("nbr_chain"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "edge_id", "left")
+            .select(
+                "edge_id",
+                F.least(F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))).alias("chain_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "edge_id")
+            .where(F.col("n.chain_id") != F.col("o.chain_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return edges.join(labels, "edge_id")
+
+
+def merge_chains(edges_with_chains: DataFrame) -> DataFrame:
+    """Collapse each chain into one edge row: total length, max width,
+    representative name (first non-null), member edge list."""
+    return edges_with_chains.groupBy("chain_id").agg(
+        F.sum("length").alias("length"),
+        F.max("width").alias("width"),
+        F.min("edge_id").alias("edge_id"),
+        F.collect_list("edge_id").alias("member_edges"),
+        F.first("name", ignorenulls=True).alias("name"),
+    )
+
+
+def propagate_width(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Downstream max-width fixpoint (gen-rivers.cpp:83-120).
+
+    edges: (edge_id, x1, y1 [tail], x2, y2 [head], width).  Flow is
+    tail->head; each edge's width becomes the max of its own width
+    and every upstream edge's (transitively).  Monotone + bounded =>
+    terminates, cycles included."""
+    cur = edges
+    for _ in range(max_iter):
+        inflow = (
+            cur.alias("up")
+            .join(
+                cur.alias("dn"),
+                (F.col("up.x2") == F.col("dn.x1")) & (F.col("up.y2") == F.col("dn.y1")),
+            )
+            .groupBy(F.col("dn.edge_id").alias("edge_id"))
+            .agg(F.max(F.col("up.width")).alias("up_width"))
+        )
+        nxt = (
+            cur.join(inflow, "edge_id", "left")
+            .withColumn(
+                "new_width",
+                F.greatest(F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))),
+            )
+        )
+        changed = nxt.where(F.col("new_width") != F.col("width")).limit(1).count()
+        cur = nxt.drop("width", "up_width").withColumnRenamed("new_width", "width")
+        if changed == 0:
+            break
+    return cur

@@ -1,0 +1,106 @@
+"""OPL / grid / OSM-XML source tests (reference fixture formats)."""
+
+import textwrap
+
+from osm2pgsql_spark.sources.opl import grid_nodes, parse_opl_line, read_opl
+from osm2pgsql_spark.sources.osm_xml import read_osc_xml, read_osm_xml
+
+
+def test_parse_opl_node():
+    kind, o = parse_opl_line("n17 v3 c1234 i42 utest%20user Tamenity=cafe,name=X x9.1 y50.2")
+    assert kind == "n" and o["id"] == 17
+    assert o["version"] == 3 and o["uid"] == 42 and o["user"] == "test user"
+    assert o["tags"] == {"amenity": "cafe", "name": "X"}
+    assert o["lon"] == 9.1 and o["lat"] == 50.2
+
+
+def test_parse_opl_way_and_relation():
+    kind, w = parse_opl_line("w1 Tnatural=water,name=poly Nn1,n2,n4,n3,n1")
+    assert kind == "w" and w["refs"] == [1, 2, 4, 3, 1]
+    kind, r = parse_opl_line("r1 Ttype=multipolygon Mw2@outer,w3@inner,n9@")
+    assert kind == "r"
+    assert r["members"] == [
+        {"type": "w", "ref": 2, "role": "outer"},
+        {"type": "w", "ref": 3, "role": "inner"},
+        {"type": "n", "ref": 9, "role": ""},
+    ]
+
+
+def test_grid_nodes():
+    lines = grid_nodes(
+        textwrap.dedent(
+            """
+            n1 . n2
+            .  n3 .
+            """
+        )
+    )
+    assert lines[0].startswith("n1 x9.0000000 y50.3000000")
+    assert lines[1].startswith("n2 x9.2000000 y50.3000000")
+    assert lines[2].startswith("n3 x9.1000000 y50.2000000")
+
+
+def test_read_opl_spark(spark):
+    nodes, ways, rels = read_opl(
+        spark,
+        [
+            "n1 x9.0 y50.0 Tamenity=pub",
+            "n2 x9.1 y50.0",
+            "w10 Thighway=road Nn1,n2",
+            "r20 Ttype=route Mw10@",
+        ],
+    )
+    assert nodes.count() == 2 and ways.count() == 1 and rels.count() == 1
+    w = ways.collect()[0]
+    assert w["refs"] == [1, 2] and w["tags"]["highway"] == "road"
+
+
+OSM_XML = """<?xml version='1.0'?>
+<osm version="0.6">
+  <node id="1" lat="50.0" lon="9.0" version="1" timestamp="2024-01-01T00:00:00Z">
+    <tag k="amenity" v="pub"/>
+  </node>
+  <node id="2" lat="50.1" lon="9.1"/>
+  <way id="10" version="2"><nd ref="1"/><nd ref="2"/><tag k="highway" v="road"/></way>
+  <relation id="20"><member type="way" ref="10" role="outer"/><tag k="type" v="multipolygon"/></relation>
+</osm>
+"""
+
+OSC_XML = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="1" lat="51.0" lon="9.5"/></modify>
+  <delete><node id="2" lat="0" lon="0"/></delete>
+  <create><node id="3" lat="52.0" lon="9.9" version="1"/></create>
+</osmChange>
+"""
+
+
+def test_read_osm_xml(spark, tmp_path):
+    p = tmp_path / "x.osm"
+    p.write_text(OSM_XML)
+    nodes, ways, rels = read_osm_xml(spark, str(p))
+    n = {r["id"]: r for r in nodes.collect()}
+    assert n[1]["tags"]["amenity"] == "pub"
+    assert n[1]["version"] == 1
+    assert n[1]["ts"] is not None
+    assert ways.collect()[0]["refs"] == [1, 2]
+    assert rels.collect()[0]["members"][0]["type"] == "w"
+
+
+def test_read_osc_xml_with_apply(spark, tmp_path):
+    from osm2pgsql_spark.streaming.append import apply_diff
+
+    p = tmp_path / "c.osc"
+    p.write_text(OSC_XML)
+    nodes, _, _ = read_osc_xml(spark, str(p))
+    ops = {r["id"]: r["op"] for r in nodes.collect()}
+    assert ops == {1: "modify", 2: "delete", 3: "create"}
+
+    base, _, _ = read_osm_xml(spark, str(tmp_path / "x.osm")) if (tmp_path / "x.osm").exists() else (None, None, None)
+    # build base inline instead
+    p2 = tmp_path / "x.osm"
+    p2.write_text(OSM_XML)
+    base, _, _ = read_osm_xml(spark, str(p2))
+    new = apply_diff(base, nodes)
+    got = {r["id"]: (r["lat"], r["lon"]) for r in new.collect()}
+    assert got == {1: (51.0, 9.5), 3: (52.0, 9.9)}
