@@ -58,11 +58,15 @@ def tokens_sql(col: str = "text") -> str:
     return f"string_split_regex(lower(trim({col})), '\\s+')"
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as ARRAY<STRING>; empty array when
-    fewer than n tokens (guard needed: Spark's sequence() runs
-    *descending* when start > stop)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a *materialized* token-array
+    column.  IMPORTANT: pass a plain column reference, not an inline
+    split(...) expression — Catalyst does not CSE inside lambda
+    functions, so an inline expression is re-evaluated per array
+    element (O(tokens^2) — measured 10x slowdown on the dedup bench).
+
+    Empty array when fewer than n tokens (guard needed: Spark's
+    sequence() runs *descending* when start > stop)."""
     idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
     sh = F.transform(
         idx,
@@ -73,6 +77,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column.  Prefer materializing
+    tokens(text) in a column and calling shingles_from_tokens — see
+    the CSE warning there."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def shingles_from_tokens_sql(tokens_col: str = "t", n: int = 3) -> str:

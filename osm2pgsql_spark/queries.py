@@ -24,7 +24,7 @@ from osm2pgsql_spark.functions import similarity as S
 from osm2pgsql_spark.functions import text as TX
 from osm2pgsql_spark.functions import tiles as TI
 from osm2pgsql_spark.functions import tags as TG
-from osm2pgsql_spark.functions.rounding import round2, round4, round6, roundn_sql
+from osm2pgsql_spark.functions.rounding import round2, round4, round6, roundn, roundn_sql
 from osm2pgsql_spark.operators import ann, assembly, dedup, isolation, locator, reverse_deps
 from osm2pgsql_spark.sources import osm_synth
 from osm2pgsql_spark.sources.testdata import load_table
@@ -692,6 +692,198 @@ def q_discrete_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("importance"),
     )
     return isolation.exact(pts)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 relation -> member join (two-level fetch, middle.hpp:80-89):
+# synthetic relations = customers, members = their orders ('w' refs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "relation_member_join",
+    oracle="""
+    SELECT o.o_custkey AS rel_id,
+           count(*) AS n_members,
+           min(o.o_orderkey) AS first_member,
+           sum(li.n_lines) AS total_refs
+    FROM orders o
+    JOIN (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey) li
+      ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def q_relation_member_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    way_sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    j = o.join(way_sizes, o["o_orderkey"] == way_sizes["l_orderkey"], "inner")
+    return j.groupBy(F.col("o_custkey").alias("rel_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("o_orderkey").alias("first_member"),
+        F.sum("n_lines").alias("total_refs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 user table: distinct (uid, name) upsert (middle-pgsql.cpp:1065-1105)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_table",
+    oracle="""
+    SELECT user_id AS uid,
+           count(*) AS n_objects,
+           min(event_id) AS first_object
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.min("event_id").alias("first_object"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 importance rank window (gen-discrete-isolation.cpp:82-95)
+# ---------------------------------------------------------------------------
+
+@register(
+    "importance_rank",
+    oracle="""
+    SELECT c_custkey AS id,
+           row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS irank,
+           c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.row_number().over(w).alias("irank"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 top-k per group (sorts/limits layer)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    SELECT event_type, event_id, value, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.select("event_type", "event_id", "value", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 quadkey bucketing (tile.hpp quadkey; spatial partition key)
+# ---------------------------------------------------------------------------
+
+_QK_ZOOM = 8
+
+
+def _quadkey_sql(x: str, y: str, zoom: int) -> str:
+    terms = []
+    for i in range(zoom):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "quadkey_buckets",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         t AS (SELECT {TI.tile_x_sql('lon', _QK_ZOOM)} AS x,
+                      {TI.tile_y_sql('lat', _QK_ZOOM)} AS y
+               FROM nodes)
+    SELECT {_quadkey_sql('x', 'y', _QK_ZOOM)} AS quadkey,
+           count(*) AS n
+    FROM t GROUP BY 1
+    """,
+)
+def q_quadkey_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = osm_synth.nodes(spark, sf_dir)
+    t = n.select(
+        TI.tile_x(F.col("lon"), _QK_ZOOM).alias("x"),
+        TI.tile_y(F.col("lat"), _QK_ZOOM).alias("y"),
+    )
+    return t.select(TI.quadkey(F.col("x"), F.col("y"), _QK_ZOOM).alias("quadkey")).groupBy(
+        "quadkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 spherical_length: haversine way length in meters
+# (geom-functions.cpp:383-439; haversine vs reference Vincenty ~0.5%)
+# ---------------------------------------------------------------------------
+
+@register(
+    "way_spherical_length",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, pos, lon, lat,
+                   lead(lon) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlon,
+                   lead(lat) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlat
+            FROM refs JOIN nodes ON ref = node_id),
+         segs AS (
+            SELECT way_id,
+                   CASE WHEN nlon IS NULL THEN 0.0
+                        ELSE 2.0 * 6378137.0 * asin(sqrt(
+                            pow(sin(radians(nlat - lat) / 2), 2)
+                            + cos(radians(lat)) * cos(radians(nlat))
+                              * pow(sin(radians(nlon - lon) / 2), 2)))
+                   END AS seg
+            FROM pts)
+    SELECT way_id, {roundn_sql('sum(seg)', 2)} AS sph_length
+    FROM segs GROUP BY way_id
+    """,
+)
+def q_way_spherical_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = osm_synth.way_refs(spark, sf_dir)
+    nodes = osm_synth.nodes(spark, sf_dir)
+    a = assembly.assemble_points(
+        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
+    )
+    n = F.size(F.col("pts"))
+    heads = F.slice(F.col("pts"), 1, n - 1)
+    tails = F.slice(F.col("pts"), 2, n - 1)
+    segs = F.zip_with(
+        heads,
+        tails,
+        lambda a_, b_: F.lit(2.0)
+        * F.lit(6378137.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(b_["y"] - a_["y"]) / 2), 2)
+                + F.cos(F.radians(a_["y"]))
+                * F.cos(F.radians(b_["y"]))
+                * F.pow(F.sin(F.radians(b_["x"] - a_["x"]) / 2), 2)
+            )
+        ),
+    )
+    total = F.when(
+        n >= 2, F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
+    ).otherwise(F.lit(0.0))
+    return a.select("way_id", roundn(total, 2).alias("sph_length"))
 
 
 # ---------------------------------------------------------------------------
