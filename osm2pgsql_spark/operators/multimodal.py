@@ -1,0 +1,180 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode/feature/resize/frame-sample operators.
+
+Beyond the reference's surface (training-data pipeline extension).
+Design rules for 100 TB of media:
+- payloads are opaque BINARY columns; metadata (format, width,
+  height, duration, sample_rate) is a typed STRUCT column so filters
+  prune on metadata without touching bytes (column pruning keeps the
+  binary out of scans that don't need it — check ReadSchema);
+- decode / transform kernels run via mapInPandas in Arrow batches,
+  sized by bytes not rows (spark.sql.execution.arrow.maxRecordsPerBatch
+  + maxPartitionBytes are the knobs);
+- the actual codec calls are STUBBED here (no image/audio libs in
+  this container): decode_image_batch raises NotImplementedError
+  unless `fake=True`, which produces a deterministic fake decode so
+  the plumbing (schemas, batching, partitioning) is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_TYPE),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media corpus for plumbing tests: payload =
+    repeatable pseudo-random bytes, meta filled in."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        payload = (h * 32)[: 256 + (i % 7) * 64]
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                ("png" if i % 2 == 0 else "wav", 32 + i % 16, 32 + i % 8, 1000 + i, 16000),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake 'decode': bytes -> (h, w) uint8 grid derived
+    from a rolling hash.  Stands in for a real codec."""
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * ((width * height) // len(h) + 1))[: width * height], dtype=np.uint8)
+    return arr.reshape(height, width)
+
+
+FEATURE_SCHEMA = "media_id bigint, n_bytes bigint, mean_val double, feature array<float>"
+
+
+def image_features(media: DataFrame, fake: bool = True, feat_dim: int = 8) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    With fake=False this is where a real codec (PIL/opencv) would be
+    called; the container has none, so it raises NotImplementedError —
+    the Spark-side plumbing is identical either way."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                meta = row["meta"]
+                if not fake:
+                    raise NotImplementedError(
+                        "real image decode requires PIL/opencv (not in container)"
+                    )
+                img = _fake_decode(payload, int(meta["width"]), int(meta["height"]))
+                flat = img.ravel()
+                flat = flat[: (flat.size // feat_dim) * feat_dim]
+                pooled = flat.reshape(feat_dim, -1).mean(axis=1).astype("float32")
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_bytes": len(payload),
+                        "mean_val": float(img.mean()),
+                        "feature": pooled,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "meta").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
+
+
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize operator shape: decode -> resample -> re-encode.  Fake
+    path: nearest-neighbor index mapping on the fake decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                if not fake:
+                    raise NotImplementedError("real resize requires an image lib")
+                meta = row["meta"]
+                img = _fake_decode(bytes(row["payload"]), int(meta["width"]), int(meta["height"]))
+                yi = (np.arange(height) * img.shape[0] // height).astype(int)
+                xi = (np.arange(width) * img.shape[1] // width).astype(int)
+                resized = img[np.ix_(yi, xi)]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": width,
+                        "height": height,
+                        "payload": bytearray(resized.tobytes()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "meta").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_no int, ts_ms bigint, frame binary"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250, fake: bool = True) -> DataFrame:
+    """Frame-sampling operator shape for video: one row per sampled
+    frame (explode in the kernel, so batch size scales with output)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                if not fake:
+                    raise NotImplementedError("real frame sampling requires a video lib")
+                meta = row["meta"]
+                dur = int(meta["duration_ms"])
+                payload = bytes(row["payload"])
+                for k, ts in enumerate(range(0, dur, every_ms)):
+                    frame = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_no": k,
+                            "ts_ms": ts,
+                            "frame": bytearray(frame),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "meta").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregation — must not touch payload bytes (check
+    ReadSchema excludes `payload` when reading from parquet)."""
+    return media.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("meta.width").alias("avg_width"),
+        F.sum("meta.duration_ms").alias("total_ms"),
+    )

@@ -1,0 +1,81 @@
+"""Multimodal plumbing + sink encoding tests."""
+
+import numpy as np
+import pytest
+
+from osm2pgsql_spark.operators.multimodal import (
+    image_features,
+    media_stats,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+from osm2pgsql_spark.sinks.writers import (
+    copy_encode_value,
+    encode_copy_rows,
+    write_expire_file,
+    write_parquet,
+)
+
+
+def test_media_pipeline(spark):
+    media = synthesize_media(spark, n=16)
+    feats = image_features(media, fake=True).collect()
+    assert len(feats) == 16
+    f0 = next(f for f in feats if f["media_id"] == 0)
+    assert len(f0["feature"]) == 8
+    assert 0 <= f0["mean_val"] <= 255
+    # determinism
+    feats2 = image_features(synthesize_media(spark, n=16), fake=True).collect()
+    a = sorted((f["media_id"], tuple(f["feature"])) for f in feats)
+    b = sorted((f["media_id"], tuple(f["feature"])) for f in feats2)
+    assert a == b
+
+
+def test_media_resize_and_frames(spark):
+    media = synthesize_media(spark, n=8)
+    resized = resize_images(media, 8, 8, fake=True).collect()
+    assert all(len(bytes(r["payload"])) == 64 for r in resized)
+    frames = sample_frames(media, every_ms=400, fake=True).collect()
+    per_media = {}
+    for fr in frames:
+        per_media.setdefault(fr["media_id"], []).append(fr)
+    # duration 1000+i ms, every 400ms -> 3 frames
+    assert all(len(v) == 3 for v in per_media.values())
+
+
+def test_media_stats_metadata_only(spark):
+    media = synthesize_media(spark, n=10)
+    stats = {r["format"]: r["n"] for r in media_stats(media).collect()}
+    assert stats == {"png": 5, "wav": 5}
+
+
+def test_copy_encoding():
+    assert copy_encode_value(None) == r"\N"
+    assert copy_encode_value(True) == "t"
+    assert copy_encode_value("a\tb\nc") == "a\\tb\\nc"
+    assert copy_encode_value(b"\x01\xff") == r"\\x01ff"
+    assert copy_encode_value([1, None, 3]) == "{1,NULL,3}"
+    # hstore-level quote escaping (\") then COPY-level backslash
+    # escaping (\\) — PostgreSQL unescapes COPY first, hstore second
+    assert copy_encode_value({"k": "v", "a": 'q"x'}) == '"a"=>"q\\\\"x","k"=>"v"'
+    buf = encode_copy_rows([{"a": 1, "b": None}], ["a", "b"])
+    assert buf == "1\t\\N\n"
+
+
+def test_expire_file_sink(spark, tmp_path):
+    tiles = spark.createDataFrame(
+        [(12, 5, 6), (12, 5, 7), (11, 2, 3)], "zoom int, x bigint, y bigint"
+    )
+    p = str(tmp_path / "expire.list")
+    write_expire_file(tiles, p)
+    lines = open(p).read().splitlines()
+    assert lines == ["11/2/3", "12/5/6", "12/5/7"]
+
+
+def test_parquet_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(2, "b"), (1, "a")], "id bigint, v string")
+    p = str(tmp_path / "t.parquet")
+    write_parquet(df, p, sort_cols=["id"])
+    back = spark.read.parquet(p)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
