@@ -570,6 +570,34 @@ def _all_points(geom) -> np.ndarray | None:
     return None
 
 
+# -------------------------------------------------------- containment
+
+def point_in_ring(x: float, y: float, ring: np.ndarray) -> bool:
+    """Even-odd crossing test against a closed ring."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = (y0 > y) != (y1 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+    return bool(np.count_nonzero(cross & (x < xin)) % 2)
+
+
+def contains_point(geom, x: float, y: float) -> bool:
+    """Point-in-(multi)polygon with hole handling — the exact check
+    behind the locator's R-tree probe
+    (/root/reference/src/locator.hpp:36-151)."""
+    if geom is None:
+        return False
+    kind, payload = geom
+    if kind == "polygon":
+        if not point_in_ring(x, y, payload[0]):
+            return False
+        return not any(point_in_ring(x, y, r) for r in payload[1:])
+    if kind == "multipolygon":
+        return any(contains_point(("polygon", p), x, y) for p in payload)
+    return False
+
+
 # ----------------------------------------------------------- line_merge
 
 def line_merge(geom):

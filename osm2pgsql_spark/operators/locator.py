@@ -55,6 +55,50 @@ def all_intersecting(
     )
 
 
+def polygon_all_intersecting(
+    points: DataFrame,
+    regions_wkb: list[tuple[str, bytes]],
+    point_id: str = "node_id",
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """(point_id, regions STRING) against *polygon* regions: the small
+    region list (name, polygon WKB) rides into an Arrow-batched kernel
+    as a closure (the pandas-UDF analog of the reference's broadcast
+    R-tree probe; bbox prefilter first, exact point-in-polygon then).
+
+    For thousands of regions, swap the linear bbox scan for a grid
+    index keyed by region bbox — the kernel shape stays the same."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from osm2pgsql_spark.functions import geometry as G
+
+    parsed = []
+    for name, wkb in sorted(regions_wkb):
+        g = G.from_wkb(wkb)
+        bb = G.get_bbox(g)
+        if g is not None and bb is not None:
+            parsed.append((name, g, bb))
+
+    def kernel(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for px, py in zip(xs, ys):
+            hits = [
+                name
+                for name, g, (minx, miny, maxx, maxy) in parsed
+                if minx <= px <= maxx and miny <= py <= maxy and G.contains_point(g, px, py)
+            ]
+            out.append(",".join(hits) if hits else None)
+        return pd.Series(out, dtype=object)
+
+    udf = pandas_udf(kernel, "string")
+    return (
+        points.select(F.col(point_id), udf(F.col(x), F.col(y)).alias("regions"))
+        .where(F.col("regions").isNotNull())
+    )
+
+
 def first_intersecting(
     points: DataFrame,
     regions: DataFrame,
