@@ -32,6 +32,12 @@ HEADLINE = [
     "sessionize",
     "events_hourly",
     "discrete_isolation",
+    "relation_member_join",
+    "way_spherical_length",
+    "flex_casts",
+    "wildcard_tag_filter",
+    "quadkey_buckets",
+    "topk_per_group",
 ]
 
 

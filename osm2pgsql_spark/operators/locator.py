@@ -81,7 +81,9 @@ def polygon_all_intersecting(
         if g is not None and bb is not None:
             parsed.append((name, g, bb))
 
-    def kernel(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    # no type annotations: pandas_udf resolves hints via module globals,
+    # and pd is imported locally here
+    def kernel(xs, ys):
         out = []
         for px, py in zip(xs, ys):
             hits = [

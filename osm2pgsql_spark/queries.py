@@ -887,6 +887,190 @@ def q_way_spherical_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §1.4 flex column-cast semantics (flex-write.cpp:261-469): boolean /
+# direction / int-with-overflow casts over synthetic tag strings
+# ---------------------------------------------------------------------------
+
+_BOOL_STR = (
+    "CASE p_partkey % 5 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN 'true' "
+    "WHEN 3 THEN 'maybe' ELSE '1' END"
+)
+_DIR_STR = (
+    "CASE p_partkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN '-1' WHEN 2 THEN '0' ELSE 'x' END"
+)
+_INT_STR = (
+    "CASE p_partkey % 4 WHEN 0 THEN cast(p_partkey AS string) "
+    "WHEN 1 THEN '99999999999999999999' WHEN 2 THEN '3.5' ELSE '-7' END"
+)
+
+
+@register(
+    "flex_casts",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           CASE WHEN ({_BOOL_STR}) IN ('yes','true','1') THEN true
+                WHEN ({_BOOL_STR}) IN ('no','false','0') THEN false
+                ELSE NULL END AS as_bool,
+           CASE WHEN ({_DIR_STR}) IN ('yes','1') THEN cast(1 AS smallint)
+                WHEN ({_DIR_STR}) IN ('no','0') THEN cast(0 AS smallint)
+                WHEN ({_DIR_STR}) = '-1' THEN cast(-1 AS smallint)
+                ELSE NULL END AS as_direction,
+           CASE WHEN regexp_full_match(({_INT_STR}), '[+-]?\\d+')
+                     AND cast(({_INT_STR}) AS HUGEINT) BETWEEN -9223372036854775808 AND 9223372036854775807
+                THEN cast(({_INT_STR}) AS bigint) ELSE NULL END AS as_int8
+    FROM part
+    """,
+)
+def q_flex_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        TG.cast_boolean(F.expr(_BOOL_STR)).alias("as_bool"),
+        TG.cast_direction(F.expr(_DIR_STR)).alias("as_direction"),
+        TG.cast_integer(F.expr(_INT_STR), "int8").alias("as_int8"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 wildcard (glob) tag filtering (wildcmp.cpp + style files)
+# ---------------------------------------------------------------------------
+
+@register(
+    "wildcard_tag_filter",
+    oracle="""
+    SELECT p_partkey AS id, p_type, p_brand
+    FROM part
+    WHERE (p_type LIKE 'STANDARD%' OR p_type LIKE 'PROMO%')
+      AND p_brand NOT LIKE 'Brand#1%'
+    """,
+)
+def q_wildcard_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    keep = F.col("p_type").rlike(TG.glob_to_regex("STANDARD*")) | F.col("p_type").rlike(
+        TG.glob_to_regex("PROMO*")
+    )
+    drop = F.col("p_brand").rlike(TG.glob_to_regex("Brand#1*"))
+    return p.where(keep & ~drop).select(
+        F.col("p_partkey").alias("id"), "p_type", "p_brand"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash hamming-distance near-dup pairs (integer-exact)
+# ---------------------------------------------------------------------------
+
+_SH_MAX_HAMMING = 14
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {S.simhash32_sql('text')} AS simhash FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAX_HAMMING}
+    """,
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash_table(docs).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= _SH_MAX_HAMMING)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 expire over line geometries (kernel path — no SQL oracle; the
+# 0.4-tile line walk is procedural, so the driver records rows-only)
+# ---------------------------------------------------------------------------
+
+@register("expire_line_tiles")  # rows-only check
+def q_expire_line_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.expire import ExpireConfig, dirty_tiles
+
+    refs = osm_synth.way_refs(spark, sf_dir)
+    nodes = osm_synth.nodes(spark, sf_dir)
+    a = assembly.assemble_points(
+        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
+    )
+    lines = a.select(assembly.pts_to_linestring_wkb(F.col("pts")).alias("geom")).where(
+        F.col("geom").isNotNull()
+    )
+    merc = lines.select(geom_udfs.wkb_transform_3857(F.col("geom")).alias("geom"))
+    return dirty_tiles(merc, ExpireConfig(maxzoom=8), wkb_col="geom")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 locator with POLYGON regions through the pandas point-in-polygon
+# kernel; regions are rectangles so the SQL bbox oracle is exact
+# ---------------------------------------------------------------------------
+
+# Region bounds are offset +0.05 off the nodes' 0.1-degree grid so no
+# node sits exactly on a polygon boundary — the even-odd crossing
+# kernel and any SQL comparison then agree regardless of their
+# (differing) boundary conventions.
+_REG_OFF = 0.05
+
+
+@register(
+    "locator_polygon_kernel",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         regions AS (
+            SELECT r_name AS name,
+                   r_regionkey * 60 - 150 + {_REG_OFF}e0 AS min_x,
+                   r_regionkey * 15 - 60 + {_REG_OFF}e0 AS min_y,
+                   r_regionkey * 60 - 70 + {_REG_OFF}e0 AS max_x,
+                   r_regionkey * 15 + 20 + {_REG_OFF}e0 AS max_y
+            FROM region)
+    SELECT node_id,
+           string_agg(name, ',' ORDER BY name) AS regions
+    FROM nodes JOIN regions
+      ON lon > min_x AND lon < max_x AND lat > min_y AND lat < max_y
+    GROUP BY node_id
+    """,
+)
+def q_locator_polygon_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.locator import polygon_all_intersecting
+
+    n = osm_synth.nodes(spark, sf_dir)
+    regions = load_table(spark, sf_dir, "region").collect()
+    regions_wkb = []
+    for r in regions:
+        k = r["r_regionkey"]
+        x0, x1 = k * 60 - 150 + _REG_OFF, k * 60 - 70 + _REG_OFF
+        y0, y1 = k * 15 - 60 + _REG_OFF, k * 15 + 20 + _REG_OFF
+        ring = np.asarray(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype="f8"
+        )
+        regions_wkb.append((r["r_name"], G.to_wkb(("polygon", [ring]))))
+    return polygon_all_intersecting(n, regions_wkb)
+
+
+# ---------------------------------------------------------------------------
+# similarity search: LSH-bucketed ANN (the 100 TB scale path) —
+# rows-only: bucketing is recall<1 by construction, the brute-force
+# query above is the oracle-matched baseline
+# ---------------------------------------------------------------------------
+
+@register("ann_lsh_topk")  # rows-only check
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < _ANN_NQ)
+    return ann.lsh_topk(e, queries_df, k=_ANN_K, n_bits=10)
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
