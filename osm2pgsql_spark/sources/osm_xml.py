@@ -10,6 +10,7 @@ should use PBF or OPL).  .osc change files yield an extra `op` column
 
 from __future__ import annotations
 
+import gzip
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,11 +85,18 @@ def _schema(base: T.StructType, with_op: bool) -> T.StructType:
     return T.StructType(fields)
 
 
+def _parse_root(path: str):
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as fh:
+            return ET.parse(fh).getroot()
+    return ET.parse(path).getroot()
+
+
 def read_osm_xml(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Parse a .osm file into the (nodes, ways, relations) trio."""
-    root = ET.parse(path).getroot()
+    """Parse a .osm(.gz) file into the (nodes, ways, relations) trio."""
+    root = _parse_root(path)
     nodes, ways, rels = _parse(root, op=None)
     return (
         _with_ts(spark.createDataFrame(nodes, _schema(NODE_SCHEMA, False))),
@@ -100,8 +108,8 @@ def read_osm_xml(
 def read_osc_xml(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Parse a .osc change file; each DataFrame carries an `op` column."""
-    root = ET.parse(path).getroot()
+    """Parse a .osc(.gz) change file; each DataFrame carries an `op` column."""
+    root = _parse_root(path)
     all_nodes, all_ways, all_rels = [], [], []
     for section in root:
         op = {"create": "create", "modify": "modify", "delete": "delete"}.get(section.tag)

