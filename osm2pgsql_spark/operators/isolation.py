@@ -5,21 +5,71 @@ sort by importance desc, then for each point scan all
 higher-importance points for the min distance (O(n^2) single-node).
 
 Spark-first: two implementations.
-- exact(): the O(n^2) semantics as a self-join with a strict
-  importance ordering (ties broken by id).  Used at test scale and as
-  the oracle-matched path.
-- grid(): the 100 TB path — points bucketed into grid cells; each
-  point only joins candidate cells within the current search radius,
-  doubling the radius for unresolved points.  Same results, bounded
-  join fan-out.
+- exact(): the O(n^2) semantics as a probe/candidate self-join with a
+  strict importance ordering (ties broken by id).  Test-scale and
+  oracle-matched path.
+- grid(): the 100 TB path — points bucketed into grid cells, each
+  point joins only its 3x3 cell neighborhood; any point whose
+  neighborhood gives no trustworthy answer (nearest-higher farther
+  than one cell) falls back to an exact pass probing the FULL point
+  set.  Identical results to exact() (tested), bounded join fan-out.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.functions.rounding import round4
+
+# built lazily: F.sqrt() invokes the JVM, so module-level expression
+# constants would require an active SparkContext at import time
+def _higher():
+    return (F.col("bimp") > F.col("aimp")) | (
+        (F.col("bimp") == F.col("aimp")) & (F.col("bid") < F.col("id"))
+    )
+
+
+def _dist():
+    return F.sqrt(
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+
+
+def _probe_side(points: DataFrame, id_col: str, x: str, y: str, importance: str) -> DataFrame:
+    return points.select(
+        F.col(id_col).alias("id"),
+        F.col(x).alias("ax"),
+        F.col(y).alias("ay"),
+        F.col(importance).alias("aimp"),
+    )
+
+
+def _cand_side(points: DataFrame, id_col: str, x: str, y: str, importance: str) -> DataFrame:
+    return points.select(
+        F.col(id_col).alias("bid"),
+        F.col(x).alias("bx"),
+        F.col(y).alias("by"),
+        F.col(importance).alias("bimp"),
+    )
+
+
+def _min_dist_to_higher(probe: DataFrame, candidates: DataFrame) -> DataFrame:
+    """(id, aimp, iso): min distance from each probe point to any
+    strictly-more-important candidate (NULL if none)."""
+    return (
+        probe.join(candidates, _higher(), "left")
+        .groupBy("id", "aimp")
+        .agg(F.min(_dist()).alias("iso"))
+    )
+
+
+def _ranked(iso: DataFrame) -> DataFrame:
+    w = Window.orderBy(F.desc("aimp"), F.asc("id"))
+    return iso.select(
+        "id", F.row_number().over(w).alias("irank"), round4(F.col("iso")).alias("iso")
+    )
 
 
 def exact(
@@ -30,41 +80,12 @@ def exact(
     importance: str = "importance",
 ) -> DataFrame:
     """(id, irank, iso) — rank by importance desc and distance to the
-    nearest strictly-more-important point (importance ties broken by
-    lower id = more important, making the order total like the
-    reference's stable sort).  The top point gets NULL iso."""
-    from pyspark.sql import Window
-
-    a = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x).alias("ax"),
-        F.col(y).alias("ay"),
-        F.col(importance).alias("aimp"),
-    )
-    b = points.select(
-        F.col(id_col).alias("bid"),
-        F.col(x).alias("bx"),
-        F.col(y).alias("by"),
-        F.col(importance).alias("bimp"),
-    )
-    higher = (F.col("bimp") > F.col("aimp")) | (
-        (F.col("bimp") == F.col("aimp")) & (F.col("bid") < F.col("id"))
-    )
-    dist = F.sqrt(
-        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
-        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
-    )
-    iso = (
-        a.join(b, higher, "left")
-        .groupBy("id", "aimp")
-        .agg(F.min(dist).alias("iso"))
-    )
-    w = Window.orderBy(F.desc("aimp"), F.asc("id"))
-    return iso.select(
-        "id",
-        F.row_number().over(w).alias("irank"),
-        round4(F.col("iso")).alias("iso"),
-    )
+    nearest strictly-more-important point (ties broken by lower id,
+    making the order total like the reference's stable sort).  The
+    top point gets NULL iso."""
+    probe = _probe_side(points, id_col, x, y, importance)
+    cand = _cand_side(points, id_col, x, y, importance)
+    return _ranked(_min_dist_to_higher(probe, cand))
 
 
 def grid(
@@ -75,70 +96,49 @@ def grid(
     y: str = "y",
     importance: str = "importance",
 ) -> DataFrame:
-    """Grid-bucketed candidate join: each point joins only the 3x3
-    neighborhood of its cell.  Points whose nearest-higher neighbor is
-    farther than one cell fall back to the exact path (small residue
-    at sensible cell sizes).  Returns the same schema as exact()."""
-    from pyspark.sql import Window
+    """Grid-bucketed candidate join; results identical to exact().
 
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(x).alias("ax"),
-        F.col(y).alias("ay"),
-        F.col(importance).alias("aimp"),
-        F.floor(F.col(x) / cell).alias("cx"),
-        F.floor(F.col(y) / cell).alias("cy"),
+    A 3x3-neighborhood distance is only trusted when it cannot cross a
+    cell boundary (iso <= cell); untrusted points fall back to an
+    exact probe against the FULL candidate set (not just the residue —
+    their nearest-higher point is usually already resolved)."""
+    probe = _probe_side(points, id_col, x, y, importance).select(
+        "*",
+        F.floor(F.col("ax") / cell).alias("cx"),
+        F.floor(F.col("ay") / cell).alias("cy"),
     )
-    # candidates: every point replicated into its 3x3 neighbor cells
     offs = F.explode(
-        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
     ).alias("o")
-    cand = pts.select(
-        F.col("id").alias("bid"),
-        F.col("ax").alias("bx"),
-        F.col("ay").alias("by"),
-        F.col("aimp").alias("bimp"),
-        "cx",
-        "cy",
-        offs,
-    ).select(
-        "bid", "bx", "by", "bimp",
-        (F.col("cx") + F.col("o.dx")).alias("cx"),
-        (F.col("cy") + F.col("o.dy")).alias("cy"),
-    )
-    higher = (F.col("bimp") > F.col("aimp")) | (
-        (F.col("bimp") == F.col("aimp")) & (F.col("bid") < F.col("id"))
-    )
-    dist = F.sqrt(
-        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
-        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    cand_full = _cand_side(points, id_col, x, y, importance)
+    cand = (
+        cand_full.select(
+            "*",
+            F.floor(F.col("bx") / cell).alias("bcx"),
+            F.floor(F.col("by") / cell).alias("bcy"),
+            offs,
+        )
+        .select(
+            "bid", "bx", "by", "bimp",
+            (F.col("bcx") + F.col("o.dx")).alias("cx"),
+            (F.col("bcy") + F.col("o.dy")).alias("cy"),
+        )
     )
     near = (
-        pts.join(cand, ["cx", "cy"])
-        .where(higher)
+        probe.join(cand, ["cx", "cy"])
+        .where(_higher())
         .groupBy("id", "aimp")
-        .agg(F.min(dist).alias("iso"))
-        # only trust distances that cannot cross a cell boundary
+        .agg(F.min(_dist()).alias("iso"))
         .where(F.col("iso") <= cell)
     )
-    resolved_ids = near.select("id")
-    residue = pts.join(resolved_ids, "id", "left_anti").select(
-        F.col("id").alias(id_col),
-        F.col("ax").alias(x),
-        F.col("ay").alias(y),
-        F.col("aimp").alias(importance),
+    residue_probe = probe.join(near.select("id"), "id", "left_anti").select(
+        "id", "ax", "ay", "aimp"
     )
-    exact_rest = exact(residue, id_col=id_col, x=x, y=y, importance=importance).select(
-        "id", F.col("iso")
-    )
-    merged = near.select("id", "aimp", "iso").unionByName(
-        residue.join(
-            exact_rest, residue[id_col] == exact_rest["id"]
-        ).select(exact_rest["id"], F.col(importance).alias("aimp"), "iso"),
-        allowMissingColumns=False,
-    )
-    w = Window.orderBy(F.desc("aimp"), F.asc("id"))
-    return merged.select(
-        "id", F.row_number().over(w).alias("irank"), round4(F.col("iso")).alias("iso")
-    )
+    residue_iso = _min_dist_to_higher(residue_probe, cand_full)
+    return _ranked(near.unionByName(residue_iso))

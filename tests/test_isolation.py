@@ -1,0 +1,34 @@
+"""Discrete-isolation: the grid scale path must equal the exact
+O(n^2) semantics (reference gen-discrete-isolation.cpp)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.operators import isolation
+
+
+@pytest.fixture()
+def points(spark):
+    # deterministic pseudo-random points (FIXTURES.md F9 style)
+    return spark.range(0, 200).select(
+        F.col("id"),
+        ((F.col("id") * 131) % 1000 / 10.0).alias("x"),
+        ((F.col("id") * 197) % 1000 / 10.0).alias("y"),
+        ((F.col("id") * 73) % 577).cast("double").alias("importance"),
+    )
+
+
+def test_grid_matches_exact(spark, points):
+    exact = {
+        (r["id"]): (r["irank"], r["iso"]) for r in isolation.exact(points).collect()
+    }
+    grid = {
+        (r["id"]): (r["irank"], r["iso"]) for r in isolation.grid(points, cell=20.0).collect()
+    }
+    assert exact == grid
+
+
+def test_top_point_has_null_iso(spark, points):
+    rows = {r["irank"]: r for r in isolation.exact(points).collect()}
+    assert rows[1]["iso"] is None
+    assert all(rows[k]["iso"] is not None for k in rows if k != 1)
