@@ -1,0 +1,192 @@
+"""Raster-space polygon union per tile (the builtup / raster-union
+generalization strategy).
+
+Reference: /root/reference/src/gen/gen-tile-raster.cpp:180-233 — the
+reference sidesteps expensive vector union by rasterizing per-tile
+geometry onto a canvas (OpenCV), applying erode/dilate open-close
+smoothing (src/gen/canvas.cpp:48-76), then vectorizing the mask with
+potrace (src/gen/tracer.hpp:15-44).
+
+This implementation is numpy-only:
+- rasterize: scanline polygon fill (same algorithm family as the
+  expire polygon fill) + Bresenham-ish line stamping,
+- morphology: binary erosion/dilation with a square structuring
+  element via sliding-window minimum/maximum,
+- vectorize: exact row-run rectangle decomposition of the mask (the
+  union is emitted as rectilinear rings; pixel-exact, resolution-
+  bounded like the reference's potrace step).
+
+Per-tile kernels run under groupBy(tile).applyInPandas — the tile is
+the spatial partition key, exactly like the reference's per-tile
+workers (src/gen/osm2pgsql-gen.cpp:243-283) but scheduled by Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from osm2pgsql_spark.functions import geometry as G
+from osm2pgsql_spark.operators.vector_tiles import tile_envelope
+
+
+# --------------------------------------------------------- rasterize
+
+def rasterize_polygon(mask: np.ndarray, rings: list[np.ndarray], to_px) -> None:
+    """Even-odd scanline fill of polygon rings onto a boolean mask."""
+    H, W = mask.shape
+    pxs = [to_px(r) for r in rings]
+    ally = np.concatenate([p[:, 1] for p in pxs])
+    y0 = max(0, int(np.floor(ally.min())))
+    y1 = min(H - 1, int(np.ceil(ally.max())))
+    for row in range(y0, y1 + 1):
+        fy = row + 0.5
+        xs: list[float] = []
+        for p in pxs:
+            ya, yb = p[:-1, 1], p[1:, 1]
+            cross = ((ya <= fy) & (yb > fy)) | ((yb <= fy) & (ya > fy))
+            for i in np.nonzero(cross)[0]:
+                t = (fy - p[i, 1]) / (p[i + 1, 1] - p[i, 1])
+                xs.append(p[i, 0] + t * (p[i + 1, 0] - p[i, 0]))
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            a = max(0, int(np.ceil(xs[i] - 0.5)))
+            b = min(W - 1, int(np.floor(xs[i + 1] - 0.5)))
+            if b >= a:
+                mask[row, a : b + 1] = True
+
+
+# -------------------------------------------------------- morphology
+
+def _window_op(mask: np.ndarray, size: int, op) -> np.ndarray:
+    """Separable sliding-window min/max with a (2*size+1) square."""
+    if size <= 0:
+        return mask
+    out = mask
+    for axis in (0, 1):
+        padded = np.pad(
+            out,
+            [(size, size) if a == axis else (0, 0) for a in (0, 1)],
+            constant_values=(op is np.minimum),
+        )
+        acc = None
+        for s in range(2 * size + 1):
+            sl = [slice(None)] * 2
+            sl[axis] = slice(s, s + out.shape[axis])
+            view = padded[tuple(sl)]
+            acc = view if acc is None else op(acc, view)
+        out = acc
+    return out
+
+
+def binary_close(mask: np.ndarray, size: int) -> np.ndarray:
+    """dilate then erode — fills gaps smaller than the element
+    (reference canvas open/close smoothing)."""
+    return _window_op(_window_op(mask, size, np.maximum), size, np.minimum)
+
+
+def binary_open(mask: np.ndarray, size: int) -> np.ndarray:
+    """erode then dilate — removes specks smaller than the element."""
+    return _window_op(_window_op(mask, size, np.minimum), size, np.maximum)
+
+
+# --------------------------------------------------------- vectorize
+
+def mask_to_rings(mask: np.ndarray) -> list[np.ndarray]:
+    """Simple, robust vectorization: per-row runs -> rectangles ->
+    merged row-span rings.  Produces rectilinear rings equal to the
+    mask's filled area (exact in pixel space); adjacent rows with
+    identical spans merge."""
+    H, W = mask.shape
+    rings: list[np.ndarray] = []
+    r = 0
+    while r < H:
+        row = mask[r]
+        if not row.any():
+            r += 1
+            continue
+        # find runs in this row
+        diff = np.diff(np.concatenate([[0], row.view(np.int8), [0]]))
+        starts = np.nonzero(diff == 1)[0]
+        ends = np.nonzero(diff == -1)[0]
+        for s, e in zip(starts, ends):
+            # extend downward while identical run exists
+            r2 = r + 1
+            while r2 < H:
+                seg = mask[r2, s:e]
+                left_ok = (s == 0) or (not mask[r2, s - 1])
+                right_ok = (e >= W) or (not mask[r2, e])
+                if seg.all() and left_ok and right_ok:
+                    r2 += 1
+                else:
+                    break
+            ring = np.asarray(
+                [(s, r), (e, r), (e, r2), (s, r2), (s, r)], dtype="f8"
+            )
+            rings.append(ring)
+            mask[r:r2, s:e] = False
+        # stay on the same row index: runs were cleared
+    return rings
+
+
+def union_polygons_raster(
+    geoms: list, rect: tuple[float, float, float, float], resolution: int = 256, close_size: int = 0
+):
+    """Union of polygons within `rect` via rasterization at
+    resolution^2; returns a multipolygon of rectilinear rings mapped
+    back to `rect` coordinates (pixel-exact union, like the
+    reference's raster strategy; accuracy = rect_size/resolution)."""
+    xmin, ymin, xmax, ymax = rect
+    sx = resolution / (xmax - xmin)
+    sy = resolution / (ymax - ymin)
+
+    def to_px(ring: np.ndarray) -> np.ndarray:
+        out = np.empty_like(ring)
+        out[:, 0] = (ring[:, 0] - xmin) * sx
+        out[:, 1] = (ring[:, 1] - ymin) * sy
+        return out
+
+    mask = np.zeros((resolution, resolution), dtype=bool)
+    for g in geoms:
+        if g is None:
+            continue
+        kind, payload = g
+        polys = [payload] if kind == "polygon" else payload if kind == "multipolygon" else []
+        for rings in polys:
+            rasterize_polygon(mask, rings, to_px)
+    if close_size:
+        mask = binary_close(mask, close_size)
+
+    px_rings = mask_to_rings(mask.copy())
+    if not px_rings:
+        return None
+    out_polys = []
+    for ring in px_rings:
+        back = np.empty_like(ring)
+        back[:, 0] = ring[:, 0] / sx + xmin
+        back[:, 1] = ring[:, 1] / sy + ymin
+        out_polys.append([back])
+    return ("multipolygon", out_polys)
+
+
+def tile_raster_union(
+    tiled: DataFrame,
+    zoom: int,
+    resolution: int = 256,
+    close_size: int = 0,
+    margin: float = 0.0,
+) -> DataFrame:
+    """Per-tile union over (x, y, geom WKB) — the output of
+    vector_tiles.cut_to_tiles.  groupBy(tile).applyInPandas."""
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = int(key[0]), int(key[1])
+        rect = tile_envelope(zoom, x, y, margin)
+        geoms = [G.from_wkb(bytes(w)) for w in pdf["geom"] if w is not None]
+        u = union_polygons_raster(geoms, rect, resolution, close_size)
+        if u is None:
+            return pd.DataFrame(columns=["x", "y", "geom"])
+        return pd.DataFrame([{"x": x, "y": y, "geom": G.to_wkb(u)}])
+
+    return tiled.groupBy("x", "y").applyInPandas(per_tile, "x bigint, y bigint, geom binary")
