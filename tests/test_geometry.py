@@ -119,11 +119,19 @@ def test_spherical_length_equator_degree():
 
 
 def test_spherical_area_small_square():
-    # 0.1 x 0.1 degree square at the equator ~ (111.3 km)^2 / 100
+    # 0.1 x 0.1 degree square at the equator on the WGS84 ellipsoid:
+    # ~ M(0)*N(0)*(pi/180*0.1)^2 = a^2(1-e^2)(pi/180*0.1)^2
     d = 0.1
     g = G.make_polygon_from_way([(0, 0), (d, 0), (d, d), (0, d), (0, 0)])
-    expect = (G.EARTH_RADIUS * math.pi / 180 * d) ** 2
-    assert G.spherical_area(g) == pytest.approx(expect, rel=1e-3)
+    expect = G.WGS84_A**2 * (1 - G.WGS84_E2) * (math.pi / 180 * d) ** 2
+    assert G.spherical_area(g) == pytest.approx(expect, rel=1e-4)
+
+
+def test_ellipsoidal_area_exact_vs_integration():
+    # 1x1 degree quadrangle at 45N: value from direct numeric
+    # integration of M(phi)N(phi)cos(phi) over the ellipsoid
+    g = G.make_polygon_from_way([(0, 45), (1, 45), (1, 46), (0, 46), (0, 45)])
+    assert G.spherical_area(g) == pytest.approx(8686494956.7, rel=1e-9)
 
 
 def test_bbox_and_npoints():
