@@ -1071,6 +1071,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 relation multilinestring assembly + line_merge through the real
+# kernels (rows-only: endpoint-stitching is procedural; unit parity is
+# covered by test_relations' ported fixtures)
+# ---------------------------------------------------------------------------
+
+@register("relation_multiline_merge")  # rows-only check
+def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.model import MEMBER_TYPE
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_multilinestrings
+
+    # synthesize: relation = customer, members = the customer's orders
+    # as ways; way refs = lineitems -> nodes (the standard derivation)
+    o = load_table(spark, sf_dir, "orders")
+    rels = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))),
+            lambda s: F.struct(
+                F.lit("w").alias("type"), s["k"].alias("ref"), F.lit("").alias("role")
+            ),
+        ).alias("members")
+    ).select("id", F.col("members").cast(f"array<struct<type:string,ref:bigint,role:string>>"))
+
+    refs = osm_synth.way_refs(spark, sf_dir)
+    ways = refs.groupBy(F.col("way_id").alias("id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ref"))), lambda s: s["ref"]
+        ).alias("refs")
+    )
+    nodes = osm_synth.nodes(spark, sf_dir).select(
+        F.col("node_id").alias("id"), "lon", "lat"
+    )
+    ml = relation_multilinestrings(rels, ways, nodes)
+    return ml.select(
+        "rel_id",
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        round4(geom_udfs.wkb_length(F.col("geom"))).alias("total_length"),
+    ).where(F.col("n_points") > 0)
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
