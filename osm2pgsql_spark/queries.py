@@ -1078,7 +1078,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("relation_multiline_merge")  # rows-only check
 def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2pgsql_spark.model import MEMBER_TYPE
     from osm2pgsql_spark.operators import geom_udfs
     from osm2pgsql_spark.operators.relations import relation_multilinestrings
 
@@ -1092,7 +1091,7 @@ def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("w").alias("type"), s["k"].alias("ref"), F.lit("").alias("role")
             ),
         ).alias("members")
-    ).select("id", F.col("members").cast(f"array<struct<type:string,ref:bigint,role:string>>"))
+    ).select("id", F.col("members").cast("array<struct<type:string,ref:bigint,role:string>>"))
 
     refs = osm_synth.way_refs(spark, sf_dir)
     ways = refs.groupBy(F.col("way_id").alias("id")).agg(
