@@ -53,8 +53,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = Q.queries()
 
-    # warm the JVM + parquet footers once (excluded from timings)
-    qs["pricing_summary"](spark, sf_dir).count()
+    # Warm-up (excluded from timings): run every headline query once
+    # at the smallest SF.  Whole-stage-codegen compilation of the big
+    # generated expressions (simhash/minhash folds) dominates cold
+    # runs (PERF_NOTES.md), and warming compiles the same code paths.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        if name in qs:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as ex:  # noqa: BLE001
+                print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -183,8 +183,14 @@ def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
 # ------------------------------------------------------------ measures
 
 def _ring_area2(ring: np.ndarray) -> float:
-    """Twice the signed shoelace area."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Twice the signed shoelace area.
+
+    Coordinates are taken relative to the first vertex before the
+    shoelace: far-from-origin rings otherwise lose precision to
+    catastrophic cancellation (found by the hypothesis translation-
+    invariance property)."""
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
