@@ -40,6 +40,21 @@ def char_count(text: Column) -> Column:
     return F.length(text).cast("bigint")
 
 
+# BPE-style pre-tokenizer pattern: word pieces, numbers, single
+# punctuation runs (the GPT-2 pre-tok shape without lookaheads, which
+# neither engine's regex dialect shares reliably)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens — regexp_extract_all JVM-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("bigint")
+
+
+def bpe_token_count_sql(col: str = "text") -> str:
+    return f"cast(len(regexp_extract_all({col}, '{BPE_PATTERN}')) as bigint)"
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of alphabetic characters — a quality-score component."""
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))

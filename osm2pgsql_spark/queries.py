@@ -440,6 +440,7 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            {TX.token_count_sql('text')} AS n_tokens,
+           {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
            cast(length(text) AS bigint) AS n_chars,
            {roundn_sql(TX.alpha_ratio_sql('text'), 4)} AS alpha_ratio,
            {TX.stopword_count_sql('text')} AS n_stopwords,
@@ -453,6 +454,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         TX.char_count(F.col("text")).alias("n_chars"),
         round4(TX.alpha_ratio(F.col("text"))).alias("alpha_ratio"),
         TX.stopword_count(F.col("text")).alias("n_stopwords"),

@@ -1,0 +1,113 @@
+"""Minimal PNG writer (pure python: zlib + CRC chunks) and the gen
+raster-tile sink.
+
+Reference: the raster-union generalizer writes PNG-encoded raster
+tiles into a DB table (/root/reference/src/gen/gen-tile-raster.cpp:
+62-76).  No imaging libs exist in this container, but PNG's container
+format is trivial for 8-bit grayscale: signature + IHDR + IDAT
+(zlib-compressed scanlines with filter byte 0) + IEND.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def png_encode_gray(img: np.ndarray) -> bytes:
+    """8-bit grayscale ndarray[H,W] -> PNG bytes."""
+    a = np.asarray(img)
+    if a.dtype == bool:
+        a = a.astype(np.uint8) * 255
+    a = a.astype(np.uint8, copy=False)
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bit depth 8, gray
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(data: bytes) -> np.ndarray:
+    """Inverse for testing: parses only what png_encode_gray emits."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        assert crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF), "CRC mismatch"
+        if tag == b"IHDR":
+            w, h = struct.unpack_from(">II", payload, 0)
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    stride = w + 1
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        assert row[0] == 0, "only filter 0 supported"
+        out[r] = np.frombuffer(row[1:], dtype=np.uint8)
+    return out
+
+
+def write_raster_tiles(
+    tiles: DataFrame,
+    out_dir: str,
+    zoom: int,
+    resolution: int = 256,
+) -> int:
+    """Raster tile sink: (x, y, geom multipolygon WKB) -> z/x/y.png
+    masks on disk (the file-system analog of the reference's raster
+    table sink; a JDBC writer can consume the same bytes).
+
+    Rasterization happens executor-side per partition; files land via
+    the driver for local fs (collect of (path, bytes) pairs — swap
+    for a foreachPartition object-store writer at scale)."""
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.raster_union import rasterize_polygon
+    from osm2pgsql_spark.operators.vector_tiles import tile_envelope
+
+    rows = tiles.select("x", "y", "geom").collect()
+    n = 0
+    for row in rows:
+        x, y = int(row["x"]), int(row["y"])
+        g = G.from_wkb(bytes(row["geom"])) if row["geom"] is not None else None
+        if g is None:
+            continue
+        xmin, ymin, xmax, ymax = tile_envelope(zoom, x, y)
+        sx = resolution / (xmax - xmin)
+        sy = resolution / (ymax - ymin)
+
+        def to_px(ring: np.ndarray) -> np.ndarray:
+            out = np.empty_like(ring)
+            out[:, 0] = (ring[:, 0] - xmin) * sx
+            out[:, 1] = (ring[:, 1] - ymin) * sy
+            return out
+
+        mask = np.zeros((resolution, resolution), dtype=bool)
+        polys = [g[1]] if g[0] == "polygon" else g[1] if g[0] == "multipolygon" else []
+        for rings in polys:
+            rasterize_polygon(mask, rings, to_px)
+        path = os.path.join(out_dir, str(zoom), str(x))
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"{y}.png"), "wb") as fh:
+            fh.write(png_encode_gray(mask[::-1]))  # PNG rows top-down
+        n += 1
+    return n
