@@ -1,0 +1,135 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The second scale path for embedding search (alongside the random-
+projection LSH in operators/ann.py): a k-means coarse quantizer
+partitions the corpus into nlist cells; queries probe only the
+nprobe nearest cells and exact-rerank within them.  At 100 TB the
+corpus stays partitioned by cell id (the shuffle key), the centroid
+table is tiny and broadcast, and search cost drops by ~nlist/nprobe.
+
+k-means runs as Lloyd iterations expressed in DataFrames:
+assignment = vectorized numpy matmul in a pandas kernel (k*dim flops
+per row), centroid update = posexplode + groupBy(cluster, dim) mean —
+both single-shuffle stages.  Deterministic: centroids seed from fixed
+ids, iteration count fixed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from osm2pgsql_spark.functions.rounding import round6
+from osm2pgsql_spark.functions.similarity import cosine_similarity
+
+
+def _assign_udf(centroids: np.ndarray):
+    """vec -> nearest centroid id by cosine (numpy matmul batch)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        return pd.Series(np.argmax(sims, axis=1).astype("int64"))
+
+    return pandas_udf(kernel, "bigint")
+
+
+def train_kmeans(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd k-means; returns centroids ndarray[nlist, dim].
+
+    Seeds: the nlist lowest-id vectors (deterministic)."""
+    seed_rows = (
+        corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
+    )
+    centroids = np.asarray([np.asarray(r[vec_col], dtype="f8") for r in seed_rows])
+
+    for _ in range(iters):
+        assign = _assign_udf(centroids)
+        assigned = corpus.select(
+            F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+        )
+        # centroid update: explode dims -> mean per (cluster, dim)
+        exploded = assigned.select(
+            "cluster", F.posexplode(vec_col).alias("dim", "val")
+        )
+        means = (
+            exploded.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
+        for cid, dims in by_cluster.items():
+            for d, v in dims.items():
+                new_c[cid, d] = v
+        centroids = new_c
+    return centroids
+
+
+def build_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus + cluster assignment — persist/bucket this by `cluster`
+    for repeated searches."""
+    assign = _assign_udf(centroids)
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+
+def search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim): probe the nprobe nearest
+    cells per query, exact cosine rerank inside them."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def probe_kernel(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    probe = pandas_udf(probe_kernel, "array<bigint>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cluster"),
+    )
+    cand = index.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+    )
+    scored = (
+        F.broadcast(q).join(cand, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", round6(F.col("sim")).alias("sim"))
+    )

@@ -1112,6 +1112,17 @@ def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_points") > 0)
 
 
+@register("ann_ivf_topk")  # rows-only check (IVF recall < 1 by design)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.train_kmeans(e, nlist=8, iters=3)
+    index = ivf.build_index(e, cents)
+    queries_df = e.where(F.col("vec_id") < _ANN_NQ)
+    return ivf.search(index, queries_df, cents, k=_ANN_K, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
