@@ -1,0 +1,116 @@
+"""Generic import config — the engine's equivalent of the reference's
+canonical starting-point config (/root/reference/flex-config/
+generic.lua, public domain): geometry-type-split tables with tags in
+JSON columns, the standard delete-key cleanup, routes/boundaries as
+merged multilinestrings.
+
+Run standalone against any .osm/.opl/.pbf file:
+
+  python examples/generic_import.py INPUT OUTPUT_DIR
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions.tags import filter_tags
+from osm2pgsql_spark.operators import assembly, relations
+from osm2pgsql_spark.plans.flex import ColumnDef, FlexConfig
+
+# generic.lua's delete_keys (the mapper/import junk-key cleanup)
+DELETE_KEYS = [
+    "attribution", "comment", "created_by", "fixme", "note", "note:*",
+    "odbl", "odbl:note", "source", "source:*", "source_ref",
+    "CLC:*", "geobase:*", "canvec:*", "osak:*", "kms:*", "ngbe:*",
+    "it:fvg:*", "KSJ2:*", "yh:*", "LINZ2OSM:*", "linz2osm:*", "LINZ:*",
+    "ref:linz:*", "WroclawGIS:*", "naptan:*", "tiger:*", "gnis:*",
+    "NHD:*", "nhd:*", "mvdgis:*", "project:eurosha_2012", "ref:UrbIS",
+    "accuracy:meters", "sub_sea:type", "waterway:type",
+    "statscan:rbuid", "ref:ruian:addr", "ref:ruian", "building:ruian:type",
+    "dibavod:id", "uir_adr:ADRESA_KOD", "gst:feat_id", "maaamet:ETAK",
+    "ref:FR:FANTOIR", "3dshapes:ggmodelk", "AND_nosr_r",
+    "OPPDATERIN", "addr:city:simc", "osmarender:*", "import", "import_uuid",
+    "OBJTYPE", "SK53_bulk:load", "mml:class",
+]
+
+
+def generic_import(
+    spark: SparkSession,
+    nodes: DataFrame,
+    ways: DataFrame,
+    rels: DataFrame,
+) -> dict[str, DataFrame]:
+    """Build the five generic tables: points, lines, polygons, routes,
+    boundaries — tags cleaned and serialized to JSON, geometry in
+    EPSG:3857 WKB."""
+    clean = filter_tags(F.col("tags"), delete_patterns=DELETE_KEYS)
+
+    cfg = FlexConfig()
+    cfg.define_table(
+        "points", ids="node",
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "point", srid=3857, not_null=True)],
+    )
+    cfg.define_table(
+        "lines", ids="way",
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "linestring", srid=3857, not_null=True)],
+    )
+    cfg.define_table(
+        "polygons", ids="area",
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "polygon", srid=3857, not_null=True)],
+    )
+
+    has_tags = F.size(clean) > 0
+    closed = (F.size("refs") >= 4) & (F.element_at("refs", 1) == F.element_at("refs", -1))
+
+    cfg.insert("points", "node", when=has_tags, tags=clean)
+    cfg.insert("lines", "way", when=has_tags & ~closed, tags=clean)
+    cfg.insert("polygons", "way", when=has_tags & closed, tags=clean)
+
+    out = cfg.run(nodes=nodes, ways=ways)
+
+    # routes/boundaries: relation tables with merged multilinestrings
+    rel_tags = rels.select(
+        F.col("id").alias("rel_id"), F.to_json(clean).alias("tags"),
+        F.col("tags")["type"].alias("rel_type"),
+    )
+    ml = relations.relation_multilinestrings(rels, ways, nodes)
+    rel_geo = rel_tags.join(ml, "rel_id", "left").where(F.col("geom").isNotNull())
+    out["routes"] = rel_geo.where(F.col("rel_type") == "route").select(
+        F.col("rel_id").alias("osm_id"), "tags", "geom"
+    )
+    out["boundaries"] = rel_geo.where(F.col("rel_type") == "boundary").select(
+        F.col("rel_id").alias("osm_id"), "tags", "geom"
+    )
+    return out
+
+
+def main() -> None:
+    from osm2pgsql_spark.session import get_spark
+    from osm2pgsql_spark.sinks.writers import write_parquet
+    from osm2pgsql_spark.sources.opl import read_opl
+    from osm2pgsql_spark.sources.osm_xml import read_osm_xml
+    from osm2pgsql_spark.sources.pbf import read_pbf
+
+    inp, out_dir = sys.argv[1], sys.argv[2]
+    spark = get_spark("generic-import")
+    spark.sparkContext.setLogLevel("ERROR")
+    if inp.endswith(".pbf"):
+        nodes, ways, rels = read_pbf(spark, inp)
+    elif inp.endswith(".opl"):
+        nodes, ways, rels = read_opl(spark, inp)
+    else:
+        nodes, ways, rels = read_osm_xml(spark, inp)
+    tables = generic_import(spark, nodes, ways, rels)
+    for name, df in tables.items():
+        write_parquet(df, os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{name}: {spark.read.parquet(os.path.join(out_dir, name + '.parquet')).count()} rows")
+
+
+if __name__ == "__main__":
+    main()
