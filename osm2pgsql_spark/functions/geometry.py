@@ -601,6 +601,77 @@ def _all_points(geom) -> np.ndarray | None:
     return None
 
 
+def distance(a, b) -> float:
+    """Minimum planar distance between two geometries (reference
+    geom::distance, src/geom-functions.cpp:25) — point/vertex based
+    plus point-to-segment for line/polygon boundaries."""
+    if a is None or b is None:
+        return float("inf")
+
+    pa = _all_points(a)
+    pb = _all_points(b)
+    if pa is None or pb is None:
+        return float("inf")
+    # vertex-vertex distances (vectorized)
+    d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
+    best = float(np.sqrt(d2.min()))
+
+    def seg_point_min(pts_line: np.ndarray, pts: np.ndarray) -> float:
+        if pts_line.shape[0] < 2:
+            return float("inf")
+        p0 = pts_line[:-1]
+        p1 = pts_line[1:]
+        d = p1 - p0
+        seg2 = (d * d).sum(axis=1)
+        out = float("inf")
+        for q in pts:
+            w = q - p0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.clip(np.where(seg2 > 0, (w * d).sum(axis=1) / seg2, 0.0), 0, 1)
+            proj = p0 + t[:, None] * d
+            dd = ((q - proj) ** 2).sum(axis=1)
+            out = min(out, float(np.sqrt(dd.min())))
+        return out
+
+    for g1, g2, pts in ((a, b, pb), (b, a, pa)):
+        kind = g1[0]
+        if kind in ("linestring", "polygon", "multilinestring", "multipolygon"):
+            lines = []
+            if kind == "linestring":
+                lines = [g1[1]]
+            elif kind == "multilinestring":
+                lines = list(g1[1])
+            elif kind == "polygon":
+                lines = list(g1[1])
+            else:
+                lines = [r for p in g1[1] for r in p]
+            for ln in lines:
+                best = min(best, seg_point_min(ln, pts))
+    return best
+
+
+def interpolate(geom, fraction: float):
+    """Point at `fraction` [0,1] of a linestring's length (reference
+    geom::interpolate, src/geom-functions.cpp:32)."""
+    if geom is None or geom[0] != "linestring":
+        return None
+    pts = geom[1]
+    seg = np.diff(pts, axis=0)
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    total = lens.sum()
+    if total == 0:
+        return ("point", (float(pts[0, 0]), float(pts[0, 1])))
+    target = min(max(fraction, 0.0), 1.0) * total
+    acc = 0.0
+    for i, ln in enumerate(lens):
+        if acc + ln >= target:
+            t = (target - acc) / ln if ln > 0 else 0.0
+            p = pts[i] + t * seg[i]
+            return ("point", (float(p[0]), float(p[1])))
+        acc += ln
+    return ("point", (float(pts[-1, 0]), float(pts[-1, 1])))
+
+
 # -------------------------------------------------------- containment
 
 def point_in_ring(x: float, y: float, ring: np.ndarray) -> bool:

@@ -180,6 +180,22 @@ def wkb_segmentize(wkb: Column, max_segment_length: float) -> Column:
     return _segmentize_udf(wkb, F.lit(float(max_segment_length)))
 
 
+def _split_multi(wkb: pd.Series) -> pd.Series:
+    out = []
+    for w in wkb:
+        if w is None:
+            out.append([])
+            continue
+        parts = G.split_multi(G.from_wkb(w))
+        out.append([G.to_wkb(p) for p in parts])
+    return pd.Series(out, dtype=object)
+
+
+wkb_split_multi = _lazy("split", _split_multi, "array<binary>")
+"""wkb_split_multi + F.explode = the reference's split_multi explode
+(src/geom-functions.cpp:497 + legacy -G handling)."""
+
+
 def _bbox(wkb: pd.Series) -> pd.DataFrame:
     rows = []
     for w in wkb:

@@ -184,3 +184,23 @@ def test_line_merge_reversed_segment():
     m = G.line_merge(g)
     assert len(m[1]) == 1
     assert m[1][0].shape[0] == 3
+
+
+def test_distance():
+    a = G.make_point(0, 0)
+    b = G.make_point(3, 4)
+    assert G.distance(a, b) == pytest.approx(5.0)
+    # point to segment interior (closest point not a vertex)
+    line = G.make_linestring([(0, 1), (10, 1)])
+    assert G.distance(G.make_point(5, 5), line) == pytest.approx(4.0)
+    poly = G.make_polygon_from_way([(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)])
+    assert G.distance(G.make_point(0, 1), poly) == pytest.approx(2.0)
+
+
+def test_interpolate():
+    line = G.make_linestring([(0, 0), (10, 0), (10, 10)])
+    assert G.interpolate(line, 0.0)[1] == (0.0, 0.0)
+    assert G.interpolate(line, 0.5)[1] == (10.0, 0.0)
+    p = G.interpolate(line, 0.75)
+    assert p[1][0] == pytest.approx(10.0) and p[1][1] == pytest.approx(5.0)
+    assert G.interpolate(line, 1.0)[1] == (10.0, 10.0)
