@@ -115,6 +115,20 @@ class Rule:
     values: dict[str, Column]
 
 
+@dataclass
+class ExpireOutputDef:
+    """An expire output a geometry column can feed (reference
+    define_expire_output, /root/reference/src/flex-lua-expire-output.cpp:
+    26-54: filename or schema/table + maxzoom)."""
+
+    name: str
+    maxzoom: int = 12
+    minzoom: int | None = None
+    buffer: float = 0.1
+    mode: str = "full_area"
+    full_area_limit: float = 0.0
+
+
 class FlexConfig:
     """Collects table definitions and insert rules; `run` compiles
     them to one DataFrame per table."""
@@ -122,6 +136,54 @@ class FlexConfig:
     def __init__(self) -> None:
         self.tables: dict[str, TableDef] = {}
         self.rules: list[Rule] = []
+        self.expire_outputs: dict[str, ExpireOutputDef] = {}
+
+    def define_expire_output(self, name: str, **kw) -> ExpireOutputDef:
+        e = ExpireOutputDef(name=name, **kw)
+        self.expire_outputs[name] = e
+        return e
+
+    def compute_expire(self, tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Dirty-tile DataFrames per expire output: every geometry
+        column wired to an output (ColumnDef.expire) contributes its
+        rows' tiles (reference per-column expire wiring,
+        src/flex-table-column.hpp:132-145).  Geometry columns are
+        expected in EPSG:3857 (the reference only expires 3857
+        geometries, expire_tiles_t::from_geometry_if_3857)."""
+        from osm2pgsql_spark.functions.tiles import rollup_zoom
+        from osm2pgsql_spark.operators.expire import ExpireConfig, dirty_tiles
+
+        out: dict[str, DataFrame] = {}
+        for tname, tdef in self.tables.items():
+            if tname not in tables:
+                continue
+            for cd in tdef.geom_columns():
+                if cd.expire is None or cd.expire not in self.expire_outputs:
+                    continue
+                if cd.srid != 3857:
+                    continue  # reference: only 3857 geometries expire
+                eo = self.expire_outputs[cd.expire]
+                cfg = ExpireConfig(
+                    maxzoom=eo.maxzoom,
+                    buffer=eo.buffer,
+                    mode=eo.mode,
+                    full_area_limit=eo.full_area_limit,
+                )
+                tiles = dirty_tiles(tables[tname], cfg, wkb_col=cd.name)
+                if eo.minzoom is not None and eo.minzoom < eo.maxzoom:
+                    tiles_z = rollup_zoom(tiles, eo.minzoom, eo.maxzoom)
+                else:
+                    from pyspark.sql import functions as FF
+
+                    tiles_z = tiles.select(
+                        FF.lit(eo.maxzoom).alias("zoom"), "x", "y"
+                    )
+                out[eo.name] = (
+                    tiles_z
+                    if eo.name not in out
+                    else out[eo.name].unionByName(tiles_z).distinct()
+                )
+        return out
 
     def define_table(
         self, name: str, ids: str, columns: list[ColumnDef], **kw
