@@ -1138,6 +1138,83 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-duplicate pairs (threshold form)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_sum(list_transform(generate_series(1, len(a.embedding)),
+                            i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                            i -> cast(a.embedding[i] AS double) * cast(a.embedding[i] AS double))))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                            i -> cast(b.embedding[i] AS double) * cast(b.embedding[i] AS double))))) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, {roundn_sql('sim', 6)} AS sim
+    FROM scored WHERE sim >= {_COS_THRESHOLD}
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.functions.rounding import roundn
+    from osm2pgsql_spark.functions.similarity import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") >= _COS_THRESHOLD)
+        .select("id_a", "id_b", roundn(F.col("sim"), 6).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 input sanity check as a gate query (src/input.cpp:24-60 set form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "input_validation",
+    oracle="""
+    SELECT 'nodes' AS entity,
+           count(*) AS n_rows,
+           sum(CASE WHEN p_partkey <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
+           count(*) - count(DISTINCT p_partkey) AS n_duplicates
+    FROM part
+    UNION ALL
+    SELECT 'ways', count(*),
+           sum(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END),
+           count(*) - count(DISTINCT o_orderkey)
+    FROM orders
+    """,
+)
+def q_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    n = p.agg(
+        F.lit("nodes").alias("entity"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("p_partkey") <= 0, 1).otherwise(0)).alias("n_nonpositive"),
+        (F.count(F.lit(1)) - F.countDistinct("p_partkey")).alias("n_duplicates"),
+    )
+    w = o.agg(
+        F.lit("ways").alias("entity"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") <= 0, 1).otherwise(0)).alias("n_nonpositive"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_duplicates"),
+    )
+    return n.unionByName(w)
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
