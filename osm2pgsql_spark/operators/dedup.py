@@ -143,3 +143,62 @@ def verified_near_dups(
 def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash BIGINT) — 32-bit SimHash, integer-exact."""
     return docs.select(F.col(id_col), S.simhash32(F.col(text_col)).alias("simhash"))
+
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b) -> (doc_id, cluster_id):
+    connected components by min-label propagation (the dedup decision
+    step: every doc in a component is a duplicate of the component's
+    lowest id).
+
+    O(log n) rounds for chain-free dup clusters (the common case);
+    each round is one shuffle on doc_id."""
+    edges = pairs.select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                "cluster_id"
+            ),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_decisions(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, keep BOOLEAN, cluster_id): keep the lowest id of each
+    near-dup cluster; docs in no cluster keep themselves."""
+    clusters = cluster_pairs(pairs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )

@@ -1214,6 +1214,15 @@ def q_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.unionByName(w)
 
 
+@register("dedup_decisions")  # rows-only (LSH + connected components)
+def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dups(
+        docs, k=_MH_K, rows_per_band=_MH_BAND_ROWS, shingle_n=3, min_jaccard=0.2
+    ).select("doc_a", "doc_b")
+    return dedup.dedup_decisions(docs, pairs)
+
+
 # ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
