@@ -593,16 +593,16 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     "sessionize",
     oracle=f"""
     WITH e AS (
-        SELECT user_id, epoch_us(ts) AS tus,
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
         FROM events),
          marked AS (
-        SELECT user_id, tus,
+        SELECT user_id, event_id, tus,
                CASE WHEN prev IS NULL OR tus - prev > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
         FROM e),
          sess AS (
         SELECT user_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM marked),
          per_session AS (
@@ -621,6 +621,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(tus, F.col("event_id"))
     marked = e.select(
         "user_id",
+        F.col("event_id"),
         tus.alias("tus"),
         F.when(
             F.lag(tus).over(w).isNull() | ((tus - F.lag(tus).over(w)) > _SESSION_GAP_US),
@@ -629,9 +630,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("new_session"),
     )
+    # total ordering (ts ties broken by event_id) keeps session
+    # assignment deterministic even if timestamps ever collide
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("tus")
+        .orderBy("tus", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.select("user_id", F.sum("new_session").over(w2).alias("session_id"))
