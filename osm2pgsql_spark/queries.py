@@ -610,7 +610,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
         FROM sess GROUP BY user_id, session_id)
     SELECT user_id,
            count(*) AS n_sessions,
-           sum(n_events) AS n_events,
+           cast(sum(n_events) AS bigint) AS n_events,
            max(n_events) AS max_session_events
     FROM per_session GROUP BY user_id
     """,
@@ -724,7 +724,7 @@ def q_discrete_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_custkey AS rel_id,
            count(*) AS n_members,
            min(o.o_orderkey) AS first_member,
-           sum(li.n_lines) AS total_refs
+           cast(sum(li.n_lines) AS bigint) AS total_refs
     FROM orders o
     JOIN (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey) li
       ON li.l_orderkey = o.o_orderkey
@@ -1189,12 +1189,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'nodes' AS entity,
            count(*) AS n_rows,
-           sum(CASE WHEN p_partkey <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
+           cast(sum(CASE WHEN p_partkey <= 0 THEN 1 ELSE 0 END) AS bigint) AS n_nonpositive,
            count(*) - count(DISTINCT p_partkey) AS n_duplicates
     FROM part
     UNION ALL
     SELECT 'ways', count(*),
-           sum(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END),
+           cast(sum(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END) AS bigint),
            count(*) - count(DISTINCT o_orderkey)
     FROM orders
     """,
