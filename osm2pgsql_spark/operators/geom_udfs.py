@@ -110,6 +110,16 @@ def _npoints(wkb: pd.Series) -> pd.Series:
 wkb_num_points = _lazy("npoints", _npoints, "bigint")
 
 
+def _ngeoms(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [G.num_geometries(G.from_wkb(w)) if w is not None else 0 for w in wkb],
+        dtype="int64",
+    )
+
+
+wkb_num_geometries = _lazy("ngeoms", _ngeoms, "bigint")
+
+
 def _geom_type(wkb: pd.Series) -> pd.Series:
     return pd.Series(
         [G.geometry_type(G.from_wkb(w)) if w is not None else "NULL" for w in wkb],

@@ -1261,6 +1261,363 @@ def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 multipolygon ring assembly through the REAL kernel
+# (geom-area-assembler.cpp:23-56): square relations built from four
+# open member ways each (plus a 4-way inner square every third
+# relation) — the pandas stitching kernel must close the rings and
+# classify the hole; the oracle knows the analytic answer (all
+# coordinates chosen so shoelace arithmetic is exact, osm_synth).
+# ---------------------------------------------------------------------------
+
+@register(
+    "relation_multipolygon_rings",
+    oracle=f"""
+    SELECT p_partkey AS rel_id,
+           cast(1 AS bigint) AS n_polys,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 10 ELSE 5 END AS bigint) AS n_points,
+           {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+                       f'THEN 3 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) '
+                       f'ELSE 4 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS area
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_relation_multipolygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_multipolygons
+
+    nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
+    mp = relation_multipolygons(rels, ways_df, nodes)
+    return mp.select(
+        "rel_id",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_polys"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        round4(geom_udfs.wkb_area(F.col("geom"))).alias("area"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 line_merge through the REAL relation_multilinestrings kernel
+# (geom-functions.cpp:594-767): the same square member ways must merge
+# into one closed ring (two for hole relations); perimeter is exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "relation_line_merge",
+    oracle=f"""
+    SELECT p_partkey AS rel_id,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 2 ELSE 1 END AS bigint) AS n_parts,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 10 ELSE 5 END AS bigint) AS n_points,
+           {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+                       f'THEN 12 * ({osm_synth.SQUARE_S_SQL}) '
+                       f'ELSE 8 * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_relation_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_multilinestrings
+
+    nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
+    ml = relation_multilinestrings(rels, ways_df, nodes)
+    return ml.select(
+        "rel_id",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        round4(geom_udfs.wkb_length(F.col("geom"))).alias("length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 append mode: apply_diff delete-before-insert fold
+# (osmdata.cpp:55-70) as a gate query — the oracle states the merge
+# semantics declaratively; the engine runs the REAL anti-join fold.
+# ---------------------------------------------------------------------------
+
+@register(
+    "append_diff_fold",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL})
+    SELECT node_id, lon, lat FROM nodes WHERE node_id % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT node_id, lon + 0.25e0 AS lon, lat FROM nodes WHERE node_id % 10 = 0
+    UNION ALL
+    SELECT node_id + 10000000 AS node_id, lon, lat FROM nodes WHERE node_id % 10 = 2
+    """,
+)
+def q_append_diff_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.streaming.append import apply_diff
+
+    n = osm_synth.nodes(spark, sf_dir).select("node_id", "lon", "lat")
+    mod = n.where(F.col("node_id") % 10 == 0).select(
+        "node_id", (F.col("lon") + 0.25).alias("lon"), "lat", F.lit("modify").alias("op")
+    )
+    dele = n.where(F.col("node_id") % 10 == 1).select(
+        "node_id", "lon", "lat", F.lit("delete").alias("op")
+    )
+    cre = n.where(F.col("node_id") % 10 == 2).select(
+        (F.col("node_id") + 10000000).alias("node_id"), "lon", "lat",
+        F.lit("create").alias("op"),
+    )
+    diff = mod.unionByName(dele).unionByName(cre)
+    return apply_diff(n, diff, id_col="node_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 stage-2 marks: relations mark member ways, marked ways are
+# reprocessed with aggregated relation refs (output-flex.cpp:1506-1613,
+# select_relation_members :337-377).  Two relation families (customer
+# routes 'C<id>', priority-group routes 'P<grp>') so collect_set
+# aggregation over multiple parents is exercised.
+# ---------------------------------------------------------------------------
+
+@register(
+    "two_stage_refs",
+    oracle="""
+    WITH li AS (SELECT l_orderkey AS id, count(*) AS n_lines FROM lineitem GROUP BY 1),
+         w AS (SELECT o_orderkey AS id, o_custkey, o_orderkey % 97 AS grp FROM orders)
+    SELECT w.id AS way_id,
+           CASE WHEN o_custkey % 5 = 0 OR grp % 2 = 0 THEN 2 ELSE 1 END AS stage,
+           CASE WHEN o_custkey % 5 = 0 AND grp % 2 = 0 THEN
+                    'C' || cast(o_custkey AS string) || ',' || 'P' || cast(grp AS string)
+                WHEN o_custkey % 5 = 0 THEN 'C' || cast(o_custkey AS string)
+                WHEN grp % 2 = 0 THEN 'P' || cast(grp AS string)
+                ELSE '' END AS rel_refs,
+           li.n_lines
+    FROM w JOIN li USING (id)
+    """,
+)
+def q_two_stage_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.plans.two_stage import (
+        relation_attrs_for_members,
+        two_stage_ways,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def mk_members():
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))),
+            lambda s: F.struct(
+                F.lit("w").alias("type"), s["k"].alias("ref"), F.lit("").alias("role")
+            ),
+        ).alias("members")
+
+    rels_a = o.groupBy(F.col("o_custkey").alias("id")).agg(mk_members())
+    rels_b = o.groupBy((F.lit(1000000) + (F.col("o_orderkey") % 97)).alias("id")).agg(
+        mk_members()
+    )
+    rels = rels_a.unionByName(rels_b).select(
+        "id",
+        F.col("members").cast("array<struct<type:string,ref:bigint,role:string>>"),
+    )
+    mark_when = ((F.col("id") < 1000000) & (F.col("id") % 5 == 0)) | (
+        (F.col("id") >= 1000000) & ((F.col("id") - 1000000) % 2 == 0)
+    )
+    ref_expr = F.when(
+        F.col("id") < 1000000, F.concat(F.lit("C"), F.col("id").cast("string"))
+    ).otherwise(F.concat(F.lit("P"), (F.col("id") - 1000000).cast("string")))
+    marked = relation_attrs_for_members(rels, when=mark_when, ref=ref_expr)
+
+    ways_df = o.select(F.col("o_orderkey").alias("id")).join(
+        li.groupBy(F.col("l_orderkey").alias("id")).agg(
+            F.count(F.lit(1)).alias("n_lines")
+        ),
+        "id",
+    )
+
+    def stage1(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("id").alias("way_id"), F.col("stage"),
+            F.lit("").alias("rel_refs"), F.col("n_lines"),
+        )
+
+    def stage2(df: DataFrame) -> DataFrame:
+        return df.join(marked.withColumnRenamed("ref", "rel_refs"), "id", "left").select(
+            F.col("id").alias("way_id"), F.col("stage"),
+            F.coalesce("rel_refs", F.lit("")).alias("rel_refs"), F.col("n_lines"),
+        )
+
+    return two_stage_ways(ways_df, marked.select("id"), stage1, stage2)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 flex DSL end-to-end: define_table + insert rules + typed casts
+# + not_null geometry drop, over the tagged synthetic ways (the
+# generic.lua shape, flex-config/generic.lua; run() compiles to one
+# Catalyst plan).
+# ---------------------------------------------------------------------------
+
+@register(
+    "flex_generic_lines",
+    # n_points models the reference's consecutive-duplicate-location
+    # removal (src/geom-from-osm.cpp:53-101): 1 + count of location
+    # transitions in (pos, ref) order; degenerate ways (< 2 distinct
+    # consecutive locations) get no geometry and are dropped by the
+    # not_null geom column.
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM refs JOIN nodes ON ref = node_id
+            WINDOW w AS (PARTITION BY way_id ORDER BY pos, ref)),
+         agg AS (
+            SELECT way_id,
+                   1 + sum(CASE WHEN plon IS NOT NULL
+                                 AND (lon <> plon OR lat <> plat)
+                           THEN 1 ELSE 0 END) AS n_dedup
+            FROM pts GROUP BY way_id)
+    SELECT way_id AS osm_id,
+           {osm_synth.WAY_HIGHWAY_SQL} AS highway,
+           cast(way_id % 3 AS int) AS layer,
+           CASE WHEN {osm_synth.WAY_BRIDGE_SQL} THEN true
+                ELSE cast(NULL AS boolean) END AS bridge,
+           cast(n_dedup AS bigint) AS n_points
+    FROM agg WHERE way_id % 4 <> 3 AND n_dedup >= 2
+    """,
+)
+def q_flex_generic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.plans.flex import ColumnDef, FlexConfig
+
+    ways_df = osm_synth.tagged_ways(spark, sf_dir)
+    nodes_df = osm_synth.nodes(spark, sf_dir).select(
+        F.col("node_id").alias("id"), "lon", "lat"
+    )
+    cfg = FlexConfig()
+    cfg.define_table(
+        "lines",
+        ids="way",
+        columns=[
+            ColumnDef("highway", "text"),
+            ColumnDef("layer", "int4"),
+            ColumnDef("bridge", "boolean"),
+            ColumnDef("geom", "linestring", not_null=True),
+        ],
+    )
+    tags = F.col("tags")
+    cfg.insert(
+        "lines",
+        "way",
+        when=tags["highway"] != "footway",
+        highway=tags["highway"],
+        layer=tags["layer"],
+        bridge=tags["bridge"],
+    )
+    out = cfg.run(nodes=nodes_df, ways=ways_df)["lines"]
+    return out.select(
+        "osm_id", "highway", "layer", "bridge",
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 pgsql-compat legacy pipeline: line table with z_order and the
+# polygon table with way_area, through planet_osm_tables
+# (output-pgsql.cpp:89-123, tagtransform-c.cpp:28-89).
+# ---------------------------------------------------------------------------
+
+_PGSQL_OFFSETS = {n: (off, roads) for n, off, roads in TG.HIGHWAY_LAYERS}
+
+def _pgsql_zorder_sql() -> str:
+    off = "CASE way_id % 4 " + " ".join(
+        f"WHEN {i} THEN {_PGSQL_OFFSETS[n][0]}"
+        for i, n in enumerate(["motorway", "primary", "residential", "footway"])
+    ) + " END"
+    return (
+        f"cast((way_id % 3) * 100 + ({off}) "
+        f"+ (CASE WHEN {osm_synth.WAY_RAILWAY_SQL} THEN 35 ELSE 0 END) "
+        f"+ (CASE WHEN {osm_synth.WAY_BRIDGE_SQL} THEN 100 ELSE 0 END) AS int)"
+    )
+
+
+@register(
+    "pgsql_line_zorder",
+    # n counts raw refs (polygon classification uses the refs list);
+    # n_dedup models consecutive-duplicate-location removal in the
+    # linestring builder (degenerate ways emit no geometry).
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM refs JOIN nodes ON ref = node_id
+            WINDOW w AS (PARTITION BY way_id ORDER BY pos, ref)),
+         agg AS (
+            SELECT way_id, count(*) AS n,
+                   1 + sum(CASE WHEN plon IS NOT NULL
+                                 AND (lon <> plon OR lat <> plat)
+                           THEN 1 ELSE 0 END) AS n_dedup
+            FROM pts GROUP BY way_id)
+    SELECT way_id AS osm_id,
+           {osm_synth.WAY_HIGHWAY_SQL} AS highway,
+           {_pgsql_zorder_sql()} AS z_order
+    FROM agg
+    WHERE NOT ({osm_synth.WAY_BUILDING_SQL} AND n >= 3) AND n_dedup >= 2
+    """,
+)
+def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+
+    ways_df = osm_synth.tagged_ways(spark, sf_dir, close_buildings=True)
+    nodes_df = osm_synth.nodes(spark, sf_dir).select(
+        F.col("node_id").alias("id"), "lon", "lat",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    t = planet_osm_tables(nodes_df, ways_df)
+    return t["planet_osm_line"].select("osm_id", "highway", "z_order")
+
+
+@register(
+    "pgsql_polygon_area",
+    # ring validity models the closed-way polygon builder
+    # (src/geom-from-osm.cpp:104-133): after appending the closing
+    # point and removing consecutive duplicate locations the ring must
+    # keep >= 4 points; ring_len = 1 + open-path transitions
+    # (+1 unless the way already ends on its start location).
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL}),
+         refs AS ({osm_synth.WAY_REFS_SQL}),
+         pts AS (
+            SELECT way_id, pos, ref, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                   lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat,
+                   first_value(lon) OVER w AS flon, first_value(lat) OVER w AS flat
+            FROM refs JOIN nodes ON ref = node_id
+            WINDOW w AS (PARTITION BY way_id ORDER BY pos, ref)),
+         agg AS (
+            SELECT way_id, count(*) AS n,
+                   1 + sum(CASE WHEN plon IS NOT NULL
+                                 AND (lon <> plon OR lat <> plat)
+                           THEN 1 ELSE 0 END)
+                     + max(CASE WHEN nlon IS NULL
+                                 AND (lon <> flon OR lat <> flat)
+                           THEN 1 ELSE 0 END) AS ring_len,
+                   sum(CASE WHEN nlon IS NULL THEN lon * flat - flon * lat
+                            ELSE lon * nlat - nlon * lat END) AS t2
+            FROM pts GROUP BY way_id)
+    SELECT way_id AS osm_id, {roundn_sql('abs(t2) / 2.0e0', 4)} AS way_area
+    FROM agg WHERE way_id % 2 = 0 AND n >= 3 AND ring_len >= 4
+    """,
+)
+def q_pgsql_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+
+    ways_df = osm_synth.tagged_ways(spark, sf_dir, close_buildings=True)
+    nodes_df = osm_synth.nodes(spark, sf_dir).select(
+        F.col("node_id").alias("id"), "lon", "lat",
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    t = planet_osm_tables(nodes_df, ways_df)
+    return t["planet_osm_polygon"].select(
+        "osm_id", round4(F.col("way_area")).alias("way_area")
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 

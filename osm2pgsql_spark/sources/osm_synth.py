@@ -91,3 +91,152 @@ def ways(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("refs")
         )
     )
+
+
+# ---------------------------------------------------------------------
+# square relations: synthetic multipolygon fixtures with EXACT floats.
+#
+# One relation per part row (p_partkey % 4 == 1): an axis-aligned
+# square of half-size s centered at (cx, cy), built as FOUR open member
+# ways (one side each) so ring assembly must stitch endpoints; every
+# third relation adds an inner square (hole) of half-size s/2 as four
+# more ways.  All coordinates are on the 1/8 grid and |coord| < 64, so
+# every shoelace product and sum is exact in binary floating point —
+# the analytic oracle (area = 4s^2, hole 3s^2; perimeter 8s / 12s)
+# matches bit-for-bit with no rounding discipline needed.
+# ---------------------------------------------------------------------
+
+SQUARE_S_SQL = "((p_partkey % 8) + 1) / 4.0e0"
+SQUARE_FILTER_SQL = "p_partkey % 4 = 1"
+SQUARE_HOLE_SQL = "p_partkey % 3 = 0"
+
+# (corner_index, dx_factor, dy_factor); 1-4 outer ring, 5-8 inner ring
+_SQ_CORNERS = [
+    (1, -1.0, -1.0), (2, 1.0, -1.0), (3, 1.0, 1.0), (4, -1.0, 1.0),
+    (5, -0.5, -0.5), (6, 0.5, -0.5), (7, 0.5, 0.5), (8, -0.5, 0.5),
+]
+# (way_index, from_corner, to_corner)
+_SQ_SIDES = [
+    (1, 1, 2), (2, 2, 3), (3, 3, 4), (4, 4, 1),
+    (5, 5, 6), (6, 6, 7), (7, 7, 8), (8, 8, 5),
+]
+
+
+def square_relations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, ways, relations) in model-schema shape (id/lon/lat,
+    id/refs, id/members) for the square-multipolygon fixtures."""
+    p = load_table(spark, sf_dir, "part").where(F.expr(SQUARE_FILTER_SQL))
+    base = p.select(
+        F.col("p_partkey").alias("r"),
+        (((F.col("p_partkey") * 7) % 320) / F.lit(4.0) - F.lit(40.0)).alias("cx"),
+        (((F.col("p_partkey") * 11) % 320) / F.lit(4.0) - F.lit(40.0)).alias("cy"),
+        F.expr(SQUARE_S_SQL).alias("s"),
+        F.expr(SQUARE_HOLE_SQL).alias("hole"),
+    )
+
+    corner = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("ci"), F.lit(dx).alias("dx"), F.lit(dy).alias("dy")
+                )
+                for ci, dx, dy in _SQ_CORNERS
+            ]
+        )
+    )
+    nodes = (
+        base.select("r", "cx", "cy", "s", "hole", corner.alias("c"))
+        .where((F.col("c.ci") <= 4) | F.col("hole"))
+        .select(
+            (F.col("r") * 100 + F.col("c.ci")).alias("id"),
+            (F.col("cx") + F.col("s") * F.col("c.dx")).alias("lon"),
+            (F.col("cy") + F.col("s") * F.col("c.dy")).alias("lat"),
+        )
+    )
+
+    side = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(wi).alias("wi"), F.lit(a).alias("a"), F.lit(b).alias("b")
+                )
+                for wi, a, b in _SQ_SIDES
+            ]
+        )
+    )
+    sq_ways = (
+        base.select("r", "hole", side.alias("sd"))
+        .where((F.col("sd.wi") <= 4) | F.col("hole"))
+        .select(
+            (F.col("r") * 10 + F.col("sd.wi")).alias("id"),
+            F.array(
+                F.col("r") * 100 + F.col("sd.a"), F.col("r") * 100 + F.col("sd.b")
+            ).alias("refs"),
+        )
+    )
+
+    def member(j: int):
+        return F.struct(
+            F.lit("w").alias("type"),
+            (F.col("r") * 10 + j).cast("bigint").alias("ref"),
+            F.lit("outer" if j <= 4 else "inner").alias("role"),
+        )
+
+    rels = base.select(
+        F.col("r").alias("id"),
+        F.when(F.col("hole"), F.array(*[member(j) for j in range(1, 9)]))
+        .otherwise(F.array(*[member(j) for j in range(1, 5)]))
+        .alias("members"),
+    )
+    return nodes, sq_ways, rels
+
+
+# ---------------------------------------------------------------------
+# tagged ways: the lineitem-derived ways with deterministic OSM-style
+# tags for the flex / pgsql-compat pipelines.  The tag formulas live
+# here once; oracles rebuild them with the *_SQL twins.
+# ---------------------------------------------------------------------
+
+WAY_HIGHWAY_SQL = (
+    "CASE way_id % 4 WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary' "
+    "WHEN 2 THEN 'residential' ELSE 'footway' END"
+)
+WAY_LAYER_SQL = "cast(way_id % 3 AS string)"
+WAY_BRIDGE_SQL = "way_id % 7 = 0"
+WAY_RAILWAY_SQL = "way_id % 11 = 0"
+WAY_BUILDING_SQL = "way_id % 2 = 0"  # closed-polygon candidates
+
+
+def tagged_ways(spark: SparkSession, sf_dir: str, close_buildings: bool = False) -> DataFrame:
+    """Model-schema ways (id, refs, tags) with deterministic tags.
+
+    close_buildings: for ways tagged building (way_id % 2 = 0) with
+    >= 3 refs, append the first ref so the way closes into a ring
+    (polygon candidates for the pgsql-compat path)."""
+    w = ways(spark, sf_dir).withColumnRenamed("way_id", "id")
+    tags = F.map_filter(
+        F.map_from_arrays(
+            F.array(
+                F.lit("highway"), F.lit("layer"), F.lit("bridge"),
+                F.lit("railway"), F.lit("building"),
+            ),
+            F.array(
+                F.expr(WAY_HIGHWAY_SQL.replace("way_id", "id")),
+                F.expr(WAY_LAYER_SQL.replace("way_id", "id")),
+                F.when(F.expr(WAY_BRIDGE_SQL.replace("way_id", "id")), F.lit("yes")),
+                F.when(F.expr(WAY_RAILWAY_SQL.replace("way_id", "id")), F.lit("rail")),
+                F.when(F.expr(WAY_BUILDING_SQL.replace("way_id", "id")), F.lit("yes")),
+            ),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    w = w.select("id", "refs", tags.alias("tags"))
+    if close_buildings:
+        closed = F.when(
+            F.expr(WAY_BUILDING_SQL.replace("way_id", "id")) & (F.size("refs") >= 3),
+            F.concat(F.col("refs"), F.array(F.element_at(F.col("refs"), 1))),
+        ).otherwise(F.col("refs"))
+        w = w.select("id", closed.alias("refs"), "tags")
+    return w

@@ -81,7 +81,10 @@ def _schema(base: T.StructType, with_op: bool) -> T.StructType:
         T.StructField("ts", T.StringType()) if f.name == "ts" else f for f in base.fields
     ]
     if with_op:
-        fields = fields + [T.StructField("op", T.StringType())]
+        fields = fields + [
+            T.StructField("op", T.StringType()),
+            T.StructField("op_seq", T.LongType()),
+        ]
     return T.StructType(fields)
 
 
@@ -119,6 +122,11 @@ def read_osc_xml(
         all_nodes.extend(n)
         all_ways.extend(w)
         all_rels.extend(r)
+    # op_seq = document order, so apply_diff can keep the LAST op per
+    # id (the reference applies ops sequentially, src/osmdata.cpp:55-70)
+    all_nodes = [(*row, i) for i, row in enumerate(all_nodes)]
+    all_ways = [(*row, i) for i, row in enumerate(all_ways)]
+    all_rels = [(*row, i) for i, row in enumerate(all_rels)]
     return (
         _with_ts(spark.createDataFrame(all_nodes, _schema(NODE_SCHEMA, True))),
         _with_ts(spark.createDataFrame(all_ways, _schema(WAY_SCHEMA, True))),

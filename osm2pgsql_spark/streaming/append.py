@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.operators.reverse_deps import (
@@ -36,14 +36,33 @@ from osm2pgsql_spark.operators.reverse_deps import (
 )
 
 
-def apply_diff(base: DataFrame, diff: DataFrame, id_col: str = "id") -> DataFrame:
+def apply_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    id_col: str = "id",
+    order_col: str | None = None,
+) -> DataFrame:
     """Fold one diff batch into an entity snapshot.
 
     diff has the entity schema + an `op` column in
     {create, modify, delete}.  Semantics (src/osmdata.cpp:55-70):
     delete removes the object, modify replaces it (delete+add),
-    create adds it.  Duplicate ids within one diff keep the last op.
+    create adds it.  Duplicate ids within one diff keep the LAST op in
+    document order: the diff is first reduced to one row per id via
+    order_col (defaults to the `op_seq` column read_osc_xml emits), so
+    create-then-modify yields one snapshot row and modify-then-delete
+    stays deleted.  Without any order column the diff is assumed
+    single-op-per-id (osmium-simplified) and folded as-is.
     """
+    if order_col is None and "op_seq" in diff.columns:
+        order_col = "op_seq"
+    if order_col is not None:
+        w = Window.partitionBy(id_col).orderBy(F.desc(order_col))
+        diff = (
+            diff.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", order_col)
+        )
     touched = diff.select(F.col(id_col)).distinct()
     survivors = base.join(touched, id_col, "left_anti")
     additions = diff.where(F.col("op") != "delete").drop("op")

@@ -129,3 +129,28 @@ def test_diff_then_recompute_equals_fresh_import(spark, base):
     b = {r["way_id"]: [(p["x"], p["y"]) for p in r["pts"]] for r in fresh.collect()}
     assert a == b
     assert set(a) == {10, 11, 12}  # ways touching nodes 1,2 + changed way 11
+
+
+DIFF_NODE_SEQ_SCHEMA = T.StructType(
+    list(NODE_SCHEMA.fields)
+    + [T.StructField("op", T.StringType()), T.StructField("op_seq", T.LongType())]
+)
+
+
+def test_apply_diff_multiop_last_wins(spark, base):
+    """Duplicate ids within one diff: the LAST op in document order
+    wins (create+modify collapses to one row; modify-then-delete stays
+    deleted) — reference applies ops sequentially, src/osmdata.cpp:55-70."""
+    nodes, _, _ = base
+    node_diff = spark.createDataFrame(
+        [
+            (*_node(5, 52.0, 8.0, {}, 1), "create", 0),
+            (*_node(5, 53.0, 8.5), "modify", 1),   # same id, later op
+            (*_node(2, 51.0, 9.5), "modify", 2),
+            (*_node(2, 0.0, 0.0), "delete", 3),     # modify then delete
+        ],
+        DIFF_NODE_SEQ_SCHEMA,
+    )
+    got = {r["id"]: (r["lat"], r["lon"]) for r in apply_diff(nodes, node_diff).collect()}
+    assert set(got) == {1, 3, 4, 5}          # node 2 deleted, not resurrected
+    assert got[5] == (53.0, 8.5)             # later modify wins over create
