@@ -107,12 +107,17 @@ class Rule:
 
     values maps column name -> Column expression over the entity
     DataFrame (tags available as `tags` MapType column; geometry
-    columns get the assembled geometry injected by the runner)."""
+    columns get the assembled geometry injected by the runner).
+
+    relation_geometry picks the assembly for relation-kind rules
+    (reference: the Lua callback calls object:as_multipolygon() or
+    as_multilinestring(), src/output-flex.cpp:453-606)."""
 
     table: str
     kind: str  # node | way | relation
     when: Column | None
     values: dict[str, Column]
+    relation_geometry: str = "multipolygon"  # or "multilinestring"
 
 
 @dataclass
@@ -195,7 +200,12 @@ class FlexConfig:
         return t
 
     def insert(
-        self, table: str, kind: str, when: Column | None = None, **values: Column
+        self,
+        table: str,
+        kind: str,
+        when: Column | None = None,
+        relation_geometry: str = "multipolygon",
+        **values: Column,
     ) -> None:
         """Declare: for every <kind> object matching <when>, insert a
         row into <table> with the given column expressions.  The
@@ -203,7 +213,14 @@ class FlexConfig:
         table:insert{...}."""
         if table not in self.tables:
             raise ValueError(f"unknown table {table!r}")
-        self.rules.append(Rule(table=table, kind=kind, when=when, values=values))
+        if relation_geometry not in ("multipolygon", "multilinestring"):
+            raise ValueError(f"unknown relation_geometry {relation_geometry!r}")
+        self.rules.append(
+            Rule(
+                table=table, kind=kind, when=when, values=values,
+                relation_geometry=relation_geometry,
+            )
+        )
 
     # -- value conversion (flex-write.cpp:261-469 semantics) ----------
 
@@ -248,9 +265,11 @@ class FlexConfig:
         operators.assembly (the runner builds it if ways+nodes given).
 
         Geometry columns: for node rules, point geometry from lon/lat;
-        for way rules, linestring/polygon WKB from assembled points.
-        Output column `geom_wkb`-style binary + declared srid applied
-        via transform_4326_to_3857 when srid == 3857.
+        for way rules, linestring/polygon WKB from assembled points;
+        for relation rules, multipolygon/multilinestring WKB from
+        member-way assembly (reference as_multipolygon /
+        as_multilinestring, src/output-flex.cpp:453-606), selected per
+        rule via relation_geometry.  Declared srid 3857 reprojects.
         """
         from osm2pgsql_spark.operators import assembly
 
@@ -272,6 +291,29 @@ class FlexConfig:
                 node_id="node_id", x="lon", y="lat",
             )
 
+        # relation member geometry, built once per assembly kind and
+        # shared by every relation rule that needs it
+        rel_geom_cache: dict[str, DataFrame] = {}
+
+        def rel_geoms(which: str) -> DataFrame | None:
+            if relations is None or ways is None or nodes is None:
+                return None
+            if which not in rel_geom_cache:
+                from osm2pgsql_spark.operators.relations import (
+                    relation_multilinestrings,
+                    relation_multipolygons,
+                )
+
+                build = (
+                    relation_multipolygons
+                    if which == "multipolygon"
+                    else relation_multilinestrings
+                )
+                rel_geom_cache[which] = build(relations, ways, nodes).select(
+                    F.col("rel_id").alias("__gid"), F.col("geom").alias("__rel_geom")
+                )
+            return rel_geom_cache[which]
+
         out: dict[str, DataFrame] = {}
         for table_name, tdef in self.tables.items():
             rules = [r for r in self.rules if r.table == table_name]
@@ -289,15 +331,15 @@ class FlexConfig:
                         df["id"] == F.col("__gid"),
                         "left",
                     )
+                elif rule.kind == "relation" and tdef.geom_columns():
+                    rg = rel_geoms(rule.relation_geometry)
+                    if rg is not None:
+                        df = df.join(rg, df["id"] == F.col("__gid"), "left")
                 if rule.when is not None:
                     df = df.where(rule.when)
                 cols: list[Column] = []
                 # id scheme (flex-table.hpp:40-49, map_id :166)
-                if tdef.ids == "node":
-                    cols.append(F.col("id").alias("osm_id"))
-                elif tdef.ids == "way":
-                    cols.append(F.col("id").alias("osm_id"))
-                elif tdef.ids == "relation":
+                if tdef.ids in ("node", "way", "relation"):
                     cols.append(F.col("id").alias("osm_id"))
                 elif tdef.ids == "area":
                     # ways +id, relations -id
@@ -306,10 +348,22 @@ class FlexConfig:
                 elif tdef.ids == "any_object":
                     cols.append(F.lit(rule.kind[0]).alias("osm_type"))
                     cols.append(F.col("id").alias("osm_id"))
+                elif tdef.ids == "tile":
+                    # tile-keyed table (gen output; flex-table.hpp:40-49):
+                    # the rule provides x/y expressions
+                    for axis in ("x", "y"):
+                        if axis not in rule.values:
+                            raise ValueError(
+                                f"table {table_name!r} uses tile ids; rule must "
+                                f"provide an {axis!r} value"
+                            )
+                        cols.append(rule.values[axis].cast("int").alias(axis))
                 not_null_conds: list[Column] = []
                 for cd in tdef.columns:
                     if cd.type in ID_TYPES:
                         continue
+                    if cd.name in ("x", "y") and tdef.ids == "tile":
+                        continue  # emitted by the id scheme above
                     if cd.type in GEOM_TYPES:
                         geom = self._geometry_for(rule, cd)
                         cols.append(geom.alias(cd.name))
@@ -324,10 +378,8 @@ class FlexConfig:
                     if cd.not_null:
                         not_null_conds.append(conv.isNotNull())
                 proj = df.select(*cols)
-                for cond in not_null_conds:
-                    # reference: not-null violation -> row error, object
-                    # skipped (flex-write.cpp:40-50); we drop the row.
-                    pass
+                # reference: not-null violation -> row error, object
+                # skipped (flex-write.cpp:40-50); we drop the row.
                 if not_null_conds:
                     pred = not_null_conds[0]
                     for c in not_null_conds[1:]:
@@ -352,6 +404,7 @@ class FlexConfig:
             point_wkb,
             pts_linestring_wkb_3857,
             pts_polygon_wkb_3857,
+            wkb_transform_3857,
         )
 
         if rule.kind == "node":
@@ -369,4 +422,16 @@ class FlexConfig:
                 if cd.srid == 3857:
                     return pts_polygon_wkb_3857(F.col("pts"))
                 return assembly.pts_to_polygon_wkb(F.col("pts"))
+        if rule.kind == "relation":
+            want = rule.relation_geometry
+            ok = (
+                cd.type == "geometry"
+                or (cd.type == "multipolygon" and want == "multipolygon")
+                or (cd.type == "multilinestring" and want == "multilinestring")
+            )
+            if ok:
+                g = F.col("__rel_geom")
+                if cd.srid == 3857:
+                    return wkb_transform_3857(g)
+                return g
         return F.lit(None).cast("binary")

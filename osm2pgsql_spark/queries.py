@@ -1514,6 +1514,63 @@ def q_flex_generic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.11 flex DSL relation rule: route relations assembled to
+# multilinestring geometry THROUGH the flex plan (reference
+# as_multilinestring wiring, src/output-flex.cpp:453-606 +
+# flex-config/route-relations.lua shape) over the square fixtures.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flex_route_relations",
+    oracle=f"""
+    SELECT p_partkey AS osm_id,
+           'route' AS route,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 2 ELSE 1 END AS bigint) AS n_parts,
+           {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+                       f'THEN 12 * ({osm_synth.SQUARE_S_SQL}) '
+                       f'ELSE 8 * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_flex_route_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.plans.flex import ColumnDef, FlexConfig
+
+    nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
+    # model-schema shims: flex sources need tags columns
+    empty_tags = F.create_map().cast("map<string,string>")
+    rels = rels.select(
+        "id", "members", F.map_from_arrays(
+            F.array(F.lit("type")), F.array(F.lit("route"))
+        ).alias("tags"),
+    )
+    ways_df = ways_df.select("id", "refs", empty_tags.alias("tags"))
+
+    cfg = FlexConfig()
+    cfg.define_table(
+        "routes",
+        ids="relation",
+        columns=[
+            ColumnDef("route", "text"),
+            ColumnDef("geom", "multilinestring", not_null=True),
+        ],
+    )
+    cfg.insert(
+        "routes",
+        "relation",
+        when=F.col("tags")["type"] == "route",
+        relation_geometry="multilinestring",
+        route=F.col("tags")["type"],
+    )
+    out = cfg.run(nodes=nodes, ways=ways_df, relations=rels)["routes"]
+    return out.select(
+        "osm_id", "route",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
+        round4(geom_udfs.wkb_length(F.col("geom"))).alias("length"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 pgsql-compat legacy pipeline: line table with z_order and the
 # polygon table with way_area, through planet_osm_tables
 # (output-pgsql.cpp:89-123, tagtransform-c.cpp:28-89).

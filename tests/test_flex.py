@@ -158,3 +158,78 @@ def test_flex_cast_semantics(spark):
     assert rows[2]["d"] == 1  # "yes" -> 1
     assert rows[2]["i"] is None  # "3.5" not an integer literal
     assert rows[2]["big"] == 7
+
+
+def test_flex_relation_multipolygon_and_tile_ids(spark, fixture_dfs):
+    """Relation-kind rules assemble real geometry (as_multipolygon,
+    reference src/output-flex.cpp:453-606) and the `tile` id scheme
+    emits x/y columns (flex-table.hpp:40-49)."""
+    from osm2pgsql_spark.model import RELATION_SCHEMA
+    from osm2pgsql_spark.operators import geom_udfs
+
+    nodes, ways = fixture_dfs
+    # two ways forming a closed square: (1,2,3) + (3,4,1)
+    ways2 = ways.union(
+        spark.createDataFrame(
+            [
+                (200, [1, 2, 3], {}, None, None, None, None, None, None),
+                (201, [3, 4, 1], {}, None, None, None, None, None, None),
+            ],
+            ways.schema,
+        )
+    )
+    rels = spark.createDataFrame(
+        [
+            (
+                300,
+                [("w", 200, "outer"), ("w", 201, "outer")],
+                {"type": "multipolygon", "landuse": "forest"},
+                None, None, None, None, None, None,
+            )
+        ],
+        RELATION_SCHEMA,
+    )
+    cfg = FlexConfig()
+    cfg.define_table(
+        "areas",
+        ids="relation",
+        columns=[
+            ColumnDef("landuse", "text"),
+            ColumnDef("geom", "multipolygon", not_null=True),
+        ],
+    )
+    cfg.insert(
+        "areas",
+        "relation",
+        when=F.col("tags")["type"] == "multipolygon",
+        landuse=F.col("tags")["landuse"],
+    )
+    out = cfg.run(nodes=nodes, ways=ways2, relations=rels)["areas"]
+    rows = out.select(
+        "osm_id", "landuse",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("np"),
+        geom_udfs.wkb_area(F.col("geom")).alias("area"),
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.osm_id, r.landuse, r.np) == (300, "forest", 1)
+    assert math.isclose(r.area, 0.1 * 0.1, rel_tol=1e-9)
+
+    # tile id scheme: x/y emitted from rule values
+    cfg2 = FlexConfig()
+    cfg2.define_table(
+        "tiles",
+        ids="tile",
+        columns=[ColumnDef("n_ways", "int4")],
+    )
+    cfg2.insert(
+        "tiles",
+        "way",
+        x=F.col("id") % 8,
+        y=F.col("id") % 4,
+        n_ways=F.lit("1"),
+    )
+    t = cfg2.run(nodes=nodes, ways=ways2).get("tiles")
+    assert t is not None
+    assert set(t.columns) == {"x", "y", "n_ways"}
+    assert t.count() == 6
