@@ -111,24 +111,56 @@ def write_parquet(df: DataFrame, path: str, sort_cols: list[str] | None = None, 
     w.parquet(path)
 
 
-def write_expire_file(tiles: DataFrame, path: str) -> None:
+# overall tile cap, reference src/expire-output.hpp:25
+EXPIRE_TILES_MAX = 50_000_000
+
+
+def write_expire_file(
+    tiles: DataFrame, path: str, max_tiles: int = EXPIRE_TILES_MAX
+) -> None:
     """Dirty-tile list as z/x/y text lines (reference
-    expire-output.cpp:85-106 file format), single output file."""
+    expire-output.cpp:85-106 file format), single output file.
+
+    Distributed write: lines are range-partitioned and sorted within
+    partitions (part files are then globally ordered by name), written
+    executor-side, and stream-merged into the final file with constant
+    driver memory — never collect()ed.  Tile count is capped at the
+    reference's 5e7 overall limit (expire-output.hpp:25); overflowing
+    sets are truncated with a warning."""
+    import glob
+    import shutil
+    import warnings
+
     from pyspark.sql import functions as F
 
-    rows = (
-        tiles.select(
-            F.concat_ws(
-                "/", F.col("zoom").cast("string"), F.col("x").cast("string"), F.col("y").cast("string")
-            ).alias("line")
+    lines = tiles.select(
+        F.concat_ws(
+            "/", F.col("zoom").cast("string"), F.col("x").cast("string"), F.col("y").cast("string")
+        ).alias("line")
+    )
+    n = lines.count()
+    if n > max_tiles:
+        warnings.warn(
+            f"expire set has {n} tiles; truncating to the {max_tiles} cap "
+            "(reference expire-output.hpp:25)",
+            stacklevel=2,
         )
-        .orderBy("line")
-        .collect()
+        lines = lines.limit(max_tiles)
+    # ~5M lines (<100 MB text) per output partition
+    nparts = max(1, min(256, n // 5_000_000 + 1))
+    tmp_dir = path + ".spark-tmp"
+    (
+        lines.repartitionByRange(nparts, "line")
+        .sortWithinPartitions("line")
+        .write.mode("overwrite")
+        .text(tmp_dir)
     )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w", encoding="utf-8") as fh:
-        for r in rows:
-            fh.write(r["line"] + "\n")
+    with open(path, "wb") as out:
+        for part in sorted(glob.glob(os.path.join(tmp_dir, "part-*"))):
+            with open(part, "rb") as src:
+                shutil.copyfileobj(src, out)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 def jdbc_url(host: str, port: int, db: str) -> str:

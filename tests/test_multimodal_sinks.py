@@ -79,3 +79,29 @@ def test_parquet_sink_roundtrip(spark, tmp_path):
     write_parquet(df, p, sort_cols=["id"])
     back = spark.read.parquet(p)
     assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_expire_file_sink_large_distributed(spark, tmp_path):
+    """10^6-tile expire set goes through the distributed text write
+    (no driver collect) and comes out sorted and complete; an
+    over-cap set is truncated to max_tiles."""
+    tiles = spark.range(0, 1_000_000).selectExpr(
+        "cast(14 as int) AS zoom", "cast(id % 16384 as int) AS x",
+        "cast(id div 16384 as int) AS y",
+    )
+    p = str(tmp_path / "big.expire")
+    write_expire_file(tiles, p)
+    with open(p) as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) == 1_000_000
+    assert lines == sorted(lines)
+    assert lines[0].startswith("14/")
+
+    p2 = str(tmp_path / "capped.expire")
+    import warnings as W
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        write_expire_file(tiles, p2, max_tiles=1000)
+        assert any("truncating" in str(w.message) for w in rec)
+    with open(p2) as fh:
+        assert len(fh.read().splitlines()) == 1000
