@@ -168,6 +168,31 @@ def make_linestring(pts: Iterable[tuple[float, float]]):
     return ("linestring", a)
 
 
+def create_multipoint(points: Iterable[tuple[float, float] | None]):
+    """Relation node members -> point/multipoint (reference
+    create_multipoint, src/geom-from-osm.cpp:136-170): invalid (None)
+    locations are skipped; 0 points -> null geometry; exactly 1 point
+    collapses to a plain POINT."""
+    pts = [(float(p[0]), float(p[1])) for p in points if p is not None]
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return ("point", pts[0])
+    return ("multipoint", pts)
+
+
+def create_collection(items: Iterable):
+    """Relation members -> geometrycollection (reference
+    create_collection, src/geom-from-osm.cpp:253-279): node members as
+    points, way members as linestrings; unresolvable members skipped;
+    empty -> null geometry.  No single-part collapse (unlike
+    multipoint/multilinestring)."""
+    parts = [g for g in items if g is not None]
+    if not parts:
+        return None
+    return ("collection", parts)
+
+
 def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
     """Closed-way polygon (reference src/geom-from-osm.cpp:104-133):
     way must be closed (first==last) and have >=4 points after dedup."""
@@ -353,6 +378,34 @@ def centroid(geom):
         cx = sum(p[1][0] * w for p, w in zip(pts, ws)) / tw
         cy = sum(p[1][1] * w for p, w in zip(pts, ws)) / tw
         return ("point", (cx, cy))
+    if kind == "collection":
+        # dimension-priority like boost::geometry: only the parts of
+        # the highest dimension present contribute, weighted by their
+        # measure (verified against reference test-geom-collections)
+        def _dim(g) -> int:
+            k = g[0]
+            if k in ("point", "multipoint"):
+                return 0
+            if k in ("linestring", "multilinestring"):
+                return 1
+            if k == "collection":
+                return max((_dim(p) for p in g[1]), default=0)
+            return 2
+        d = max(_dim(p) for p in payload)
+        use = [p for p in payload if _dim(p) == d]
+        if d == 0:
+            ws = [float(n_points(p)) for p in use]
+        elif d == 1:
+            ws = [length(p) for p in use]
+        else:
+            ws = [area(p) for p in use]
+        cs = [centroid(p) for p in use]
+        tw = sum(ws)
+        if tw == 0:
+            return cs[0] if cs else None
+        cx = sum(c[1][0] * w for c, w in zip(cs, ws)) / tw
+        cy = sum(c[1][1] * w for c, w in zip(cs, ws)) / tw
+        return ("point", (cx, cy))
     return None
 
 
@@ -498,9 +551,12 @@ def _map_coords(geom, f):
 
 def geometry_type(geom) -> str | None:
     """Uppercase type name as the reference's geometry_type
-    (src/flex-lua-geom.cpp:146-230 exposes e.g. 'LINESTRING')."""
+    (src/flex-lua-geom.cpp:146-230 exposes e.g. 'LINESTRING';
+    collections are 'GEOMETRYCOLLECTION', tests/test-geom-collections)."""
     if geom is None:
         return "NULL"
+    if geom[0] == "collection":
+        return "GEOMETRYCOLLECTION"
     return geom[0].upper()
 
 

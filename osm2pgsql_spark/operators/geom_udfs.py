@@ -221,3 +221,16 @@ def _bbox(wkb: pd.Series) -> pd.DataFrame:
 wkb_bbox = _lazy(
     "bbox", _bbox, "struct<min_x:double,min_y:double,max_x:double,max_y:double>"
 )
+
+
+def _centroid_xy(wkb: pd.Series) -> pd.DataFrame:
+    rows = []
+    for w in wkb:
+        c = G.centroid(G.from_wkb(w)) if w is not None else None
+        rows.append(
+            {"x": None, "y": None} if c is None else {"x": c[1][0], "y": c[1][1]}
+        )
+    return pd.DataFrame(rows, dtype="float64")
+
+
+wkb_centroid_xy = _lazy("centroid_xy", _centroid_xy, "struct<x:double,y:double>")

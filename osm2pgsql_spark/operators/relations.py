@@ -217,3 +217,91 @@ def relation_multilinestrings(
     grouped = mw.groupBy("rel_id").agg(F.collect_list("line_wkb").alias("member_wkbs"))
     udf = _get_udf("ml", _ml_kernel)
     return grouped.select("rel_id", udf(F.col("member_wkbs")).alias("geom"))
+
+
+# ------------------------------------- multipoint / geometrycollection
+
+def _mpoint_kernel(pts_list: pd.Series) -> pd.Series:
+    """[(member_pos, lon, lat)] sorted -> point/multipoint WKB
+    (reference create_multipoint, src/geom-from-osm.cpp:136-170)."""
+    out = []
+    for arr in pts_list:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        pts = [
+            None if p["lon"] is None or pd.isna(p["lon"]) else (p["lon"], p["lat"])
+            for p in arr
+        ]
+        out.append(G.to_wkb(G.create_multipoint(pts)))
+    return pd.Series(out, dtype=object)
+
+
+def _coll_kernel(wkbs: pd.Series) -> pd.Series:
+    """[(member_pos, wkb)] sorted -> geometrycollection WKB (reference
+    create_collection, src/geom-from-osm.cpp:253-279)."""
+    out = []
+    for arr in wkbs:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        parts = []
+        for item in arr:
+            w = item["wkb"]
+            parts.append(None if w is None else G.from_wkb(bytes(w)))
+        out.append(G.to_wkb(G.create_collection(parts)))
+    return pd.Series(out, dtype=object)
+
+
+def relation_multipoints(relations: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(rel_id, geom WKB) — point/multipoint from the relation's node
+    members in member order (reference as_multipoint,
+    src/geom-from-osm.cpp:136-170 via src/output-flex.cpp:453-606)."""
+    m = (
+        relations.select(
+            F.col("id").alias("rel_id"), F.posexplode("members").alias("member_pos", "m")
+        )
+        .where(F.col("m.type") == "n")
+        .select("rel_id", "member_pos", F.col("m.ref").alias("node_id"))
+    )
+    nloc = nodes.select(F.col("id").alias("node_id"), "lon", "lat")
+    j = m.join(nloc, "node_id", "left")
+    grouped = j.groupBy("rel_id").agg(
+        F.array_sort(F.collect_list(F.struct("member_pos", "lon", "lat"))).alias("pts")
+    )
+    udf = _get_udf("mpoint", _mpoint_kernel)
+    return grouped.select("rel_id", udf(F.col("pts")).alias("geom"))
+
+
+def relation_collections(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """(rel_id, geom WKB geometrycollection) — node members as points,
+    way members as linestrings, in member order (reference
+    as_geometrycollection, src/geom-from-osm.cpp:253-279)."""
+    from osm2pgsql_spark.operators.geom_udfs import point_wkb
+
+    nm = (
+        relations.select(
+            F.col("id").alias("rel_id"), F.posexplode("members").alias("member_pos", "m")
+        )
+        .where(F.col("m.type") == "n")
+        .select("rel_id", "member_pos", F.col("m.ref").alias("node_id"))
+    )
+    nloc = nodes.select(F.col("id").alias("node_id"), "lon", "lat")
+    npts = nm.join(nloc, "node_id", "left").select(
+        "rel_id",
+        "member_pos",
+        F.when(
+            F.col("lon").isNotNull(), point_wkb(F.col("lon"), F.col("lat"))
+        ).alias("wkb"),
+    )
+    wlines = member_way_points(relations, ways, nodes).select(
+        "rel_id", "member_pos", F.col("line_wkb").alias("wkb")
+    )
+    members = npts.unionByName(wlines)
+    grouped = members.groupBy("rel_id").agg(
+        F.array_sort(F.collect_list(F.struct("member_pos", "wkb"))).alias("parts")
+    )
+    udf = _get_udf("coll", _coll_kernel)
+    return grouped.select("rel_id", udf(F.col("parts")).alias("geom"))

@@ -213,7 +213,9 @@ class FlexConfig:
         table:insert{...}."""
         if table not in self.tables:
             raise ValueError(f"unknown table {table!r}")
-        if relation_geometry not in ("multipolygon", "multilinestring"):
+        if relation_geometry not in (
+            "multipolygon", "multilinestring", "multipoint", "geometrycollection"
+        ):
             raise ValueError(f"unknown relation_geometry {relation_geometry!r}")
         self.rules.append(
             Rule(
@@ -300,16 +302,21 @@ class FlexConfig:
                 return None
             if which not in rel_geom_cache:
                 from osm2pgsql_spark.operators.relations import (
+                    relation_collections,
                     relation_multilinestrings,
+                    relation_multipoints,
                     relation_multipolygons,
                 )
 
-                build = (
-                    relation_multipolygons
-                    if which == "multipolygon"
-                    else relation_multilinestrings
-                )
-                rel_geom_cache[which] = build(relations, ways, nodes).select(
+                if which == "multipoint":
+                    built = relation_multipoints(relations, nodes)
+                elif which == "geometrycollection":
+                    built = relation_collections(relations, ways, nodes)
+                elif which == "multipolygon":
+                    built = relation_multipolygons(relations, ways, nodes)
+                else:
+                    built = relation_multilinestrings(relations, ways, nodes)
+                rel_geom_cache[which] = built.select(
                     F.col("rel_id").alias("__gid"), F.col("geom").alias("__rel_geom")
                 )
             return rel_geom_cache[which]
@@ -428,6 +435,8 @@ class FlexConfig:
                 cd.type == "geometry"
                 or (cd.type == "multipolygon" and want == "multipolygon")
                 or (cd.type == "multilinestring" and want == "multilinestring")
+                or (cd.type == "multipoint" and want == "multipoint")
+                or (cd.type == "geometrycollection" and want == "geometrycollection")
             )
             if ok:
                 g = F.col("__rel_geom")

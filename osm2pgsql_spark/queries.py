@@ -1514,6 +1514,76 @@ def q_flex_generic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 relation multipoint assembly (geom-from-osm.cpp:136-170):
+# corner-node members -> multipoint; centroid is the exact square
+# center (all arithmetic exact on the 1/8 grid).
+# ---------------------------------------------------------------------------
+
+@register(
+    "relation_multipoint",
+    oracle=f"""
+    SELECT p_partkey AS rel_id,
+           'MULTIPOINT' AS gtype,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 8 ELSE 4 END AS bigint) AS n_points,
+           ({osm_synth.SQUARE_CX_SQL}) AS cx,
+           ({osm_synth.SQUARE_CY_SQL}) AS cy
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_relation_multipoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_multipoints
+
+    nodes, _, rels = osm_synth.square_member_relations(
+        spark, sf_dir, node_members=True, way_members=False
+    )
+    mp = relation_multipoints(rels, nodes)
+    c = geom_udfs.wkb_centroid_xy(F.col("geom"))
+    return mp.select(
+        "rel_id",
+        geom_udfs.wkb_geometry_type(F.col("geom")).alias("gtype"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        c["x"].alias("cx"),
+        c["y"].alias("cy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 relation geometrycollection assembly (geom-from-osm.cpp:253-279):
+# corner nodes as points + side ways as linestrings, member order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "relation_collection",
+    oracle=f"""
+    SELECT p_partkey AS rel_id,
+           'GEOMETRYCOLLECTION' AS gtype,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 16 ELSE 8 END AS bigint) AS n_geoms,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 24 ELSE 12 END AS bigint) AS n_points,
+           {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+                       f'THEN 12 * ({osm_synth.SQUARE_S_SQL}) '
+                       f'ELSE 8 * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_relation_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_collections
+
+    nodes, ways_df, rels = osm_synth.square_member_relations(
+        spark, sf_dir, node_members=True, way_members=True
+    )
+    coll = relation_collections(rels, ways_df, nodes)
+    return coll.select(
+        "rel_id",
+        geom_udfs.wkb_geometry_type(F.col("geom")).alias("gtype"),
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_geoms"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        round4(geom_udfs.wkb_length(F.col("geom"))).alias("length"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.11 flex DSL relation rule: route relations assembled to
 # multilinestring geometry THROUGH the flex plan (reference
 # as_multilinestring wiring, src/output-flex.cpp:453-606 +

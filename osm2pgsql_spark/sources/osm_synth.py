@@ -109,6 +109,8 @@ def ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQUARE_S_SQL = "((p_partkey % 8) + 1) / 4.0e0"
 SQUARE_FILTER_SQL = "p_partkey % 4 = 1"
 SQUARE_HOLE_SQL = "p_partkey % 3 = 0"
+SQUARE_CX_SQL = "((p_partkey * 7) % 320) / 4.0e0 - 40.0e0"
+SQUARE_CY_SQL = "((p_partkey * 11) % 320) / 4.0e0 - 40.0e0"
 
 # (corner_index, dx_factor, dy_factor); 1-4 outer ring, 5-8 inner ring
 _SQ_CORNERS = [
@@ -130,8 +132,8 @@ def square_relations(
     p = load_table(spark, sf_dir, "part").where(F.expr(SQUARE_FILTER_SQL))
     base = p.select(
         F.col("p_partkey").alias("r"),
-        (((F.col("p_partkey") * 7) % 320) / F.lit(4.0) - F.lit(40.0)).alias("cx"),
-        (((F.col("p_partkey") * 11) % 320) / F.lit(4.0) - F.lit(40.0)).alias("cy"),
+        F.expr(SQUARE_CX_SQL).alias("cx"),
+        F.expr(SQUARE_CY_SQL).alias("cy"),
         F.expr(SQUARE_S_SQL).alias("s"),
         F.expr(SQUARE_HOLE_SQL).alias("hole"),
     )
@@ -188,6 +190,49 @@ def square_relations(
         F.col("r").alias("id"),
         F.when(F.col("hole"), F.array(*[member(j) for j in range(1, 9)]))
         .otherwise(F.array(*[member(j) for j in range(1, 5)]))
+        .alias("members"),
+    )
+    return nodes, sq_ways, rels
+
+
+def square_member_relations(
+    spark: SparkSession, sf_dir: str, node_members: bool, way_members: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Square fixtures with configurable member kinds: corner nodes as
+    'n' members and/or side ways as 'w' members (for multipoint /
+    geometrycollection assembly gates)."""
+    nodes, sq_ways, _ = square_relations(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(F.expr(SQUARE_FILTER_SQL))
+    base = p.select(
+        F.col("p_partkey").alias("r"), F.expr(SQUARE_HOLE_SQL).alias("hole")
+    )
+
+    def nmember(ci: int):
+        return F.struct(
+            F.lit("n").alias("type"),
+            (F.col("r") * 100 + ci).cast("bigint").alias("ref"),
+            F.lit("").alias("role"),
+        )
+
+    def wmember(j: int):
+        return F.struct(
+            F.lit("w").alias("type"),
+            (F.col("r") * 10 + j).cast("bigint").alias("ref"),
+            F.lit("").alias("role"),
+        )
+
+    def members(rng) -> list:
+        out = []
+        if node_members:
+            out += [nmember(i) for i in rng]
+        if way_members:
+            out += [wmember(i) for i in rng]
+        return out
+
+    rels = base.select(
+        F.col("r").alias("id"),
+        F.when(F.col("hole"), F.array(*members(range(1, 9))))
+        .otherwise(F.array(*members(range(1, 5))))
         .alias("members"),
     )
     return nodes, sq_ways, rels

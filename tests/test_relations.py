@@ -123,3 +123,111 @@ def test_relation_multilinestring_spark(spark, rel_fixture):
     assert g[0] == "multilinestring"
     assert len(g[1]) == 1  # all three parts merge into one chain
     assert g[1][0].shape[0] == 4
+
+
+# ---- multipoint / geometrycollection vectors ported from reference
+# tests/test-geom-multipoints.cpp and tests/test-geom-collections.cpp
+
+
+def test_create_multipoint_vectors():
+    import numpy as np
+    from osm2pgsql_spark.functions import geometry as G
+
+    # 4 valid nodes -> MULTIPOINT, order preserved, centroid (2, 1)
+    g = G.create_multipoint([(1, 0), (1, 1), (3, 2), (3, 1)])
+    assert G.geometry_type(g) == "MULTIPOINT"
+    assert G.num_geometries(g) == 4
+    assert G.n_points(g) == 4
+    assert g[1][0] == (1.0, 0.0) and g[1][3] == (3.0, 1.0)
+    assert G.area(g) == 0.0 and G.length(g) == 0.0
+    assert G.centroid(g) == ("point", (2.0, 1.0))
+
+    # single point (directly, or via missing locations) -> plain POINT
+    assert G.create_multipoint([(1, 0)]) == ("point", (1.0, 0.0))
+    assert G.create_multipoint([(1, 0), None]) == ("point", (1.0, 0.0))
+    # nothing valid -> null geometry
+    assert G.create_multipoint([]) is None
+    assert G.create_multipoint([None, None]) is None
+
+
+def test_create_collection_vectors():
+    import math
+    import numpy as np
+    from osm2pgsql_spark.functions import geometry as G
+
+    ring = np.asarray([(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)], dtype="f8")
+    seg = np.asarray([(10, 10), (10, 11)], dtype="f8")
+    g = G.create_collection(
+        [("point", (1.0, 1.0)), ("linestring", ring), ("linestring", seg)]
+    )
+    assert G.geometry_type(g) == "GEOMETRYCOLLECTION"
+    assert G.num_geometries(g) == 3
+    assert G.n_points(g) == 8
+    assert G.area(g) == 0.0
+    assert math.isclose(G.length(g), 5.0)
+    # dimension-priority centroid: lines only, length-weighted
+    c = G.centroid(g)
+    assert math.isclose(c[1][0], 3.2) and math.isclose(c[1][1], 3.3)
+
+    # skipped members don't count; empty -> null
+    assert G.create_collection([None, None]) is None
+    g1 = G.create_collection([None, ("point", (1.0, 1.0))])
+    assert G.num_geometries(g1) == 1
+    # WKB round-trip
+    back = G.from_wkb(G.to_wkb(g))
+    assert G.geometry_type(back) == "GEOMETRYCOLLECTION"
+    assert G.n_points(back) == 8
+
+    # mixed point + line collection centroid from the unit tests:
+    # point(1,1), line (1,1)-(2,2), point(2,2) -> line centroid
+    g2 = G.create_collection(
+        [
+            ("point", (1.0, 1.0)),
+            ("linestring", np.asarray([(1, 1), (2, 2)], dtype="f8")),
+            ("point", (2.0, 2.0)),
+        ]
+    )
+    assert G.n_points(g2) == 4
+    assert math.isclose(G.length(g2), math.sqrt(2), rel_tol=1e-5)
+    c2 = G.centroid(g2)
+    assert math.isclose(c2[1][0], 1.5) and math.isclose(c2[1][1], 1.5)
+
+
+def test_relation_multipoint_and_collection_spark(spark):
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+    from osm2pgsql_spark.operators.relations import (
+        relation_collections,
+        relation_multipoints,
+    )
+
+    def n(i, lat, lon):
+        return (i, lat, lon, {}, None, None, None, None, None, None)
+
+    nodes = spark.createDataFrame(
+        [n(1, 0.0, 1.0), n(2, 1.0, 1.0), n(3, 2.0, 3.0), n(4, 1.0, 3.0)], NODE_SCHEMA
+    )
+    ways = spark.createDataFrame(
+        [(20, [1, 2], {}, None, None, None, None, None, None)], WAY_SCHEMA
+    )
+    rels = spark.createDataFrame(
+        [
+            # 4 node members, one ref missing (999 -> skipped)
+            (30, [("n", 1, ""), ("n", 2, ""), ("n", 999, ""), ("n", 3, ""), ("n", 4, "")], {},
+             None, None, None, None, None, None),
+            # single resolvable node -> POINT
+            (31, [("n", 1, ""), ("n", 999, "")], {}, None, None, None, None, None, None),
+            # mixed node + way members -> collection
+            (32, [("n", 1, ""), ("w", 20, "")], {}, None, None, None, None, None, None),
+        ],
+        RELATION_SCHEMA,
+    )
+    got = {r.rel_id: G.from_wkb(bytes(r.geom)) for r in relation_multipoints(rels, nodes).collect()}
+    assert G.geometry_type(got[30]) == "MULTIPOINT" and G.n_points(got[30]) == 4
+    assert G.geometry_type(got[31]) == "POINT"
+
+    cg = {r.rel_id: G.from_wkb(bytes(r.geom)) for r in relation_collections(rels, ways, nodes).collect()}
+    g32 = cg[32]
+    assert G.geometry_type(g32) == "GEOMETRYCOLLECTION"
+    assert G.num_geometries(g32) == 2
+    assert G.n_points(g32) == 3
