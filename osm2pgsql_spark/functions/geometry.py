@@ -257,33 +257,183 @@ def _authalic_q(sinphi: np.ndarray) -> np.ndarray:
 
 _QP = float(_authalic_q(np.asarray([1.0]))[0])  # q at the pole
 AUTHALIC_RADIUS = WGS84_A * math.sqrt(_QP / 2.0)  # ~6371007.18 m
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+
+
+class _VincentyNoConvergence(Exception):
+    """Near-antipodal input: the lambda iteration does not converge."""
+
+
+def _vincenty_inverse(lat1, lon1, lat2, lon2):
+    """Vincenty (1975) inverse: (distance m, fwd azimuth rad) on
+    WGS84, or None for coincident points.  Public-domain algorithm.
+    Raises _VincentyNoConvergence near the antipodal singularity."""
+    if lat2 == -lat1 and abs(abs(lon2 - lon1) % 360.0 - 180.0) < 1e-12:
+        raise _VincentyNoConvergence()  # exact antipode
+    L = math.radians(lon2 - lon1)
+    U1 = math.atan((1.0 - WGS84_F) * math.tan(math.radians(lat1)))
+    U2 = math.atan((1.0 - WGS84_F) * math.tan(math.radians(lat2)))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    sU2, cU2 = math.sin(U2), math.cos(U2)
+    lam = L
+    ss = cs = sig = sa = ca2 = c2m = 0.0
+    converged = False
+    for _ in range(100):
+        sl, cl = math.sin(lam), math.cos(lam)
+        ss = math.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+        if ss == 0.0:
+            return None
+        cs = sU1 * sU2 + cU1 * cU2 * cl
+        sig = math.atan2(ss, cs)
+        sa = cU1 * cU2 * sl / ss
+        ca2 = 1.0 - sa * sa
+        c2m = cs - 2.0 * sU1 * sU2 / ca2 if ca2 != 0.0 else 0.0
+        C = WGS84_F / 16.0 * ca2 * (4.0 + WGS84_F * (4.0 - 3.0 * ca2))
+        lam_new = L + (1.0 - C) * WGS84_F * sa * (
+            sig + C * ss * (c2m + C * cs * (-1.0 + 2.0 * c2m * c2m))
+        )
+        converged = abs(lam_new - lam) < 1e-14
+        lam = lam_new
+        if converged:
+            break
+    if not converged:
+        # Vincenty fails near-antipodal; signal the caller
+        raise _VincentyNoConvergence()
+    u2 = ca2 * (WGS84_A**2 - WGS84_B**2) / WGS84_B**2
+    aa = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = bb * ss * (
+        c2m
+        + bb / 4.0 * (
+            cs * (-1.0 + 2.0 * c2m * c2m)
+            - bb / 6.0 * c2m * (-3.0 + 4.0 * ss * ss) * (-3.0 + 4.0 * c2m * c2m)
+        )
+    )
+    s = WGS84_B * aa * (sig - dsig)
+    a1 = math.atan2(cU2 * math.sin(lam), cU1 * sU2 - sU1 * cU2 * math.cos(lam))
+    return s, a1
+
+
+def _vincenty_direct(lat1, lon1, a1, s):
+    """Vincenty (1975) direct: point (lat, lon) at azimuth a1 and
+    distance s from (lat1, lon1) on WGS84."""
+    U1 = math.atan((1.0 - WGS84_F) * math.tan(math.radians(lat1)))
+    sU1, cU1 = math.sin(U1), math.cos(U1)
+    sa1, ca1 = math.sin(a1), math.cos(a1)
+    sig1 = math.atan2(math.tan(U1), ca1)
+    sa = cU1 * sa1
+    ca2 = 1.0 - sa * sa
+    u2 = ca2 * (WGS84_A**2 - WGS84_B**2) / WGS84_B**2
+    aa = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    bb = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sig = s / (WGS84_B * aa)
+    for _ in range(100):
+        s2m = 2.0 * sig1 + sig
+        dsig = bb * math.sin(sig) * (
+            math.cos(s2m)
+            + bb / 4.0 * (
+                math.cos(sig) * (-1.0 + 2.0 * math.cos(s2m) ** 2)
+                - bb / 6.0 * math.cos(s2m)
+                * (-3.0 + 4.0 * math.sin(sig) ** 2)
+                * (-3.0 + 4.0 * math.cos(s2m) ** 2)
+            )
+        )
+        sig_new = s / (WGS84_B * aa) + dsig
+        done = abs(sig_new - sig) < 1e-14
+        sig = sig_new
+        if done:
+            break
+    ssig, csig = math.sin(sig), math.cos(sig)
+    lat2 = math.atan2(
+        sU1 * csig + cU1 * ssig * ca1,
+        (1.0 - WGS84_F) * math.hypot(sa, sU1 * ssig - cU1 * csig * ca1),
+    )
+    lam = math.atan2(ssig * sa1, cU1 * csig - sU1 * ssig * ca1)
+    C = WGS84_F / 16.0 * ca2 * (4.0 + WGS84_F * (4.0 - 3.0 * ca2))
+    s2m = 2.0 * sig1 + sig
+    L = lam - (1.0 - C) * WGS84_F * sa * (
+        sig + C * ssig * (math.cos(s2m) + C * csig * (-1.0 + 2.0 * math.cos(s2m) ** 2))
+    )
+    return math.degrees(lat2), lon1 + math.degrees(L)
+
+
+# edges longer than this (degrees of lon/lat span) are densified along
+# the geodesic before the equal-area mapping
+_GEODESIC_DENSIFY_DEG = 0.05
+_GEODESIC_STEP_DEG = 0.125
+
+
+def _densify_geodesic(ring: np.ndarray) -> np.ndarray:
+    """Insert intermediate geodesic points (Vincenty direct) on long
+    edges so the authalic-sphere great-circle boundary converges to
+    the image of the true ellipsoidal geodesic."""
+    out: list = []
+    n = ring.shape[0]
+    for i in range(n - 1):
+        x1, y1 = float(ring[i, 0]), float(ring[i, 1])
+        x2, y2 = float(ring[i + 1, 0]), float(ring[i + 1, 1])
+        out.append((x1, y1))
+        span = max(abs(x2 - x1), abs(y2 - y1))
+        if span <= _GEODESIC_DENSIFY_DEG:
+            continue
+        k = min(64, int(math.ceil(span / _GEODESIC_STEP_DEG)))
+        if k < 2:
+            continue
+        try:
+            inv = _vincenty_inverse(y1, x1, y2, x2)
+        except _VincentyNoConvergence:
+            inv = None
+        if inv is None:
+            continue
+        s, a1 = inv
+        for j in range(1, k):
+            la, lo = _vincenty_direct(y1, x1, a1, s * j / k)
+            out.append((lo, la))
+    out.append((float(ring[-1, 0]), float(ring[-1, 1])))
+    return np.asarray(out, dtype="f8")
 
 
 def spherical_area(geom, ellipsoid: bool = True) -> float:
     """Geodesic area in m^2 for 4326 polygons (reference
-    geom::spherical_area, src/geom-functions.cpp:394, uses Boost's
-    ellipsoidal strategy).  Implementation: vertices are mapped to the
-    authalic sphere (Snyder equal-area latitude), then the spherical
-    shoelace sums edge trapezoids — agrees with ellipsoidal areas to
-    <1e-5 relative for feature-scale polygons.
+    geom::spherical_area, src/geom-functions.cpp:373-394, Boost's
+    geographic area with the Vincenty strategy).
 
-    ellipsoid=False skips the authalic mapping (pure sphere of the
-    same radius)."""
+    Implementation: the authalic (Snyder equal-area) projection maps
+    the ellipsoid to a sphere EXACTLY area-preserving, so polygon area
+    equals the spherical excess of the boundary's image.  Edges are
+    densified along the true Vincenty geodesic first, making the
+    great-circle boundary converge to the geodesic's image; the excess
+    per edge uses the exact Danielsen formula
+    tan(E/2) = tan(dLam/2) sin(phi_m) / cos(dPhi/2).  Agrees with the
+    reference's Catch2 area vectors to <1e-7 relative
+    (tests/test-geom-polygons.cpp, test-geom-multipolygons.cpp).
+
+    ellipsoid=False skips the authalic mapping and densification
+    (pure sphere of the same radius, great-circle edges)."""
     if geom is None:
         return 0.0
     kind, payload = geom
     if kind == "multipolygon":
         return sum(spherical_area(("polygon", p), ellipsoid) for p in payload)
+    if kind == "collection":
+        return sum(spherical_area(g, ellipsoid) for g in payload)
     if kind != "polygon":
         return 0.0
 
     def ring_solid_angle(ring: np.ndarray) -> float:
-        lam = np.radians(ring[:, 0])
-        sinphi = np.sin(np.radians(ring[:, 1]))
         if ellipsoid:
-            sinphi = np.clip(_authalic_q(sinphi) / _QP, -1.0, 1.0)
-        s = np.sum((lam[1:] - lam[:-1]) * (2.0 + sinphi[1:] + sinphi[:-1]))
-        return abs(s / 2.0)
+            ring = _densify_geodesic(ring)
+        lam = np.radians(ring[:, 0])
+        phi = np.radians(ring[:, 1])
+        if ellipsoid:
+            phi = np.arcsin(
+                np.clip(_authalic_q(np.sin(phi)) / _QP, -1.0, 1.0)
+            )
+        dl = lam[1:] - lam[:-1]
+        mid = (phi[1:] + phi[:-1]) / 2.0
+        half = (phi[1:] - phi[:-1]) / 2.0
+        excess = 2.0 * np.arctan(np.tan(dl / 2.0) * np.sin(mid) / np.cos(half))
+        return abs(float(excess.sum()))
 
     total = ring_solid_angle(payload[0])
     for ring in payload[1:]:
@@ -304,6 +454,46 @@ def length(geom) -> float:
     if kind == "collection":
         return sum(length(g) for g in payload)
     return 0.0
+
+
+def geodesic_length(geom) -> float:
+    """Ellipsoidal (Vincenty) length in meters for 4326 linestrings —
+    the reference's spherical_length strategy exactly
+    (src/geom-functions.cpp:381-389, boost vincenty distance).
+    Antipodal segments fall back to pi*(a+b)/2, matching boost's
+    degenerate behavior (verified against tests/test-geom-linestrings
+    long-line vectors)."""
+    if geom is None:
+        return 0.0
+    kind, payload = geom
+    if kind == "multilinestring":
+        return sum(geodesic_length(("linestring", p)) for p in payload)
+    if kind == "collection":
+        return sum(geodesic_length(g) for g in payload)
+    if kind != "linestring":
+        return 0.0
+    total = 0.0
+    a = payload
+    for i in range(a.shape[0] - 1):
+        x1, y1 = float(a[i, 0]), float(a[i, 1])
+        x2, y2 = float(a[i + 1, 0]), float(a[i + 1, 1])
+        if x1 == x2 and y1 == y2:
+            continue
+        try:
+            inv = _vincenty_inverse(y1, x1, y2, x2)
+        except _VincentyNoConvergence:
+            inv = None
+        if inv is None:
+            # distinct but (near-)antipodal points: the shortest
+            # geodesic runs over the pole — half the meridian length
+            # (Bessel n-series; matches boost to sub-micron)
+            n = WGS84_F / (2.0 - WGS84_F)
+            total += math.pi * WGS84_A / (1.0 + n) * (
+                1.0 + n * n / 4.0 + n**4 / 64.0
+            )
+            continue
+        total += inv[0]
+    return total
 
 
 def spherical_length(geom, radius: float = EARTH_RADIUS) -> float:

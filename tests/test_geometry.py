@@ -127,11 +127,37 @@ def test_spherical_area_small_square():
     assert G.spherical_area(g) == pytest.approx(expect, rel=1e-4)
 
 
-def test_ellipsoidal_area_exact_vs_integration():
-    # 1x1 degree quadrangle at 45N: value from direct numeric
-    # integration of M(phi)N(phi)cos(phi) over the ellipsoid
-    g = G.make_polygon_from_way([(0, 45), (1, 45), (1, 46), (0, 46), (0, 45)])
-    assert G.spherical_area(g) == pytest.approx(8686494956.7, rel=1e-9)
+def test_ellipsoidal_area_reference_vectors():
+    """Catch2 vectors from the reference (tests/test-geom-polygons.cpp
+    :29,:47,:72 and tests/test-geom-multipolygons.cpp:33,:65) — the
+    boost geographic/Vincenty areas, matched to <=1e-6 relative.
+    Edges are ellipsoidal geodesics (NOT parallel arcs)."""
+    sq = G.make_polygon_from_way([(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)])
+    assert G.spherical_area(sq) == pytest.approx(12308778361.469454, rel=1e-6)
+    # reversed ring orientation: same area
+    sq_r = G.make_polygon_from_way([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+    assert G.spherical_area(sq_r) == pytest.approx(12308778361.469454, rel=1e-6)
+    import numpy as np
+
+    holed = (
+        "polygon",
+        [
+            np.asarray([(0, 0), (0, 3), (3, 3), (3, 0), (0, 0)], dtype="f8"),
+            np.asarray([(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)], dtype="f8"),
+        ],
+    )
+    assert G.spherical_area(holed) == pytest.approx(98452667625.52686, rel=1e-6)
+    two = (
+        "multipolygon",
+        [
+            [np.asarray([(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)], dtype="f8")],
+            [
+                np.asarray([(2, 2), (2, 5), (5, 5), (5, 2), (2, 2)], dtype="f8"),
+                np.asarray([(3, 3), (4, 3), (4, 4), (3, 4), (3, 3)], dtype="f8"),
+            ],
+        ],
+    )
+    assert G.spherical_area(two) == pytest.approx(110615268622.783, rel=1e-6)
 
 
 def test_bbox_and_npoints():
@@ -204,3 +230,25 @@ def test_interpolate():
     p = G.interpolate(line, 0.75)
     assert p[1][0] == pytest.approx(10.0) and p[1][1] == pytest.approx(5.0)
     assert G.interpolate(line, 1.0)[1] == (10.0, 10.0)
+
+
+def test_geodesic_length_reference_vectors():
+    """Vincenty geodesic length vectors from the reference
+    (tests/test-geom-linestrings.cpp:61,:371,:378,:385)."""
+    import numpy as np
+
+    def ls(*pts):
+        return ("linestring", np.asarray(pts, dtype="f8"))
+
+    assert G.geodesic_length(ls((1, 1), (2, 2))) == pytest.approx(
+        156876.14940188668, rel=1e-7
+    )
+    assert G.geodesic_length(ls((0, 0), (180, 0))) == pytest.approx(
+        20003931.458625447, rel=1e-7
+    )
+    assert G.geodesic_length(ls((0, -90), (0, 90))) == pytest.approx(
+        20003931.458625447, rel=1e-7
+    )
+    assert G.geodesic_length(
+        ls((20, 19.8), (20.1, 19.8), (20.2, 19.9))
+    ) == pytest.approx(25718.175297824535, rel=1e-7)
