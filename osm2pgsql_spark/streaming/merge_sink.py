@@ -1,0 +1,110 @@
+"""MERGE-shaped append sink: delete-before-insert on a keyed table.
+
+Reference semantics: each diff batch deletes the touched ids from the
+output tables and re-inserts the new versions
+(/root/reference/src/db-copy.hpp:76-138 delete batches +
+/root/reference/src/output-flex.cpp:1266-1282).  At Spark scale the
+same contract is a MERGE INTO keyed by id; on Delta/Iceberg it is
+
+    MERGE INTO snapshot USING diff ON snapshot.id = diff.id
+    WHEN MATCHED AND diff.op = 'delete' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED AND diff.op != 'delete' THEN INSERT *
+
+Those table formats are not in this container, so ParquetMergeTable
+implements the identical access pattern on hash-bucketed parquet:
+the table is partitioned by pmod(xxhash64(id), num_buckets) and a
+merge rewrites ONLY the partitions containing touched ids — the work
+per diff is proportional to touched data, not table size, which is
+the property that matters at 100 TB.  (What Delta would add on top is
+snapshot isolation / atomic commit; the physical plan — partition
+prune -> anti-join -> union -> partition overwrite — is the same.)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.streaming.append import apply_diff
+
+_BUCKET = "__bucket"
+
+
+class ParquetMergeTable:
+    """A keyed snapshot table with MERGE-style diff application."""
+
+    def __init__(self, path: str, id_col: str = "id", num_buckets: int = 16) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.num_buckets = num_buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _BUCKET, F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.num_buckets))
+        )
+
+    def write_full(self, df: DataFrame) -> None:
+        """Initial import: full overwrite, hash-partitioned by id."""
+        self._bucketed(df).write.partitionBy(_BUCKET).mode("overwrite").parquet(
+            self.path
+        )
+        # schema sidecar so a fully-emptied table stays readable
+        with open(os.path.join(self.path, "_schema.json"), "w", encoding="utf-8") as fh:
+            fh.write(df.schema.json())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if not glob.glob(os.path.join(self.path, f"{_BUCKET}=*", "*.parquet")):
+            from pyspark.sql import types as T
+
+            with open(
+                os.path.join(self.path, "_schema.json"), encoding="utf-8"
+            ) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(self.path).drop(_BUCKET)
+
+    def merge_diff(
+        self, spark: SparkSession, diff: DataFrame, order_col: str | None = None
+    ) -> list[int]:
+        """Apply one diff batch (entity rows + `op` column) as a MERGE.
+
+        Only partitions whose bucket contains a touched id are read
+        and rewritten (partition pruning on the scan side, dynamic
+        partition overwrite on the write side).  Returns the list of
+        rewritten bucket ids (useful for tests/metrics).
+        """
+        diff_b = self._bucketed(diff)
+        touched = sorted(
+            r[_BUCKET] for r in diff_b.select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return []
+        base = (
+            spark.read.parquet(self.path)
+            .where(F.col(_BUCKET).isin([int(b) for b in touched]))
+            .drop(_BUCKET)
+        )
+        merged = apply_diff(base, diff, id_col=self.id_col, order_col=order_col)
+        out = self._bucketed(merged)
+
+        # a path cannot be safely overwritten while it is also the
+        # scan source; stage the rewritten partitions in a temp dir,
+        # then swap the touched partition directories (the same
+        # commit pattern a table format would make atomic)
+        tmp = self.path + ".merge-tmp"
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(tmp)
+        for b in touched:
+            dst = os.path.join(self.path, f"{_BUCKET}={b}")
+            src = os.path.join(tmp, f"{_BUCKET}={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                # bucket still has rows; emptied buckets stay removed
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return [int(b) for b in touched]

@@ -1,0 +1,92 @@
+"""MERGE append sink: diff application must equal a fresh import and
+must rewrite only the touched hash partitions."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+
+def _nodes(spark, n=200):
+    return spark.range(1, n + 1).select(
+        F.col("id"),
+        (F.col("id") % 360 - 180).cast("double").alias("lon"),
+        (F.col("id") % 170 - 85).cast("double").alias("lat"),
+    )
+
+
+def test_merge_equals_fresh_import(spark, tmp_path):
+    base = _nodes(spark)
+    t = ParquetMergeTable(str(tmp_path / "snap"), num_buckets=8)
+    t.write_full(base)
+
+    diff = (
+        base.where(F.col("id") % 10 == 0)
+        .select("id", (F.col("lon") + 1.0).alias("lon"), "lat")
+        .withColumn("op", F.lit("modify"))
+        .unionByName(
+            base.where(F.col("id") % 10 == 1).withColumn("op", F.lit("delete"))
+        )
+        .unionByName(
+            spark.range(1000, 1010)
+            .select(
+                F.col("id"),
+                F.lit(0.5).alias("lon"),
+                F.lit(0.5).alias("lat"),
+            )
+            .withColumn("op", F.lit("create"))
+        )
+    )
+    rewritten = t.merge_diff(spark, diff)
+    assert 0 < len(rewritten) <= 8
+
+    got = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+    # fresh-import expectation
+    want = {}
+    for r in base.collect():
+        if r.id % 10 == 1:
+            continue
+        want[r.id] = (r.lon + 1.0, r.lat) if r.id % 10 == 0 else (r.lon, r.lat)
+    for i in range(1000, 1010):
+        want[i] = (0.5, 0.5)
+    assert got == want
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "snap2")
+    t = ParquetMergeTable(path, num_buckets=8)
+    t.write_full(_nodes(spark))
+
+    before = {
+        d: set(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    # touch exactly one id -> at most one bucket rewritten
+    diff = spark.createDataFrame(
+        [(7, 0.0, 0.0, "modify")], "id bigint, lon double, lat double, op string"
+    )
+    rewritten = t.merge_diff(spark, diff)
+    assert len(rewritten) == 1
+    after = {
+        d: set(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("__bucket=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert changed == [f"__bucket={rewritten[0]}"]
+
+
+def test_merge_drops_fully_deleted_bucket(spark, tmp_path):
+    path = str(tmp_path / "snap3")
+    t = ParquetMergeTable(path, num_buckets=4)
+    # one row per bucket at most
+    base = _nodes(spark, n=6)
+    t.write_full(base)
+    # delete EVERYTHING -> all buckets gone
+    diff = base.withColumn("op", F.lit("delete"))
+    t.merge_diff(spark, diff)
+    assert t.read(spark).count() == 0
+    assert not glob.glob(os.path.join(path, "__bucket=*", "*.parquet"))
