@@ -648,27 +648,58 @@ def simplify(geom, tolerance: float):
     return ("linestring", out)
 
 
+def _split_linestring(pts: np.ndarray, split_at: float, parts: list) -> None:
+    """Faithful port of the reference split_linestring
+    (src/geom-functions.cpp:271-320): walk the line accumulating
+    length; whenever adding the next vertex would push the current
+    piece over split_at, emit interpolated split points and start new
+    pieces, so EVERY output piece is <= split_at long."""
+    dist = 0.0
+    prev = np.array(pts[0], dtype="f8")
+    cur: list = [prev.copy()]
+    for idx in range(1, pts.shape[0]):
+        this = np.array(pts[idx], dtype="f8")
+        delta = math.hypot(this[0] - prev[0], this[1] - prev[1])
+        if dist + delta > split_at:
+            splits = int(math.floor((dist + delta) / split_at))
+            ipoint = prev
+            for j in range(splits):
+                frac = ((j + 1) * split_at - dist) / delta
+                ipoint = frac * (this - prev) + prev
+                if frac != 0.0:
+                    cur.append(ipoint.copy())
+                parts.append(np.asarray(cur))
+                cur = [ipoint.copy()]
+            if this[0] == ipoint[0] and this[1] == ipoint[1]:
+                dist = 0.0
+                prev = this
+                continue
+            dist = math.hypot(this[0] - ipoint[0], this[1] - ipoint[1])
+        else:
+            dist += delta
+        cur.append(this.copy())
+        prev = this
+    if len(cur) > 1:
+        parts.append(np.asarray(cur))
+
+
 def segmentize(geom, max_segment_length: float):
-    """Split a linestring into a multilinestring of pieces no longer
-    than max_segment_length (reference src/geom-functions.cpp:324-342:
-    returns multilinestring; input linestrings only)."""
+    """Split linestring/multilinestring into a multilinestring whose
+    every piece is <= max_segment_length long (reference segmentize,
+    src/geom-functions.cpp:324-342 via split_linestring :271-320);
+    other geometry types -> null."""
     if geom is None:
         return None
     kind, payload = geom
-    if kind != "linestring":
+    parts: list = []
+    if kind == "linestring":
+        _split_linestring(payload, max_segment_length, parts)
+    elif kind == "multilinestring":
+        for line in payload:
+            _split_linestring(line, max_segment_length, parts)
+    else:
         return None
-    pts = payload
-    out_pts = [pts[0]]
-    for i in range(1, pts.shape[0]):
-        a, b = pts[i - 1], pts[i]
-        seg = b - a
-        d = math.hypot(seg[0], seg[1])
-        if d > max_segment_length:
-            nsplit = int(math.ceil(d / max_segment_length))
-            for k in range(1, nsplit):
-                out_pts.append(a + seg * (k / nsplit))
-        out_pts.append(b)
-    return ("multilinestring", [np.asarray(out_pts)])
+    return ("multilinestring", parts)
 
 
 def reverse(geom):
@@ -847,10 +878,39 @@ def _all_points(geom) -> np.ndarray | None:
     return None
 
 
+def _point_in_polygon_payload(pt, rings) -> bool:
+    """Even-odd test over a polygon's rings (outer + holes)."""
+    x, y = float(pt[0]), float(pt[1])
+    inside = False
+    for ring in rings:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cross = (y0 > y) != (y1 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+        if np.count_nonzero(cross & (x < xin)) % 2:
+            inside = not inside
+    return inside
+
+
+def _any_point_inside(poly_geom, pts: np.ndarray) -> bool:
+    kind, payload = poly_geom
+    polys = [payload] if kind == "polygon" else payload
+    for p in polys:
+        for q in pts:
+            if _point_in_polygon_payload(q, p):
+                return True
+    return False
+
+
 def distance(a, b) -> float:
     """Minimum planar distance between two geometries (reference
     geom::distance, src/geom-functions.cpp:25) — point/vertex based
-    plus point-to-segment for line/polygon boundaries."""
+    plus point-to-segment for line/polygon boundaries, with a
+    containment short-circuit: any vertex of one geometry inside the
+    other's polygon interior -> 0.0.  Caveat: two linestrings that
+    cross without either's vertex near the other still report the
+    (positive) boundary distance."""
     if a is None or b is None:
         return float("inf")
 
@@ -858,6 +918,9 @@ def distance(a, b) -> float:
     pb = _all_points(b)
     if pa is None or pb is None:
         return float("inf")
+    for poly, pts in ((a, pb), (b, pa)):
+        if poly[0] in ("polygon", "multipolygon") and _any_point_inside(poly, pts):
+            return 0.0
     # vertex-vertex distances (vectorized)
     d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
     best = float(np.sqrt(d2.min()))

@@ -54,10 +54,11 @@ def _coords_to_tile(pts: np.ndarray, map_width: int) -> np.ndarray:
 
 
 def _norm_x(x: int, map_width: int) -> int:
-    x %= map_width
-    if x < 0:
-        x = (map_width - x) + 1  # sic — reference :55-61
-    return x
+    # Python % already returns a non-negative result for a positive
+    # modulus, so no negative branch is needed — intentionally NOT
+    # reproducing the reference's out-of-range arithmetic for x < 0
+    # (reference :55-61 can yield x > map_width there)
+    return x % map_width
 
 
 class _TileSet:

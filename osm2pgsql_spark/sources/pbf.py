@@ -284,7 +284,9 @@ def read_pbf(
         raw = _read_blob(path, BlobRef(offset=offset, size=size, type="OSMData"))
         return [decode_primitive_block(raw)]
 
-    decoded = blob_rdd.flatMap(decode)
+    # three flatMaps consume the decode output; without persist every
+    # blob would be read, decompressed and decoded three times
+    decoded = blob_rdd.flatMap(decode).persist()
     nodes_rdd = decoded.flatMap(lambda t: t[0])
     ways_rdd = decoded.flatMap(lambda t: t[1])
     rels_rdd = decoded.flatMap(lambda t: t[2])

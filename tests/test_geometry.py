@@ -87,14 +87,34 @@ def test_simplify_non_linestring_is_null():
 
 
 def test_segmentize():
-    g = G.make_linestring([(0, 0), (10, 0)])
-    s = G.segmentize(g, 3.0)
-    assert s[0] == "multilinestring"
-    pts = s[1][0]
-    assert pts.shape[0] == 5  # 0, 2.5, 5, 7.5, 10
-    d = np.diff(pts[:, 0])
-    assert (d <= 3.0 + 1e-9).all()
-    assert G.length(("linestring", pts)) == pytest.approx(10.0)
+    """Reference vectors (tests/test-geom-linestrings.cpp:167-235):
+    output pieces are SEPARATE sub-linestrings each <= split length."""
+    # no split needed -> one piece, unchanged
+    g = G.make_linestring([(0, 0), (1, 2), (2, 2)])
+    s = G.segmentize(g, 10.0)
+    assert s[0] == "multilinestring" and len(s[1]) == 1
+    np.testing.assert_array_equal(s[1][0], g[1])
+
+    # split 0.5 over a unit segment -> two pieces
+    s = G.segmentize(G.make_linestring([(0, 0), (1, 0)]), 0.5)
+    assert len(s[1]) == 2
+    np.testing.assert_allclose(s[1][0], [(0, 0), (0.5, 0)])
+    np.testing.assert_allclose(s[1][1], [(0.5, 0), (1, 0)])
+
+    # split 0.4 -> three pieces, remainder short
+    s = G.segmentize(G.make_linestring([(0, 0), (1, 0)]), 0.4)
+    assert len(s[1]) == 3
+    np.testing.assert_allclose(s[1][0], [(0, 0), (0.4, 0)])
+    np.testing.assert_allclose(s[1][1], [(0.4, 0), (0.8, 0)])
+    np.testing.assert_allclose(s[1][2], [(0.8, 0), (1, 0)])
+
+    # split 1.0 with vertices mid-piece -> exact unit pieces
+    s = G.segmentize(G.make_linestring([(0, 0), (2, 0), (3, 0), (4, 0)]), 1.0)
+    assert len(s[1]) == 4
+    for i, part in enumerate(s[1]):
+        np.testing.assert_allclose(part[0], (i, 0))
+        np.testing.assert_allclose(part[-1], (i + 1, 0))
+        assert G.length(("linestring", part)) == pytest.approx(1.0)
 
 
 def test_reverse():
@@ -252,3 +272,14 @@ def test_geodesic_length_reference_vectors():
     assert G.geodesic_length(
         ls((20, 19.8), (20.1, 19.8), (20.2, 19.9))
     ) == pytest.approx(25718.175297824535, rel=1e-7)
+
+
+def test_distance_point_inside_polygon_is_zero():
+    poly = G.make_polygon_from_way([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+    assert G.distance(poly, G.make_point(2, 2)) == 0.0
+    assert G.distance(G.make_point(2, 2), poly) == 0.0
+    # outside: boundary distance
+    assert G.distance(poly, G.make_point(5, 2)) == pytest.approx(1.0)
+    # line with a vertex inside the polygon
+    line = G.make_linestring([(2, 2), (10, 2)])
+    assert G.distance(poly, line) == 0.0
