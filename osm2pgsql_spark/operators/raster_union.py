@@ -80,6 +80,37 @@ def _window_op(mask: np.ndarray, size: int, op) -> np.ndarray:
     return out
 
 
+def _window_len(mask: np.ndarray, length: int, op) -> np.ndarray:
+    """Sliding-window min/max with an exact length x length rect
+    element, anchor at (length//2, length//2) like OpenCV's default."""
+    if length <= 1:
+        return mask
+    before = length // 2
+    after = length - 1 - before
+    out = mask
+    for axis in (0, 1):
+        pad = [(before, after) if a == axis else (0, 0) for a in (0, 1)]
+        padded = np.pad(out, pad, constant_values=(op is np.minimum))
+        acc = None
+        for s in range(length):
+            sl = [slice(None)] * 2
+            sl[axis] = slice(s, s + out.shape[axis])
+            view = padded[tuple(sl)]
+            acc = view if acc is None else op(acc, view)
+        out = acc
+    return out
+
+
+def open_close(mask: np.ndarray, buffer_size: int) -> np.ndarray:
+    """The reference's per-layer smoothing (src/gen/canvas.cpp:20-32):
+    erode(b) -> dilate(2b) -> erode(b) with rect elements."""
+    if buffer_size <= 0:
+        return mask
+    m = _window_len(mask, buffer_size, np.minimum)
+    m = _window_len(m, 2 * buffer_size, np.maximum)
+    return _window_len(m, buffer_size, np.minimum)
+
+
 def binary_close(mask: np.ndarray, size: int) -> np.ndarray:
     """dilate then erode — fills gaps smaller than the element
     (reference canvas open/close smoothing)."""
@@ -190,3 +221,79 @@ def tile_raster_union(
         return pd.DataFrame([{"x": x, "y": y, "geom": G.to_wkb(u)}])
 
     return tiled.groupBy("x", "y").applyInPandas(per_tile, "x bigint, y bigint, geom binary")
+
+
+def _rasterize_layer(mask: np.ndarray, geoms: list, rect, resolution: int) -> None:
+    xmin, ymin, xmax, ymax = rect
+    sx = resolution / (xmax - xmin)
+    sy = resolution / (ymax - ymin)
+
+    def to_px(ring: np.ndarray) -> np.ndarray:
+        out = np.empty_like(ring)
+        out[:, 0] = (ring[:, 0] - xmin) * sx
+        out[:, 1] = (ring[:, 1] - ymin) * sy
+        return out
+
+    for g in geoms:
+        if g is None:
+            continue
+        kind, payload = g
+        polys = [payload] if kind == "polygon" else payload if kind == "multipolygon" else []
+        for rings in polys:
+            rasterize_polygon(mask, rings, to_px)
+
+
+def tile_builtup(
+    tiled: DataFrame,
+    zoom: int,
+    buffer_sizes: dict[str, int],
+    resolution: int = 2048,
+    turdsize: int = 0,
+    min_area: float = 0.0,
+    margin: float = 0.0,
+) -> DataFrame:
+    """The builtup generalization strategy
+    (reference src/gen/gen-tile-builtup.cpp:180-268): input is
+    (layer, x, y, geom WKB) — several source layers cut to tiles.
+    Per tile: each layer rasterizes onto its own canvas, gets the
+    reference's erode/dilate(2x)/erode smoothing with its per-layer
+    buffer size (px), the layer masks are OR-merged, and the merged
+    mask is vectorized; traced polygons smaller than `turdsize` pixels
+    or `min_area` world units are dropped.  Output: one row per
+    polygon (x, y, geom, area) — the tile-keyed destination table
+    shape (the reference's x/y columns + optional area column)."""
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = int(key[0]), int(key[1])
+        rect = tile_envelope(zoom, x, y, margin)
+        xmin, ymin, xmax, ymax = rect
+        sx = resolution / (xmax - xmin)
+        sy = resolution / (ymax - ymin)
+        merged = np.zeros((resolution, resolution), dtype=bool)
+        for layer, group in pdf.groupby("layer"):
+            mask = np.zeros((resolution, resolution), dtype=bool)
+            geoms = [G.from_wkb(bytes(w)) for w in group["geom"] if w is not None]
+            _rasterize_layer(mask, geoms, rect, resolution)
+            mask = open_close(mask, int(buffer_sizes.get(layer, 0)))
+            merged |= mask
+        rings = mask_to_rings(merged)
+        rows = []
+        for ring in rings:
+            px_area = abs(
+                (ring[1, 0] - ring[0, 0]) * (ring[2, 1] - ring[1, 1])
+            )
+            if turdsize and px_area < turdsize:
+                continue
+            back = np.empty_like(ring)
+            back[:, 0] = ring[:, 0] / sx + xmin
+            back[:, 1] = ring[:, 1] / sy + ymin
+            poly = ("polygon", [back])
+            area = G.area(poly)
+            if min_area and area < min_area:
+                continue
+            rows.append({"x": x, "y": y, "geom": G.to_wkb(poly), "area": area})
+        return pd.DataFrame(rows, columns=["x", "y", "geom", "area"])
+
+    return tiled.groupBy("x", "y").applyInPandas(
+        per_tile, "x bigint, y bigint, geom binary, area double"
+    )

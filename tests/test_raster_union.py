@@ -84,3 +84,70 @@ def test_tile_raster_union_spark(spark):
     # union area = 3000^2 + 3000^2 - 1500^2 overlap
     expect = 9e6 + 9e6 - 2.25e6
     assert total == pytest.approx(expect, rel=0.05)
+
+
+def test_builtup_multilayer_buffer_merge_and_thresholds(spark):
+    """Builtup strategy (gen-tile-builtup.cpp): per-layer open_close,
+    OR-merge of layers, turdsize speck removal, min_area filter."""
+    import numpy as np
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.raster_union import tile_builtup
+    from osm2pgsql_spark.operators.vector_tiles import tile_envelope
+
+    zoom = 10
+    x = y = 512  # tile around the origin
+    rect = tile_envelope(zoom, x, y)
+    xmin, ymin, xmax, ymax = rect
+    w = xmax - xmin
+    res = 256
+
+    def rectangle(fx0, fy0, fx1, fy1):
+        ring = np.asarray(
+            [
+                (xmin + fx0 * w, ymin + fy0 * w),
+                (xmin + fx1 * w, ymin + fy0 * w),
+                (xmin + fx1 * w, ymin + fy1 * w),
+                (xmin + fx0 * w, ymin + fy1 * w),
+                (xmin + fx0 * w, ymin + fy0 * w),
+            ],
+            dtype="f8",
+        )
+        return G.to_wkb(("polygon", [ring]))
+
+    rows = [
+        # layer a: two rectangles with a 2px gap -> buffer 8 merges them
+        ("a", x, y, rectangle(0.10, 0.10, 0.20, 0.30)),
+        ("a", x, y, rectangle(0.21, 0.10, 0.30, 0.30)),
+        # layer b: a separate block far away (no buffering)
+        ("b", x, y, rectangle(0.60, 0.60, 0.70, 0.70)),
+        # layer b: a ~2x2 px speck -> removed by turdsize 16
+        ("b", x, y, rectangle(0.90, 0.90, 0.905, 0.905)),
+    ]
+    tiled = spark.createDataFrame(rows, "layer string, x bigint, y bigint, geom binary")
+    out = tile_builtup(
+        tiled, zoom, buffer_sizes={"a": 8, "b": 0}, resolution=res, turdsize=16
+    ).collect()
+    assert all(r.x == x and r.y == y for r in out)
+    geoms = [G.from_wkb(bytes(r.geom)) for r in out]
+
+    def covers(fx, fy):
+        px = xmin + fx * w
+        py = ymin + fy * w
+        return any(
+            G.distance(g, G.make_point(px, py)) == 0.0 for g in geoms
+        )
+
+    assert covers(0.15, 0.2)     # layer a left block
+    assert covers(0.205, 0.2)    # the gap: closed by layer a's buffer
+    assert covers(0.65, 0.65)    # layer b block survives
+    assert not covers(0.902, 0.902)  # speck removed by turdsize
+    assert not covers(0.45, 0.45)    # empty area stays empty
+
+    # min_area drops the small block when set high enough
+    out2 = tile_builtup(
+        tiled, zoom, buffer_sizes={"a": 8, "b": 0}, resolution=res,
+        min_area=(0.15 * w) ** 2,  # between 0.1^2 and 0.2^2 blocks
+    ).collect()
+    geoms = [G.from_wkb(bytes(r.geom)) for r in out2]
+    assert covers(0.15, 0.2) or covers(0.205, 0.2)
+    assert not covers(0.65, 0.65)  # 0.1x0.1 block < min_area threshold
