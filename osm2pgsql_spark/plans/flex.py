@@ -190,6 +190,65 @@ class FlexConfig:
                 )
         return out
 
+    def describe(self) -> dict:
+        """Structured dump of the config (the reference's debug/
+        taginfo output, src/debug-output.cpp:34-71 table list +
+        :7-32 expire outputs), json.dumps-able."""
+        return {
+            "tables": [
+                {
+                    "name": t.name,
+                    "schema": t.schema,
+                    "ids": t.ids,
+                    "cluster": t.cluster_by_geom,
+                    "columns": [
+                        {
+                            "name": c.name,
+                            "type": c.type,
+                            "srid": c.srid,
+                            "not_null": c.not_null,
+                            "create_only": c.create_only,
+                            **({"expire": c.expire} if c.expire else {}),
+                        }
+                        for c in t.columns
+                    ],
+                }
+                for t in self.tables.values()
+            ],
+            "expire_outputs": [
+                {
+                    "name": e.name,
+                    "zoom": (
+                        str(e.maxzoom)
+                        if e.minzoom is None or e.minzoom == e.maxzoom
+                        else f"{e.minzoom}-{e.maxzoom}"
+                    ),
+                    "mode": e.mode,
+                    "buffer": e.buffer,
+                }
+                for e in self.expire_outputs.values()
+            ],
+            "rules": [
+                {
+                    "table": r.table,
+                    "kind": r.kind,
+                    "filtered": r.when is not None,
+                    "values": sorted(r.values),
+                    **(
+                        {"relation_geometry": r.relation_geometry}
+                        if r.kind == "relation"
+                        else {}
+                    ),
+                }
+                for r in self.rules
+            ],
+        }
+
+    def describe_json(self) -> str:
+        import json
+
+        return json.dumps(self.describe(), indent=2, sort_keys=True)
+
     def define_table(
         self, name: str, ids: str, columns: list[ColumnDef], **kw
     ) -> TableDef:

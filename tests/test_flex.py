@@ -233,3 +233,36 @@ def test_flex_relation_multipolygon_and_tile_ids(spark, fixture_dfs):
     assert t is not None
     assert set(t.columns) == {"x", "y", "n_ways"}
     assert t.count() == 6
+
+
+def test_flex_describe_debug_output():
+    """taginfo/debug output (src/debug-output.cpp): the config dumps
+    to a structured, json-serializable description."""
+    import json
+
+    cfg = FlexConfig()
+    cfg.define_expire_output("exp", maxzoom=14, minzoom=10)
+    cfg.define_table(
+        "pois",
+        ids="node",
+        columns=[
+            ColumnDef("name", "text", not_null=True),
+            ColumnDef("geom", "point", srid=3857, expire="exp"),
+        ],
+    )
+    cfg.insert("pois", "node", when=F.col("tags")["amenity"].isNotNull(),
+               name=F.col("tags")["name"])
+    d = cfg.describe()
+    assert d["tables"][0]["name"] == "pois"
+    assert d["tables"][0]["ids"] == "node"
+    cols = {c["name"]: c for c in d["tables"][0]["columns"]}
+    assert cols["name"]["not_null"] is True
+    assert cols["geom"]["srid"] == 3857 and cols["geom"]["expire"] == "exp"
+    assert d["expire_outputs"] == [
+        {"name": "exp", "zoom": "10-14", "mode": "full_area", "buffer": 0.1}
+    ]
+    assert d["rules"][0] == {
+        "table": "pois", "kind": "node", "filtered": True, "values": ["name"]
+    }
+    # round-trips through json
+    assert json.loads(cfg.describe_json()) == json.loads(cfg.describe_json())
