@@ -50,6 +50,17 @@ def brute_force_topk(
     )
 
 
+def rp_bucket_components(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """[bit] -> dim-length +-1.0 hyperplane for the single-bucket RP
+    hash (deterministic from the shared LCG; a DuckDB oracle can embed
+    the identical literals)."""
+    params = minhash_params(n_bits * dim, seed)
+    return [
+        [1.0 if params[b * dim + d][0] % 2 == 0 else -1.0 for d in range(dim)]
+        for b in range(n_bits)
+    ]
+
+
 def random_projection_buckets(
     df: DataFrame,
     n_bits: int = 16,
@@ -61,10 +72,9 @@ def random_projection_buckets(
     """(id, bucket BIGINT): sign-of-dot-product LSH against n_bits
     fixed pseudo-random hyperplanes (deterministic +-1 components from
     the shared LCG). JVM-side only."""
-    params = minhash_params(n_bits * dim, seed)
+    comps_by_bit = rp_bucket_components(n_bits, dim, seed)
     bits = []
-    for b in range(n_bits):
-        comps = [1.0 if params[b * dim + d][0] % 2 == 0 else -1.0 for d in range(dim)]
+    for b, comps in enumerate(comps_by_bit):
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col),

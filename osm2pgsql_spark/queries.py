@@ -501,7 +501,9 @@ _MH_BAND_ROWS = 2
 _MH_PARAMS = S.minhash_params(_MH_K)
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The shared minhash/LSH CTE chain (tokens -> shingles -> hashes
+    -> signatures -> bands -> candidates -> verified jaccard)."""
     mh_cols = ", ".join(
         f"min({S.minhash_value_sql('h', a, b)}) AS mh{i}"
         for i, (a, b) in enumerate(_MH_PARAMS)
@@ -516,8 +518,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id, {S.tokens_sql('text')} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {S.tokens_sql('text')} AS t FROM documents),
          shl AS (SELECT doc_id, {S.shingles_from_tokens_sql('t', 3)} AS sh FROM toks),
          sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
          hs AS (SELECT doc_id, {S.hash32_sql('shingle')} AS h FROM sh),
@@ -532,7 +533,12 @@ def _minhash_oracle() -> str:
                    {roundn_sql('cast(len(list_intersect(sa.sh, sb.sh)) AS double) / len(list_distinct(list_concat(sa.sh, sb.sh)))', 4)} AS jaccard
             FROM cand
             JOIN shl sa ON sa.doc_id = doc_a
-            JOIN shl sb ON sb.doc_id = doc_b)
+            JOIN shl sb ON sb.doc_id = doc_b)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
     SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
     """
 
@@ -1086,11 +1092,58 @@ def q_locator_polygon_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query above is the oracle-matched baseline
 # ---------------------------------------------------------------------------
 
-@register("ann_lsh_topk")  # rows-only check
+_LSH_BITS = 10
+
+
+def _rp_sig_sql(plane_bits: list[list[float]]) -> str:
+    """Bucket id for a list of +-1 hyperplanes: sign-of-dot bits
+    packed into a BIGINT (the SQL twin of ann._band_sig /
+    random_projection_buckets)."""
+    bit_terms = []
+    for j, comps in enumerate(plane_bits):
+        lits = ", ".join(f"{c}e0" for c in comps)
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {len(comps)}), "
+            f"i -> cast(embedding[i] AS double) * ([{lits}])[i]))"
+        )
+        bit_terms.append(
+            f"(case when ({dot}) > 0 then cast({1 << j} as bigint) else cast(0 as bigint) end)"
+        )
+    return " + ".join(bit_terms)
+
+
+def _ann_lsh_oracle() -> str:
+    sig = _rp_sig_sql(ann.rp_bucket_components(_LSH_BITS, 64))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         b AS (SELECT vec_id, embedding, ({sig}) AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+               FROM b WHERE vec_id < {_ANN_NQ}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
+         scored AS (
+            SELECT query_id, neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> cast(qv[i] AS double) * cast(nv[i] AS double)))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                            i -> cast(qv[i] AS double) * cast(qv[i] AS double))))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(nv)),
+                            i -> cast(nv[i] AS double) * cast(nv[i] AS double))))) AS sim
+            FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM scored)
+    SELECT query_id, neighbor_id, rank, {roundn_sql('sim', 6)} AS sim
+    FROM ranked WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries_df = e.where(F.col("vec_id") < _ANN_NQ)
-    return ann.lsh_topk(e, queries_df, k=_ANN_K, n_bits=10)
+    return ann.lsh_topk(e, queries_df, k=_ANN_K, n_bits=_LSH_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -1171,20 +1224,10 @@ _COS_SQL = """
 
 def _rp_oracle() -> str:
     comps = ann.rp_band_components(_RP_BANDS, _RP_BITS, _EMB_DIM)
-    band_selects = []
-    for b in range(_RP_BANDS):
-        bit_terms = []
-        for j in range(_RP_BITS):
-            lits = ", ".join(f"{c}e0" for c in comps[b][j])
-            dot = (
-                f"list_sum(list_transform(generate_series(1, {_EMB_DIM}), "
-                f"i -> cast(embedding[i] AS double) * ([{lits}])[i]))"
-            )
-            bit_terms.append(
-                f"(case when ({dot}) > 0 then cast({1 << j} as bigint) else cast(0 as bigint) end)"
-            )
-        sig = " + ".join(bit_terms)
-        band_selects.append(f"SELECT vec_id, {b} AS band, ({sig}) AS sig FROM e")
+    band_selects = [
+        f"SELECT vec_id, {b} AS band, ({_rp_sig_sql(comps[b])}) AS sig FROM e"
+        for b in range(_RP_BANDS)
+    ]
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1251,7 +1294,31 @@ def q_input_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.unionByName(w)
 
 
-@register("dedup_decisions")  # rows-only (LSH + connected components)
+def _dedup_decisions_oracle() -> str:
+    """Connected components in SQL: minhash/LSH verified pairs ->
+    symmetric edges -> recursive transitive closure -> min reachable
+    id per doc (the keep decision)."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+         pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
+         sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         clusters AS (
+            SELECT a AS doc_id, least(min(b), a) AS cluster_id
+            FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    """
+
+
+@register("dedup_decisions", oracle=_dedup_decisions_oracle())
 def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.verified_near_dups(
