@@ -10,8 +10,9 @@ Reference: /root/reference/src/gen/gen-rivers.cpp —
 
 Spark-first: both steps are iterative fixpoints of joins.
 - Chain contraction = connected components over the "merge graph"
-  (segments adjacent at a degree-2 endpoint), via alternating
-  small-star label propagation: O(log n) rounds, each one shuffle.
+  (segments adjacent at a degree-2 endpoint), via hash-min label
+  propagation with pointer jumping: O(log diameter) rounds, each a
+  constant number of shuffles.
 - Width propagation = repeated join head->tail taking max upstream
   width until no row changes; terminates on cycles because max() is
   monotone and bounded (the reference's seen-list serves the same
@@ -62,19 +63,44 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
     )
 
-    labels = edges.select("edge_id", F.col("edge_id").alias("chain_id"))
+    # Iterative fixpoint.  Every round MUST eagerly checkpoint: the
+    # convergence probe joins new labels against old, so without
+    # lineage truncation the plan doubles per round (2^rounds paths —
+    # analysis alone goes exponential).  localCheckpoint materializes
+    # the round and resets lineage to a constant-size scan.
+    adj = adj.localCheckpoint()
+    labels = edges.select("edge_id", F.col("edge_id").alias("chain_id")).localCheckpoint()
     for _ in range(max_iter):
+        # hash-min step: take the min label across chain neighbors
         nbr_min = (
             adj.join(labels.withColumnRenamed("edge_id", "nbr"), "nbr")
             .groupBy("edge_id")
             .agg(F.min("chain_id").alias("nbr_chain"))
         )
+        hashed = labels.join(nbr_min, "edge_id", "left").select(
+            "edge_id",
+            F.least(
+                F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))
+            ).alias("chain_id"),
+        )
+        # pointer-jump step: chain_id <- label(chain_id).  Labels are
+        # edge ids, so the label map doubles as a pointer table; the
+        # combination converges in O(log diameter) rounds instead of
+        # O(diameter) — the difference between ~20 and ~5 shuffles on
+        # a long river chain, and what keeps this viable at planet
+        # scale where chains between confluences run 10^3+ segments.
+        jump = labels.select(
+            F.col("edge_id").alias("chain_id"), F.col("chain_id").alias("jumped")
+        )
         new_labels = (
-            labels.join(nbr_min, "edge_id", "left")
+            hashed.join(jump, "chain_id", "left")
             .select(
                 "edge_id",
-                F.least(F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))).alias("chain_id"),
+                F.least(
+                    F.col("chain_id"), F.coalesce(F.col("jumped"), F.col("chain_id"))
+                ).alias("chain_id"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -108,7 +134,10 @@ def propagate_width(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     tail->head; each edge's width becomes the max of its own width
     and every upstream edge's (transitively).  Monotone + bounded =>
     terminates, cycles included."""
-    cur = edges
+    # Same eager per-round checkpoint discipline as contract_chains:
+    # the self-join doubles lineage per round, so without truncation
+    # the plan (and every convergence probe) goes exponential.
+    cur = edges.localCheckpoint()
     for _ in range(max_iter):
         inflow = (
             cur.alias("up")
@@ -125,6 +154,7 @@ def propagate_width(edges: DataFrame, max_iter: int = 30) -> DataFrame:
                 "new_width",
                 F.greatest(F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))),
             )
+            .localCheckpoint()
         )
         changed = nxt.where(F.col("new_width") != F.col("width")).limit(1).count()
         cur = nxt.drop("width", "up_width").withColumnRenamed("new_width", "width")

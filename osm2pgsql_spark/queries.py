@@ -1812,6 +1812,86 @@ def q_pgsql_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.5 river network: chain contraction + downstream width fixpoint
+# (gen-rivers.cpp:83-332) — each customer's orders form one path of
+# waterway segments (x = custkey, y = ordered orderkeys), so the
+# contraction must collapse it to exactly one chain (telescoping
+# length) and the width fixpoint must equal the closed-form running
+# max along the path.
+# ---------------------------------------------------------------------------
+
+def _river_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return (
+        o.select(
+            F.col("o_orderkey").alias("edge_id"),
+            F.col("o_custkey").cast("double").alias("x1"),
+            F.col("o_orderkey").cast("double").alias("y1"),
+            F.col("o_custkey").cast("double").alias("x2"),
+            nxt.cast("double").alias("y2"),
+            (nxt - F.col("o_orderkey")).cast("double").alias("length"),
+            ((F.col("o_orderkey") % 50) / F.lit(4.0)).alias("width"),
+            F.lit(None).cast("string").alias("name"),
+        )
+        .where(F.col("y2").isNotNull())
+    )
+
+
+@register(
+    "river_contraction",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS c, o_orderkey AS k FROM orders),
+         agg AS (SELECT c, count(*) AS n, min(k) AS kmin, max(k) AS kmax
+                 FROM o GROUP BY c),
+         widths AS (
+            SELECT c, (k % 50) / 4.0e0 AS w,
+                   row_number() OVER (PARTITION BY c ORDER BY k DESC) AS rn
+            FROM o)
+    SELECT cast(a.kmin AS bigint) AS chain_id,
+           cast(a.kmax - a.kmin AS double) AS length,
+           mw.w AS width,
+           cast(a.n - 1 AS bigint) AS n_edges
+    FROM agg a
+    JOIN (SELECT c, max(w) AS w FROM widths WHERE rn > 1 GROUP BY c) mw
+      ON mw.c = a.c
+    WHERE a.n >= 2
+    """,
+)
+def q_river_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators.rivers import contract_chains, merge_chains
+
+    edges = _river_edges(spark, sf_dir)
+    merged = merge_chains(contract_chains(edges, max_iter=40))
+    return merged.select(
+        "chain_id", "length", "width",
+        F.size("member_edges").cast("bigint").alias("n_edges"),
+    )
+
+
+@register(
+    "river_width_propagation",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS c, o_orderkey AS k FROM orders),
+         e AS (SELECT c, k,
+                      lead(k) OVER (PARTITION BY c ORDER BY k) AS nk,
+                      (k % 50) / 4.0e0 AS w
+               FROM o)
+    SELECT k AS edge_id,
+           max(w) OVER (PARTITION BY c ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS width
+    FROM e WHERE nk IS NOT NULL
+    """,
+)
+def q_river_width_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators.rivers import propagate_width
+
+    edges = _river_edges(spark, sf_dir)
+    return propagate_width(edges, max_iter=40).select("edge_id", "width")
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
