@@ -82,8 +82,19 @@ def _pts_poly_3857(pts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _pts_line_4326(pts: pd.Series) -> pd.Series:
+    out = []
+    for arr in pts:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        out.append(G.to_wkb(G.make_linestring([(p["x"], p["y"]) for p in arr])))
+    return pd.Series(out, dtype=object)
+
+
 pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
 pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
+pts_linestring_wkb = _lazy("line4326", _pts_line_4326, "binary")
 
 
 # ------------------------------------------------------ scalar measures

@@ -1892,6 +1892,167 @@ def q_river_width_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.9 scalar geometry kernels driven through the REAL WKB pandas-UDF
+# path (make_linestring -> kernel -> measure), with closed-form
+# oracles on the exact 1/8-grid square fixtures: centroid + get_bbox
+# (geom-functions.cpp:812 / geom-box.cpp), Douglas-Peucker simplify
+# (:873-888), segmentize/split_linestring (:271-342), and the
+# 4326->3857 web-mercator forward transform (reprojection.cpp:17-102).
+# All square coordinates are dyadic rationals, so centroid/bbox/
+# segmentize outputs are bit-exact with no rounding discipline.
+# ---------------------------------------------------------------------------
+
+def _square_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.expr(osm_synth.SQUARE_FILTER_SQL))
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.expr(osm_synth.SQUARE_CX_SQL).alias("cx"),
+        F.expr(osm_synth.SQUARE_CY_SQL).alias("cy"),
+        F.expr(osm_synth.SQUARE_S_SQL).alias("s"),
+    )
+
+
+def _xy(x, y):
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+@register(
+    "geom_centroid_bbox",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           ({osm_synth.SQUARE_CX_SQL}) AS cx,
+           ({osm_synth.SQUARE_CY_SQL}) AS cy,
+           ({osm_synth.SQUARE_CX_SQL}) - ({osm_synth.SQUARE_S_SQL}) AS min_x,
+           ({osm_synth.SQUARE_CY_SQL}) - ({osm_synth.SQUARE_S_SQL}) AS min_y,
+           ({osm_synth.SQUARE_CX_SQL}) + ({osm_synth.SQUARE_S_SQL}) AS max_x,
+           ({osm_synth.SQUARE_CY_SQL}) + ({osm_synth.SQUARE_S_SQL}) AS max_y,
+           cast(5 AS bigint) AS n_points
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_geom_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    ring = F.array(
+        _xy(cx - s, cy - s), _xy(cx + s, cy - s), _xy(cx + s, cy + s),
+        _xy(cx - s, cy + s), _xy(cx - s, cy - s),
+    )
+    g = base.select("id", geom_udfs.pts_linestring_wkb(ring).alias("geom"))
+    c = geom_udfs.wkb_centroid_xy(F.col("geom"))
+    b = geom_udfs.wkb_bbox(F.col("geom"))
+    return g.select(
+        "id",
+        c["x"].alias("cx"), c["y"].alias("cy"),
+        b["min_x"].alias("min_x"), b["min_y"].alias("min_y"),
+        b["max_x"].alias("max_x"), b["max_y"].alias("max_y"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+    )
+
+
+# bend of the middle vertex: 0 (collinear, DP drops it) for id%8=1,
+# s/2 (>= 0.125, above the fixed 0.1 tolerance, DP keeps it) otherwise
+_SIMPLIFY_BEND_SQL = (
+    f"CASE WHEN p_partkey % 8 = 1 THEN 0.0e0 "
+    f"ELSE ({osm_synth.SQUARE_S_SQL}) / 2.0e0 END"
+)
+
+
+@register(
+    "geom_simplify",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           cast(CASE WHEN p_partkey % 8 = 1 THEN 2 ELSE 3 END AS bigint) AS n_points,
+           {roundn_sql(
+               f'CASE WHEN p_partkey % 8 = 1 THEN 2.0e0 * ({osm_synth.SQUARE_S_SQL}) '
+               f'ELSE 2.0e0 * sqrt(({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) '
+               f'+ (({osm_synth.SQUARE_S_SQL}) / 2.0e0) * (({osm_synth.SQUARE_S_SQL}) / 2.0e0)) END',
+               4,
+           )} AS length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_geom_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir).withColumn(
+        "bend", F.expr(_SIMPLIFY_BEND_SQL.replace("p_partkey", "id"))
+    )
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    pts = F.array(
+        _xy(cx - s, cy), _xy(cx, cy + F.col("bend")), _xy(cx + s, cy)
+    )
+    g = base.select(
+        "id",
+        geom_udfs.wkb_simplify(geom_udfs.pts_linestring_wkb(pts), 0.1).alias("geom"),
+    )
+    return g.select(
+        "id",
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        round4(geom_udfs.wkb_length(F.col("geom"))).alias("length"),
+    )
+
+
+@register(
+    "geom_segmentize",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           cast(ceil(2.0e0 * ({osm_synth.SQUARE_S_SQL}) / 0.375e0) AS bigint) AS n_parts,
+           cast(2 * ceil(2.0e0 * ({osm_synth.SQUARE_S_SQL}) / 0.375e0) AS bigint) AS n_points,
+           2.0e0 * ({osm_synth.SQUARE_S_SQL}) AS length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_geom_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    pts = F.array(_xy(cx - s, cy - s), _xy(cx + s, cy - s))
+    g = base.select(
+        "id",
+        geom_udfs.wkb_segmentize(
+            geom_udfs.pts_linestring_wkb(pts), 0.375
+        ).alias("geom"),
+    )
+    return g.select(
+        "id",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        geom_udfs.wkb_length(F.col("geom")).alias("length"),
+    )
+
+
+@register(
+    "geom_transform_3857",
+    oracle=f"""
+    WITH nodes AS ({osm_synth.NODES_SQL})
+    SELECT node_id,
+           {roundn_sql('radians(lon) * 6378137.0e0', 0)} AS x,
+           {roundn_sql('ln(tan(pi() / 4.0e0 + radians(lat) / 2.0e0)) * 6378137.0e0', 0)} AS y
+    FROM nodes
+    """,
+)
+def q_geom_transform_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    n = osm_synth.nodes(spark, sf_dir)
+    g = n.select(
+        "node_id",
+        geom_udfs.wkb_transform_3857(
+            geom_udfs.point_wkb(F.col("lon"), F.col("lat"))
+        ).alias("geom"),
+    )
+    b = geom_udfs.wkb_bbox(F.col("geom"))
+    return g.select(
+        "node_id",
+        roundn(b["min_x"], 0).alias("x"),
+        roundn(b["min_y"], 0).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
