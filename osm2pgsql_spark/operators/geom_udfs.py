@@ -92,9 +92,22 @@ def _pts_line_4326(pts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _pts_poly_4326(pts: pd.Series) -> pd.Series:
+    out = []
+    for arr in pts:
+        if arr is None or len(arr) == 0:
+            out.append(None)
+            continue
+        out.append(
+            G.to_wkb(G.make_polygon_from_way([(p["x"], p["y"]) for p in arr]))
+        )
+    return pd.Series(out, dtype=object)
+
+
 pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
 pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
 pts_linestring_wkb = _lazy("line4326", _pts_line_4326, "binary")
+pts_polygon_wkb = _lazy("poly4326", _pts_poly_4326, "binary")
 
 
 # ------------------------------------------------------ scalar measures
@@ -245,3 +258,35 @@ def _centroid_xy(wkb: pd.Series) -> pd.DataFrame:
 
 
 wkb_centroid_xy = _lazy("centroid_xy", _centroid_xy, "struct<x:double,y:double>")
+
+
+def _distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(wa, wb):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        out.append(G.distance(G.from_wkb(bytes(a)), G.from_wkb(bytes(b))))
+    return pd.Series(out, dtype="float64")
+
+
+wkb_distance = _lazy("distance", _distance, "double")
+
+
+def _interpolate_xy(wkb: pd.Series, frac: pd.Series) -> pd.DataFrame:
+    rows = []
+    for w, f in zip(wkb, frac):
+        p = G.interpolate(G.from_wkb(bytes(w)), float(f)) if w is not None else None
+        rows.append(
+            {"x": None, "y": None} if p is None else {"x": p[1][0], "y": p[1][1]}
+        )
+    return pd.DataFrame(rows, dtype="float64")
+
+
+_interpolate_udf = _lazy("interp_xy", _interpolate_xy, "struct<x:double,y:double>")
+
+
+def wkb_interpolate_xy(wkb: Column, fraction: float) -> Column:
+    from pyspark.sql import functions as F
+
+    return _interpolate_udf(wkb, F.lit(float(fraction)))

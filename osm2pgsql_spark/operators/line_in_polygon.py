@@ -67,6 +67,25 @@ def line_in_polygon_length(line: np.ndarray, polygon) -> float:
     return total
 
 
+def _grid_cells(bbox_col, cell: float):
+    """Array of "cx:cy" grid keys covering a bbox struct (JVM-side)."""
+    c = F.lit(float(cell))
+    xs = F.sequence(
+        F.floor(bbox_col["min_x"] / c), F.floor(bbox_col["max_x"] / c)
+    )
+    ys = F.sequence(
+        F.floor(bbox_col["min_y"] / c), F.floor(bbox_col["max_y"] / c)
+    )
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda x: F.transform(
+                ys, lambda y: F.concat_ws(":", x.cast("string"), y.cast("string"))
+            ),
+        )
+    )
+
+
 def width_from_areas(
     lines: DataFrame,
     areas: DataFrame,
@@ -75,24 +94,59 @@ def width_from_areas(
     area_width: str = "width",
     line_id: str = "edge_id",
     broadcast_areas: bool = True,
+    grid_cell: float | None = None,
 ) -> DataFrame:
     """(line_id, width) — weighted-length width from covering areas:
     sum(len_inside_i * width_i) / sum(len_inside_i); NULL when no
     area touches the line (gen-rivers.cpp:213-233 semantics).
 
-    lines: (line_id, geom WKB linestring, min/max bbox cols optional);
-    areas: (area_geom WKB polygon, width).  The bbox pairing here is a
-    broadcast cross join with bbox filter — swap in the quadkey grid
-    join for large area tables."""
+    lines: (line_id, geom WKB linestring); areas: (area_geom WKB
+    polygon, width).
+
+    Pairing strategy: with grid_cell set, both sides explode their
+    bboxes onto a grid of that cell size and candidates come from a
+    plain equi-join on the cell key — the scale path: shuffle on the
+    grid key only, kernel evaluations bounded by true spatial
+    proximity, no cross product anywhere in the plan.  Without it,
+    a broadcast cross join (acceptable only for small area tables)."""
     from pyspark.sql.functions import pandas_udf
 
     a = areas.select(
         F.col(area_wkb).alias("__awkb"), F.col(area_width).alias("__awidth")
     )
-    if broadcast_areas:
-        a = F.broadcast(a)
 
-    paired = lines.select(F.col(line_id), F.col(line_wkb).alias("__lwkb")).crossJoin(a)
+    if grid_cell is not None:
+        from osm2pgsql_spark.operators import geom_udfs
+
+        # the bbox UDF must land in its own projection: Catalyst can't
+        # nest a Python UDF inside higher-order-function lambdas
+        lb = (
+            lines.select(F.col(line_id), F.col(line_wkb).alias("__lwkb"))
+            .withColumn("__bbox", geom_udfs.wkb_bbox(F.col("__lwkb")))
+            .withColumn("__cell", F.explode(_grid_cells(F.col("__bbox"), grid_cell)))
+            .drop("__bbox")
+        )
+        ab = (
+            a.withColumn("__aid", F.monotonically_increasing_id())
+            .withColumn("__bbox", geom_udfs.wkb_bbox(F.col("__awkb")))
+            .withColumn("__cell", F.explode(_grid_cells(F.col("__bbox"), grid_cell)))
+            .drop("__bbox")
+        )
+        if broadcast_areas:
+            ab = F.broadcast(ab)
+        # a line/area pair can share several cells: dedupe before the
+        # (expensive) exact kernel
+        paired = (
+            lb.join(ab, "__cell")
+            .dropDuplicates([line_id, "__aid"])
+            .drop("__cell", "__aid")
+        )
+    else:
+        if broadcast_areas:
+            a = F.broadcast(a)
+        paired = lines.select(
+            F.col(line_id), F.col(line_wkb).alias("__lwkb")
+        ).crossJoin(a)
 
     def kernel(lw, aw):
         out = []

@@ -2052,6 +2052,104 @@ def q_geom_transform_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geom_distance_interpolate",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           sqrt(8.0e0 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL})) AS dist,
+           ({osm_synth.SQUARE_CX_SQL}) - ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS ix,
+           ({osm_synth.SQUARE_CY_SQL}) - ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS iy
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_geom_distance_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance (geom-functions.cpp:25) between the square's opposite
+    corners is exactly sqrt(8 s^2) — the squared terms are dyadic so
+    both engines feed sqrt the identical double; interpolate
+    (geom-functions.cpp:32) at 1/4 of the diagonal lands on the exact
+    dyadic point (cx - s/2, cy - s/2) because 0.25 * total / total
+    folds to exactly 0.25."""
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    pa = geom_udfs.point_wkb(cx - s, cy - s)
+    pb = geom_udfs.point_wkb(cx + s, cy + s)
+    diag = geom_udfs.pts_linestring_wkb(
+        F.array(_xy(cx - s, cy - s), _xy(cx + s, cy + s))
+    )
+    g = base.select(
+        "id",
+        geom_udfs.wkb_distance(pa, pb).alias("dist"),
+        geom_udfs.wkb_interpolate_xy(diag, 0.25).alias("ip"),
+    )
+    return g.select(
+        "id", "dist", g["ip"]["x"].alias("ix"), g["ip"]["y"].alias("iy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 rivers width-from-areas: line-in-polygon intersection length +
+# weighted-width seeding (gen-rivers.cpp:213-233).  Each fixture line
+# crosses its own big square (inside length 2s, width w) and a small
+# square (inside length s, width w/2) laid out on a 16-unit cell grid
+# so no other fixture's areas can intersect; weighted width is
+# (2s*w + s*w/2) / 3s = 5w/6, stable under round6 (the kernel's
+# crossing parameters carry ~1 ulp).
+# ---------------------------------------------------------------------------
+
+_CELL_CX_SQL = "(p_partkey % 128) * 16.0e0"
+_CELL_CY_SQL = "floor(p_partkey / 128.0e0) * 16.0e0"
+_AREA_W_SQL = "((p_partkey % 40) + 4) / 8.0e0"
+
+
+@register(
+    "river_width_from_areas",
+    oracle=f"""
+    SELECT p_partkey AS edge_id,
+           {roundn_sql(f'5.0e0 * ({_AREA_W_SQL}) / 6.0e0', 6)} AS width
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_river_width_from_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.line_in_polygon import width_from_areas
+
+    p = load_table(spark, sf_dir, "part").where(F.expr(osm_synth.SQUARE_FILTER_SQL))
+    base = p.select(
+        F.col("p_partkey").alias("id"),
+        F.expr(_CELL_CX_SQL).alias("cx"),
+        F.expr(_CELL_CY_SQL).alias("cy"),
+        F.expr(osm_synth.SQUARE_S_SQL).alias("s"),
+        F.expr(_AREA_W_SQL).alias("w"),
+    )
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+
+    def ring(mx, my, h):
+        return F.array(
+            _xy(mx - h, my - h), _xy(mx + h, my - h), _xy(mx + h, my + h),
+            _xy(mx - h, my + h), _xy(mx - h, my - h),
+        )
+
+    lines = base.select(
+        F.col("id").alias("edge_id"),
+        geom_udfs.pts_linestring_wkb(
+            F.array(_xy(cx - 2 * s, cy), _xy(cx + 3 * s, cy))
+        ).alias("geom"),
+    )
+    areas = base.select(
+        geom_udfs.pts_polygon_wkb(ring(cx, cy, s)).alias("area_geom"),
+        F.col("w").alias("width"),
+    ).unionByName(
+        base.select(
+            geom_udfs.pts_polygon_wkb(ring(cx + 2 * s, cy, s / 2)).alias("area_geom"),
+            (F.col("w") / 2).alias("width"),
+        )
+    )
+    r = width_from_areas(lines, areas, grid_cell=16.0)
+    return r.select("edge_id", round6(F.col("width")).alias("width"))
+
+
 # ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------

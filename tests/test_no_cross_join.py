@@ -72,3 +72,14 @@ def test_rp_near_dups_subset_of_brute_force_with_high_precision(spark):
     want = {(r.id_a, r.id_b) for r in brute.collect()}
     assert got <= want
     assert len(got) > 0
+
+
+def test_width_from_areas_grid_plan_has_no_cross_join(spark):
+    """With grid_cell set, width_from_areas pairs candidates through a
+    grid-key equi-join; the cross-join fallback must not appear."""
+    from osm2pgsql_spark import queries as Q
+
+    out = Q.queries()["river_width_from_areas"](spark, SF_DIR)
+    plan = _physical_plan(out)
+    for op in _FORBIDDEN:
+        assert op not in plan, f"{op} in plan:\n{plan}"
