@@ -121,6 +121,9 @@ def _measure(fn):
 
 wkb_area = _lazy("area", _measure(G.area), "double")
 wkb_spherical_area = _lazy("sph_area", _measure(G.spherical_area), "double")
+wkb_spherical_area_sphere = _lazy(
+    "sph_area_sphere", _measure(lambda g: G.spherical_area(g, ellipsoid=False)), "double"
+)
 wkb_length = _lazy("length", _measure(G.length), "double")
 wkb_spherical_length = _lazy("sph_len", _measure(G.spherical_length), "double")
 

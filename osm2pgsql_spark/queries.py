@@ -2151,6 +2151,76 @@ def q_river_width_from_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.9 spherical_area, sphere mode (geom-functions.cpp:373-394): the
+# solid-angle excess sum over great-circle edges, replicated verbatim
+# in the oracle (Danielsen per-edge excess over a lead() window).  The
+# ellipsoid mode adds Vincenty densification + the authalic mapping —
+# an iterative algorithm with no SQL twin; it's pinned by reference
+# Catch2 vectors in tests/test_geometry.py instead.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spherical_polygon_area",
+    oracle=None,  # assembled below (needs the radius constant)
+)
+def q_spherical_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    ring = F.array(
+        _xy(cx - s, cy - s), _xy(cx + s, cy - s), _xy(cx + s, cy + s),
+        _xy(cx - s, cy + s), _xy(cx - s, cy - s),
+    )
+    g = base.select("id", geom_udfs.pts_polygon_wkb(ring).alias("geom"))
+    return g.select(
+        "id",
+        roundn(geom_udfs.wkb_spherical_area_sphere(F.col("geom")), -3).alias(
+            "sph_area"
+        ),
+    )
+
+
+def _spherical_polygon_area_oracle() -> str:
+    from osm2pgsql_spark.functions.geometry import AUTHALIC_RADIUS
+
+    r = repr(AUTHALIC_RADIUS)
+    return f"""
+    WITH base AS (
+        SELECT p_partkey AS id,
+               ({osm_synth.SQUARE_CX_SQL}) AS cx,
+               ({osm_synth.SQUARE_CY_SQL}) AS cy,
+               ({osm_synth.SQUARE_S_SQL}) AS s
+        FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}),
+    c(ci, dx, dy) AS (VALUES
+        (1, -1.0e0, -1.0e0), (2, 1.0e0, -1.0e0), (3, 1.0e0, 1.0e0),
+        (4, -1.0e0, 1.0e0), (5, -1.0e0, -1.0e0)),
+    pts AS (
+        SELECT id, ci, cx + s * dx AS lon, cy + s * dy AS lat
+        FROM base CROSS JOIN c),
+    seg AS (
+        SELECT id,
+               radians(lon) AS lam, radians(lat) AS phi,
+               lead(radians(lon)) OVER w AS lam2,
+               lead(radians(lat)) OVER w AS phi2
+        FROM pts WINDOW w AS (PARTITION BY id ORDER BY ci)),
+    ex AS (
+        SELECT id,
+               2.0e0 * atan(tan((lam2 - lam) / 2.0e0)
+                            * sin((phi2 + phi) / 2.0e0)
+                            / cos((phi2 - phi) / 2.0e0)) AS e
+        FROM seg WHERE lam2 IS NOT NULL)
+    SELECT id,
+           {roundn_sql(f'abs(sum(e)) * {r} * {r}', -3)} AS sph_area
+    FROM ex GROUP BY id
+    """
+
+
+_ORACLES["spherical_polygon_area"] = _spherical_polygon_area_oracle()
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
