@@ -142,6 +142,20 @@ class FlexConfig:
         self.tables: dict[str, TableDef] = {}
         self.rules: list[Rule] = []
         self.expire_outputs: dict[str, ExpireOutputDef] = {}
+        self._stage2: dict | None = None
+
+    def select_relation_members(
+        self, when: Column | None = None, member_type: str = "w", **attrs: Column
+    ) -> None:
+        """Declare two-stage processing (reference
+        select_relation_members + osm2pgsql.stage == 2 reprocessing,
+        src/output-flex.cpp:337-377,1506-1613): member ways of
+        relations matching `when` receive the aggregated relation
+        attrs as extra columns during way-rule evaluation (sorted
+        comma-joined, the lcn_ref accumulation pattern), plus a
+        literal `stage` column — 2 for marked ways, 1 otherwise — that
+        rule predicates and values may reference like osm2pgsql.stage."""
+        self._stage2 = {"when": when, "member_type": member_type, "attrs": attrs}
 
     def define_expire_output(self, name: str, **kw) -> ExpireOutputDef:
         e = ExpireOutputDef(name=name, **kw)
@@ -242,6 +256,17 @@ class FlexConfig:
                 }
                 for r in self.rules
             ],
+            **(
+                {
+                    "two_stage": {
+                        "member_type": self._stage2["member_type"],
+                        "filtered": self._stage2["when"] is not None,
+                        "attrs": sorted(self._stage2["attrs"]),
+                    }
+                }
+                if self._stage2 is not None
+                else {}
+            ),
         }
 
     def describe_json(self) -> str:
@@ -336,9 +361,33 @@ class FlexConfig:
 
     # (keep import local: assembly pulls pandas)
 
+        # stage 2: join the declared relation attrs onto member ways
+        # BEFORE rule evaluation — the reference's "collect all marks,
+        # then reprocess" ordering is the aggregation barrier of the
+        # attrs groupBy, so no mutable mark-set is needed
+        ways_in = ways
+        if self._stage2 is not None and ways is not None and relations is not None:
+            from osm2pgsql_spark.plans.two_stage import relation_attrs_for_members
+
+            spec = self._stage2
+            attrs_df = relation_attrs_for_members(
+                relations,
+                when=spec["when"],
+                member_type=spec["member_type"],
+                **spec["attrs"],
+            ).withColumnRenamed("id", "__s2id")
+            ways_in = (
+                ways.join(attrs_df, ways["id"] == F.col("__s2id"), "left")
+                .withColumn(
+                    "stage",
+                    F.when(F.col("__s2id").isNotNull(), F.lit(2)).otherwise(F.lit(1)),
+                )
+                .drop("__s2id")
+            )
+
         sources: dict[str, DataFrame | None] = {
             "node": nodes,
-            "way": ways,
+            "way": ways_in,
             "relation": relations,
         }
 

@@ -266,3 +266,66 @@ def test_flex_describe_debug_output():
     }
     # round-trips through json
     assert json.loads(cfg.describe_json()) == json.loads(cfg.describe_json())
+
+
+def test_flex_two_stage_route_refs(spark, fixture_dfs):
+    """select_relation_members integration: route relations push their
+    refs onto member ways, which see them (plus osm2pgsql.stage) during
+    way-rule evaluation (reference src/output-flex.cpp:337-377 marks +
+    :1506-1613 stage-2 reprocess)."""
+    from osm2pgsql_spark.model import RELATION_SCHEMA
+
+    nodes, ways = fixture_dfs
+    rels = spark.createDataFrame(
+        [
+            (
+                400,
+                [("w", 101, ""), ("w", 102, "")],
+                {"type": "route", "route": "bicycle", "ref": "R4"},
+                None, None, None, None, None, None,
+            ),
+            (
+                401,
+                [("w", 101, "")],
+                {"type": "route", "route": "bicycle", "ref": "R1"},
+                None, None, None, None, None, None,
+            ),
+            (
+                402,
+                [("w", 103, "")],
+                {"type": "road", "ref": "IGNORED"},
+                None, None, None, None, None, None,
+            ),
+        ],
+        RELATION_SCHEMA,
+    )
+
+    cfg = FlexConfig()
+    cfg.define_table(
+        "routes",
+        ids="way",
+        columns=[
+            ColumnDef("highway", "text"),
+            ColumnDef("rel_refs", "text"),
+            ColumnDef("stage", "int4"),
+        ],
+    )
+    cfg.select_relation_members(
+        when=F.col("tags")["type"] == "route", ref=F.col("tags")["ref"]
+    )
+    cfg.insert(
+        "routes",
+        "way",
+        when=F.col("tags")["highway"].isNotNull(),
+        highway=F.col("tags")["highway"],
+        rel_refs=F.col("ref"),
+        stage=F.col("stage"),
+    )
+    out = cfg.run(nodes=nodes, ways=ways, relations=rels)["routes"]
+    rows = {r["osm_id"]: r for r in out.collect()}
+
+    assert rows[101]["stage"] == 2 and rows[101]["rel_refs"] == "R1,R4"
+    assert rows[102]["stage"] == 2 and rows[102]["rel_refs"] == "R4"
+    # way 103 is a member only of a non-route relation: stage 1, no refs
+    assert rows[103]["stage"] == 1 and rows[103]["rel_refs"] is None
+    assert "two_stage" in cfg.describe()
