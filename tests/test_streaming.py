@@ -79,3 +79,68 @@ def test_windowed_streaming_source(spark, tmp_path):
     assert len(rows) <= 1  # 0 if watermark didn't close it, 1 if it did
     if rows:
         assert rows[0]["n"] == 2
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gap splits emit closed
+    sessions; the open tail session closes when the watermark passes
+    its horizon in a later trigger."""
+    from osm2pgsql_spark.streaming.sessionize_stream import sessionize_stream
+
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt2")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def write_events(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run_once():
+        events = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stream(events, gap_us=600 * 1_000_000, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # user 7: two events 5 min apart (one session), then a 20-min gap
+    # splits; user 8: a single event
+    write_events(
+        [
+            (1, ts(0), 7),
+            (2, ts(5), 7),
+            (3, ts(25), 7),
+            (4, ts(0), 8),
+        ]
+    )
+    run_once()
+
+    # second file far in the future: the watermark advances past every
+    # open session's horizon and times them out
+    write_events([(5, ts(600), 9)])
+    run_once()
+    write_events([(6, ts(1200), 9)])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r["user_id"], r["session_start_us"] // 60_000_000, r["n_events"])
+        for r in rows
+    }
+    base_min = int(t0.timestamp()) // 60
+    # user 7 session 1: events at +0,+5 (2 events); session 2: +25 (1);
+    # user 8: one event at +0
+    assert (7, base_min + 0, 2) in got
+    assert (7, base_min + 25, 1) in got
+    assert (8, base_min + 0, 1) in got
