@@ -134,15 +134,98 @@ class ExpireOutputDef:
     full_area_limit: float = 0.0
 
 
+def _callback_mapper(kind: str, fn):
+    """Arrow-batch executor for one process() callback: builds the
+    per-object dict (tags, refs/members, pre-assembled WKB geometry),
+    invokes the user function, and flattens its (table, row) results
+    into the unified callback frame."""
+
+    def mapper(batches):
+        import pandas as pd
+
+        from osm2pgsql_spark.functions import geometry as G
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rec in pdf.to_dict("records"):
+                obj: dict = {"id": int(rec["id"]), "tags": dict(rec["tags"] or {})}
+                if kind == "node":
+                    obj["geom_point"] = G.to_wkb(
+                        ("point", (float(rec["lon"]), float(rec["lat"])))
+                    )
+                elif kind == "way":
+                    refs = rec.get("refs")
+                    obj["refs"] = [] if refs is None else [int(r) for r in refs]
+                    pts = rec.get("pts")
+                    if pts is not None and len(pts):
+                        coords = [(p["x"], p["y"]) for p in pts]
+                        obj["geom_line"] = G.to_wkb(G.make_linestring(coords))
+                        obj["geom_poly"] = G.to_wkb(G.make_polygon_from_way(coords))
+                    else:
+                        obj["geom_line"] = None
+                        obj["geom_poly"] = None
+                else:
+                    members = rec.get("members")
+                    obj["members"] = (
+                        []
+                        if members is None
+                        else [(m["type"], int(m["ref"]), m["role"]) for m in members]
+                    )
+                for tbl, row in fn(obj) or ():
+                    vals: dict[str, str] = {}
+                    geom = None
+                    for k, v in row.items():
+                        if isinstance(v, (bytes, bytearray)):
+                            geom = bytes(v)
+                        elif isinstance(v, bool):
+                            vals[k] = "true" if v else "false"
+                        elif v is not None:
+                            vals[k] = str(v)
+                    rows.append((tbl, kind[0], obj["id"], vals, geom))
+            yield pd.DataFrame(
+                rows, columns=["tbl", "osm_kind", "osm_id", "vals", "geom"]
+            )
+
+    return mapper
+
+
 class FlexConfig:
     """Collects table definitions and insert rules; `run` compiles
     them to one DataFrame per table."""
+
+    # (callback execution helper lives at module level: _callback_mapper)
 
     def __init__(self) -> None:
         self.tables: dict[str, TableDef] = {}
         self.rules: list[Rule] = []
         self.expire_outputs: dict[str, ExpireOutputDef] = {}
         self._stage2: dict | None = None
+        self.callbacks: dict[str, object] = {}
+
+    def process(self, kind: str, fn) -> None:
+        """Register an arbitrary-Python callback for <kind> objects —
+        the GENERAL path of the reference's Lua UDF surface
+        (process_node/way/relation, src/output-flex.cpp:1469-1501),
+        complementing the declarative insert() fast path that compiles
+        to Catalyst expressions.
+
+        fn receives one dict per object:
+          node:     {"id", "tags", "geom_point" (WKB|None)}
+          way:      {"id", "tags", "refs", "geom_line", "geom_poly"}
+          relation: {"id", "tags", "members" [(type, ref, role), ...]}
+        and returns an iterable of (table_name, row_dict) — several
+        rows, several tables, or nothing (the reference's
+        table:insert{} from inside a callback, output-flex.cpp:766-843).
+        Scalar row values go through the declared column casts; a
+        bytes value is taken as the row's geometry (4326 WKB;
+        columns declared srid=3857 are reprojected).
+
+        Executed via mapInPandas over Arrow batches — embarrassingly
+        parallel, where the reference serializes all user code under
+        one global Lua mutex (output-flex.cpp:53-54)."""
+        if kind not in ("node", "way", "relation"):
+            raise ValueError(f"unknown kind {kind!r}")
+        self.callbacks[kind] = fn
 
     def select_relation_members(
         self, when: Column | None = None, member_type: str = "w", **attrs: Column
@@ -429,10 +512,12 @@ class FlexConfig:
                 )
             return rel_geom_cache[which]
 
+        cb_df = self._run_callbacks(sources, way_geoms)
+
         out: dict[str, DataFrame] = {}
         for table_name, tdef in self.tables.items():
             rules = [r for r in self.rules if r.table == table_name]
-            if not rules:
+            if not rules and cb_df is None:
                 continue
             parts: list[DataFrame] = []
             for rule in rules:
@@ -501,12 +586,102 @@ class FlexConfig:
                         pred = pred & c
                     proj = proj.where(pred)
                 parts.append(proj)
+            if cb_df is not None:
+                cbp = self._callback_rows_for_table(cb_df, tdef)
+                if cbp is not None:
+                    parts.append(cbp)
             if parts:
                 result = parts[0]
                 for p in parts[1:]:
                     result = result.unionByName(p)
                 out[table_name] = result
         return out
+
+    def _run_callbacks(self, sources, way_geoms) -> DataFrame | None:
+        """mapInPandas execution of registered process() callbacks into
+        one unified frame (tbl, osm_kind, osm_id, vals, geom)."""
+        if not self.callbacks:
+            return None
+        import pandas as pd  # noqa: F401  (needed by the workers)
+
+        out_schema = (
+            "tbl string, osm_kind string, osm_id long, "
+            "vals map<string,string>, geom binary"
+        )
+        frames: list[DataFrame] = []
+        for kind, fn in self.callbacks.items():
+            src = sources.get(kind)
+            if src is None:
+                continue
+            if kind == "node":
+                prep = src.select("id", "tags", "lon", "lat")
+            elif kind == "way":
+                prep = src.select("id", "tags", "refs")
+                if way_geoms is not None:
+                    prep = prep.join(
+                        way_geoms.withColumnRenamed("way_id", "__gid"),
+                        prep["id"] == F.col("__gid"),
+                        "left",
+                    ).drop("__gid")
+            else:
+                prep = src.select("id", "tags", "members")
+            frames.append(prep.mapInPandas(_callback_mapper(kind, fn), out_schema))
+        if not frames:
+            return None
+        result = frames[0]
+        for f in frames[1:]:
+            result = result.unionByName(f)
+        return result
+
+    def _callback_rows_for_table(
+        self, cb_df: DataFrame, tdef: TableDef
+    ) -> DataFrame | None:
+        """Project the unified callback frame into one table's typed
+        schema (same id scheme / casts / not-null policy as the
+        declarative path, so the two union cleanly)."""
+        from osm2pgsql_spark.operators.geom_udfs import wkb_transform_3857
+
+        cbt = cb_df.where(F.col("tbl") == tdef.name)
+        cols: list[Column] = []
+        if tdef.ids in ("node", "way", "relation"):
+            cols.append(F.col("osm_id"))
+        elif tdef.ids == "area":
+            cols.append(
+                F.when(F.col("osm_kind") == "r", -F.col("osm_id"))
+                .otherwise(F.col("osm_id"))
+                .alias("osm_id")
+            )
+        elif tdef.ids == "any_object":
+            cols.append(F.col("osm_kind").alias("osm_type"))
+            cols.append(F.col("osm_id"))
+        elif tdef.ids == "tile":
+            for axis in ("x", "y"):
+                cols.append(F.col("vals")[axis].cast("int").alias(axis))
+        not_null_conds: list[Column] = []
+        for cd in tdef.columns:
+            if cd.type in ID_TYPES:
+                continue
+            if cd.name in ("x", "y") and tdef.ids == "tile":
+                continue
+            if cd.type in GEOM_TYPES:
+                g = F.col("geom")
+                if cd.srid == 3857:
+                    g = wkb_transform_3857(g)
+                cols.append(g.alias(cd.name))
+                if cd.not_null:
+                    not_null_conds.append(g.isNotNull())
+                continue
+            conv = self._convert(F.col("vals")[cd.name], cd)
+            cols.append(conv.alias(cd.name))
+            if cd.not_null:
+                not_null_conds.append(conv.isNotNull())
+        proj = cbt.select(*cols)
+        if not_null_conds:
+            pred = not_null_conds[0]
+            for c in not_null_conds[1:]:
+                pred = pred & c
+            proj = proj.where(pred)
+        return proj
 
     @staticmethod
     def _geometry_for(rule: Rule, cd: ColumnDef) -> Column:

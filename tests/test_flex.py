@@ -329,3 +329,56 @@ def test_flex_two_stage_route_refs(spark, fixture_dfs):
     # way 103 is a member only of a non-route relation: stage 1, no refs
     assert rows[103]["stage"] == 1 and rows[103]["rel_refs"] is None
     assert "two_stage" in cfg.describe()
+
+
+def test_flex_python_callback_general_path(spark, fixture_dfs):
+    """process() — arbitrary Python callbacks (the Lua UDF surface's
+    general path, src/output-flex.cpp:1469-1501): branching logic,
+    multi-row + multi-table inserts, geometry pass-through."""
+    nodes, ways = fixture_dfs
+    cfg = FlexConfig()
+    cfg.define_table(
+        "poi",
+        ids="node",
+        columns=[
+            ColumnDef("kind", "text"),
+            ColumnDef("geom", "point", not_null=True),
+        ],
+    )
+    cfg.define_table(
+        "tag_rows",
+        ids="any_object",
+        columns=[ColumnDef("key", "text"), ColumnDef("val", "text")],
+    )
+
+    def handle_node(obj):
+        if "amenity" in obj["tags"]:
+            yield "poi", {"kind": obj["tags"]["amenity"], "geom": obj["geom_point"]}
+            for k, v in sorted(obj["tags"].items()):
+                yield "tag_rows", {"key": k, "val": v}
+
+    def handle_way(obj):
+        if obj["tags"].get("highway") and obj["geom_line"] is not None:
+            yield "tag_rows", {"key": "highway", "val": obj["tags"]["highway"]}
+
+    cfg.process("node", handle_node)
+    cfg.process("way", handle_way)
+    out = cfg.run(nodes=nodes, ways=ways)
+
+    poi = {r["osm_id"]: r for r in out["poi"].collect()}
+    assert set(poi) == {1, 5}
+    assert poi[1]["kind"] == "restaurant" and poi[1]["geom"] is not None
+    from osm2pgsql_spark.functions import geometry as G
+
+    assert G.from_wkb(bytes(poi[5]["geom"]))[1] == pytest.approx((9.3, 50.6))
+
+    tr = [(r["osm_type"], r["key"], r["val"]) for r in out["tag_rows"].collect()]
+    # node 1 contributes 2 tag rows, node 5 contributes 2, highway
+    # ways 101 (primary), 102 (service, unresolvable ref dropped ->
+    # geom_line still built from 2 resolved pts), 103 (single pt ->
+    # geom None -> skipped)
+    assert ("n", "amenity", "restaurant") in tr
+    assert ("n", "name", "N5") in tr
+    assert ("w", "highway", "primary") in tr
+    assert ("w", "highway", "service") in tr
+    assert ("w", "highway", "path") not in tr
