@@ -10,10 +10,14 @@ Design rules for 100 TB of media:
 - decode / transform kernels run via mapInPandas in Arrow batches,
   sized by bytes not rows (spark.sql.execution.arrow.maxRecordsPerBatch
   + maxPartitionBytes are the knobs);
-- the actual codec calls are STUBBED here (no image/audio libs in
-  this container): decode_image_batch raises NotImplementedError
-  unless `fake=True`, which produces a deterministic fake decode so
-  the plumbing (schemas, batching, partitioning) is fully testable.
+- codecs: REAL pure-python decoders for PNG (all five scanline
+  filters, gray/RGB/RGBA), BMP (24-bit BI_RGB) and WAV (PCM 16-bit)
+  live in functions/codecs.py — no external image/audio libs needed
+  or available.  JPEG and video formats have no reasonable
+  pure-python decoder: those raise NotImplementedError, and
+  `fake=True` substitutes a deterministic fake decode so the
+  plumbing (schemas, batching, partitioning) stays testable for
+  every format.
 """
 
 from __future__ import annotations
@@ -71,14 +75,34 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return arr.reshape(height, width)
 
 
+def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """Real decode to a grayscale uint8 array (RGB via Rec.601 luma).
+    PNG/BMP are pure-python (functions/codecs.py); anything else has
+    no pure-python codec and raises."""
+    from osm2pgsql_spark.functions import codecs
+
+    if fmt == "png":
+        img = codecs.decode_png(payload)
+    elif fmt == "bmp":
+        img = codecs.decode_bmp(payload)
+    else:
+        raise NotImplementedError(
+            f"no pure-python codec for image format {fmt!r} (jpeg needs an image lib)"
+        )
+    if img.ndim == 3:
+        rgb = img[:, :, :3].astype(np.float64)
+        img = (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+    return img
+
+
 FEATURE_SCHEMA = "media_id bigint, n_bytes bigint, mean_val double, feature array<float>"
 
 
-def image_features(media: DataFrame, fake: bool = True, feat_dim: int = 8) -> DataFrame:
+def image_features(media: DataFrame, fake: bool = False, feat_dim: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    With fake=False this is where a real codec (PIL/opencv) would be
-    called; the container has none, so it raises NotImplementedError —
+    fake=False decodes for real (PNG/BMP); fake=True keeps the
+    deterministic stand-in for formats without a pure-python codec —
     the Spark-side plumbing is identical either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,11 +111,10 @@ def image_features(media: DataFrame, fake: bool = True, feat_dim: int = 8) -> Da
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 meta = row["meta"]
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (not in container)"
-                    )
-                img = _fake_decode(payload, int(meta["width"]), int(meta["height"]))
+                if fake:
+                    img = _fake_decode(payload, int(meta["width"]), int(meta["height"]))
+                else:
+                    img = _decode_image(payload, str(meta["format"]))
                 flat = img.ravel()
                 flat = flat[: (flat.size // feat_dim) * feat_dim]
                 pooled = flat.reshape(feat_dim, -1).mean(axis=1).astype("float32")
@@ -111,32 +134,73 @@ def image_features(media: DataFrame, fake: bool = True, feat_dim: int = 8) -> Da
 RESIZE_SCHEMA = "media_id bigint, width int, height int, payload binary"
 
 
-def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize operator shape: decode -> resample -> re-encode.  Fake
-    path: nearest-neighbor index mapping on the fake decode."""
+def resize_images(media: DataFrame, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize operator: decode -> nearest-neighbor resample ->
+    re-encode.  Real path emits a PNG payload; fake path emits raw
+    grid bytes from the deterministic stand-in decode."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm2pgsql_spark.functions import codecs
+
         for pdf in it:
             out = []
             for _, row in pdf.iterrows():
-                if not fake:
-                    raise NotImplementedError("real resize requires an image lib")
                 meta = row["meta"]
-                img = _fake_decode(bytes(row["payload"]), int(meta["width"]), int(meta["height"]))
+                if fake:
+                    img = _fake_decode(
+                        bytes(row["payload"]), int(meta["width"]), int(meta["height"])
+                    )
+                else:
+                    img = _decode_image(bytes(row["payload"]), str(meta["format"]))
                 yi = (np.arange(height) * img.shape[0] // height).astype(int)
                 xi = (np.arange(width) * img.shape[1] // width).astype(int)
                 resized = img[np.ix_(yi, xi)]
+                payload = (
+                    resized.tobytes() if fake else codecs.encode_png(resized)
+                )
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "width": width,
                         "height": height,
-                        "payload": bytearray(resized.tobytes()),
+                        "payload": bytearray(payload),
                     }
                 )
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload", "meta").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "rms double, zero_crossings bigint"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """WAV (PCM 16-bit) decode + summary features — real pure-python
+    codec, Arrow-batched like the image path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm2pgsql_spark.functions import codecs
+
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                rate, x = codecs.decode_wav(bytes(row["payload"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": rate,
+                        "n_samples": int(x.size),
+                        "duration_ms": int(x.size * 1000 // rate) if rate else 0,
+                        "rms": float(np.sqrt(np.mean(x * x))) if x.size else 0.0,
+                        "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(x)))),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(batches, AUDIO_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, ts_ms bigint, frame binary"
@@ -151,7 +215,10 @@ def sample_frames(media: DataFrame, every_ms: int = 250, fake: bool = True) -> D
             out = []
             for _, row in pdf.iterrows():
                 if not fake:
-                    raise NotImplementedError("real frame sampling requires a video lib")
+                    raise NotImplementedError(
+                        "no pure-python video codec exists; use fake=True "
+                        "for plumbing tests"
+                    )
                 meta = row["meta"]
                 dur = int(meta["duration_ms"])
                 payload = bytes(row["payload"])

@@ -1,0 +1,125 @@
+"""Pure-python codec round-trips + real-decode multimodal pipeline."""
+
+import numpy as np
+import pytest
+
+from osm2pgsql_spark.functions import codecs
+
+
+def _img_gray(h=13, w=17, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def _img_rgb(h=9, w=11, seed=4):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_gray_and_rgb():
+    g = _img_gray()
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(g)), g)
+    c = _img_rgb()
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(c)), c)
+
+
+def test_png_all_filters_decode():
+    """Hand-build one PNG per filter type and check exact decode."""
+    import struct
+    import zlib
+
+    g = _img_gray(h=6, w=8, seed=9)
+    h, w = g.shape
+    for ftype in (0, 1, 2, 3, 4):
+        rows = []
+        prev = np.zeros(w, dtype=np.uint8)
+        for r in range(h):
+            cur = g[r]
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:  # Sub
+                enc = (cur.astype(int) - np.concatenate(([0], cur[:-1])).astype(int)) % 256
+            elif ftype == 2:  # Up
+                enc = (cur.astype(int) - prev.astype(int)) % 256
+            elif ftype == 3:  # Average
+                left = np.concatenate(([0], cur[:-1])).astype(int)
+                enc = (cur.astype(int) - (left + prev.astype(int)) // 2) % 256
+            else:  # Paeth
+                left = np.concatenate(([0], cur[:-1])).astype(np.uint8)
+                ul = np.concatenate(([0], prev[:-1])).astype(np.uint8)
+                pred = codecs._paeth(left, prev, ul)
+                enc = (cur.astype(int) - pred.astype(int)) % 256
+            rows.append(bytes([ftype]) + np.asarray(enc, dtype=np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(codecs.decode_png(data), g), f"filter {ftype}"
+
+
+def test_bmp_roundtrip():
+    c = _img_rgb(h=5, w=7)  # odd width exercises row padding
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(c)), c)
+
+
+def test_wav_roundtrip():
+    t = np.arange(8000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, y = codecs.decode_wav(codecs.encode_wav(8000, x))
+    assert rate == 8000
+    assert y.shape == x.shape
+    # int16 truncation plus the 32767/32768 encode/decode scale skew
+    assert float(np.abs(y - x).max()) < 1.0 / 12000
+
+
+def test_multimodal_real_decode_pipeline(spark):
+    """Real PNG/BMP decode + WAV features through the mapInPandas
+    operators (no fake path)."""
+    from osm2pgsql_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        image_features,
+        resize_images,
+    )
+
+    g = _img_gray(h=16, w=16, seed=1)
+    rgb = _img_rgb(h=12, w=10, seed=2)
+    t = np.arange(4000) / 16000.0
+    wav = codecs.encode_wav(16000, 0.25 * np.sin(2 * np.pi * 220 * t))
+
+    rows = [
+        (1, bytearray(codecs.encode_png(g)), ("png", 16, 16, None, None)),
+        (2, bytearray(codecs.encode_bmp(rgb)), ("bmp", 10, 12, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[1]["mean_val"] == pytest.approx(float(g.mean()))
+    luma = (rgb[:, :, :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])).astype(
+        np.uint8
+    )
+    assert feats[2]["mean_val"] == pytest.approx(float(luma.mean()))
+
+    resized = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    out1 = codecs.decode_png(bytes(resized[1]["payload"]))
+    assert out1.shape == (8, 8)
+    yi = (np.arange(8) * 16 // 8).astype(int)
+    assert np.array_equal(out1, g[np.ix_(yi, yi)])
+
+    audio = spark.createDataFrame(
+        [(3, bytearray(wav), ("wav", None, None, 250, 16000))], MEDIA_SCHEMA
+    )
+    af = audio_features(audio).collect()[0]
+    assert af["sample_rate"] == 16000
+    assert af["n_samples"] == 4000
+    assert af["duration_ms"] == 250
+    assert af["rms"] == pytest.approx(0.25 / np.sqrt(2), rel=1e-3)
+
+    with pytest.raises(Exception, match="jpeg|NotImplemented|no pure-python"):
+        jm = spark.createDataFrame(
+            [(4, bytearray(b"\xff\xd8\xff"), ("jpeg", 4, 4, None, None))], MEDIA_SCHEMA
+        )
+        image_features(jm).collect()
