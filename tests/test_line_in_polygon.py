@@ -60,3 +60,47 @@ def test_width_from_areas_spark(spark):
     )
     out = {r["edge_id"]: r["width"] for r in width_from_areas(lines, areas).collect()}
     assert out == {1: pytest.approx(7.0)}  # (10*5 + 10*9) / 20
+
+
+def test_width_from_areas_grid_equals_cross_strategy(spark):
+    """The grid-cell equi-join pairing and the broadcast cross join
+    must produce identical widths on random geometry (strategy
+    equivalence — the grid may only prune non-intersecting pairs)."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.line_in_polygon import width_from_areas
+
+    rng = np.random.default_rng(7)
+    lines, areas = [], []
+    for i in range(40):
+        cx, cy = rng.uniform(-50, 50, 2)
+        ang = rng.uniform(0, 2 * np.pi)
+        ln = rng.uniform(2, 12)
+        p = (cx - np.cos(ang) * ln / 2, cy - np.sin(ang) * ln / 2)
+        q = (cx + np.cos(ang) * ln / 2, cy + np.sin(ang) * ln / 2)
+        lines.append((i, bytearray(G.to_wkb(G.make_linestring([p, q])))))
+    for j in range(25):
+        cx, cy = rng.uniform(-50, 50, 2)
+        h = rng.uniform(1, 8)
+        ring = [
+            (cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+            (cx - h, cy + h), (cx - h, cy - h),
+        ]
+        areas.append(
+            (bytearray(G.to_wkb(G.make_polygon_from_way(ring))), float(rng.uniform(1, 9)))
+        )
+    ldf = spark.createDataFrame(lines, "edge_id long, geom binary")
+    adf = spark.createDataFrame(areas, "area_geom binary, width double")
+
+    cross = {
+        r["edge_id"]: r["width"]
+        for r in width_from_areas(ldf, adf, grid_cell=None).collect()
+    }
+    grid = {
+        r["edge_id"]: r["width"]
+        for r in width_from_areas(ldf, adf, grid_cell=10.0).collect()
+    }
+    assert set(cross) == set(grid)
+    for k in cross:
+        assert grid[k] == pytest.approx(cross[k], rel=1e-12), k
