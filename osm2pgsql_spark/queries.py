@@ -2221,6 +2221,93 @@ _ORACLES["spherical_polygon_area"] = _spherical_polygon_area_oracle()
 
 
 # ---------------------------------------------------------------------------
+# §2.5 per-tile vector cutting (gen-tile-vector.cpp:41-80): features
+# centered on tile centers with half-size f*extent (0.5 < f < 1) cover
+# exactly a 3x3 tile block; Sutherland-Hodgman / Liang-Barsky clipping
+# partitions each feature, so the clipped pieces' total area/length
+# reconstitutes the original measure — the oracle states both facts in
+# closed form.
+# ---------------------------------------------------------------------------
+
+_VT_ZOOM = 12
+_VT_F_SQL = "(0.55e0 + (p_partkey % 5) * 0.05e0)"
+
+
+def q_vector_tile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.expire import EARTH_CIRCUMFERENCE
+    from osm2pgsql_spark.operators.vector_tiles import cut_to_tiles
+
+    extent = EARTH_CIRCUMFERENCE / (1 << _VT_ZOOM)
+    half = EARTH_CIRCUMFERENCE / 2.0
+    p = load_table(spark, sf_dir, "part").where(F.expr(osm_synth.SQUARE_FILTER_SQL))
+    base = p.select(
+        F.col("p_partkey").alias("id"),
+        (F.lit(-half) + ((F.col("p_partkey") * 7 % 1024) + F.lit(1536.5)) * extent).alias("cx"),
+        (F.lit(half) - ((F.col("p_partkey") * 11 % 1024) + F.lit(1536.5)) * extent).alias("cy"),
+        (F.expr(_VT_F_SQL) * extent).alias("r"),
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    polys = base.select(
+        "id",
+        geom_udfs.pts_polygon_wkb(
+            F.array(
+                _xy(cx - r, cy - r), _xy(cx + r, cy - r), _xy(cx + r, cy + r),
+                _xy(cx - r, cy + r), _xy(cx - r, cy - r),
+            )
+        ).alias("geom"),
+    )
+    lines = base.select(
+        "id",
+        geom_udfs.pts_linestring_wkb(
+            F.array(_xy(cx - r, cy), _xy(cx + r, cy))
+        ).alias("geom"),
+    )
+    pc = (
+        cut_to_tiles(polys, zoom=_VT_ZOOM, id_col="id")
+        .withColumn("m", geom_udfs.wkb_area(F.col("geom")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            roundn(F.sum("m"), -3).alias("measure"),
+        )
+        .withColumn("kind", F.lit("poly"))
+    )
+    lc = (
+        cut_to_tiles(lines, zoom=_VT_ZOOM, id_col="id")
+        .withColumn("m", geom_udfs.wkb_length(F.col("geom")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            round2(F.sum("m")).alias("measure"),
+        )
+        .withColumn("kind", F.lit("line"))
+    )
+    return pc.unionByName(lc).select("id", "kind", "n_tiles", "measure")
+
+
+def _vector_tile_cut_oracle() -> str:
+    from osm2pgsql_spark.operators.expire import EARTH_CIRCUMFERENCE
+
+    e = repr(EARTH_CIRCUMFERENCE / (1 << _VT_ZOOM))
+    return f"""
+    WITH base AS (
+        SELECT p_partkey AS id, {_VT_F_SQL} * {e} AS r
+        FROM part WHERE {osm_synth.SQUARE_FILTER_SQL})
+    SELECT id, 'poly' AS kind, cast(9 AS bigint) AS n_tiles,
+           {roundn_sql('(2.0e0 * r) * (2.0e0 * r)', -3)} AS measure
+    FROM base
+    UNION ALL
+    SELECT id, 'line' AS kind, cast(3 AS bigint) AS n_tiles,
+           {roundn_sql('2.0e0 * r', 2)} AS measure
+    FROM base
+    """
+
+
+register("vector_tile_cut", oracle=_vector_tile_cut_oracle())(q_vector_tile_cut)
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
