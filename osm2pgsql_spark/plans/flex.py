@@ -179,6 +179,10 @@ def _callback_mapper(kind: str, fn):
                             geom = bytes(v)
                         elif isinstance(v, bool):
                             vals[k] = "true" if v else "false"
+                        elif isinstance(v, dict):
+                            import json
+
+                            vals[k] = json.dumps(v, sort_keys=True)
                         elif v is not None:
                             vals[k] = str(v)
                     rows.append((tbl, kind[0], obj["id"], vals, geom))
@@ -671,7 +675,11 @@ class FlexConfig:
                 if cd.not_null:
                     not_null_conds.append(g.isNotNull())
                 continue
-            conv = self._convert(F.col("vals")[cd.name], cd)
+            if cd.type == "hstore":
+                # callbacks serialize dict values as JSON strings
+                conv = F.from_json(F.col("vals")[cd.name], "map<string,string>")
+            else:
+                conv = self._convert(F.col("vals")[cd.name], cd)
             cols.append(conv.alias(cd.name))
             if cd.not_null:
                 not_null_conds.append(conv.isNotNull())

@@ -382,3 +382,22 @@ def test_flex_python_callback_general_path(spark, fixture_dfs):
     assert ("w", "highway", "primary") in tr
     assert ("w", "highway", "service") in tr
     assert ("w", "highway", "path") not in tr
+
+
+def test_flex_callback_hstore_column(spark, fixture_dfs):
+    """Callback dict values land in hstore (map) columns."""
+    nodes, ways = fixture_dfs
+    cfg = FlexConfig()
+    cfg.define_table(
+        "tagged",
+        ids="node",
+        columns=[ColumnDef("tags", "hstore")],
+    )
+
+    def node(obj):
+        if obj["tags"]:
+            yield "tagged", {"tags": obj["tags"]}
+
+    cfg.process("node", node)
+    out = {r["osm_id"]: r["tags"] for r in cfg.run(nodes=nodes)["tagged"].collect()}
+    assert out[1] == {"amenity": "restaurant", "name": "N1"}
