@@ -82,32 +82,23 @@ def _pts_poly_3857(pts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def _pts_line_4326(pts: pd.Series) -> pd.Series:
-    out = []
-    for arr in pts:
-        if arr is None or len(arr) == 0:
-            out.append(None)
-            continue
-        out.append(G.to_wkb(G.make_linestring([(p["x"], p["y"]) for p in arr])))
-    return pd.Series(out, dtype=object)
-
-
-def _pts_poly_4326(pts: pd.Series) -> pd.Series:
-    out = []
-    for arr in pts:
-        if arr is None or len(arr) == 0:
-            out.append(None)
-            continue
-        out.append(
-            G.to_wkb(G.make_polygon_from_way([(p["x"], p["y"]) for p in arr]))
-        )
-    return pd.Series(out, dtype=object)
-
-
 pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
 pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
-pts_linestring_wkb = _lazy("line4326", _pts_line_4326, "binary")
-pts_polygon_wkb = _lazy("poly4326", _pts_poly_4326, "binary")
+
+
+def pts_linestring_wkb(col: Column) -> Column:
+    """4326 variant — delegates to assembly.pts_to_linestring_wkb (the
+    single owner of the dup-removal / <2-points-null semantics)."""
+    from osm2pgsql_spark.operators import assembly
+
+    return assembly.pts_to_linestring_wkb(col)
+
+
+def pts_polygon_wkb(col: Column) -> Column:
+    """4326 variant — delegates to assembly.pts_to_polygon_wkb."""
+    from osm2pgsql_spark.operators import assembly
+
+    return assembly.pts_to_polygon_wkb(col)
 
 
 # ------------------------------------------------------ scalar measures

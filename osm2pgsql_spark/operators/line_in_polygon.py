@@ -97,8 +97,10 @@ def width_from_areas(
     grid_cell: float | None = None,
 ) -> DataFrame:
     """(line_id, width) — weighted-length width from covering areas:
-    sum(len_inside_i * width_i) / sum(len_inside_i); NULL when no
-    area touches the line (gen-rivers.cpp:213-233 semantics).
+    sum(len_inside_i * width_i) / sum(len_inside_i)
+    (gen-rivers.cpp:213-233 semantics).  Lines touched by NO area are
+    absent from the output — left-join the result back onto the edge
+    table and coalesce with a default to give every segment a width.
 
     lines: (line_id, geom WKB linestring); areas: (area_geom WKB
     polygon, width).

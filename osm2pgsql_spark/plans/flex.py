@@ -134,7 +134,7 @@ class ExpireOutputDef:
     full_area_limit: float = 0.0
 
 
-def _callback_mapper(kind: str, fn):
+def _callback_mapper(kind: str, fn, valid_tables: frozenset):
     """Arrow-batch executor for one process() callback: builds the
     per-object dict (tags, refs/members, pre-assembled WKB geometry),
     invokes the user function, and flattens its (table, row) results
@@ -172,6 +172,13 @@ def _callback_mapper(kind: str, fn):
                         else [(m["type"], int(m["ref"]), m["role"]) for m in members]
                     )
                 for tbl, row in fn(obj) or ():
+                    if tbl not in valid_tables:
+                        # reference flex raises on insert into an
+                        # unknown table; silent drop would lose data
+                        raise ValueError(
+                            f"callback inserted into undefined table {tbl!r} "
+                            f"(defined: {sorted(valid_tables)})"
+                        )
                     vals: dict[str, str] = {}
                     geom = None
                     for k, v in row.items():
@@ -629,13 +636,19 @@ class FlexConfig:
                     ).drop("__gid")
             else:
                 prep = src.select("id", "tags", "members")
-            frames.append(prep.mapInPandas(_callback_mapper(kind, fn), out_schema))
+            frames.append(
+                prep.mapInPandas(
+                    _callback_mapper(kind, fn, frozenset(self.tables)), out_schema
+                )
+            )
         if not frames:
             return None
         result = frames[0]
         for f in frames[1:]:
             result = result.unionByName(f)
-        return result
+        # every output table embeds this frame in its plan: persist so
+        # the (Python, per-row) callbacks run once, not once per table
+        return result.persist()
 
     def _callback_rows_for_table(
         self, cb_df: DataFrame, tdef: TableDef
@@ -678,6 +691,10 @@ class FlexConfig:
             if cd.type == "hstore":
                 # callbacks serialize dict values as JSON strings
                 conv = F.from_json(F.col("vals")[cd.name], "map<string,string>")
+            elif cd.type in ("json", "jsonb"):
+                # already JSON text from the mapper — _convert's to_json
+                # would crash on a string input
+                conv = F.col("vals")[cd.name]
             else:
                 conv = self._convert(F.col("vals")[cd.name], cd)
             cols.append(conv.alias(cd.name))

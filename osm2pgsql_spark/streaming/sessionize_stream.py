@@ -83,7 +83,10 @@ def _session_fn(gap_us: int):
                 closed.append((user_id, start, last, n))
                 start, last, n = t, t, 1
             else:
-                last = t
+                # out-of-order events above the watermark fold INTO the
+                # open session; never move its bounds backwards
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
 
         wm_ms = state.getCurrentWatermarkMs()

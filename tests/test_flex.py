@@ -401,3 +401,27 @@ def test_flex_callback_hstore_column(spark, fixture_dfs):
     cfg.process("node", node)
     out = {r["osm_id"]: r["tags"] for r in cfg.run(nodes=nodes)["tagged"].collect()}
     assert out[1] == {"amenity": "restaurant", "name": "N1"}
+
+
+def test_flex_callback_json_column_and_unknown_table(spark, fixture_dfs):
+    """json columns pass the serialized dict through; inserting into an
+    undefined table raises instead of silently dropping rows."""
+    nodes, _ways = fixture_dfs
+    cfg = FlexConfig()
+    cfg.define_table("j", ids="node", columns=[ColumnDef("props", "json")])
+
+    def node(obj):
+        if obj["tags"]:
+            yield "j", {"props": obj["tags"]}
+
+    cfg.process("node", node)
+    rows = {r["osm_id"]: r["props"] for r in cfg.run(nodes=nodes)["j"].collect()}
+    import json
+
+    assert json.loads(rows[1]) == {"amenity": "restaurant", "name": "N1"}
+
+    bad = FlexConfig()
+    bad.define_table("j", ids="node", columns=[ColumnDef("props", "json")])
+    bad.process("node", lambda obj: [("typo_table", {"props": "x"})])
+    with pytest.raises(Exception, match="undefined table"):
+        bad.run(nodes=nodes)["j"].collect()

@@ -144,3 +144,55 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert (7, base_min + 0, 2) in got
     assert (7, base_min + 25, 1) in got
     assert (8, base_min + 0, 1) in got
+
+
+def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
+    """A late-but-valid event must not move the open session's end
+    backwards (regression: `last` was assigned unconditionally)."""
+    from osm2pgsql_spark.streaming.sessionize_stream import sessionize_stream
+
+    src = str(tmp_path / "ooo_events")
+    out = str(tmp_path / "ooo_sessions")
+    ckpt = str(tmp_path / "ooo_ckpt")
+    schema = "event_id long, ts timestamp, user_id long"
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def run_once():
+        events = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stream(events, gap_us=600 * 1_000_000, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, ts(0), 5), (2, ts(8), 5)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # late event (ts=4) arrives in batch 2, then ts=17: 9 min after the
+    # true last event (8) -> still ONE session of 4 events
+    spark.createDataFrame([(3, ts(4), 5), (4, ts(17), 5)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # advance watermark far enough to flush
+    spark.createDataFrame([(9, ts(600), 6)], schema).write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame([(10, ts(1200), 6)], schema).write.mode("append").parquet(src)
+    run_once()
+
+    rows = [r for r in spark.read.parquet(out).collect() if r["user_id"] == 5]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 4
+    assert r["session_end_us"] // 60_000_000 == int(t0.timestamp()) // 60 + 17
