@@ -551,6 +551,43 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {S.tokens_sql('text')} AS t FROM documents),
+         shl AS (SELECT doc_id, {S.shingles_from_tokens_sql('t', 3)} AS sh FROM toks)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {roundn_sql('cast(len(list_intersect(a.sh, b.sh)) AS double) / len(list_distinct(list_concat(a.sh, b.sh)))', 4)} AS jaccard
+    FROM shl a JOIN shl b ON b.doc_id = a.doc_id + 1
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram (shingle-set) Jaccard as a first-class
+    operator: similarity of consecutive document pairs — one ordered
+    equi-join on doc_id, JVM-side array_intersect/array_union, no
+    candidate generation required (the LSH-candidate variant is gated
+    by minhash_near_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", S.shingles_from_tokens(S.tokens(F.col("text")), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return a.join(b, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        round4(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search: exact brute-force cosine top-k (ANN baseline)
 # ---------------------------------------------------------------------------
