@@ -430,6 +430,11 @@ def spherical_area(geom, ellipsoid: bool = True) -> float:
                 np.clip(_authalic_q(np.sin(phi)) / _QP, -1.0, 1.0)
             )
         dl = lam[1:] - lam[:-1]
+        # a great-circle edge always takes the short way round: wrap
+        # |dl| > pi so tan(dl/2) cannot blow up for rings crossing the
+        # antimeridian.  Conditional (not a blanket remainder) so
+        # in-range deltas stay bit-identical for the SQL oracle twin.
+        dl = np.where(np.abs(dl) > np.pi, dl - np.sign(dl) * 2.0 * np.pi, dl)
         mid = (phi[1:] + phi[:-1]) / 2.0
         half = (phi[1:] - phi[:-1]) / 2.0
         excess = 2.0 * np.arctan(np.tan(dl / 2.0) * np.sin(mid) / np.cos(half))

@@ -205,20 +205,29 @@ def simhash_hamming_pairs(
 
 def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b) -> (doc_id, cluster_id):
-    connected components by min-label propagation (the dedup decision
-    step: every doc in a component is a duplicate of the component's
-    lowest id).
+    connected components by min-label propagation + pointer jumping
+    (the dedup decision step: every doc in a component is a duplicate
+    of the component's lowest id).
 
-    O(log n) rounds for chain-free dup clusters (the common case);
-    each round is one shuffle on doc_id."""
+    Pointer jumping (cluster_id <- label(cluster_id)) makes this
+    O(log diameter) rounds — a 10^6-long dup chain converges in ~20
+    rounds, where plain hash-min needs 10^6.  Rounds eagerly
+    localCheckpoint (lineage doubles per round otherwise), and
+    non-convergence raises instead of silently returning wrong
+    clusters (the gate's oracle is an exact transitive closure)."""
     edges = pairs.select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -226,11 +235,24 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+        hashed = labels.join(nbr_min, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                 "cluster_id"
             ),
+        )
+        jump = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("jumped")
+        )
+        new_labels = (
+            hashed.join(jump, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("jumped", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -241,8 +263,11 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"cluster_pairs did not converge in {max_iter} rounds "
+        "(component diameter > 2^rounds); raise max_iter"
+    )
 
 
 def dedup_decisions(

@@ -23,7 +23,9 @@ from osm2pgsql_spark.operators.vector_tiles import cut_to_tiles
 
 # below this many dirty tiles the membership set is broadcast into the
 # cut kernel so non-dirty tiles are never clipped at all
-BROADCAST_TILE_LIMIT = 1_000_000
+# each python worker unpickles its own copy of the broadcast set, so
+# the cap is sized for (workers x set) memory, not one copy
+BROADCAST_TILE_LIMIT = 200_000
 
 
 def rollup_tiles(tiles: DataFrame, from_zoom: int, to_zoom: int) -> DataFrame:
@@ -114,19 +116,16 @@ def cut_to_dirty_tiles(
         }
         sc = geoms.sparkSession.sparkContext
         bwanted = sc.broadcast(wanted)
-        cut = cut_to_tiles(geoms, zoom, margin=margin, wkb_col=wkb_col, id_col=id_col)
-        # membership filter runs post-cut but executor-side against the
-        # broadcast set — cheap, and keeps cut_to_tiles unchanged
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        def _in_set(x, y):
-            w = bwanted.value
-            return pd.Series(
-                [(int(a), int(b)) in w for a, b in zip(x, y)], dtype=bool
-            )
-
-        in_set = pandas_udf(_in_set, "boolean")
-        return cut.where(in_set(F.col("x"), F.col("y")))
+        # membership check runs INSIDE the cut kernel, before each
+        # clip — non-dirty tiles cost only the tile enumeration, so
+        # clip CPU is proportional to the dirty set, not the extent
+        return cut_to_tiles(
+            geoms,
+            zoom,
+            margin=margin,
+            wkb_col=wkb_col,
+            id_col=id_col,
+            tile_filter=lambda x, y: (int(x), int(y)) in bwanted.value,
+        )
     cut = cut_to_tiles(geoms, zoom, margin=margin, wkb_col=wkb_col, id_col=id_col)
     return cut.join(tiles.select("x", "y").distinct(), ["x", "y"], "left_semi")

@@ -149,11 +149,15 @@ def grid(
         & (probe["cy"] == cand["cy"])
         & _higher()
     )
+    # eager localCheckpoint, not persist(): it materializes once for
+    # the two consuming branches AND its storage is released by the
+    # ContextCleaner when unreferenced — a plain persist() stays
+    # pinned in the CacheManager forever (leak per grid() call)
     near_all = (
         probe.join(cand, on, "left")
         .groupBy("id", "ax", "ay", "aimp")
         .agg(F.min(_dist()).alias("iso"))
-        .persist()
+        .localCheckpoint()
     )
     trusted = near_all.where(F.col("iso") <= cell).select("id", "aimp", "iso")
     residue_probe = near_all.where(

@@ -161,6 +161,67 @@ def mask_to_rings(mask: np.ndarray) -> list[np.ndarray]:
     return rings
 
 
+def _component_runs(mask: np.ndarray):
+    """4-connected component labeling over row runs (union-find).
+
+    Returns (runs, root_area, find): runs = [(row, start, end, idx)],
+    root_area maps each root label to its component's pixel count."""
+    H, _W = mask.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs: list[tuple[int, int, int, int]] = []
+    prev: list[tuple[int, int, int]] = []
+    for r in range(H):
+        row = mask[r]
+        if not row.any():
+            prev = []
+            continue
+        diff = np.diff(np.concatenate([[0], row.view(np.int8), [0]]))
+        starts = np.nonzero(diff == 1)[0]
+        ends = np.nonzero(diff == -1)[0]
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            idx = len(parent)
+            parent.append(idx)
+            for ps, pe, pidx in prev:
+                if ps < e and s < pe:
+                    union(idx, pidx)
+            cur.append((s, e, idx))
+            runs.append((r, s, e, idx))
+        prev = cur
+    root_area: dict[int, int] = {}
+    for _r, s, e, idx in runs:
+        root = find(idx)
+        root_area[root] = root_area.get(root, 0) + (e - s)
+    return runs, root_area, find
+
+
+def drop_small_components(
+    mask: np.ndarray, min_pixels: float
+) -> np.ndarray:
+    """Clear whole connected components below min_pixels — potrace's
+    turdsize semantics (drop small speckle PATHS, never thin strips of
+    large regions; reference gen-tile-builtup.cpp margin/turdsize)."""
+    if min_pixels <= 0:
+        return mask
+    runs, root_area, find = _component_runs(mask)
+    for r, s, e, idx in runs:
+        if root_area[find(idx)] < min_pixels:
+            mask[r, s:e] = False
+    return mask
+
+
 def union_polygons_raster(
     geoms: list, rect: tuple[float, float, float, float], resolution: int = 256, close_size: int = 0
 ):
@@ -257,9 +318,11 @@ def tile_builtup(
     (layer, x, y, geom WKB) — several source layers cut to tiles.
     Per tile: each layer rasterizes onto its own canvas, gets the
     reference's erode/dilate(2x)/erode smoothing with its per-layer
-    buffer size (px), the layer masks are OR-merged, and the merged
-    mask is vectorized; traced polygons smaller than `turdsize` pixels
-    or `min_area` world units are dropped.  Output: one row per
+    buffer size (px), the layer masks are OR-merged; connected
+    components smaller than `turdsize` pixels or `min_area` world
+    units are dropped whole (potrace turdsize semantics — never thin
+    strips of a large region), then the mask is vectorized.  Output:
+    one row per
     polygon (x, y, geom, area) — the tile-keyed destination table
     shape (the reference's x/y columns + optional area column)."""
 
@@ -276,22 +339,24 @@ def tile_builtup(
             _rasterize_layer(mask, geoms, rect, resolution)
             mask = open_close(mask, int(buffer_sizes.get(layer, 0)))
             merged |= mask
+        # size filters act on whole connected components (potrace
+        # turdsize semantics) BEFORE rectangle decomposition — a
+        # per-rectangle check would delete thin strips of large
+        # sloped regions
+        if turdsize:
+            drop_small_components(merged, float(turdsize))
+        if min_area:
+            drop_small_components(merged, float(min_area) * sx * sy)
         rings = mask_to_rings(merged)
         rows = []
         for ring in rings:
-            px_area = abs(
-                (ring[1, 0] - ring[0, 0]) * (ring[2, 1] - ring[1, 1])
-            )
-            if turdsize and px_area < turdsize:
-                continue
             back = np.empty_like(ring)
             back[:, 0] = ring[:, 0] / sx + xmin
             back[:, 1] = ring[:, 1] / sy + ymin
             poly = ("polygon", [back])
-            area = G.area(poly)
-            if min_area and area < min_area:
-                continue
-            rows.append({"x": x, "y": y, "geom": G.to_wkb(poly), "area": area})
+            rows.append(
+                {"x": x, "y": y, "geom": G.to_wkb(poly), "area": G.area(poly)}
+            )
         return pd.DataFrame(rows, columns=["x", "y", "geom", "area"])
 
     return tiled.groupBy("x", "y").applyInPandas(

@@ -172,6 +172,7 @@ def cut_to_tiles(
     margin: float = 0.0,
     wkb_col: str = "geom",
     id_col: str | None = None,
+    tile_filter=None,
 ) -> DataFrame:
     """Features (EPSG:3857 WKB) -> one row per covering tile with the
     geometry clipped to that tile's envelope(+margin).
@@ -192,6 +193,10 @@ def cut_to_tiles(
                     continue
                 g = G.from_wkb(bytes(w))
                 for x, y in tiles_for_geometry(g, cfg):
+                    # tile_filter runs BEFORE the (expensive) clip so
+                    # skipped tiles cost only the enumeration
+                    if tile_filter is not None and not tile_filter(x, y):
+                        continue
                     clipped = clip_geometry(g, tile_envelope(zoom, x, y, margin))
                     if clipped is None:
                         continue

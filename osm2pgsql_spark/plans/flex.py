@@ -500,7 +500,10 @@ class FlexConfig:
         rel_geom_cache: dict[str, DataFrame] = {}
 
         def rel_geoms(which: str) -> DataFrame | None:
-            if relations is None or ways is None or nodes is None:
+            # multipoint assembly needs only node members; the other
+            # kinds stitch member ways
+            need_ways = which != "multipoint"
+            if relations is None or nodes is None or (need_ways and ways is None):
                 return None
             if which not in rel_geom_cache:
                 from osm2pgsql_spark.operators.relations import (
@@ -546,6 +549,10 @@ class FlexConfig:
                     rg = rel_geoms(rule.relation_geometry)
                     if rg is not None:
                         df = df.join(rg, df["id"] == F.col("__gid"), "left")
+                    else:
+                        # assembly inputs missing: geometry resolves to
+                        # NULL instead of an unresolvable column
+                        df = df.withColumn("__rel_geom", F.lit(None).cast("binary"))
                 if rule.when is not None:
                     df = df.where(rule.when)
                 cols: list[Column] = []

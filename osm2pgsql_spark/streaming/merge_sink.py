@@ -85,11 +85,16 @@ class ParquetMergeTable:
         )
         if not touched:
             return []
-        base = (
-            spark.read.parquet(self.path)
-            .where(F.col(_BUCKET).isin([int(b) for b in touched]))
-            .drop(_BUCKET)
-        )
+        if glob.glob(os.path.join(self.path, f"{_BUCKET}=*", "*.parquet")):
+            base = (
+                spark.read.parquet(self.path)
+                .where(F.col(_BUCKET).isin([int(b) for b in touched]))
+                .drop(_BUCKET)
+            )
+        else:
+            # fully-emptied table: only _schema.json remains, so direct
+            # parquet reading would die on schema inference
+            base = self.read(spark)
         merged = apply_diff(base, diff, id_col=self.id_col, order_col=order_col)
         out = self._bucketed(merged)
 

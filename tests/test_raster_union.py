@@ -151,3 +151,29 @@ def test_builtup_multilayer_buffer_merge_and_thresholds(spark):
     geoms = [G.from_wkb(bytes(r.geom)) for r in out2]
     assert covers(0.15, 0.2) or covers(0.205, 0.2)
     assert not covers(0.65, 0.65)  # 0.1x0.1 block < min_area threshold
+
+
+def test_turdsize_drops_components_not_strips():
+    """A large sloped region decomposes into many thin row-span
+    rectangles; turdsize must drop whole small components only, never
+    the strips of a large one (regression: per-rectangle filtering)."""
+    import numpy as np
+
+    from osm2pgsql_spark.operators.raster_union import (
+        drop_small_components,
+        mask_to_rings,
+    )
+
+    m = np.zeros((64, 64), dtype=bool)
+    # sloped triangle: rows of width 1..40 (total >> turdsize, every
+    # row-span rectangle is 1 px tall)
+    for r in range(40):
+        m[r, : r + 1] = True
+    big_px = int(m.sum())
+    # a 2x2 speckle far away
+    m[60:62, 60:62] = True
+
+    drop_small_components(m, 16)
+    assert int(m.sum()) == big_px  # speckle gone, triangle intact
+    rings = mask_to_rings(m.copy())
+    assert sum(abs((r[1, 0] - r[0, 0]) * (r[2, 1] - r[1, 1])) for r in rings) == big_px
