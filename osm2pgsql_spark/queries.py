@@ -2345,6 +2345,64 @@ register("vector_tile_cut", oracle=_vector_tile_cut_oracle())(q_vector_tile_cut)
 
 
 # ---------------------------------------------------------------------------
+# §2.9 reverse + split_multi + geometry_type kernels
+# (geom-functions.cpp:514-557, :497; flex-lua-geom.cpp:146-230):
+# reverse the square diagonal, interpolate 1/4 along it — that's the
+# 3/4 point of the forward line, closed-form exact; split the
+# relation multilinestring into parts and count them (1 ring without
+# a hole, 2 with).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geom_reverse_split",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           'LINESTRING' AS gtype,
+           ({osm_synth.SQUARE_CX_SQL}) + ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS rx,
+           ({osm_synth.SQUARE_CY_SQL}) + ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS ry,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 2 ELSE 1 END AS bigint) AS n_parts,
+           cast(5 AS bigint) AS part_points
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.relations import relation_multilinestrings
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+    diag = geom_udfs.pts_linestring_wkb(
+        F.array(_xy(cx - s, cy - s), _xy(cx + s, cy + s))
+    )
+    rev = geom_udfs.wkb_reverse(diag)
+    ip = geom_udfs.wkb_interpolate_xy(rev, 0.25)
+    scalar = base.select(
+        "id",
+        geom_udfs.wkb_geometry_type(rev).alias("gtype"),
+        ip["x"].alias("rx"),
+        ip["y"].alias("ry"),
+    )
+
+    nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
+    ml = relation_multilinestrings(rels, ways_df, nodes)
+    parts = (
+        ml.select(
+            F.col("rel_id").alias("id"),
+            F.explode(geom_udfs.wkb_split_multi(F.col("geom"))).alias("part"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max(geom_udfs.wkb_num_points(F.col("part"))).alias("part_points"),
+        )
+    )
+    return scalar.join(parts, "id").select(
+        "id", "gtype", "rx", "ry", "n_parts", "part_points"
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
