@@ -174,14 +174,20 @@ def rp_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # candidates << corpus: broadcast them into the two vector joins so
-    # the embedding table streams shuffle-free (verified_near_dups shape)
+    # candidates << corpus: broadcast ONLY the bare id pairs into the
+    # two vector joins so the embedding table streams shuffle-free
+    # (verified_near_dups shape).  The hint must never wrap a relation
+    # carrying embeddings — candidate pairs are O(corpus) on a
+    # dup-heavy input and candidates x 64 floats would OOM executors.
+    # The final pair-up joins two candidate-sized sides without a hint;
+    # AQE picks the strategy from real sizes.
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).join(
         F.broadcast(cand), "id_a"
     )
-    j = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).join(
-        F.broadcast(va), "id_b"
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).join(
+        F.broadcast(cand.select("id_b").distinct()), "id_b"
     )
+    j = va.join(vb, ["id_b"])
     sim = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         j.withColumn("sim", sim)

@@ -122,15 +122,21 @@ def verified_near_dups(
     sh = toks2.select(
         F.col(id_col), S.shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
     ).persist()
-    # Join order for scale: candidates are always << corpus, so they
-    # are the broadcast side both times and the shingle table streams
-    # without a shuffle (measured 5x on the dedup bench vs sort-merge).
+    # Join order for scale: the broadcast hint wraps ONLY the bare
+    # (doc_a, doc_b) id pairs — never a relation carrying shingle
+    # payloads, whose size is O(candidates x doc length) and OOMs on a
+    # dup-heavy corpus.  Each shingle lookup streams the corpus table
+    # shuffle-free against the broadcast ids (measured 5x on the dedup
+    # bench vs sort-merge); the final pair-up joins two candidate-sized
+    # sides on (doc_a, doc_b) and AQE is free to pick its strategy from
+    # real sizes.
     withs_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")).join(
         F.broadcast(cand), "doc_a"
     )
-    j = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")).join(
-        F.broadcast(withs_a), "doc_b"
-    ).withColumn(
+    withs_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")).join(
+        F.broadcast(cand.select("doc_b").distinct()), "doc_b"
+    )
+    j = withs_a.join(withs_b, ["doc_b"]).withColumn(
         "jaccard",
         round4(
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

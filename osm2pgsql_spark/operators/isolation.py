@@ -9,10 +9,11 @@ Spark-first: two implementations.
   strict importance ordering (ties broken by id).  Test-scale and
   oracle-matched path.
 - grid(): the 100 TB path — points bucketed into grid cells, each
-  point joins only its 3x3 cell neighborhood; any point whose
+  point joins only its 3x3 cell neighborhood; points whose
   neighborhood gives no trustworthy answer (nearest-higher farther
-  than one cell) falls back to an exact pass probing the FULL point
-  set.  Identical results to exact() (tested), bounded join fan-out.
+  than one cell) are re-probed at escalating cell sizes (x4 per
+  round), every round a bounded equi-join, until the residue drains.
+  Identical results to exact() (tested), no non-equi join anywhere.
 """
 
 from __future__ import annotations
@@ -88,33 +89,19 @@ def exact(
     return _ranked(_min_dist_to_higher(probe, cand))
 
 
-def grid(
-    points: DataFrame,
-    cell: float,
-    id_col: str = "id",
-    x: str = "x",
-    y: str = "y",
-    importance: str = "importance",
-) -> DataFrame:
-    """Grid-bucketed candidate join; results identical to exact().
-
-    A 3x3-neighborhood distance is only trusted when it cannot cross a
-    cell boundary (iso <= cell); untrusted points fall back to an
-    exact probe against the FULL candidate set (not just the residue —
-    their nearest-higher point is usually already resolved)."""
-    probe = _probe_side(points, id_col, x, y, importance).select(
+def _neighborhood_min(probe: DataFrame, cand_full: DataFrame, cell: float) -> DataFrame:
+    """One 3x3-neighborhood round at a given cell size: LEFT equi-join
+    on (cx, cy) with the 9-way candidate explode, min distance to any
+    strictly-more-important neighbor.  Returns
+    (id, ax, ay, aimp, iso) with iso NULL when the neighborhood holds
+    no higher point.  Bounded fan-out: the only join key is the cell.
+    A distance d <= cell cannot cross out of the 3x3 block, so rows
+    with iso <= cell are exact."""
+    p = probe.select(
         "*",
         F.floor(F.col("ax") / cell).alias("cx"),
         F.floor(F.col("ay") / cell).alias("cy"),
     )
-    # the candidate side broadcasts, so probe parallelism alone bounds
-    # the join: a small input (one parquet file -> one partition) would
-    # serialize the whole neighborhood join onto one core.  Round-robin
-    # spread; at real scale the scan already has many partitions and
-    # this is a cheap narrow-input safeguard.
-    par = points.sparkSession.sparkContext.defaultParallelism
-    if probe.rdd.getNumPartitions() < par:
-        probe = probe.repartition(par)
     offs = F.explode(
         F.array(
             *[
@@ -124,7 +111,6 @@ def grid(
             ]
         )
     ).alias("o")
-    cand_full = _cand_side(points, id_col, x, y, importance)
     cand = (
         cand_full.select(
             "*",
@@ -138,30 +124,93 @@ def grid(
             (F.col("bcy") + F.col("o.dy")).alias("cy"),
         )
     )
-    # LEFT join keeps every probe point in one pass: a point with no
-    # trustworthy neighborhood answer (no higher point in the 3x3, or
-    # nearest-higher beyond one cell) surfaces with iso NULL / > cell
-    # instead of needing a separate anti-join stage.  near_all feeds
-    # two branches (trusted rows and the residue re-probe), hence the
-    # persist.
-    on = (
-        (probe["cx"] == cand["cx"])
-        & (probe["cy"] == cand["cy"])
-        & _higher()
-    )
-    # eager localCheckpoint, not persist(): it materializes once for
-    # the two consuming branches AND its storage is released by the
-    # ContextCleaner when unreferenced — a plain persist() stays
-    # pinned in the CacheManager forever (leak per grid() call)
-    near_all = (
-        probe.join(cand, on, "left")
+    on = (p["cx"] == cand["cx"]) & (p["cy"] == cand["cy"]) & _higher()
+    return (
+        p.join(cand, on, "left")
         .groupBy("id", "ax", "ay", "aimp")
         .agg(F.min(_dist()).alias("iso"))
-        .localCheckpoint()
     )
-    trusted = near_all.where(F.col("iso") <= cell).select("id", "aimp", "iso")
-    residue_probe = near_all.where(
-        F.col("iso").isNull() | (F.col("iso") > cell)
-    ).select("id", "ax", "ay", "aimp")
-    residue_iso = _min_dist_to_higher(residue_probe, cand_full)
-    return _ranked(trusted.unionByName(residue_iso))
+
+
+def grid(
+    points: DataFrame,
+    cell: float,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    importance: str = "importance",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Grid-bucketed candidate join; results identical to exact().
+
+    A 3x3-neighborhood distance is only trusted when it cannot cross a
+    cell boundary (iso <= cell); untrusted points are re-probed at
+    escalating cell sizes (x4 per round) — every round stays a bounded
+    equi-join, so no BroadcastNestedLoopJoin ever appears (the former
+    full-set theta-join fallback would broadcast the entire point set
+    at planet scale).  Termination is certain: once the cell size
+    reaches the data span every point's 3x3 neighborhood covers the
+    whole corpus, and the single point with no higher point at all
+    (the global importance argmax, which would otherwise never drain)
+    is patched in directly with iso NULL from a one-row aggregate."""
+    probe = _probe_side(points, id_col, x, y, importance)
+    cand_full = _cand_side(points, id_col, x, y, importance)
+
+    # one bounded (1-row) aggregate: global argmax + data span
+    # (computed before the repartition below so it skips that shuffle)
+    stats = probe.agg(
+        F.max(F.struct(F.col("aimp").alias("i"), (-F.col("id")).alias("nid"))).alias("m"),
+        (F.max("ax") - F.min("ax")).alias("sx"),
+        (F.max("ay") - F.min("ay")).alias("sy"),
+    ).head()
+    if stats is None or stats["m"] is None:
+        return _ranked(
+            probe.select("id", "aimp", F.lit(None).cast("double").alias("iso")).limit(0)
+        )
+    top_imp, top_id = stats["m"]["i"], -stats["m"]["nid"]
+    span = max(stats["sx"] or 0.0, stats["sy"] or 0.0)
+
+    # probe parallelism alone bounds the join: a small input (one
+    # parquet file -> one partition) would serialize the whole
+    # neighborhood join onto one core.  Round-robin spread; at real
+    # scale the scan already has many partitions and this is a cheap
+    # narrow-input safeguard.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if probe.rdd.getNumPartitions() < par:
+        probe = probe.repartition(par)
+
+    is_top = (F.col("aimp") == F.lit(top_imp)) & (F.col("id") == F.lit(top_id))
+    done = [
+        probe.where(is_top).select(
+            "id", "aimp", F.lit(None).cast("double").alias("iso")
+        )
+    ]
+    residue = probe.where(~is_top)
+    r = cell
+    for _ in range(max_rounds):
+        # eager localCheckpoint, not persist(): it materializes once
+        # for the consuming branches AND its storage is released by the
+        # ContextCleaner when unreferenced — a plain persist() stays
+        # pinned in the CacheManager forever (leak per grid() call)
+        near = _neighborhood_min(residue, cand_full, r).localCheckpoint()
+        if r >= span:
+            # 3x3 at cell >= span covers every candidate: exact for all
+            done.append(near.select("id", "aimp", "iso"))
+            residue = None
+            break
+        done.append(near.where(F.col("iso") <= r).select("id", "aimp", "iso"))
+        residue = near.where(F.col("iso").isNull() | (F.col("iso") > r)).select(
+            "id", "ax", "ay", "aimp"
+        )
+        r *= 4
+        if residue.isEmpty():
+            residue = None
+            break
+    if residue is not None:
+        raise RuntimeError(
+            f"isolation.grid did not drain its residue in {max_rounds} rounds"
+        )
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return _ranked(out)

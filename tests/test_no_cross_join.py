@@ -20,6 +20,30 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _broadcast_exchange_columns(df) -> list[list[str]]:
+    """Column-name lists of every BroadcastExchange input in the plan."""
+    import re
+
+    lines = _formatted_plan(df).splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) BroadcastExchange", ln.strip()):
+            continue
+        for follow in lines[i + 1 : i + 6]:
+            m = re.match(r"Input \[\d+\]: \[(.*)\]", follow.strip())
+            if m:
+                cols = [c.strip().split("#")[0] for c in m.group(1).split(",")]
+                out.append(cols)
+                break
+    return out
+
+
 def test_simhash_hamming_pairs_plan_has_no_cross_join(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sh = dedup.simhash_table(docs)
@@ -72,6 +96,59 @@ def test_rp_near_dups_subset_of_brute_force_with_high_precision(spark):
     want = {(r.id_a, r.id_b) for r in brute.collect()}
     assert got <= want
     assert len(got) > 0
+
+
+def test_minhash_verify_broadcasts_carry_no_payload(spark):
+    """Round-2 verdict: the verify joins must broadcast BARE id pairs
+    only — a broadcast relation carrying shingle arrays is
+    O(candidates x doc length) and OOMs on a dup-heavy corpus."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.verified_near_dups(docs)
+    allowed = {"doc_a", "doc_b", "band", "sig", "doc_id"}
+    bcasts = _broadcast_exchange_columns(out)
+    assert bcasts, "expected at least one broadcast of the candidate ids"
+    for cols in bcasts:
+        assert set(cols) <= allowed, f"payload column in broadcast: {cols}"
+
+
+def test_embedding_verify_broadcasts_carry_no_payload(spark):
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ann.rp_near_dup_pairs(vecs, threshold=0.3, n_bands=4, bits_per_band=4)
+    allowed = {"id_a", "id_b", "band", "sig", "vec_id"}
+    bcasts = _broadcast_exchange_columns(out)
+    assert bcasts, "expected at least one broadcast of the candidate ids"
+    for cols in bcasts:
+        assert set(cols) <= allowed, f"payload column in broadcast: {cols}"
+
+
+def test_isolation_grid_plan_has_no_bnlj(spark):
+    """Round-2 verdict: grid()'s residue fallback was a non-equi LEFT
+    join against the full point set (BroadcastNestedLoopJoin).  The
+    escalating-radius form must keep every round a bounded equi-join."""
+    import inspect
+
+    from osm2pgsql_spark.operators import isolation
+
+    # the theta-join helper is exact()'s plan only — grid must not use it
+    assert "_min_dist_to_higher" not in inspect.getsource(isolation.grid)
+    assert "_min_dist_to_higher" not in inspect.getsource(isolation._neighborhood_min)
+
+    points = spark.range(0, 500).select(
+        F.col("id"),
+        ((F.col("id") * 131) % 1000 / 10.0).alias("x"),
+        ((F.col("id") * 197) % 1000 / 10.0).alias("y"),
+        ((F.col("id") * 73) % 577).cast("double").alias("importance"),
+    )
+    probe = isolation._probe_side(points, "id", "x", "y", "importance")
+    cand = isolation._cand_side(points, "id", "x", "y", "importance")
+    round_plan = _physical_plan(isolation._neighborhood_min(probe, cand, 10.0))
+    for op in _FORBIDDEN:
+        assert op not in round_plan, f"{op} in round plan:\n{round_plan}"
+    # end-to-end: the final assembled plan (post-checkpoint union) too
+    out = isolation.grid(points, cell=10.0)
+    plan = _physical_plan(out)
+    for op in _FORBIDDEN:
+        assert op not in plan, f"{op} in plan:\n{plan}"
 
 
 def test_width_from_areas_grid_plan_has_no_cross_join(spark):
