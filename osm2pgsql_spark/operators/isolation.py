@@ -152,24 +152,16 @@ def grid(
     reaches the data span every point's 3x3 neighborhood covers the
     whole corpus, and the single point with no higher point at all
     (the global importance argmax, which would otherwise never drain)
-    is patched in directly with iso NULL from a one-row aggregate."""
+    is patched in directly with iso NULL.
+
+    Job economy (the cold-time lever at small scale): exactly one
+    checkpoint job (round 1), one 1-row stats aggregate ON that
+    checkpoint (argmax + span, so the upstream pipeline never re-runs),
+    and one final job — the escalation rounds are a single lazy plan
+    whose radii are precomputed from the span, with the checkpointed
+    round-1 output reused as the candidate corpus, so empty late
+    rounds cost empty partitions instead of driver round-trips."""
     probe = _probe_side(points, id_col, x, y, importance)
-    cand_full = _cand_side(points, id_col, x, y, importance)
-
-    # one bounded (1-row) aggregate: global argmax + data span
-    # (computed before the repartition below so it skips that shuffle)
-    stats = probe.agg(
-        F.max(F.struct(F.col("aimp").alias("i"), (-F.col("id")).alias("nid"))).alias("m"),
-        (F.max("ax") - F.min("ax")).alias("sx"),
-        (F.max("ay") - F.min("ay")).alias("sy"),
-    ).head()
-    if stats is None or stats["m"] is None:
-        return _ranked(
-            probe.select("id", "aimp", F.lit(None).cast("double").alias("iso")).limit(0)
-        )
-    top_imp, top_id = stats["m"]["i"], -stats["m"]["nid"]
-    span = max(stats["sx"] or 0.0, stats["sy"] or 0.0)
-
     # probe parallelism alone bounds the join: a small input (one
     # parquet file -> one partition) would serialize the whole
     # neighborhood join onto one core.  Round-robin spread; at real
@@ -178,38 +170,58 @@ def grid(
     par = points.sparkSession.sparkContext.defaultParallelism
     if probe.rdd.getNumPartitions() < par:
         probe = probe.repartition(par)
+    cand_full = _cand_side(points, id_col, x, y, importance)
 
+    # eager localCheckpoint, not persist(): it materializes once for
+    # every consuming branch (stats, trusted rows, residue chain,
+    # later-round candidates) AND its storage is released by the
+    # ContextCleaner when unreferenced — a plain persist() stays
+    # pinned in the CacheManager forever (leak per grid() call).
+    # The LEFT join keeps one row per point, so this checkpoint IS the
+    # corpus (id, ax, ay, aimp, iso).
+    near = _neighborhood_min(probe, cand_full, cell).localCheckpoint()
+
+    # bounded (1-row) aggregate on the checkpoint: argmax + data span
+    stats = near.agg(
+        F.max(F.struct(F.col("aimp").alias("i"), (-F.col("id")).alias("nid"))).alias("m"),
+        (F.max("ax") - F.min("ax")).alias("sx"),
+        (F.max("ay") - F.min("ay")).alias("sy"),
+    ).head()
+    if stats is None or stats["m"] is None:
+        return _ranked(near.select("id", "aimp", "iso").limit(0))
+    top_imp, top_id = stats["m"]["i"], -stats["m"]["nid"]
+    span = max(stats["sx"] or 0.0, stats["sy"] or 0.0)
+
+    radii = []
+    r = cell * 4.0
+    while r < span:
+        radii.append(r)
+        r *= 4.0
+    radii.append(r)  # final round: 3x3 at cell >= span covers everything
+    if len(radii) > max_rounds:
+        raise RuntimeError(
+            f"isolation.grid needs {len(radii)} escalation rounds "
+            f"(cell={cell} vs span={span}); choose a larger cell"
+        )
+
+    cand_ckpt = _cand_side(near, "id", "ax", "ay", "aimp")
     is_top = (F.col("aimp") == F.lit(top_imp)) & (F.col("id") == F.lit(top_id))
     done = [
-        probe.where(is_top).select(
-            "id", "aimp", F.lit(None).cast("double").alias("iso")
-        )
+        near.where(is_top).select("id", "aimp", F.lit(None).cast("double").alias("iso")),
+        near.where(~is_top & (F.col("iso") <= cell)).select("id", "aimp", "iso"),
     ]
-    residue = probe.where(~is_top)
-    r = cell
-    for _ in range(max_rounds):
-        # eager localCheckpoint, not persist(): it materializes once
-        # for the consuming branches AND its storage is released by the
-        # ContextCleaner when unreferenced — a plain persist() stays
-        # pinned in the CacheManager forever (leak per grid() call)
-        near = _neighborhood_min(residue, cand_full, r).localCheckpoint()
-        if r >= span:
-            # 3x3 at cell >= span covers every candidate: exact for all
-            done.append(near.select("id", "aimp", "iso"))
-            residue = None
-            break
-        done.append(near.where(F.col("iso") <= r).select("id", "aimp", "iso"))
-        residue = near.where(F.col("iso").isNull() | (F.col("iso") > r)).select(
-            "id", "ax", "ay", "aimp"
-        )
-        r *= 4
-        if residue.isEmpty():
-            residue = None
-            break
-    if residue is not None:
-        raise RuntimeError(
-            f"isolation.grid did not drain its residue in {max_rounds} rounds"
-        )
+    residue = near.where(
+        ~is_top & (F.col("iso").isNull() | (F.col("iso") > cell))
+    ).select("id", "ax", "ay", "aimp")
+    for i, r in enumerate(radii):
+        nr = _neighborhood_min(residue, cand_ckpt, r)
+        if i == len(radii) - 1:
+            done.append(nr.select("id", "aimp", "iso"))
+        else:
+            done.append(nr.where(F.col("iso") <= r).select("id", "aimp", "iso"))
+            residue = nr.where(F.col("iso").isNull() | (F.col("iso") > r)).select(
+                "id", "ax", "ay", "aimp"
+            )
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
