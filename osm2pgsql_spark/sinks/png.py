@@ -75,39 +75,61 @@ def write_raster_tiles(
 ) -> int:
     """Raster tile sink: (x, y, geom multipolygon WKB) -> z/x/y.png
     masks on disk (the file-system analog of the reference's raster
-    table sink; a JDBC writer can consume the same bytes).
+    table sink, src/gen/gen-tile-raster.cpp:62-76, which writes
+    per-tile from parallel workers; a JDBC writer can consume the same
+    bytes).
 
-    Rasterization happens executor-side per partition; files land via
-    the driver for local fs (collect of (path, bytes) pairs — swap
-    for a foreachPartition object-store writer at scale)."""
-    from osm2pgsql_spark.functions import geometry as G
-    from osm2pgsql_spark.operators.raster_union import rasterize_polygon
-    from osm2pgsql_spark.operators.vector_tiles import tile_envelope
+    Rasterization, PNG encoding, AND the file write all happen
+    executor-side inside mapInPandas — the driver never holds a
+    geometry or a pixel; the only thing that crosses back is the
+    (x, y) id of each written tile, counted for the return value.
+    Writes are idempotent (tmp file + atomic rename), so Spark task
+    retries are safe.  For an object store, swap the open/replace pair
+    for a PUT — the batching shape is identical."""
 
-    rows = tiles.select("x", "y", "geom").collect()
-    n = 0
-    for row in rows:
-        x, y = int(row["x"]), int(row["y"])
-        g = G.from_wkb(bytes(row["geom"])) if row["geom"] is not None else None
-        if g is None:
-            continue
-        xmin, ymin, xmax, ymax = tile_envelope(zoom, x, y)
-        sx = resolution / (xmax - xmin)
-        sy = resolution / (ymax - ymin)
+    def _render(batches):
+        import pandas as pd
 
-        def to_px(ring: np.ndarray) -> np.ndarray:
-            out = np.empty_like(ring)
-            out[:, 0] = (ring[:, 0] - xmin) * sx
-            out[:, 1] = (ring[:, 1] - ymin) * sy
-            return out
+        from osm2pgsql_spark.functions import geometry as G
+        from osm2pgsql_spark.operators.raster_union import rasterize_polygon
+        from osm2pgsql_spark.operators.vector_tiles import tile_envelope
 
-        mask = np.zeros((resolution, resolution), dtype=bool)
-        polys = [g[1]] if g[0] == "polygon" else g[1] if g[0] == "multipolygon" else []
-        for rings in polys:
-            rasterize_polygon(mask, rings, to_px)
-        path = os.path.join(out_dir, str(zoom), str(x))
-        os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, f"{y}.png"), "wb") as fh:
-            fh.write(png_encode_gray(mask[::-1]))  # PNG rows top-down
-        n += 1
-    return n
+        for pdf in batches:
+            xs, ys = [], []
+            for tx, ty, wkb in zip(pdf["x"], pdf["y"], pdf["geom"]):
+                if wkb is None:
+                    continue
+                g = G.from_wkb(bytes(wkb))
+                if g is None:
+                    continue
+                tx, ty = int(tx), int(ty)
+                xmin, ymin, xmax, ymax = tile_envelope(zoom, tx, ty)
+                sx = resolution / (xmax - xmin)
+                sy = resolution / (ymax - ymin)
+
+                def to_px(ring: np.ndarray) -> np.ndarray:
+                    out = np.empty_like(ring)
+                    out[:, 0] = (ring[:, 0] - xmin) * sx
+                    out[:, 1] = (ring[:, 1] - ymin) * sy
+                    return out
+
+                mask = np.zeros((resolution, resolution), dtype=bool)
+                polys = (
+                    [g[1]] if g[0] == "polygon"
+                    else g[1] if g[0] == "multipolygon"
+                    else []
+                )
+                for rings in polys:
+                    rasterize_polygon(mask, rings, to_px)
+                d = os.path.join(out_dir, str(zoom), str(tx))
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".{ty}.png.tmp.{os.getpid()}")
+                with open(tmp, "wb") as fh:
+                    fh.write(png_encode_gray(mask[::-1]))  # PNG rows top-down
+                os.replace(tmp, os.path.join(d, f"{ty}.png"))
+                xs.append(tx)
+                ys.append(ty)
+            yield pd.DataFrame({"x": xs, "y": ys})
+
+    written = tiles.select("x", "y", "geom").mapInPandas(_render, "x bigint, y bigint")
+    return written.count()
