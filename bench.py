@@ -3,6 +3,10 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query failures never abort the run: a failing query records an
+entry in "errors" and is excluded from the total, and the JSON line is
+always emitted.
 """
 
 from __future__ import annotations
@@ -40,6 +44,32 @@ HEADLINE = [
     "topk_per_group",
 ]
 
+# Heavy operators benched as a separate subtotal so their trend is
+# recorded without moving the headline total's meaning across rounds.
+HEAVY = [
+    "river_contraction",
+    "river_width_propagation",
+    "relation_multipolygon_rings",
+    "embedding_near_dups",
+    "simhash_hamming_pairs",
+    "flex_generic_lines",
+]
+
+
+def _run_set(spark, qs, names, sf_dir, timings, errors):
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,14 +83,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = Q.queries()
 
-    # Warm-up (excluded from timings): run every headline query once
-    # at the smallest SF.  Whole-stage-codegen compilation of the big
+    # Warm-up (excluded from timings): run every query once at the
+    # smallest SF.  Whole-stage-codegen compilation of the big
     # generated expressions (simhash/minhash folds) dominates cold
     # runs (PERF_NOTES.md), and warming compiles the same code paths.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + HEAVY:
         if name in qs:
             try:
                 qs[name](spark, warm_dir).count()
@@ -68,27 +98,24 @@ def main() -> None:
                 print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    heavy_timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    _run_set(spark, qs, HEADLINE, sf_dir, timings, errors)
+    _run_set(spark, qs, HEAVY, sf_dir, heavy_timings, errors)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "heavy_queries": heavy_timings,
+        "heavy_total": round(sum(heavy_timings.values()), 3),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
