@@ -45,10 +45,19 @@ def train_kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> np.ndarray:
     """Lloyd k-means; returns centroids ndarray[nlist, dim].
 
-    Seeds: the nlist lowest-id vectors (deterministic)."""
+    Seeds: the nlist lowest-id vectors (deterministic).
+
+    round_decimals: if set, quantize each updated centroid mean with
+    the repo's cross-engine floor-rounding (functions.rounding).  Sums
+    of doubles are order-dependent, so Spark's avg() and any oracle
+    re-computation differ in the last ulps; rounding the means to a
+    coarse grid after every Lloyd round makes the trained centroids
+    bit-identical across engines (a determinism knob, not a quality
+    one — 1e-6 is far below centroid noise)."""
     seed_rows = (
         corpus.orderBy(id_col).limit(nlist).select(vec_col).collect()
     )
@@ -74,6 +83,9 @@ def train_kmeans(
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
         for cid, dims in by_cluster.items():
             for d, v in dims.items():
+                if round_decimals is not None:
+                    scale = float(10**round_decimals)
+                    v = float(np.floor(v * scale + 0.5) / scale)
                 new_c[cid, d] = v
         centroids = new_c
     return centroids

@@ -1052,25 +1052,56 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.10 expire over line geometries (kernel path — no SQL oracle; the
-# 0.4-tile line walk is procedural, so the driver records rows-only)
+# §2.10 expire over line geometries through the REAL 0.4-tile-step
+# line-walk kernel (reference src/expire-tiles.cpp:268-322): synthetic
+# horizontal mercator segments whose endpoints sit at tile-fraction
+# .5/.3 (never within the 0.1 buffer of a tile edge), so the walk's
+# dirty set is the closed-form integer range [floor(xa-.1),
+# floor(xb+.1)] on one tile row — an exact integer oracle for the
+# procedural walk.
 # ---------------------------------------------------------------------------
 
-@register("expire_line_tiles")  # rows-only check
+@register(
+    "expire_line_tiles",
+    oracle="""
+    WITH seg AS (
+        SELECT (p_partkey * 7) % 131 + 8 AS x0,
+               (p_partkey * 7) % 131 + 8 + (p_partkey % 29) + 1 AS x1,
+               (p_partkey % 180) + 38 AS y
+        FROM part)
+    SELECT DISTINCT cast(xx AS bigint) AS x, cast(y AS bigint) AS y
+    FROM (SELECT unnest(generate_series(x0, x1)) AS xx, y FROM seg)
+    """,
+)
 def q_expire_line_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
-    from osm2pgsql_spark.operators.expire import ExpireConfig, dirty_tiles
+    from osm2pgsql_spark.operators.expire import (
+        EARTH_CIRCUMFERENCE,
+        ExpireConfig,
+        dirty_tiles,
+    )
 
-    refs = osm_synth.way_refs(spark, sf_dir)
-    nodes = osm_synth.nodes(spark, sf_dir)
-    a = assembly.assemble_points(
-        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
+    map_w = 256.0  # zoom 8
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    xa = (k * 7 % 131) + F.lit(8.5)
+    xb = xa + (k % 29) + F.lit(0.8)
+    yt = (k % 180) + F.lit(38.5)
+
+    def merc_x(xt):
+        return (xt / map_w - 0.5) * EARTH_CIRCUMFERENCE
+
+    def merc_y(yt_):
+        return (0.5 - yt_ / map_w) * EARTH_CIRCUMFERENCE
+
+    lines = p.select(
+        geom_udfs.pts_linestring_wkb(
+            F.array(
+                _xy(merc_x(xa), merc_y(yt)), _xy(merc_x(xb), merc_y(yt))
+            )
+        ).alias("geom")
     )
-    lines = a.select(assembly.pts_to_linestring_wkb(F.col("pts")).alias("geom")).where(
-        F.col("geom").isNotNull()
-    )
-    merc = lines.select(geom_udfs.wkb_transform_3857(F.col("geom")).alias("geom"))
-    return dirty_tiles(merc, ExpireConfig(maxzoom=8), wkb_col="geom")
+    return dirty_tiles(lines, ExpireConfig(maxzoom=8), wkb_col="geom")
 
 
 # ---------------------------------------------------------------------------
@@ -1185,53 +1216,182 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # §2.5 relation multilinestring assembly + line_merge through the real
-# kernels (rows-only: endpoint-stitching is procedural; unit parity is
-# covered by test_relations' ported fixtures)
+# kernels (geom-functions.cpp:594-767): per square fixture an open
+# L-chain of two ways — the second stored REVERSED so the merge must
+# flip orientation — plus a disjoint vertical segment; hole-variant
+# rows add a fourth way that bridges the two components into one
+# chain.  n_parts / n_points / total length are closed-form.
 # ---------------------------------------------------------------------------
 
-@register("relation_multiline_merge")  # rows-only check
+@register(
+    "relation_multiline_merge",
+    oracle=f"""
+    SELECT p_partkey AS rel_id,
+           cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 1 ELSE 2 END AS bigint) AS n_parts,
+           cast(6 AS bigint) AS n_points,
+           {roundn_sql(
+               f'8.0e0 * ({osm_synth.SQUARE_S_SQL}) + CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+               f'THEN sqrt((3.0e0 * ({osm_synth.SQUARE_S_SQL})) * (3.0e0 * ({osm_synth.SQUARE_S_SQL}))'
+               f' + (2.0e0 * ({osm_synth.SQUARE_S_SQL})) * (2.0e0 * ({osm_synth.SQUARE_S_SQL})))'
+               f' ELSE 0.0e0 END', 4)} AS total_length
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
 def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
     from osm2pgsql_spark.operators.relations import relation_multilinestrings
 
-    # synthesize: relation = customer, members = the customer's orders
-    # as ways; way refs = lineitems -> nodes (the standard derivation)
-    o = load_table(spark, sf_dir, "orders")
-    rels = o.groupBy(F.col("o_custkey").alias("id")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("k")))),
-            lambda s: F.struct(
-                F.lit("w").alias("type"), s["k"].alias("ref"), F.lit("").alias("role")
-            ),
-        ).alias("members")
-    ).select("id", F.col("members").cast("array<struct<type:string,ref:bigint,role:string>>"))
+    base = _square_base(spark, sf_dir).withColumn(
+        "hole", F.expr(osm_synth.SQUARE_HOLE_SQL.replace("p_partkey", "id"))
+    )
+    r, cx, cy, s = F.col("id"), F.col("cx"), F.col("cy"), F.col("s")
+    # chain nodes 1-4 (open L-path), disjoint segment nodes 5-6
+    corners = [
+        (1, cx - s, cy - s), (2, cx + s, cy - s), (3, cx + s, cy + s),
+        (4, cx - s, cy + s), (5, cx + 2 * s, cy - s), (6, cx + 2 * s, cy + s),
+    ]
+    nodes = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (r * 100 + j).alias("id"), x.alias("lon"), y.alias("lat")
+                    )
+                    for j, x, y in corners
+                ]
+            )
+        ).alias("n")
+    ).select("n.id", "n.lon", "n.lat")
 
-    refs = osm_synth.way_refs(spark, sf_dir)
-    ways = refs.groupBy(F.col("way_id").alias("id")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "ref"))), lambda s: s["ref"]
-        ).alias("refs")
+    # w1 = n1->n2->n3; w2 = n4->n3 (reversed orientation); w3 = n5->n6
+    # disjoint; w4 (hole rows only) = n6->n1 bridges the components
+    def way(j: int, refs: list[int]):
+        return F.struct(
+            (r * 10 + j).alias("id"),
+            F.array(*[(r * 100 + i).cast("bigint") for i in refs]).alias("refs"),
+        )
+
+    ways_df = base.select(
+        F.explode(
+            F.when(
+                F.col("hole"),
+                F.array(way(1, [1, 2, 3]), way(2, [4, 3]), way(3, [5, 6]), way(4, [6, 1])),
+            ).otherwise(F.array(way(1, [1, 2, 3]), way(2, [4, 3]), way(3, [5, 6])))
+        ).alias("w")
+    ).select("w.id", "w.refs")
+
+    def member(j: int):
+        return F.struct(
+            F.lit("w").alias("type"),
+            (r * 10 + j).cast("bigint").alias("ref"),
+            F.lit("").alias("role"),
+        )
+
+    rels = base.select(
+        r.alias("id"),
+        F.when(
+            F.col("hole"), F.array(*[member(j) for j in range(1, 5)])
+        ).otherwise(F.array(*[member(j) for j in range(1, 4)])).alias("members"),
     )
-    nodes = osm_synth.nodes(spark, sf_dir).select(
-        F.col("node_id").alias("id"), "lon", "lat"
-    )
-    ml = relation_multilinestrings(rels, ways, nodes)
+    ml = relation_multilinestrings(rels, ways_df, nodes)
     return ml.select(
         "rel_id",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
         geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
         round4(geom_udfs.wkb_length(F.col("geom"))).alias("total_length"),
-    ).where(F.col("n_points") > 0)
+    )
 
 
-@register("ann_ivf_topk")  # rows-only check (IVF recall < 1 by design)
+# ---------------------------------------------------------------------------
+# similarity search: IVF (k-means coarse quantizer).  The oracle
+# replicates the ENTIRE seeded Lloyd training loop in DuckDB SQL —
+# unrolled iterations: assign (rank clusters by normalized dot),
+# update (per-dim mean, floor-rounded to 1e-6 on both engines so the
+# order-dependent double sums can't drift), empty clusters keep their
+# previous centroid — then the probe/rerank search on the final
+# centroids.  round_decimals=6 in train_kmeans is the cross-engine
+# determinism knob that makes this exact.
+# ---------------------------------------------------------------------------
+
+_IVF_NLIST = 8
+_IVF_ITERS = 3
+_IVF_NPROBE = 4
+_IVF_DIM = 64
+
+
+def _ivf_oracle() -> str:
+    def norm(col: str) -> str:
+        return (
+            f"list_transform({col}, x -> x / greatest(sqrt(list_sum("
+            f"list_transform({col}, y -> y * y))), 1e-12))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v"
+        " FROM embeddings)",
+        f"n AS (SELECT vec_id, v, {norm('v')} AS nv FROM e)",
+        f"c0 AS (SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS bigint) AS cluster,"
+        f" v AS cv FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_IVF_NLIST}))",
+    ]
+    for t in range(1, _IVF_ITERS + 1):
+        p = f"c{t - 1}"
+        ctes += [
+            f"nc{t - 1} AS (SELECT cluster, {norm('cv')} AS ncv FROM {p})",
+            f"s{t} AS (SELECT n.vec_id, n.v, c.cluster, row_number() OVER ("
+            f"PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster)"
+            f" AS rn FROM n CROSS JOIN nc{t - 1} c)",
+            f"a{t} AS (SELECT vec_id, v, cluster FROM s{t} WHERE rn = 1)",
+            f"m{t} AS (SELECT cluster, i AS dim, {roundn_sql('avg(v[i])', 6)} AS m"
+            f" FROM a{t} CROSS JOIN (SELECT unnest(generate_series(1, {_IVF_DIM})) AS i) d"
+            f" GROUP BY cluster, i)",
+            f"mc{t} AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM m{t} GROUP BY cluster)",
+            f"c{t} AS (SELECT p.cluster, coalesce(mc.cv, p.cv) AS cv FROM {p} p"
+            f" LEFT JOIN mc{t} mc ON mc.cluster = p.cluster)",
+        ]
+    cf = f"c{_IVF_ITERS}"
+    cos = (
+        f"{dot('cnd.qv', 'cnd.nv2')} / (sqrt(list_sum(list_transform(cnd.qv, y -> y * y)))"
+        f" * sqrt(list_sum(list_transform(cnd.nv2, y -> y * y))))"
+    )
+    ctes += [
+        f"ncF AS (SELECT cluster, {norm('cv')} AS ncv FROM {cf})",
+        f"sF AS (SELECT n.vec_id, n.v, c.cluster, row_number() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster)"
+        f" AS rn FROM n CROSS JOIN ncF c)",
+        "idx AS (SELECT vec_id, v, cluster FROM sF WHERE rn = 1)",
+        f"qp AS (SELECT n.vec_id AS query_id, n.v AS qv, c.cluster, row_number() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster)"
+        f" AS prn FROM n CROSS JOIN ncF c WHERE n.vec_id < {_ANN_NQ})",
+        f"cnd AS (SELECT q.query_id, q.qv, i.vec_id AS neighbor_id, i.v AS nv2"
+        f" FROM (SELECT * FROM qp WHERE prn <= {_IVF_NPROBE}) q"
+        f" JOIN idx i ON i.cluster = q.cluster AND i.vec_id <> q.query_id)",
+        f"scored AS (SELECT query_id, neighbor_id, {cos} AS sim FROM cnd)",
+        "ranked AS (SELECT query_id, neighbor_id, sim, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM scored)",
+    ]
+    joined = ",\n         ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, rank, {roundn_sql('sim', 6)} AS sim
+    FROM ranked WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import ivf
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = ivf.train_kmeans(e, nlist=8, iters=3)
+    cents = ivf.train_kmeans(e, nlist=_IVF_NLIST, iters=_IVF_ITERS, round_decimals=6)
     index = ivf.build_index(e, cents)
     queries_df = e.where(F.col("vec_id") < _ANN_NQ)
-    return ivf.search(index, queries_df, cents, k=_ANN_K, nprobe=4)
+    return ivf.search(index, queries_df, cents, k=_ANN_K, nprobe=_IVF_NPROBE)
 
 
 # ---------------------------------------------------------------------------
