@@ -284,3 +284,35 @@ def wkb_interpolate_xy(wkb: Column, fraction: float) -> Column:
     from pyspark.sql import functions as F
 
     return _interpolate_udf(wkb, F.lit(float(fraction)))
+
+
+def _polylabel_xy(wkb: pd.Series, stretch: pd.Series) -> pd.DataFrame:
+    from osm2pgsql_spark.functions.polylabel import pole_of_inaccessibility
+
+    rows = []
+    for w, st in zip(wkb, stretch):
+        g = G.from_wkb(bytes(w)) if w is not None else None
+        rings = None
+        if g is not None:
+            if g[0] == "polygon":
+                rings = list(g[1])
+            elif g[0] == "multipolygon" and g[1]:
+                rings = list(g[1][0])
+        p = (
+            pole_of_inaccessibility(rings, stretch=float(st))
+            if rings is not None
+            else None
+        )
+        rows.append({"x": None, "y": None} if p is None else {"x": p[0], "y": p[1]})
+    return pd.DataFrame(rows, dtype="float64")
+
+
+_polylabel_udf = _lazy("polylabel_xy", _polylabel_xy, "struct<x:double,y:double>")
+
+
+def wkb_polylabel_xy(wkb: Column, stretch: float = 1.0) -> Column:
+    """Pole of inaccessibility of a polygon WKB (reference
+    src/geom-pole-of-inaccessibility.cpp via functions.polylabel)."""
+    from pyspark.sql import functions as F
+
+    return _polylabel_udf(wkb, F.lit(float(stretch)))

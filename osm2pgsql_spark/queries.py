@@ -2563,6 +2563,152 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.2 COPY pipeline typed text encoding (db-copy-mgr.hpp:84-238):
+# the JVM-side column encoders (sinks/writers.py copy_*_expr) over a
+# corpus-derived row with every encoder case — injected tab/newline/
+# backslash in text, NULL-able int and bool, bigint array with a NULL
+# element, hstore with quote/backslash values, utf-8 binary as \\x hex.
+# The oracle rebuilds the byte-identical line with DuckDB string ops.
+# ---------------------------------------------------------------------------
+
+_COPY_ESC_SQL = (
+    "replace(replace(replace(replace({v}, chr(92), chr(92)||chr(92)), "
+    "chr(9), chr(92)||'t'), chr(10), chr(92)||'n'), chr(13), chr(92)||'r')"
+)
+_COPY_ESCQ_SQL = (
+    "replace(replace({v}, chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"')"
+)
+
+
+def _copy_encoding_oracle() -> str:
+    def esc(v: str) -> str:
+        return _COPY_ESC_SQL.format(v=v)
+
+    def escq(v: str) -> str:
+        return _COPY_ESCQ_SQL.format(v=v)
+
+    txt = "p_name || chr(9) || p_brand || chr(92) || p_type || chr(10) || p_brand"
+    n = "CASE WHEN p_partkey % 7 = 0 THEN chr(92)||'N' ELSE cast(p_size AS varchar) END"
+    b = (
+        "CASE WHEN p_partkey % 11 = 0 THEN chr(92)||'N' "
+        "WHEN p_partkey % 3 = 0 THEN 't' ELSE 'f' END"
+    )
+    arr = (
+        "'{' || cast(p_partkey AS varchar) || ',' "
+        "|| cast((p_partkey * 7) % 100 AS varchar) || ',' "
+        "|| (CASE WHEN p_partkey % 5 = 0 THEN 'NULL' "
+        "ELSE cast(p_partkey % 13 AS varchar) END) || '}'"
+    )
+    hs = (
+        "'\"brand\"=>\"' || " + escq("p_brand || '\"q'")
+        + " || '\",\"type\"=>\"' || " + escq("p_type || chr(92) || 'z'")
+        + " || '\"'"
+    )
+    g = "chr(92) || chr(92) || 'x' || lower(hex(encode(p_name)))"
+    line = " || chr(9) || ".join(
+        [
+            "cast(p_partkey AS varchar)",
+            esc(f"({txt})"),
+            f"({n})",
+            f"({b})",
+            esc(f"({arr})"),
+            esc(f"({hs})"),
+            f"({g})",
+        ]
+    )
+    return f"SELECT p_partkey AS id, {line} AS copy_line FROM part"
+
+
+@register("copy_encoding", oracle=_copy_encoding_oracle())
+def q_copy_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.sinks import writers as W
+
+    p = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    txt = F.concat(
+        F.col("p_name"), F.lit("\t"), F.col("p_brand"), F.lit("\\"),
+        F.col("p_type"), F.lit("\n"), F.col("p_brand"),
+    )
+    num = F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("p_size").cast("long")
+    )
+    bl = F.when(k % 11 == 0, F.lit(None).cast("boolean")).otherwise(k % 3 == 0)
+    arr = F.array(
+        k,
+        (k * 7 % 100).cast("long"),
+        F.when(k % 5 == 0, F.lit(None).cast("long")).otherwise(
+            (k % 13).cast("long")
+        ),
+    )
+    hs = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(
+            F.concat(F.col("p_brand"), F.lit('"q')),
+            F.concat(F.col("p_type"), F.lit("\\z")),
+        ),
+    )
+    bin_ = F.encode(F.col("p_name"), "UTF-8")
+    line = F.concat_ws(
+        "\t",
+        W.copy_int_expr(k),
+        W.copy_text_expr(txt),
+        W.copy_int_expr(num),
+        W.copy_bool_expr(bl),
+        W.copy_array_expr(arr),
+        W.copy_hstore_expr(hs),
+        W.copy_binary_expr(bin_),
+    )
+    return p.select(k.alias("id"), line.alias("copy_line"))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 pole_of_inaccessibility through the WKB pandas-UDF kernel
+# (geom-pole-of-inaccessibility.cpp:24-46 + functions/polylabel.py):
+# on axis-aligned rectangles the bbox-center seed is the unique pole
+# and ties never replace `best`, so the kernel returns the bit-exact
+# dyadic center — for the plain square (stretch=1) AND the wide 4s x 2s
+# rectangle under stretch=2 (stretched space is square, center again).
+# Refinement-heavy shapes are pinned by tests/test_polylabel.py vectors.
+# ---------------------------------------------------------------------------
+
+@register(
+    "polylabel",
+    oracle=f"""
+    SELECT p_partkey AS id,
+           ({osm_synth.SQUARE_CX_SQL}) AS sx,
+           ({osm_synth.SQUARE_CY_SQL}) AS sy,
+           ({osm_synth.SQUARE_CX_SQL}) AS rx,
+           ({osm_synth.SQUARE_CY_SQL}) AS ry
+    FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
+    """,
+)
+def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    base = _square_base(spark, sf_dir)
+    cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
+
+    def ring(hx, hy):
+        return F.array(
+            _xy(cx - hx, cy - hy), _xy(cx + hx, cy - hy), _xy(cx + hx, cy + hy),
+            _xy(cx - hx, cy + hy), _xy(cx - hx, cy - hy),
+        )
+
+    g = base.select(
+        "id",
+        geom_udfs.pts_polygon_wkb(ring(s, s)).alias("sq"),
+        geom_udfs.pts_polygon_wkb(ring(2 * s, s)).alias("rect"),
+    )
+    ps = geom_udfs.wkb_polylabel_xy(F.col("sq"), stretch=1.0)
+    pr = geom_udfs.wkb_polylabel_xy(F.col("rect"), stretch=2.0)
+    return g.select(
+        "id",
+        ps["x"].alias("sx"), ps["y"].alias("sy"),
+        pr["x"].alias("rx"), pr["y"].alias("ry"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 

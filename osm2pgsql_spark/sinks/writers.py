@@ -70,6 +70,118 @@ def encode_copy_rows(rows, columns: list[str]) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+# ---------------------------------------------------------------------------
+# JVM-side COPY encoding (the 100 TB path): the same typed encoders as
+# copy_encode_value, but as Catalyst column expressions — the whole
+# line is built inside whole-stage codegen and executors stream
+# ready-made text, no per-row Python.  (reference db-copy-mgr.hpp:84-238)
+# ---------------------------------------------------------------------------
+
+_COPY_NULL = "\\N"
+
+
+def copy_escape_expr(c):
+    """COPY text escaping: backslash first, then tab/newline/cr."""
+    from pyspark.sql import functions as F
+
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.replace(c, F.lit("\r"), F.lit("\\r"))
+
+
+def copy_text_expr(c):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(copy_escape_expr(c), F.lit(_COPY_NULL))
+
+
+def copy_int_expr(c):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(c.cast("string"), F.lit(_COPY_NULL))
+
+
+def copy_bool_expr(c):
+    from pyspark.sql import functions as F
+
+    # NULL must stay NULL -> \N (a bare WHEN would route NULL to 'f')
+    return (
+        F.when(c.isNull(), F.lit(_COPY_NULL))
+        .when(c, F.lit("t"))
+        .otherwise(F.lit("f"))
+    )
+
+
+def copy_array_expr(c):
+    """ARRAY<numeric/string> -> {a,b,NULL,...} (db-copy-mgr.hpp:120-148)."""
+    from pyspark.sql import functions as F
+
+    inner = F.array_join(
+        F.transform(c, lambda x: x.cast("string")), ",", "NULL"
+    )
+    return F.coalesce(
+        copy_escape_expr(F.concat(F.lit("{"), inner, F.lit("}"))),
+        F.lit(_COPY_NULL),
+    )
+
+
+def copy_hstore_expr(c):
+    """MAP<string,string> -> "k"=>"v",... sorted by key, quote/backslash
+    escaped, then COPY-escaped (db-copy-mgr.hpp:150-238)."""
+    from pyspark.sql import functions as F
+
+    def esc_q(s):
+        return F.replace(
+            F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+        )
+
+    items = F.transform(
+        F.array_sort(F.map_entries(c)),
+        lambda e: F.concat(
+            F.lit('"'), esc_q(e["key"]), F.lit('"=>"'), esc_q(e["value"]), F.lit('"')
+        ),
+    )
+    return F.coalesce(
+        copy_escape_expr(F.array_join(items, ",")), F.lit(_COPY_NULL)
+    )
+
+
+def copy_binary_expr(c):
+    """BINARY (e.g. EWKB) -> \\\\x<lower hex> (db-copy-mgr.hpp:170-186)."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.concat(F.lit("\\\\x"), F.lower(F.hex(c))), F.lit(_COPY_NULL)
+    )
+
+
+def copy_lines(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """DataFrame -> one `copy_line` string column, typed encoding
+    chosen from the schema, all JVM-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    enc = []
+    for name in cols:
+        dt = df.schema[name].dataType
+        c = F.col(name)
+        if isinstance(dt, T.BooleanType):
+            enc.append(copy_bool_expr(c))
+        elif isinstance(dt, T.BinaryType):
+            enc.append(copy_binary_expr(c))
+        elif isinstance(dt, T.ArrayType):
+            enc.append(copy_array_expr(c))
+        elif isinstance(dt, T.MapType):
+            enc.append(copy_hstore_expr(c))
+        elif isinstance(dt, T.StringType):
+            enc.append(copy_text_expr(c))
+        else:
+            enc.append(copy_int_expr(c))
+    return df.select(F.concat_ws("\t", *enc).alias("copy_line"))
+
+
 def write_copy_stream(df: DataFrame, writer_factory, columns: list[str] | None = None) -> None:
     """foreachPartition COPY writer: writer_factory() must return a
     file-like object per partition (a psycopg copy_expert stream in
