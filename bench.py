@@ -29,15 +29,15 @@ HEADLINE = [
     "merge_dedup",
     "reverse_deps",
     "locator_all_intersecting",
+    "geom_suite",
+    "copy_encoding",
     "text_stats",
-    "simhash",
     "minhash_near_dups",
     "ann_cosine_topk",
     "sessionize",
     "events_hourly",
     "discrete_isolation",
     "relation_member_join",
-    "way_spherical_length",
     "flex_casts",
     "wildcard_tag_filter",
     "quadkey_buckets",

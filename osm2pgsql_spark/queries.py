@@ -172,6 +172,9 @@ def q_way_node_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "way_length",
+    # planar length (geom-functions.cpp:439) AND spherical/haversine
+    # length in meters (geom-functions.cpp:383-439; §2.9
+    # spherical_length) in one pass over the assembled points
     oracle=f"""
     WITH nodes AS ({osm_synth.NODES_SQL}),
          refs AS ({osm_synth.WAY_REFS_SQL}),
@@ -184,9 +187,16 @@ def q_way_node_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT way_id,
                    CASE WHEN nlon IS NULL OR (nlon = lon AND nlat = lat) THEN 0.0
                         ELSE sqrt((nlon - lon) * (nlon - lon) + (nlat - lat) * (nlat - lat))
-                   END AS seg
+                   END AS seg,
+                   CASE WHEN nlon IS NULL THEN 0.0
+                        ELSE 2.0 * 6378137.0 * asin(sqrt(
+                            pow(sin(radians(nlat - lat) / 2), 2)
+                            + cos(radians(lat)) * cos(radians(nlat))
+                              * pow(sin(radians(nlon - lon) / 2), 2)))
+                   END AS sph_seg
             FROM pts)
-    SELECT way_id, {roundn_sql('sum(seg)', 4)} AS length
+    SELECT way_id, {roundn_sql('sum(seg)', 4)} AS length,
+           {roundn_sql('sum(sph_seg)', 2)} AS sph_length
     FROM segs GROUP BY way_id
     """,
 )
@@ -196,7 +206,36 @@ def q_way_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assembly.assemble_points(
         refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
     )
-    return a.select("way_id", round4(assembly.line_length(F.col("pts"))).alias("length"))
+    return a.select(
+        "way_id",
+        round4(assembly.line_length(F.col("pts"))).alias("length"),
+        roundn(_haversine_total(F.col("pts")), 2).alias("sph_length"),
+    )
+
+
+def _haversine_total(pts: F.Column) -> F.Column:
+    """Haversine sum in meters over an ARRAY<STRUCT<x,y>> — JVM-side
+    zip_with/aggregate fold, no Python in the hot path."""
+    n = F.size(pts)
+    heads = F.slice(pts, 1, n - 1)
+    tails = F.slice(pts, 2, n - 1)
+    segs = F.zip_with(
+        heads,
+        tails,
+        lambda a_, b_: F.lit(2.0)
+        * F.lit(6378137.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(b_["y"] - a_["y"]) / 2), 2)
+                + F.cos(F.radians(a_["y"]))
+                * F.cos(F.radians(b_["y"]))
+                * F.pow(F.sin(F.radians(b_["x"] - a_["x"]) / 2), 2)
+            )
+        ),
+    )
+    return F.when(
+        n >= 2, F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
+    ).otherwise(F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -388,20 +427,46 @@ _REGIONS_SQL = """
 """
 
 
+_LOC_REG_OFF = 0.05
+
+
 @register(
     "locator_all_intersecting",
+    # both locator paths in one gate: the broadcast bbox-regions join
+    # (kind='bbox') and the pandas point-in-polygon kernel over
+    # POLYGON regions (kind='poly'; rectangles offset +0.05 off the
+    # node grid so boundary conventions can't disagree)
     oracle=f"""
     WITH nodes AS ({osm_synth.NODES_SQL}),
-         regions AS ({_REGIONS_SQL})
-    SELECT node_id,
+         regions AS ({_REGIONS_SQL}),
+         pregions AS (
+            SELECT r_name AS name,
+                   r_regionkey * 60 - 150 + {_LOC_REG_OFF}e0 AS min_x,
+                   r_regionkey * 15 - 60 + {_LOC_REG_OFF}e0 AS min_y,
+                   r_regionkey * 60 - 70 + {_LOC_REG_OFF}e0 AS max_x,
+                   r_regionkey * 15 + 20 + {_LOC_REG_OFF}e0 AS max_y
+            FROM region)
+    SELECT 'bbox' AS kind, node_id,
            string_agg(name, ',' ORDER BY name) AS regions,
            count(*) AS n_regions
     FROM nodes JOIN regions
       ON lon >= min_x AND lon <= max_x AND lat >= min_y AND lat <= max_y
     GROUP BY node_id
+    UNION ALL
+    SELECT 'poly' AS kind, node_id,
+           string_agg(name, ',' ORDER BY name) AS regions,
+           cast(NULL AS bigint) AS n_regions
+    FROM nodes JOIN pregions
+      ON lon > min_x AND lon < max_x AND lat > min_y AND lat < max_y
+    GROUP BY node_id
     """,
 )
 def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.locator import polygon_all_intersecting
+
     n = osm_synth.nodes(spark, sf_dir)
     r = load_table(spark, sf_dir, "region").select(
         F.col("r_name").alias("name"),
@@ -410,7 +475,24 @@ def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_regionkey") * 60 - 70).cast("double").alias("max_x"),
         (F.col("r_regionkey") * 15 + 20).cast("double").alias("max_y"),
     )
-    return locator.all_intersecting(n, r)
+    bbox = locator.all_intersecting(n, r).select(
+        F.lit("bbox").alias("kind"), "node_id", "regions", "n_regions"
+    )
+
+    regions_wkb = []
+    for row in load_table(spark, sf_dir, "region").collect():
+        k = row["r_regionkey"]
+        x0, x1 = k * 60 - 150 + _LOC_REG_OFF, k * 60 - 70 + _LOC_REG_OFF
+        y0, y1 = k * 15 - 60 + _LOC_REG_OFF, k * 15 + 20 + _LOC_REG_OFF
+        ring = np.asarray(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype="f8"
+        )
+        regions_wkb.append((row["r_name"], G.to_wkb(("polygon", [ring]))))
+    poly = polygon_all_intersecting(n, regions_wkb).select(
+        F.lit("poly").alias("kind"), "node_id", "regions",
+        F.lit(None).cast("bigint").alias("n_regions"),
+    )
+    return bbox.unionByName(poly)
 
 
 # ---------------------------------------------------------------------------
@@ -418,31 +500,30 @@ def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "dedup_fingerprint",
+    "dedup_exact_fingerprint",
+    # exact (md5) and near-exact (canonical fingerprint) duplicate
+    # clustering — two hash-groupBy dedup operators, one gate
     oracle=f"""
-    SELECT {TX.fingerprint_sql('text')} AS fp,
-           min(doc_id) AS keep_id,
-           count(*) AS n_dups
-    FROM documents GROUP BY 1
+    SELECT 'exact' AS kind, md5(text) AS grp_key,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'fp' AS kind, {TX.fingerprint_sql('text')} AS grp_key,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 2
     """,
 )
-def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.fingerprint_groups(docs)
-
-
-@register(
-    "dedup_exact",
-    oracle="""
-    SELECT md5(text) AS text_hash,
-           min(doc_id) AS keep_id,
-           count(*) AS n_dups
-    FROM documents GROUP BY 1
-    """,
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_groups(docs)
+    ex = dedup.exact_groups(docs).select(
+        F.lit("exact").alias("kind"), F.col("text_hash").alias("grp_key"),
+        "keep_id", "n_dups",
+    )
+    fp = dedup.fingerprint_groups(docs).select(
+        F.lit("fp").alias("kind"), F.col("fp").alias("grp_key"),
+        "keep_id", "n_dups",
+    )
+    return ex.unionByName(fp)
 
 
 # ---------------------------------------------------------------------------
@@ -451,6 +532,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stats",
+    # per-doc text analysis + the 32-bit document fingerprint (SimHash,
+    # integer-exact) in one pass; the banded pair search over the same
+    # hash is gated separately by simhash_hamming_pairs
     oracle=f"""
     SELECT doc_id,
            {TX.token_count_sql('text')} AS n_tokens,
@@ -459,7 +543,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            {roundn_sql(TX.alpha_ratio_sql('text'), 4)} AS alpha_ratio,
            {TX.stopword_count_sql('text')} AS n_stopwords,
            {TX.quality_score_sql('text')} AS quality,
-           {TX.lang_guess_sql('text')} AS lang_guess
+           {TX.lang_guess_sql('text')} AS lang_guess,
+           {S.simhash32_sql('text')} AS simhash
     FROM documents
     """,
 )
@@ -474,22 +559,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.stopword_count(F.col("text")).alias("n_stopwords"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_guess(F.col("text")).alias("lang_guess"),
+        S.simhash32(F.col("text")).alias("simhash"),
     )
-
-
-# ---------------------------------------------------------------------------
-# dedup: 32-bit SimHash (integer-exact)
-# ---------------------------------------------------------------------------
-
-@register(
-    "simhash",
-    oracle=f"""
-    SELECT doc_id, {S.simhash32_sql('text')} AS simhash FROM documents
-    """,
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_table(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -896,63 +967,6 @@ def q_quadkey_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.9 spherical_length: haversine way length in meters
-# (geom-functions.cpp:383-439; haversine vs reference Vincenty ~0.5%)
-# ---------------------------------------------------------------------------
-
-@register(
-    "way_spherical_length",
-    oracle=f"""
-    WITH nodes AS ({osm_synth.NODES_SQL}),
-         refs AS ({osm_synth.WAY_REFS_SQL}),
-         pts AS (
-            SELECT way_id, pos, lon, lat,
-                   lead(lon) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlon,
-                   lead(lat) OVER (PARTITION BY way_id ORDER BY pos, ref) AS nlat
-            FROM refs JOIN nodes ON ref = node_id),
-         segs AS (
-            SELECT way_id,
-                   CASE WHEN nlon IS NULL THEN 0.0
-                        ELSE 2.0 * 6378137.0 * asin(sqrt(
-                            pow(sin(radians(nlat - lat) / 2), 2)
-                            + cos(radians(lat)) * cos(radians(nlat))
-                              * pow(sin(radians(nlon - lon) / 2), 2)))
-                   END AS seg
-            FROM pts)
-    SELECT way_id, {roundn_sql('sum(seg)', 2)} AS sph_length
-    FROM segs GROUP BY way_id
-    """,
-)
-def q_way_spherical_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    refs = osm_synth.way_refs(spark, sf_dir)
-    nodes = osm_synth.nodes(spark, sf_dir)
-    a = assembly.assemble_points(
-        refs, nodes, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
-    )
-    n = F.size(F.col("pts"))
-    heads = F.slice(F.col("pts"), 1, n - 1)
-    tails = F.slice(F.col("pts"), 2, n - 1)
-    segs = F.zip_with(
-        heads,
-        tails,
-        lambda a_, b_: F.lit(2.0)
-        * F.lit(6378137.0)
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(F.radians(b_["y"] - a_["y"]) / 2), 2)
-                + F.cos(F.radians(a_["y"]))
-                * F.cos(F.radians(b_["y"]))
-                * F.pow(F.sin(F.radians(b_["x"] - a_["x"]) / 2), 2)
-            )
-        ),
-    )
-    total = F.when(
-        n >= 2, F.aggregate(segs, F.lit(0.0), lambda acc, v: acc + v)
-    ).otherwise(F.lit(0.0))
-    return a.select("way_id", roundn(total, 2).alias("sph_length"))
-
-
-# ---------------------------------------------------------------------------
 # §1.4 flex column-cast semantics (flex-write.cpp:261-469): boolean /
 # direction / int-with-overflow casts over synthetic tag strings
 # ---------------------------------------------------------------------------
@@ -1102,56 +1116,6 @@ def q_expire_line_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("geom")
     )
     return dirty_tiles(lines, ExpireConfig(maxzoom=8), wkb_col="geom")
-
-
-# ---------------------------------------------------------------------------
-# §2.4 locator with POLYGON regions through the pandas point-in-polygon
-# kernel; regions are rectangles so the SQL bbox oracle is exact
-# ---------------------------------------------------------------------------
-
-# Region bounds are offset +0.05 off the nodes' 0.1-degree grid so no
-# node sits exactly on a polygon boundary — the even-odd crossing
-# kernel and any SQL comparison then agree regardless of their
-# (differing) boundary conventions.
-_REG_OFF = 0.05
-
-
-@register(
-    "locator_polygon_kernel",
-    oracle=f"""
-    WITH nodes AS ({osm_synth.NODES_SQL}),
-         regions AS (
-            SELECT r_name AS name,
-                   r_regionkey * 60 - 150 + {_REG_OFF}e0 AS min_x,
-                   r_regionkey * 15 - 60 + {_REG_OFF}e0 AS min_y,
-                   r_regionkey * 60 - 70 + {_REG_OFF}e0 AS max_x,
-                   r_regionkey * 15 + 20 + {_REG_OFF}e0 AS max_y
-            FROM region)
-    SELECT node_id,
-           string_agg(name, ',' ORDER BY name) AS regions
-    FROM nodes JOIN regions
-      ON lon > min_x AND lon < max_x AND lat > min_y AND lat < max_y
-    GROUP BY node_id
-    """,
-)
-def q_locator_polygon_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from osm2pgsql_spark.functions import geometry as G
-    from osm2pgsql_spark.operators.locator import polygon_all_intersecting
-
-    n = osm_synth.nodes(spark, sf_dir)
-    regions = load_table(spark, sf_dir, "region").collect()
-    regions_wkb = []
-    for r in regions:
-        k = r["r_regionkey"]
-        x0, x1 = k * 60 - 150 + _REG_OFF, k * 60 - 70 + _REG_OFF
-        y0, y1 = k * 15 - 60 + _REG_OFF, k * 15 + 20 + _REG_OFF
-        ring = np.asarray(
-            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype="f8"
-        )
-        regions_wkb.append((r["r_name"], G.to_wkb(("polygon", [ring]))))
-    return polygon_all_intersecting(n, regions_wkb)
 
 
 # ---------------------------------------------------------------------------
@@ -1784,68 +1748,76 @@ def q_flex_generic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "relation_multipoint",
+    "relation_multipoint_collection",
+    # §2.5 multipoint assembly AND geometrycollection assembly (node
+    # members as points + side ways as linestrings, member order) in
+    # one gate with a kind column
     oracle=f"""
-    SELECT p_partkey AS rel_id,
+    SELECT 'mp' AS kind, p_partkey AS rel_id,
            'MULTIPOINT' AS gtype,
+           cast(NULL AS bigint) AS n_geoms,
            cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 8 ELSE 4 END AS bigint) AS n_points,
            ({osm_synth.SQUARE_CX_SQL}) AS cx,
-           ({osm_synth.SQUARE_CY_SQL}) AS cy
+           ({osm_synth.SQUARE_CY_SQL}) AS cy,
+           cast(NULL AS double) AS length
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
-def q_relation_multipoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osm2pgsql_spark.operators import geom_udfs
-    from osm2pgsql_spark.operators.relations import relation_multipoints
-
-    nodes, _, rels = osm_synth.square_member_relations(
-        spark, sf_dir, node_members=True, way_members=False
-    )
-    mp = relation_multipoints(rels, nodes)
-    c = geom_udfs.wkb_centroid_xy(F.col("geom"))
-    return mp.select(
-        "rel_id",
-        geom_udfs.wkb_geometry_type(F.col("geom")).alias("gtype"),
-        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
-        c["x"].alias("cx"),
-        c["y"].alias("cy"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.5 relation geometrycollection assembly (geom-from-osm.cpp:253-279):
-# corner nodes as points + side ways as linestrings, member order.
-# ---------------------------------------------------------------------------
-
-@register(
-    "relation_collection",
-    oracle=f"""
-    SELECT p_partkey AS rel_id,
+    UNION ALL
+    SELECT 'coll' AS kind, p_partkey AS rel_id,
            'GEOMETRYCOLLECTION' AS gtype,
            cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 16 ELSE 8 END AS bigint) AS n_geoms,
            cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 24 ELSE 12 END AS bigint) AS n_points,
+           cast(NULL AS double) AS cx,
+           cast(NULL AS double) AS cy,
            {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
                        f'THEN 12 * ({osm_synth.SQUARE_S_SQL}) '
                        f'ELSE 8 * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS length
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
     """,
 )
-def q_relation_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_relation_multipoint_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
-    from osm2pgsql_spark.operators.relations import relation_collections
+    from osm2pgsql_spark.operators.relations import (
+        relation_collections,
+        relation_multipoints,
+    )
 
-    nodes, ways_df, rels = osm_synth.square_member_relations(
+    nodes, _, rels = osm_synth.square_member_relations(
+        spark, sf_dir, node_members=True, way_members=False
+    )
+    mp = relation_multipoints(rels, nodes)
+    c = geom_udfs.wkb_centroid_xy(F.col("geom"))
+    mp_out = mp.select(
+        F.lit("mp").alias("kind"),
+        "rel_id",
+        geom_udfs.wkb_geometry_type(F.col("geom")).alias("gtype"),
+        F.lit(None).cast("bigint").alias("n_geoms"),
+        geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        c["x"].alias("cx"),
+        c["y"].alias("cy"),
+        F.lit(None).cast("double").alias("length"),
+    )
+
+    nodes2, ways_df, rels2 = osm_synth.square_member_relations(
         spark, sf_dir, node_members=True, way_members=True
     )
-    coll = relation_collections(rels, ways_df, nodes)
-    return coll.select(
+    coll = relation_collections(rels2, ways_df, nodes2)
+    coll_out = coll.select(
+        F.lit("coll").alias("kind"),
         "rel_id",
         geom_udfs.wkb_geometry_type(F.col("geom")).alias("gtype"),
         geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_geoms"),
         geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
+        F.lit(None).cast("double").alias("cx"),
+        F.lit(None).cast("double").alias("cy"),
         round4(geom_udfs.wkb_length(F.col("geom"))).alias("length"),
     )
+    return mp_out.unionByName(coll_out)
 
+
+# ---------------------------------------------------------------------------
+# §2.5 relation geometrycollection assembly (geom-from-osm.cpp:253-279):
+# corner nodes as points + side ways as linestrings, member order.
+# ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
 # §2.11 flex DSL relation rule: route relations assembled to
@@ -2113,9 +2085,7 @@ def _xy(x, y):
     return F.struct(x.alias("x"), y.alias("y"))
 
 
-@register(
-    "geom_centroid_bbox",
-    oracle=f"""
+_GEOM_CB_ORACLE = f"""
     SELECT p_partkey AS id,
            ({osm_synth.SQUARE_CX_SQL}) AS cx,
            ({osm_synth.SQUARE_CY_SQL}) AS cy,
@@ -2125,8 +2095,9 @@ def _xy(x, y):
            ({osm_synth.SQUARE_CY_SQL}) + ({osm_synth.SQUARE_S_SQL}) AS max_y,
            cast(5 AS bigint) AS n_points
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
+    """
+
+
 def q_geom_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2156,9 +2127,7 @@ _SIMPLIFY_BEND_SQL = (
 )
 
 
-@register(
-    "geom_simplify",
-    oracle=f"""
+_GEOM_SIMPLIFY_ORACLE = f"""
     SELECT p_partkey AS id,
            cast(CASE WHEN p_partkey % 8 = 1 THEN 2 ELSE 3 END AS bigint) AS n_points,
            {roundn_sql(
@@ -2168,8 +2137,9 @@ _SIMPLIFY_BEND_SQL = (
                4,
            )} AS length
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
+    """
+
+
 def q_geom_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2191,16 +2161,15 @@ def q_geom_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "geom_segmentize",
-    oracle=f"""
+_GEOM_SEGMENTIZE_ORACLE = f"""
     SELECT p_partkey AS id,
            cast(ceil(2.0e0 * ({osm_synth.SQUARE_S_SQL}) / 0.375e0) AS bigint) AS n_parts,
            cast(2 * ceil(2.0e0 * ({osm_synth.SQUARE_S_SQL}) / 0.375e0) AS bigint) AS n_points,
            2.0e0 * ({osm_synth.SQUARE_S_SQL}) AS length
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
+    """
+
+
 def q_geom_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2221,16 +2190,15 @@ def q_geom_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "geom_transform_3857",
-    oracle=f"""
+_GEOM_MERC_ORACLE = f"""
     WITH nodes AS ({osm_synth.NODES_SQL})
     SELECT node_id,
            {roundn_sql('radians(lon) * 6378137.0e0', 0)} AS x,
            {roundn_sql('ln(tan(pi() / 4.0e0 + radians(lat) / 2.0e0)) * 6378137.0e0', 0)} AS y
     FROM nodes
-    """,
-)
+    """
+
+
 def q_geom_transform_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2249,16 +2217,15 @@ def q_geom_transform_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "geom_distance_interpolate",
-    oracle=f"""
+_GEOM_DI_ORACLE = f"""
     SELECT p_partkey AS id,
            sqrt(8.0e0 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL})) AS dist,
            ({osm_synth.SQUARE_CX_SQL}) - ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS ix,
            ({osm_synth.SQUARE_CY_SQL}) - ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS iy
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
+    """
+
+
 def q_geom_distance_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distance (geom-functions.cpp:25) between the square's opposite
     corners is exactly sqrt(8 s^2) — the squared terms are dyadic so
@@ -2357,10 +2324,6 @@ def q_river_width_from_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "spherical_polygon_area",
-    oracle=None,  # assembled below (needs the radius constant)
-)
 def q_spherical_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2414,7 +2377,6 @@ def _spherical_polygon_area_oracle() -> str:
     """
 
 
-_ORACLES["spherical_polygon_area"] = _spherical_polygon_area_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2514,9 +2476,7 @@ register("vector_tile_cut", oracle=_vector_tile_cut_oracle())(q_vector_tile_cut)
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "geom_reverse_split",
-    oracle=f"""
+_GEOM_RS_ORACLE = f"""
     SELECT p_partkey AS id,
            'LINESTRING' AS gtype,
            ({osm_synth.SQUARE_CX_SQL}) + ({osm_synth.SQUARE_S_SQL}) / 2.0e0 AS rx,
@@ -2524,8 +2484,9 @@ register("vector_tile_cut", oracle=_vector_tile_cut_oracle())(q_vector_tile_cut)
            cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 2 ELSE 1 END AS bigint) AS n_parts,
            cast(5 AS bigint) AS part_points
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
-    """,
-)
+    """
+
+
 def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
     from osm2pgsql_spark.operators.relations import relation_multilinestrings
@@ -2560,6 +2521,96 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar.join(parts, "id").select(
         "id", "gtype", "rx", "ry", "n_parts", "part_points"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 geometry-function suite: ONE driver gate covering the scalar
+# WKB kernels — centroid/get_bbox, Douglas-Peucker simplify,
+# segmentize, 4326->3857 transform, distance/interpolate,
+# reverse/split_multi/geometry_type, and sphere-mode spherical_area —
+# each sub-check a (chk, v1..v4, txt) row family unioned into a
+# uniform schema; the per-kernel closed-form oracles above are reused
+# verbatim as subqueries.
+# ---------------------------------------------------------------------------
+
+
+def _geom_suite_oracle() -> str:
+    parts = [
+        f"SELECT id, 'centroid' AS chk, cx AS v1, cy AS v2,"
+        f" cast(n_points AS double) AS v3, cast(NULL AS double) AS v4,"
+        f" cast(NULL AS varchar) AS txt FROM ({_GEOM_CB_ORACLE})",
+        f"SELECT id, 'bbox', min_x, min_y, max_x, max_y,"
+        f" cast(NULL AS varchar) FROM ({_GEOM_CB_ORACLE})",
+        f"SELECT id, 'simplify', cast(n_points AS double), length,"
+        f" cast(NULL AS double), cast(NULL AS double),"
+        f" cast(NULL AS varchar) FROM ({_GEOM_SIMPLIFY_ORACLE})",
+        f"SELECT id, 'segmentize', cast(n_parts AS double),"
+        f" cast(n_points AS double), length, cast(NULL AS double),"
+        f" cast(NULL AS varchar) FROM ({_GEOM_SEGMENTIZE_ORACLE})",
+        f"SELECT node_id AS id, 'merc', x, y, cast(NULL AS double),"
+        f" cast(NULL AS double), cast(NULL AS varchar) FROM ({_GEOM_MERC_ORACLE})",
+        f"SELECT id, 'dist_interp', dist, ix, iy, cast(NULL AS double),"
+        f" cast(NULL AS varchar) FROM ({_GEOM_DI_ORACLE})",
+        f"SELECT id, 'rev_split', rx, ry, cast(n_parts AS double),"
+        f" cast(part_points AS double), gtype FROM ({_GEOM_RS_ORACLE})",
+        f"SELECT id, 'sph_area', sph_area, cast(NULL AS double),"
+        f" cast(NULL AS double), cast(NULL AS double),"
+        f" cast(NULL AS varchar) FROM ({_spherical_polygon_area_oracle()})",
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _suite_rows(
+    df: DataFrame,
+    chk: str,
+    v1: str | None = None,
+    v2: str | None = None,
+    v3: str | None = None,
+    v4: str | None = None,
+    txt: str | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    sel = [F.col(id_col).alias("id"), F.lit(chk).alias("chk")]
+    for i, v in enumerate([v1, v2, v3, v4], 1):
+        col = F.col(v).cast("double") if v else F.lit(None).cast("double")
+        sel.append(col.alias(f"v{i}"))
+    sel.append((F.col(txt) if txt else F.lit(None).cast("string")).alias("txt"))
+    return df.select(*sel)
+
+
+@register("geom_suite", oracle=_geom_suite_oracle())
+def q_geom_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cb = q_geom_centroid_bbox(spark, sf_dir)
+    out = _suite_rows(cb, "centroid", "cx", "cy", "n_points")
+    out = out.unionByName(_suite_rows(cb, "bbox", "min_x", "min_y", "max_x", "max_y"))
+    out = out.unionByName(
+        _suite_rows(q_geom_simplify(spark, sf_dir), "simplify", "n_points", "length")
+    )
+    out = out.unionByName(
+        _suite_rows(
+            q_geom_segmentize(spark, sf_dir), "segmentize", "n_parts", "n_points", "length"
+        )
+    )
+    out = out.unionByName(
+        _suite_rows(
+            q_geom_transform_3857(spark, sf_dir), "merc", "x", "y", id_col="node_id"
+        )
+    )
+    out = out.unionByName(
+        _suite_rows(
+            q_geom_distance_interpolate(spark, sf_dir), "dist_interp", "dist", "ix", "iy"
+        )
+    )
+    out = out.unionByName(
+        _suite_rows(
+            q_geom_reverse_split(spark, sf_dir),
+            "rev_split", "rx", "ry", "n_parts", "part_points", txt="gtype",
+        )
+    )
+    out = out.unionByName(
+        _suite_rows(q_spherical_polygon_area(spark, sf_dir), "sph_area", "sph_area")
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
