@@ -89,19 +89,28 @@ def exact(
     return _ranked(_min_dist_to_higher(probe, cand))
 
 
-def _neighborhood_min(probe: DataFrame, cand_full: DataFrame, cell: float) -> DataFrame:
+def _neighborhood_min(
+    probe: DataFrame, cand_full: DataFrame, cell: float, prune: bool = False
+) -> DataFrame:
     """One 3x3-neighborhood round at a given cell size: LEFT equi-join
     on (cx, cy) with the 9-way candidate explode, min distance to any
     strictly-more-important neighbor.  Returns
     (id, ax, ay, aimp, iso) with iso NULL when the neighborhood holds
     no higher point.  Bounded fan-out: the only join key is the cell.
     A distance d <= cell cannot cross out of the 3x3 block, so rows
-    with iso <= cell are exact."""
-    p = probe.select(
-        "*",
-        F.floor(F.col("ax") / cell).alias("cx"),
-        F.floor(F.col("ay") / cell).alias("cy"),
-    )
+    with iso <= cell are exact.
+
+    The PROBE side carries the 9-way explode (each probe row visits
+    its neighbor cells); candidates stay single-row at their exact
+    cell.  The candidate side is therefore 9x smaller — it is the side
+    Spark auto-broadcasts when small, and the side that shuffles less
+    when both are corpus-sized.
+
+    prune=True (escalation rounds, where probe is a small residue):
+    semi-join the candidates on the residue's exploded cell list so
+    the round scans a residue-neighborhood slice instead of the whole
+    corpus — AQE broadcasts the cell list at runtime, keeping the
+    plan free of size assumptions."""
     offs = F.explode(
         F.array(
             *[
@@ -111,19 +120,26 @@ def _neighborhood_min(probe: DataFrame, cand_full: DataFrame, cell: float) -> Da
             ]
         )
     ).alias("o")
-    cand = (
-        cand_full.select(
+    p = (
+        probe.select(
             "*",
-            F.floor(F.col("bx") / cell).alias("bcx"),
-            F.floor(F.col("by") / cell).alias("bcy"),
+            F.floor(F.col("ax") / cell).alias("pcx"),
+            F.floor(F.col("ay") / cell).alias("pcy"),
             offs,
         )
         .select(
-            "bid", "bx", "by", "bimp",
-            (F.col("bcx") + F.col("o.dx")).alias("cx"),
-            (F.col("bcy") + F.col("o.dy")).alias("cy"),
+            "id", "ax", "ay", "aimp",
+            (F.col("pcx") + F.col("o.dx")).alias("cx"),
+            (F.col("pcy") + F.col("o.dy")).alias("cy"),
         )
     )
+    cand = cand_full.select(
+        "*",
+        F.floor(F.col("bx") / cell).alias("cx"),
+        F.floor(F.col("by") / cell).alias("cy"),
+    )
+    if prune:
+        cand = cand.join(p.select("cx", "cy"), ["cx", "cy"], "leftsemi")
     on = (p["cx"] == cand["cx"]) & (p["cy"] == cand["cy"]) & _higher()
     return (
         p.join(cand, on, "left")
@@ -150,17 +166,21 @@ def grid(
     full-set theta-join fallback would broadcast the entire point set
     at planet scale).  Termination is certain: once the cell size
     reaches the data span every point's 3x3 neighborhood covers the
-    whole corpus, and the single point with no higher point at all
-    (the global importance argmax, which would otherwise never drain)
-    is patched in directly with iso NULL.
+    whole corpus, so the final round emits every remaining point —
+    including points with no higher point at all (the global argmax,
+    and every point when importance is all-NULL), which land there
+    with iso NULL exactly like exact()'s unmatched LEFT join.  No
+    argmax patch row, no assumption that ids are numeric, no non-null-
+    safe comparison anywhere (the round filters are complementary:
+    iso <= r vs iso IS NULL OR iso > r).
 
-    Job economy (the cold-time lever at small scale): exactly one
-    checkpoint job (round 1), one 1-row stats aggregate ON that
-    checkpoint (argmax + span, so the upstream pipeline never re-runs),
-    and one final job — the escalation rounds are a single lazy plan
-    whose radii are precomputed from the span, with the checkpointed
-    round-1 output reused as the candidate corpus, so empty late
-    rounds cost empty partitions instead of driver round-trips."""
+    Job economy: one checkpoint job for round 1 (the only
+    corpus-sized round), one 1-row span aggregate on that checkpoint,
+    one small checkpoint job per escalation round (each a pruned join
+    on a fast-shrinking residue — candidates are semi-joined down to
+    the residue's occupied cells, AQE broadcasts the cell list), and
+    one final union+rank job.  Radii are precomputed from the span, so
+    no per-round driver decisions depend on data contents."""
     probe = _probe_side(points, id_col, x, y, importance)
     # probe parallelism alone bounds the join: a small input (one
     # parquet file -> one partition) would serialize the whole
@@ -181,15 +201,11 @@ def grid(
     # corpus (id, ax, ay, aimp, iso).
     near = _neighborhood_min(probe, cand_full, cell).localCheckpoint()
 
-    # bounded (1-row) aggregate on the checkpoint: argmax + data span
+    # bounded (1-row) aggregate on the checkpoint: data span
     stats = near.agg(
-        F.max(F.struct(F.col("aimp").alias("i"), (-F.col("id")).alias("nid"))).alias("m"),
         (F.max("ax") - F.min("ax")).alias("sx"),
         (F.max("ay") - F.min("ay")).alias("sy"),
     ).head()
-    if stats is None or stats["m"] is None:
-        return _ranked(near.select("id", "aimp", "iso").limit(0))
-    top_imp, top_id = stats["m"]["i"], -stats["m"]["nid"]
     span = max(stats["sx"] or 0.0, stats["sy"] or 0.0)
 
     radii = []
@@ -205,16 +221,19 @@ def grid(
         )
 
     cand_ckpt = _cand_side(near, "id", "ax", "ay", "aimp")
-    is_top = (F.col("aimp") == F.lit(top_imp)) & (F.col("id") == F.lit(top_id))
-    done = [
-        near.where(is_top).select("id", "aimp", F.lit(None).cast("double").alias("iso")),
-        near.where(~is_top & (F.col("iso") <= cell)).select("id", "aimp", "iso"),
-    ]
-    residue = near.where(
-        ~is_top & (F.col("iso").isNull() | (F.col("iso") > cell))
-    ).select("id", "ax", "ay", "aimp")
+    done = [near.where(F.col("iso") <= cell).select("id", "aimp", "iso")]
+    residue = near.where(F.col("iso").isNull() | (F.col("iso") > cell)).select(
+        "id", "ax", "ay", "aimp"
+    )
     for i, r in enumerate(radii):
-        nr = _neighborhood_min(residue, cand_ckpt, r)
+        nr = _neighborhood_min(residue, cand_ckpt, r, prune=True)
+        if i == 0 and len(radii) > 2:
+            # the first escalation round is the only residue-sized one
+            # (the residue then collapses to a handful of points);
+            # checkpointing it caps the otherwise O(rounds^2) lazy
+            # re-derivation while later (tiny) rounds stay lazy — one
+            # extra small job instead of one per round
+            nr = nr.localCheckpoint()
         if i == len(radii) - 1:
             done.append(nr.select("id", "aimp", "iso"))
         else:

@@ -826,9 +826,10 @@ def q_discrete_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # grid() is the 100 TB plan (3x3 cell-neighborhood join + bounded
     # fallback) and is result-identical to exact() — gate the scale
-    # path.  cell=3 balances neighborhood fan-out (join output rows)
-    # against residue size on this point density (measured at sf0.1).
-    return isolation.grid(pts, cell=3.0)
+    # path.  cell=4 balances neighborhood fan-out (join output rows)
+    # against residue size on this point density (swept at sf0.1:
+    # 1.5/2/3/4/6 -> 2.6/2.0/2.0/1.75/1.78 s warm).
+    return isolation.grid(pts, cell=4.0)
 
 
 # ---------------------------------------------------------------------------

@@ -32,3 +32,35 @@ def test_top_point_has_null_iso(spark, points):
     rows = {r["irank"]: r for r in isolation.exact(points).collect()}
     assert rows[1]["iso"] is None
     assert all(rows[k]["iso"] is not None for k in rows if k != 1)
+
+
+def test_grid_all_null_importance(spark):
+    """ADVICE r3: all-NULL importance rows must not be silently dropped
+    — every point has no strictly-higher neighbor, so grid() must
+    return every point with iso NULL, exactly like exact()."""
+    pts = spark.range(0, 20).select(
+        F.col("id"),
+        (F.col("id") % 5 * 10.0).alias("x"),
+        (F.col("id") % 4 * 10.0).alias("y"),
+        F.lit(None).cast("double").alias("importance"),
+    )
+    got = isolation.grid(pts, cell=15.0).collect()
+    assert len(got) == 20
+    assert all(r["iso"] is None for r in got)
+    exact = {r["id"]: (r["irank"], r["iso"]) for r in isolation.exact(pts).collect()}
+    grid = {r["id"]: (r["irank"], r["iso"]) for r in got}
+    assert exact == grid
+
+
+def test_grid_string_ids(spark):
+    """ADVICE r3: grid() must not assume numeric ids (the old argmax
+    negated the id column); string ids order lexically in both paths."""
+    pts = spark.range(0, 50).select(
+        F.format_string("p%03d", F.col("id")).alias("id"),
+        ((F.col("id") * 131) % 100 / 2.0).alias("x"),
+        ((F.col("id") * 197) % 100 / 2.0).alias("y"),
+        ((F.col("id") * 73) % 17).cast("double").alias("importance"),
+    )
+    exact = {r["id"]: (r["irank"], r["iso"]) for r in isolation.exact(pts).collect()}
+    grid = {r["id"]: (r["irank"], r["iso"]) for r in isolation.grid(pts, cell=10.0).collect()}
+    assert exact == grid
