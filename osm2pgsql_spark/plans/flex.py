@@ -150,8 +150,18 @@ def _callback_mapper(kind: str, fn, valid_tables: frozenset):
             for rec in pdf.to_dict("records"):
                 obj: dict = {"id": int(rec["id"]), "tags": dict(rec["tags"] or {})}
                 if kind == "node":
-                    obj["geom_point"] = G.to_wkb(
-                        ("point", (float(rec["lon"]), float(rec["lat"])))
+                    # visible=False / deleted nodes carry no location
+                    # (NULL lon/lat -> NaN after Arrow) — hand the
+                    # callback a null geometry instead of crashing
+                    lon, lat = rec.get("lon"), rec.get("lat")
+                    has_loc = (
+                        lon is not None and lat is not None
+                        and not pd.isna(lon) and not pd.isna(lat)
+                    )
+                    obj["geom_point"] = (
+                        G.to_wkb(("point", (float(lon), float(lat))))
+                        if has_loc
+                        else None
                     )
                 elif kind == "way":
                     refs = rec.get("refs")
@@ -653,9 +663,14 @@ class FlexConfig:
         result = frames[0]
         for f in frames[1:]:
             result = result.unionByName(f)
-        # every output table embeds this frame in its plan: persist so
-        # the (Python, per-row) callbacks run once, not once per table
-        return result.persist()
+        # every output table embeds this frame in its plan: materialize
+        # it once so the (Python, per-row) callbacks run once, not once
+        # per table.  localCheckpoint (eager) instead of persist():
+        # run() hands lazy tables to the caller with no unpersist
+        # point, and a persist() would pin executor storage forever —
+        # checkpoint blocks are dropped by the ContextCleaner as soon
+        # as the frame is unreferenced (ADVICE r2: flex.py persist leak).
+        return result.localCheckpoint()
 
     def _callback_rows_for_table(
         self, cb_df: DataFrame, tdef: TableDef

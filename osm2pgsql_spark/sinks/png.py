@@ -85,7 +85,23 @@ def write_raster_tiles(
     (x, y) id of each written tile, counted for the return value.
     Writes are idempotent (tmp file + atomic rename), so Spark task
     retries are safe.  For an object store, swap the open/replace pair
-    for a PUT — the batching shape is identical."""
+    for a PUT — the batching shape is identical.
+
+    REQUIREMENT: out_dir must be a filesystem shared by all executors
+    (NFS/object-store mount).  On a multi-node cluster with a plain
+    local path, each executor writes to its own disk and count() still
+    reports success — warned below (ADVICE r3)."""
+    master = tiles.sparkSession.sparkContext.master
+    if not master.startswith("local") and "://" not in out_dir:
+        import warnings
+
+        warnings.warn(
+            f"write_raster_tiles: master={master!r} is not local and "
+            f"out_dir={out_dir!r} looks like a node-local path — tiles "
+            "will land scattered on executor-local disks unless this "
+            "path is a shared mount",
+            stacklevel=2,
+        )
 
     def _render(batches):
         import pandas as pd

@@ -250,6 +250,7 @@ def write_expire_file(
             "/", F.col("zoom").cast("string"), F.col("x").cast("string"), F.col("y").cast("string")
         ).alias("line")
     ).persist()  # two actions below (cap count + write): expire runs once
+    persisted = lines  # unpersist target: limit() below rebinds `lines`
     n = lines.count()
     if n > max_tiles:
         warnings.warn(
@@ -273,7 +274,7 @@ def write_expire_file(
             with open(part, "rb") as src:
                 shutil.copyfileobj(src, out)
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    lines.unpersist()
+    persisted.unpersist()
 
 
 def jdbc_url(host: str, port: int, db: str) -> str:

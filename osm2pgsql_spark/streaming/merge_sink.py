@@ -59,6 +59,7 @@ class ParquetMergeTable:
             fh.write(df.schema.json())
 
     def read(self, spark: SparkSession) -> DataFrame:
+        self.recover()  # finish any interrupted swap before scanning
         if not glob.glob(os.path.join(self.path, f"{_BUCKET}=*", "*.parquet")):
             from pyspark.sql import types as T
 
@@ -79,6 +80,7 @@ class ParquetMergeTable:
         partition overwrite on the write side).  Returns the list of
         rewritten bucket ids (useful for tests/metrics).
         """
+        self.recover()  # finish any interrupted prior swap first
         diff_b = self._bucketed(diff)
         touched = sorted(
             r[_BUCKET] for r in diff_b.select(_BUCKET).distinct().collect()
@@ -100,16 +102,61 @@ class ParquetMergeTable:
 
         # a path cannot be safely overwritten while it is also the
         # scan source; stage the rewritten partitions in a temp dir,
-        # then swap the touched partition directories (the same
-        # commit pattern a table format would make atomic)
+        # then swap the touched partition directories.  The swap is
+        # NOT atomic (plain filesystem), so it is journaled: a marker
+        # file written before the first move lists the touched buckets
+        # and is removed only after the staging dir is gone.  The
+        # per-bucket move is idempotent (rm dst; move src if present),
+        # so recover() can re-run the loop after a crash at any point.
         tmp = self.path + ".merge-tmp"
         out.write.partitionBy(_BUCKET).mode("overwrite").parquet(tmp)
+        # `staged` (buckets with rows in tmp) recorded in the journal
+        # disambiguates recovery: a staged bucket whose src is gone was
+        # already moved (keep dst); an unstaged bucket was emptied by
+        # the merge (dst must be removed) — without it the two states
+        # are indistinguishable after a crash.
+        staged = [
+            int(b)
+            for b in touched
+            if os.path.isdir(os.path.join(tmp, f"{_BUCKET}={b}"))
+        ]
+        with open(self._marker_path(), "w", encoding="utf-8") as fh:
+            json.dump({"touched": [int(b) for b in touched], "staged": staged}, fh)
+        self._swap_from_tmp(tmp, touched, set(staged))
+        return [int(b) for b in touched]
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_merge_inprogress.json")
+
+    def _swap_from_tmp(self, tmp: str, touched, staged: set) -> None:
         for b in touched:
             dst = os.path.join(self.path, f"{_BUCKET}={b}")
             src = os.path.join(tmp, f"{_BUCKET}={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                # bucket still has rows; emptied buckets stay removed
-                shutil.move(src, dst)
+            if int(b) in staged:
+                if os.path.isdir(src):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    shutil.move(src, dst)
+                # else: already moved on a previous attempt — keep dst
+            else:
+                # emptied bucket: stays removed (idempotent)
+                shutil.rmtree(dst, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
-        return [int(b) for b in touched]
+        marker = self._marker_path()
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    def recover(self) -> bool:
+        """Complete a merge swap interrupted mid-flight (journal marker
+        present).  Returns True if a recovery was performed.  Safe to
+        call unconditionally before read()/merge_diff(); every step of
+        the swap loop is idempotent, so re-running it from the journal
+        finishes the commit regardless of where the crash hit."""
+        marker = self._marker_path()
+        if not os.path.exists(marker):
+            return False
+        with open(marker, encoding="utf-8") as fh:
+            j = json.load(fh)
+        self._swap_from_tmp(
+            self.path + ".merge-tmp", j["touched"], set(j.get("staged", []))
+        )
+        return True

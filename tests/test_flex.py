@@ -425,3 +425,38 @@ def test_flex_callback_json_column_and_unknown_table(spark, fixture_dfs):
     bad.process("node", lambda obj: [("typo_table", {"props": "x"})])
     with pytest.raises(Exception, match="undefined table"):
         bad.run(nodes=nodes)["j"].collect()
+
+
+def test_flex_callback_node_without_location(spark, fixture_dfs):
+    """ADVICE r2: visible=False / deleted nodes carry NULL lon/lat —
+    the callback mapper must hand the function a None geom_point
+    instead of crashing on float(None)."""
+    nodes, _ = fixture_dfs
+    from pyspark.sql import functions as F
+
+    nodes_nl = nodes.withColumn(
+        "lon", F.when(F.col("id") == 1, F.lit(None).cast("double")).otherwise(F.col("lon"))
+    ).withColumn(
+        "lat", F.when(F.col("id") == 1, F.lit(None).cast("double")).otherwise(F.col("lat"))
+    )
+    cfg = FlexConfig()
+    cfg.define_table(
+        "poi",
+        ids="node",
+        columns=[ColumnDef("kind", "text"), ColumnDef("geom", "point", not_null=True)],
+    )
+
+    seen_none = []
+
+    def handle_node(obj):
+        if obj["geom_point"] is None:
+            seen_none.append(obj["id"])
+            return
+        if "amenity" in obj["tags"]:
+            yield "poi", {"kind": obj["tags"]["amenity"], "geom": obj["geom_point"]}
+
+    cfg.process("node", handle_node)
+    out = cfg.run(nodes=nodes_nl)
+    ids = {r["osm_id"] for r in out["poi"].collect()}
+    assert 1 not in ids  # location-less node dropped, no crash
+    assert 5 in ids

@@ -90,3 +90,48 @@ def test_merge_drops_fully_deleted_bucket(spark, tmp_path):
     t.merge_diff(spark, diff)
     assert t.read(spark).count() == 0
     assert not glob.glob(os.path.join(path, "__bucket=*", "*.parquet"))
+
+
+def test_merge_swap_crash_recovery(spark, tmp_path):
+    """ADVICE r3: the partition swap is journaled — a crash at any
+    point of the move loop must be completable by recover() with the
+    post-merge state, including emptied buckets."""
+    import json
+    import shutil
+
+    base = _nodes(spark)
+    t = ParquetMergeTable(str(tmp_path / "snap"), num_buckets=8)
+    t.write_full(base)
+    diff = base.select(
+        "id", (F.col("lon") + 1.0).alias("lon"), "lat"
+    ).withColumn("op", F.lit("modify"))
+    t.merge_diff(spark, diff)
+    want = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+
+    # redo the merge, but simulate a crash mid-swap: stage tmp +
+    # journal by hand, move only SOME buckets, leave marker behind
+    t2 = ParquetMergeTable(str(tmp_path / "snap2"), num_buckets=8)
+    t2.write_full(base)
+    diff2 = diff
+    merged = t2._bucketed(
+        base.select("id", (F.col("lon") + 1.0).alias("lon"), "lat")
+    )
+    tmp = t2.path + ".merge-tmp"
+    merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+    touched = list(range(8))
+    staged = [
+        b for b in touched if os.path.isdir(os.path.join(tmp, f"__bucket={b}"))
+    ]
+    with open(t2._marker_path(), "w", encoding="utf-8") as fh:
+        json.dump({"touched": touched, "staged": staged}, fh)
+    # partial swap: first three staged buckets moved, then "crash"
+    for b in staged[:3]:
+        dst = os.path.join(t2.path, f"__bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(os.path.join(tmp, f"__bucket={b}"), dst)
+
+    assert os.path.exists(t2._marker_path())
+    got = {r.id: (r.lon, r.lat) for r in t2.read(spark).collect()}  # auto-recovers
+    assert got == want
+    assert not os.path.exists(t2._marker_path())
+    assert not os.path.isdir(tmp)
