@@ -12,7 +12,9 @@ needed for these three:
 
 Encoders for PNG-gray (shared with sinks/png.py), BMP and WAV exist
 so tests can round-trip real files through the Spark pipeline.
-JPEG/MP3/video stay honestly unimplemented (operators raise).
+Baseline JPEG lives in functions/jpeg.py (decode SOF0 incl. 4:2:0 +
+restarts; encode 4:4:4 for round-trip tests).  MP3/video stay
+honestly unimplemented (operators raise).
 """
 
 from __future__ import annotations

@@ -85,9 +85,13 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
         img = codecs.decode_png(payload)
     elif fmt == "bmp":
         img = codecs.decode_bmp(payload)
+    elif fmt in ("jpeg", "jpg"):
+        from osm2pgsql_spark.functions import jpeg
+
+        img = jpeg.decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            f"no pure-python codec for image format {fmt!r} (jpeg needs an image lib)"
+            f"no pure-python codec for image format {fmt!r}"
         )
     if img.ndim == 3:
         rgb = img[:, :, :3].astype(np.float64)

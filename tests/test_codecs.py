@@ -123,3 +123,58 @@ def test_multimodal_real_decode_pipeline(spark):
             [(4, bytearray(b"\xff\xd8\xff"), ("jpeg", 4, 4, None, None))], MEDIA_SCHEMA
         )
         image_features(jm).collect()
+
+
+def test_jpeg_roundtrip_gray():
+    import numpy as np
+
+    from osm2pgsql_spark.functions import jpeg
+
+    x = np.linspace(0, 255, 48)
+    img = np.clip(np.add.outer(np.linspace(0, 120, 40), x), 0, 255).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 6
+
+    # flat image survives quantization exactly
+    u = np.full((24, 16), 77, dtype=np.uint8)
+    assert (jpeg.decode_jpeg(jpeg.encode_jpeg(u, quality=75)) == 77).all()
+
+
+def test_jpeg_roundtrip_rgb_and_multimodal_path():
+    import numpy as np
+
+    from osm2pgsql_spark.functions import jpeg
+    from osm2pgsql_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    smooth = rng.integers(0, 256, (33, 29, 3)).astype(np.float64)
+    for _ in range(6):
+        smooth[1:-1, 1:-1] = (
+            smooth[:-2, 1:-1] + smooth[2:, 1:-1] + smooth[1:-1, :-2]
+            + smooth[1:-1, 2:] + smooth[1:-1, 1:-1]
+        ) / 5
+    rgb = smooth.astype(np.uint8)
+    enc = jpeg.encode_jpeg(rgb, quality=92)
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == rgb.shape
+    assert float(np.abs(dec.astype(float) - rgb.astype(float)).mean()) < 6.0
+
+    # the multimodal image path accepts jpeg now (gray conversion)
+    g = multimodal._decode_image(enc, "jpeg")
+    assert g.ndim == 2 and g.shape == rgb.shape[:2]
+
+
+def test_jpeg_rejects_progressive():
+    import numpy as np
+    import pytest
+
+    from osm2pgsql_spark.functions import jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive)
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(enc))
