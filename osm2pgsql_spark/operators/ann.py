@@ -135,11 +135,50 @@ def _band_sig(vec_col: str, plane_bits: list[list[float]]):
     return sig
 
 
+def _band_sigs_kernel(comps: list[list[list[float]]], vec_col: str):
+    """Arrow-batched band signatures: ALL bands' sign-bit buckets in
+    one corpus pass.  The dot products accumulate SEQUENTIALLY over
+    the dimension axis (vectorized across rows/planes), which is the
+    exact left-to-right double fold of the JVM aggregate() path and of
+    DuckDB's list_sum — bit-identical oracle parity is preserved while
+    the per-row higher-order-function overhead (the former hot spot:
+    ~25us/row/band, CodegenFallback) disappears."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_bands = len(comps)
+    bits = len(comps[0])
+    dim = len(comps[0][0])
+    # planes matrix [dim, n_bands*bits]
+    planes = np.asarray(
+        [[comps[b][j][d] for b in range(n_bands) for j in range(bits)]
+         for d in range(dim)],
+        dtype="f8",
+    )
+    weights = np.asarray(
+        [np.float64(1 << j) for _ in range(n_bands) for j in range(bits)]
+    )
+
+    def kernel(vecs):
+        m = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        acc = np.zeros((m.shape[0], planes.shape[1]))
+        for d in range(dim):  # sequential over dims = exact fold order
+            acc += m[:, d, None] * planes[d, None, :]
+        sig_bits = np.where(acc > 0, weights[None, :], 0.0).astype("int64")
+        sigs = sig_bits.reshape(m.shape[0], n_bands, bits).sum(axis=2)
+        return pd.Series(list(sigs))
+
+    return pandas_udf(kernel, "array<bigint>")
+
+
 def rp_near_dup_pairs(
     vecs: DataFrame,
     threshold: float,
-    n_bands: int = 8,
-    bits_per_band: int = 4,
+    n_bands: int = 12,
+    bits_per_band: int = 8,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -151,21 +190,19 @@ def rp_near_dup_pairs(
     cross product never materializes.  Recall < 1 by construction
     (sign-LSH misses some borderline pairs); a probe with the same
     bands is the oracle twin, and the brute-force all-pairs form is
-    the small-scale recall baseline."""
+    the small-scale recall baseline.
+
+    Parameter scaling: candidate volume per band is ~n^2/2^bits, so
+    bits_per_band must grow with corpus density — the 8/12 default
+    keeps near-dup recall high (>=0.98 at cos 0.9) while candidates
+    stay ~n^2/256 per band instead of the near-quadratic blowup a
+    4-bit band produces on anything bigger than a toy corpus."""
     comps = rp_band_components(n_bands, bits_per_band, dim, seed)
     base = vecs.select(F.col(id_col), F.col(vec_col))
-    bands = []
-    for b in range(n_bands):
-        bands.append(
-            base.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                _band_sig(vec_col, comps[b]).alias("sig"),
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    sig_udf = _band_sigs_kernel(comps, vec_col)
+    allb = base.select(
+        F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
+    )
     a = allb.select(F.col(id_col).alias("id_a"), "band", "sig")
     bb = allb.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

@@ -127,37 +127,62 @@ def merge_chains(edges_with_chains: DataFrame) -> DataFrame:
     )
 
 
-def propagate_width(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def propagate_width(
+    edges: DataFrame, max_iter: int = 30, hops_per_round: int = 4
+) -> DataFrame:
     """Downstream max-width fixpoint (gen-rivers.cpp:83-120).
 
     edges: (edge_id, x1, y1 [tail], x2, y2 [head], width).  Flow is
     tail->head; each edge's width becomes the max of its own width
     and every upstream edge's (transitively).  Monotone + bounded =>
-    terminates, cycles included."""
-    # Same eager per-round checkpoint discipline as contract_chains:
-    # the self-join doubles lineage per round, so without truncation
-    # the plan (and every convergence probe) goes exponential.
-    cur = edges.localCheckpoint()
+    terminates, cycles included.
+
+    hops_per_round relaxations are chained INSIDE one lazy plan
+    between checkpoints: information still travels one hop per
+    relaxation, but the per-round fixed costs (checkpoint job +
+    convergence-probe job, the dominant wall-clock term on anything
+    but planetary path lengths) are paid once per `hops_per_round`
+    hops instead of once per hop.  Lineage stays bounded: the plan
+    between checkpoints is hops_per_round self-joins deep.
+
+    The loop frame is slimmed to (edge_id, tail, head, width) — the
+    geometry/name columns would otherwise ride through every shuffle
+    and checkpoint of every round; they are re-attached once at the
+    end."""
+    slim = edges.select("edge_id", "x1", "y1", "x2", "y2", "width")
+    cur = slim.localCheckpoint()
     for _ in range(max_iter):
-        inflow = (
-            cur.alias("up")
-            .join(
-                cur.alias("dn"),
-                (F.col("up.x2") == F.col("dn.x1")) & (F.col("up.y2") == F.col("dn.y1")),
+        step = cur
+        for _h in range(hops_per_round):
+            inflow = (
+                step.alias("up")
+                .join(
+                    step.alias("dn"),
+                    (F.col("up.x2") == F.col("dn.x1"))
+                    & (F.col("up.y2") == F.col("dn.y1")),
+                )
+                .groupBy(F.col("dn.edge_id").alias("edge_id"))
+                .agg(F.max(F.col("up.width")).alias("up_width"))
             )
-            .groupBy(F.col("dn.edge_id").alias("edge_id"))
-            .agg(F.max(F.col("up.width")).alias("up_width"))
-        )
-        nxt = (
-            cur.join(inflow, "edge_id", "left")
-            .withColumn(
-                "new_width",
-                F.greatest(F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))),
+            step = (
+                step.join(inflow, "edge_id", "left")
+                .withColumn(
+                    "width",
+                    F.greatest(
+                        F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))
+                    ),
+                )
+                .drop("up_width")
             )
-            .localCheckpoint()
+        nxt = step.localCheckpoint()
+        changed = (
+            nxt.select("edge_id", F.col("width").alias("new_width"))
+            .join(cur.select("edge_id", "width"), "edge_id")
+            .where(F.col("new_width") != F.col("width"))
+            .limit(1)
+            .count()
         )
-        changed = nxt.where(F.col("new_width") != F.col("width")).limit(1).count()
-        cur = nxt.drop("width", "up_width").withColumnRenamed("new_width", "width")
+        cur = nxt
         if changed == 0:
             break
-    return cur
+    return edges.drop("width").join(cur.select("edge_id", "width"), "edge_id")

@@ -1370,8 +1370,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_THRESHOLD = 0.3
-_RP_BANDS = 8
-_RP_BITS = 4
+_RP_BANDS = 12
+_RP_BITS = 8
 _EMB_DIM = 64
 
 _COS_SQL = """
