@@ -70,14 +70,15 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # the round and resets lineage to a constant-size scan.
     adj = adj.localCheckpoint()
     labels = edges.select("edge_id", F.col("edge_id").alias("chain_id")).localCheckpoint()
-    for _ in range(max_iter):
+
+    def one_step(lbl):
         # hash-min step: take the min label across chain neighbors
         nbr_min = (
-            adj.join(labels.withColumnRenamed("edge_id", "nbr"), "nbr")
+            adj.join(lbl.withColumnRenamed("edge_id", "nbr"), "nbr")
             .groupBy("edge_id")
             .agg(F.min("chain_id").alias("nbr_chain"))
         )
-        hashed = labels.join(nbr_min, "edge_id", "left").select(
+        hashed = lbl.join(nbr_min, "edge_id", "left").select(
             "edge_id",
             F.least(
                 F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))
@@ -89,19 +90,21 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         # O(diameter) — the difference between ~20 and ~5 shuffles on
         # a long river chain, and what keeps this viable at planet
         # scale where chains between confluences run 10^3+ segments.
-        jump = labels.select(
+        jump = lbl.select(
             F.col("edge_id").alias("chain_id"), F.col("chain_id").alias("jumped")
         )
-        new_labels = (
-            hashed.join(jump, "chain_id", "left")
-            .select(
-                "edge_id",
-                F.least(
-                    F.col("chain_id"), F.coalesce(F.col("jumped"), F.col("chain_id"))
-                ).alias("chain_id"),
-            )
-            .localCheckpoint()
+        return hashed.join(jump, "chain_id", "left").select(
+            "edge_id",
+            F.least(
+                F.col("chain_id"), F.coalesce(F.col("jumped"), F.col("chain_id"))
+            ).alias("chain_id"),
         )
+
+    for _ in range(max_iter):
+        # two hash-min+jump steps per checkpoint/probe round: halves
+        # the fixed per-round job costs; the lazy plan between
+        # checkpoints stays a bounded two-step chain
+        new_labels = one_step(one_step(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "edge_id")
