@@ -105,3 +105,37 @@ def test_expire_file_sink_large_distributed(spark, tmp_path):
         assert any("truncating" in str(w.message) for w in rec)
     with open(p2) as fh:
         assert len(fh.read().splitlines()) == 1000
+
+
+def test_copy_lines_matches_python_encoder(spark):
+    """The JVM column encoders (copy_*_expr / copy_lines) must produce
+    byte-identical COPY text to the per-row python encoder
+    (copy_encode_value) on every tricky case: NULLs everywhere,
+    tab/newline/cr/backslash in text, NULL array elements, hstore
+    quoting, binary hex."""
+    from pyspark.sql import Row
+
+    from osm2pgsql_spark.sinks.writers import copy_encode_value, copy_lines
+
+    rows = [
+        Row(
+            i=1,
+            s="plain",
+            b=True,
+            a=[1, 2, None],
+            m={"k": 'va"l', "a": "x\\y"},
+            g=b"\x00\xff ab",
+        ),
+        Row(i=None, s="tab\there\nand\rmore\\end", b=False, a=[], m={}, g=b""),
+        Row(i=-7, s=None, b=None, a=None, m=None, g=None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i long, s string, b boolean, a array<long>, m map<string,string>, g binary",
+    )
+    got = [r["copy_line"] for r in copy_lines(df).collect()]
+    want = [
+        "\t".join(copy_encode_value(r[c]) for c in ["i", "s", "b", "a", "m", "g"])
+        for r in rows
+    ]
+    assert sorted(got) == sorted(want)
