@@ -124,6 +124,129 @@ def binary_open(mask: np.ndarray, size: int) -> np.ndarray:
 
 # --------------------------------------------------------- vectorize
 
+def trace_mask(mask: np.ndarray, turdsize: int = 0) -> list[list[np.ndarray]]:
+    """Boundary-trace a binary mask into polygons with holes —
+    the potrace role in the reference tracer (src/gen/tracer.hpp:15-44
+    with alphamax=0: pure polygonal output; turdsize drops paths whose
+    enclosed pixel area is below the threshold).
+
+    Walks the "cracks" between filled and empty pixels: every
+    black/white pixel side contributes one directed lattice edge with
+    a consistent orientation, so following edges (rightmost-turn rule
+    at diagonal-touch corners, which separates 4-connected regions
+    exactly like potrace's default policy resolves ambiguities) yields
+    closed loops.  Loop orientation distinguishes outer boundaries
+    from holes; collinear lattice points are merged so a rectangle
+    comes out as 5 points, not 4*side.  Returns [[outer, hole...]]
+    rings as float64 [N,2] arrays in pixel coordinates."""
+    H, W = mask.shape
+    m = np.zeros((H + 2, W + 2), dtype=bool)
+    m[1:-1, 1:-1] = mask
+    black = m[1:-1, 1:-1]
+
+    # directed crack edges, black consistently on one side
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a: tuple[int, int], b: tuple[int, int]) -> None:
+        edges.setdefault(a, []).append(b)
+
+    rs, cs = np.nonzero(black)
+    for r, c in zip(rs.tolist(), cs.tolist()):
+        if not m[r, c + 1]:  # white above
+            add((c, r), (c + 1, r))
+        if not m[r + 2, c + 1]:  # white below
+            add((c + 1, r + 1), (c, r + 1))
+        if not m[r + 1, c]:  # white left
+            add((c, r + 1), (c, r))
+        if not m[r + 1, c + 2]:  # white right
+            add((c + 1, r), (c + 1, r + 1))
+
+    used: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+
+    def walk(start: tuple[int, int], first: tuple[int, int]) -> list[tuple[int, int]]:
+        loop = [start, first]
+        used.add((start, first))
+        prev, cur = start, first
+        while cur != start:
+            outs = [
+                n for n in edges.get(cur, ()) if (cur, n) not in used
+            ]
+            if not outs:
+                raise ValueError("open boundary loop (corrupt mask?)")
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                # diagonal-touch corner: take the rightmost turn
+                # relative to the incoming direction — keeps the two
+                # diagonally-touching regions as separate loops
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                # right of (dx,dy) in pixel coords (y down) is (-dy,dx)
+                want = (cur[0] - dy, cur[1] + dx)
+                nxt = want if want in outs else outs[0]
+            used.add((cur, nxt))
+            loop.append(nxt)
+            prev, cur = cur, nxt
+        return loop
+
+    loops: list[tuple[float, np.ndarray]] = []
+    for a, outs in list(edges.items()):
+        for b in outs:
+            if (a, b) in used:
+                continue
+            pts = walk(a, b)
+            arr = np.asarray(pts, dtype="f8")
+            # merge collinear runs (axis-parallel lattice steps)
+            keep = [0]
+            for i in range(1, len(arr) - 1):
+                d0 = arr[i] - arr[keep[-1]]
+                d1 = arr[i + 1] - arr[i]
+                if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                    keep.append(i)
+            ring = np.vstack([arr[keep], arr[:1]])
+            area2 = float(
+                np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
+            )
+            loops.append((area2 / 2.0, ring))
+
+    # with the edge orientation above, outer boundaries have one area
+    # sign and holes the other; normalize by checking a known outer
+    outers = [(abs(a), a, r) for a, r in loops if a > 0]
+    holes = [(abs(a), a, r) for a, r in loops if a <= 0]
+    if not outers and holes:  # orientation flipped: swap
+        outers, holes = holes, outers
+    outers = [o for o in outers if o[0] >= max(turdsize, 0)]
+    holes = [h for h in holes if h[0] >= max(turdsize, 0)]
+
+    def contains(ring: np.ndarray, pt: np.ndarray) -> bool:
+        x, y = float(pt[0]), float(pt[1])
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        cross = (y0 > y) != (y1 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+        return bool(np.count_nonzero(cross & (x < xin)) % 2)
+
+    outers.sort(key=lambda o: o[0])
+    polys: list[list[np.ndarray]] = [[o[2]] for o in outers]
+    for _ha, _hs, hring in holes:
+        # probe just inside the hole boundary: midpoint of first edge
+        # nudged toward the hole's interior (the side away from black)
+        mid = (hring[0] + hring[1]) / 2.0
+        d = hring[1] - hring[0]
+        probe = mid + np.array([-d[1], d[0]]) * 0.25 / max(
+            1.0, float(np.hypot(d[0], d[1]))
+        )
+        placed = False
+        for i, (_oa, _os, oring) in enumerate(outers):
+            if contains(oring, probe):
+                polys[i].append(hring)
+                placed = True
+                break
+        if not placed and outers:
+            polys[-1].append(hring)
+    return polys
+
+
 def mask_to_rings(mask: np.ndarray) -> list[np.ndarray]:
     """Simple, robust vectorization: per-row runs -> rectangles ->
     merged row-span rings.  Produces rectilinear rings equal to the
@@ -223,12 +346,22 @@ def drop_small_components(
 
 
 def union_polygons_raster(
-    geoms: list, rect: tuple[float, float, float, float], resolution: int = 256, close_size: int = 0
+    geoms: list,
+    rect: tuple[float, float, float, float],
+    resolution: int = 256,
+    close_size: int = 0,
+    turdsize: int = 0,
+    trace: bool = True,
 ):
     """Union of polygons within `rect` via rasterization at
-    resolution^2; returns a multipolygon of rectilinear rings mapped
-    back to `rect` coordinates (pixel-exact union, like the
-    reference's raster strategy; accuracy = rect_size/resolution)."""
+    resolution^2; returns a multipolygon mapped back to `rect`
+    coordinates (pixel-exact union, like the reference's raster
+    strategy; accuracy = rect_size/resolution).
+
+    trace=True (default): boundary-traced polygons WITH holes via
+    trace_mask — the reference's potrace role (tracer.hpp, alphamax=0
+    polygonal output + turdsize).  trace=False keeps the older
+    rectangle decomposition (hole-free, one rect ring per row-span)."""
     xmin, ymin, xmax, ymax = rect
     sx = resolution / (xmax - xmin)
     sy = resolution / (ymax - ymin)
@@ -250,16 +383,22 @@ def union_polygons_raster(
     if close_size:
         mask = binary_close(mask, close_size)
 
+    def back(ring: np.ndarray) -> np.ndarray:
+        out = np.empty_like(ring)
+        out[:, 0] = ring[:, 0] / sx + xmin
+        out[:, 1] = ring[:, 1] / sy + ymin
+        return out
+
+    if trace:
+        polys = trace_mask(mask, turdsize=turdsize)
+        if not polys:
+            return None
+        return ("multipolygon", [[back(r) for r in rings] for rings in polys])
+
     px_rings = mask_to_rings(mask.copy())
     if not px_rings:
         return None
-    out_polys = []
-    for ring in px_rings:
-        back = np.empty_like(ring)
-        back[:, 0] = ring[:, 0] / sx + xmin
-        back[:, 1] = ring[:, 1] / sy + ymin
-        out_polys.append([back])
-    return ("multipolygon", out_polys)
+    return ("multipolygon", [[back(ring)] for ring in px_rings])
 
 
 def tile_raster_union(

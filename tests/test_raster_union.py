@@ -177,3 +177,61 @@ def test_turdsize_drops_components_not_strips():
     assert int(m.sum()) == big_px  # speckle gone, triangle intact
     rings = mask_to_rings(m.copy())
     assert sum(abs((r[1, 0] - r[0, 0]) * (r[2, 1] - r[1, 1])) for r in rings) == big_px
+
+
+def test_trace_mask_shapes():
+    """Boundary tracer (reference tracer.hpp potrace role, alphamax=0):
+    collinear-merged polygon output, holes, 4-connectivity at diagonal
+    touches, turdsize path dropping."""
+    import numpy as np
+
+    from osm2pgsql_spark.operators.raster_union import trace_mask
+
+    def area(r):
+        return abs(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])) / 2
+
+    # rectangle -> single 5-point ring
+    m = np.zeros((12, 12), dtype=bool)
+    m[2:8, 3:10] = True
+    p = trace_mask(m)
+    assert len(p) == 1 and len(p[0]) == 1 and p[0][0].shape[0] == 5
+    assert area(p[0][0]) == 42.0
+
+    # donut -> outer + hole
+    m = np.zeros((16, 16), dtype=bool)
+    m[2:12, 2:12] = True
+    m[5:8, 5:9] = False
+    p = trace_mask(m)
+    assert len(p) == 1 and len(p[0]) == 2
+    assert area(p[0][0]) == 100.0 and area(p[0][1]) == 12.0
+
+    # diagonal touch -> two separate polygons (4-connectivity)
+    m = np.zeros((8, 8), dtype=bool)
+    m[1:3, 1:3] = True
+    m[3:5, 3:5] = True
+    assert len(trace_mask(m)) == 2
+
+    # turdsize drops the speckle path
+    m = np.zeros((8, 8), dtype=bool)
+    m[1:5, 1:5] = True
+    m[6, 6] = True
+    p = trace_mask(m, turdsize=2)
+    assert len(p) == 1 and area(p[0][0]) == 16.0
+
+
+def test_union_polygons_raster_traced_hole():
+    """Traced union keeps holes that the rectangle decomposition
+    could only approximate with multiple rings."""
+    import numpy as np
+
+    from osm2pgsql_spark.operators.raster_union import union_polygons_raster
+
+    def ring(x0, y0, x1, y1):
+        return np.asarray(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype="f8"
+        )
+
+    donut = ("polygon", [ring(10, 10, 90, 90), ring(40, 40, 60, 60)])
+    u = union_polygons_raster([donut], (0.0, 0.0, 100.0, 100.0), resolution=100)
+    assert u is not None and u[0] == "multipolygon"
+    assert len(u[1]) == 1 and len(u[1][0]) == 2  # outer + hole survives
