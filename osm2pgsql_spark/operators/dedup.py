@@ -112,16 +112,20 @@ def verified_near_dups(
 
     The signature and shingle tables feed multiple join branches
     (band self-join sides; doc_a/doc_b verification joins), so they
-    are persisted — without it the whole upstream pipeline runs once
-    per branch (measured ~2x wall on the dedup bench)."""
+    are materialized once — eager localCheckpoint, not persist():
+    the caller gets a lazy result with no unpersist point, and
+    checkpoint blocks are reclaimed by the ContextCleaner when the
+    frame is unreferenced (persist() would pin executor storage
+    forever; without either, the upstream pipeline runs once per
+    branch — measured ~2x wall on the dedup bench)."""
     sigs = minhash_signatures(
         docs, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
-    ).persist()
+    ).localCheckpoint()
     cand = lsh_candidate_pairs(sigs, k=k, rows_per_band=rows_per_band, id_col=id_col)
     toks2 = docs.select(F.col(id_col), S.tokens(F.col(text_col)).alias("toks"))
     sh = toks2.select(
         F.col(id_col), S.shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
-    ).persist()
+    ).localCheckpoint()
     # Join order for scale: the broadcast hint wraps ONLY the bare
     # (doc_a, doc_b) id pairs — never a relation carrying shingle
     # payloads, whose size is O(candidates x doc length) and OOMs on a

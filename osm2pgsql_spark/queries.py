@@ -1070,7 +1070,9 @@ _SH_MAX_HAMMING = 6
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.simhash_table(docs).persist()
+    # localCheckpoint, not persist: the hash table feeds both join
+    # sides and the gate has no unpersist point (storage self-cleans)
+    sh = dedup.simhash_table(docs).localCheckpoint()
     return dedup.simhash_hamming_pairs(sh, max_hamming=_SH_MAX_HAMMING)
 
 
