@@ -47,6 +47,8 @@ HEADLINE = [
 # Heavy operators benched as a separate subtotal so their trend is
 # recorded without moving the headline total's meaning across rounds.
 HEAVY = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "river_contraction",
     "river_width_propagation",
     "relation_multipolygon_rings",
