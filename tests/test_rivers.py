@@ -66,3 +66,51 @@ def test_propagate_width_cycle_terminates(spark):
     edges = spark.createDataFrame(rows, EDGE_SCHEMA)
     out = {r["edge_id"]: r["width"] for r in propagate_width(edges).collect()}
     assert out == {1: 3.0, 2: 3.0, 3: 3.0, 4: 3.0}  # max flows around the loop
+
+
+def test_propagate_width_chained_equals_direct(spark):
+    """The chain-decomposition scale path must equal the direct
+    relaxation on a branching network with confluences, junction
+    fan-out and an isolated cycle."""
+    from pyspark.sql import functions as F
+
+    from osm2pgsql_spark.operators.rivers import (
+        propagate_width,
+        propagate_width_chained,
+    )
+
+    rows = []
+    eid = 0
+
+    def seg(x1, y1, x2, y2, w):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, float(x1), float(y1), float(x2), float(y2), float(w)))
+
+    # chain A: (0,0)->(4,0) with widths 1,5,2,3
+    for i, w in enumerate([1, 5, 2, 3]):
+        seg(i, 0, i + 1, 0, w)
+    # chain B joins the confluence at (4,0): (4,-3)->(4,0), widths 7,1,2
+    seg(4, -3, 4, -2, 7); seg(4, -2, 4, -1, 1); seg(4, -1, 4, 0, 2)
+    # downstream of the confluence: (4,0)->(7,0), widths 1,1,9
+    for i, w in enumerate([1, 1, 9]):
+        seg(4 + i, 0, 5 + i, 0, w)
+    # junction fan-out: two distributaries from (7,0)
+    seg(7, 0, 8, 1, 1)
+    seg(7, 0, 8, -1, 2)
+    # isolated interior cycle
+    seg(20, 20, 21, 20, 4); seg(21, 20, 21, 21, 6); seg(21, 21, 20, 21, 1)
+    seg(20, 21, 20, 20, 2)
+
+    edges = spark.createDataFrame(
+        rows, "edge_id long, x1 double, y1 double, x2 double, y2 double, width double"
+    )
+    direct = {r["edge_id"]: r["width"] for r in propagate_width(edges).collect()}
+    chained = {
+        r["edge_id"]: r["width"] for r in propagate_width_chained(edges).collect()
+    }
+    assert direct == chained
+    # spot-check semantics: last main-stem edge sees both branches
+    assert direct[10] == 9.0 and chained[10] == 9.0
+    assert direct[11] == 9.0 and direct[12] == 9.0  # distributaries inherit
+    assert direct[5] == 7.0  # chain B prefix
