@@ -67,6 +67,12 @@ def _min_dist_to_higher(probe: DataFrame, candidates: DataFrame) -> DataFrame:
 
 
 def _ranked(iso: DataFrame) -> DataFrame:
+    # SCALE NOTE: the unpartitioned Window funnels the final global
+    # rank through one task — matching the reference's semantics at
+    # gen scales (output is the generalization point set, not the
+    # corpus).  If isolation output ever reaches corpus scale, swap
+    # for orderBy(...).rdd.zipWithIndex() (a range-partitioned sort +
+    # per-partition offsets, no single-task funnel).
     w = Window.orderBy(F.desc("aimp"), F.asc("id"))
     return iso.select(
         "id", F.row_number().over(w).alias("irank"), round4(F.col("iso")).alias("iso")

@@ -182,12 +182,44 @@ def copy_lines(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return df.select(F.concat_ws("\t", *enc).alias("copy_line"))
 
 
-def write_copy_stream(df: DataFrame, writer_factory, columns: list[str] | None = None) -> None:
+def write_copy_stream(
+    df: DataFrame,
+    writer_factory,
+    columns: list[str] | None = None,
+    jvm_encode: bool = True,
+) -> None:
     """foreachPartition COPY writer: writer_factory() must return a
     file-like object per partition (a psycopg copy_expert stream in
     production, any IO for tests).  Buffers are flushed at the
-    reference's 10 MB boundary."""
+    reference's 10 MB boundary.
+
+    jvm_encode=True (default, the 100 TB path): the whole line is
+    built by the Catalyst copy_lines() encoders inside whole-stage
+    codegen and executors stream ready-made text; the per-row Python
+    encoder remains as the fallback for exotic types."""
     cols = columns or df.columns
+
+    if jvm_encode:
+        encoded = copy_lines(df, cols)
+
+        def handle_lines(it) -> None:
+            out: IO = writer_factory()
+            buf: list[str] = []
+            size = 0
+            for row in it:
+                line = row["copy_line"] + "\n"
+                buf.append(line)
+                size += len(line)
+                if size >= COPY_BUFFER_BYTES:
+                    out.write("".join(buf))
+                    buf, size = [], 0
+            if buf:
+                out.write("".join(buf))
+            if hasattr(out, "close"):
+                out.close()
+
+        encoded.foreachPartition(handle_lines)
+        return
 
     def handle(it) -> None:
         out: IO = writer_factory()

@@ -139,3 +139,30 @@ def test_copy_lines_matches_python_encoder(spark):
         for r in rows
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_write_copy_stream_jvm_and_python_paths(spark, tmp_path):
+    """Both write_copy_stream encode paths must emit the same COPY
+    text (modulo partition/row order)."""
+    from pyspark.sql import functions as F
+
+    from osm2pgsql_spark.sinks.writers import write_copy_stream
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.concat(F.lit("name\t"), F.col("id").cast("string")).alias("s"),
+        (F.col("id") % 3 == 0).alias("b"),
+    ).coalesce(2)
+
+    outs = {}
+    for mode in (True, False):
+        path = tmp_path / f"copy_{mode}.txt"
+
+        def factory(p=path):
+            return open(p, "a", encoding="utf-8")
+
+        write_copy_stream(df, factory, jvm_encode=mode)
+        outs[mode] = sorted(path.read_text(encoding="utf-8").splitlines())
+    assert outs[True] == outs[False]
+    assert len(outs[True]) == 100
+    assert any("\\t" in line for line in outs[True])  # escaping happened
