@@ -7,11 +7,31 @@ regression back to all-pairs fails CI, and verify the pigeonhole
 banding is lossless vs the brute-force answer.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.operators import ann, dedup
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _pinned_join_confs(spark):
+    """Plan-shape assertions must not depend on conf state leaked by
+    other tests (e.g. a broadcast threshold left at -1 would replan
+    small-side joins and can surface BroadcastNestedLoopJoin where the
+    suite normally sees a BroadcastHashJoin)."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
 
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
