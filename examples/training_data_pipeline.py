@@ -1,0 +1,91 @@
+"""End-to-end training-data curation pipeline over the documents +
+embeddings corpus: clean -> filter -> dedup (exact, near, embedding)
+-> keep-decisions -> curated parquet.
+
+This is the LLM-data counterpart of generic_import.py: one runnable
+script showing how the engine's training-data operators compose into
+the standard curation recipe (C4/Gopher-style filtering, MinHash-LSH
+near-dedup, embedding near-dedup), with every stage a DataFrame plan
+— no driver-side loops, no row-at-a-time Python.
+
+Run against a testdata scale dir:
+
+  python examples/training_data_pipeline.py /root/testdata/sf0.001 /tmp/curated
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions import text as TX
+from osm2pgsql_spark.operators import ann, dedup
+from osm2pgsql_spark.session import get_spark
+from osm2pgsql_spark.sources.testdata import load_table
+
+
+def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = {"input": docs.count()}
+
+    # 1. clean + annotate (pure column expressions, one pass)
+    t = F.col("text")
+    annotated = docs.select(
+        "doc_id",
+        TX.redact(t).alias("text"),  # URLs/emails -> placeholders
+        TX.token_count(t).alias("n_tokens"),
+        TX.quality_score(t).alias("quality"),
+        TX.lang_guess(t).alias("lang"),
+        TX.is_quality(t).alias("keep"),
+    )
+
+    # 2. quality filter (predicate stays pushdown-friendly)
+    kept = annotated.where(F.col("keep")).drop("keep")
+    counts["after_quality_filter"] = kept.count()
+
+    # 3. exact dedup: keep the lowest doc_id per md5 group
+    exact_keep = dedup.exact_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = kept.join(exact_keep, "doc_id", "leftsemi")
+    counts["after_exact_dedup"] = kept.count()
+
+    # 4. MinHash-LSH near-dedup: banded candidates, exact-Jaccard
+    # verify, connected components -> per-cluster keep decision
+    pairs = dedup.verified_near_dups(docs, min_jaccard=0.5)
+    clusters = dedup.cluster_pairs(pairs.select("doc_a", "doc_b"))
+    drop_near = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = kept.join(drop_near, "doc_id", "left_anti")
+    counts["after_near_dedup"] = kept.count()
+
+    # 5. embedding near-dedup (semantic duplicates): RP bands + exact
+    # cosine verify; drop the higher id of each close pair
+    epairs = ann.rp_near_dup_pairs(emb, threshold=0.95)
+    drop_emb = epairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = kept.join(drop_emb, "doc_id", "left_anti")
+    counts["after_embedding_dedup"] = kept.count()
+
+    # 6. curated output, embedding attached where present
+    curated = kept.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id", "left"
+    )
+    curated.write.mode("overwrite").parquet(out_dir)
+    counts["written"] = spark.read.parquet(out_dir).count()
+    return counts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_docs"
+    spark = get_spark("training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    counts = curate(spark, sf_dir, out_dir)
+    for k, v in counts.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,3 +44,22 @@ def test_is_quality(spark, docs):
     assert out[3] is False       # too short
     assert out[4] is False       # no stopwords, low alpha
     assert out[5] is True        # long but within band
+
+
+def test_training_data_pipeline_example(spark, tmp_path):
+    """The end-to-end curation example runs and each stage only ever
+    narrows the kept set."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.training_data_pipeline import curate
+
+    counts = curate(spark, "/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert counts["input"] == 500
+    seq = [
+        counts["input"], counts["after_quality_filter"],
+        counts["after_exact_dedup"], counts["after_near_dedup"],
+        counts["after_embedding_dedup"],
+    ]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert counts["written"] == counts["after_embedding_dedup"] > 0
