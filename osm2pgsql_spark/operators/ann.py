@@ -109,33 +109,7 @@ def rp_band_components(
     ]
 
 
-def _band_sig(vec_col: str, plane_bits: list[list[float]]):
-    """Bucket id for one band: sign bits of dot products against the
-    band's hyperplanes, packed into a BIGINT.  Left-to-right aggregate
-    fold in doubles — bit-identical to DuckDB list_sum."""
-    bits = []
-    for j, comps in enumerate(plane_bits):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(c) for c in comps]),
-                lambda x, c: x.cast("double") * c,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(
-            F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
-
-
-def _band_sigs_kernel(comps: list[list[list[float]]], vec_col: str):
+def _band_sigs_kernel(comps: list[list[list[float]]]):
     """Arrow-batched band signatures: ALL bands' sign-bit buckets in
     one corpus pass.  The dot products accumulate SEQUENTIALLY over
     the dimension axis (vectorized across rows/planes), which is the
@@ -199,7 +173,7 @@ def rp_near_dup_pairs(
     4-bit band produces on anything bigger than a toy corpus."""
     comps = rp_band_components(n_bands, bits_per_band, dim, seed)
     base = vecs.select(F.col(id_col), F.col(vec_col))
-    sig_udf = _band_sigs_kernel(comps, vec_col)
+    sig_udf = _band_sigs_kernel(comps)
     allb = base.select(
         F.col(id_col), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig")
     )
