@@ -293,8 +293,14 @@ def _pad_to8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline JFIF encode of uint8 gray [H,W] or RGB [H,W,3], 4:4:4."""
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF encode of uint8 gray [H,W] or RGB [H,W,3], 4:4:4.
+
+    restart_interval > 0 emits a DRI segment and RSTn markers every N
+    MCUs (byte-aligned, DC predictors reset) — mainly so the decoder's
+    restart path has a round-trip test without external files."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8")
     color = img.ndim == 3
@@ -320,8 +326,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     bw = _BitWriter()
     pred = [0] * len(planes)
     by, bx = comp_blocks[0].shape[:2]
+    mcu_i = 0
+    rst = 0
     for yb in range(by):
         for xb in range(bx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # flush (1-pad) to byte boundary, emit RSTn, reset DC
+                bw.buf = bytearray(bw.flush())
+                bw.acc = 0
+                bw.nbits = 0
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = [0] * len(planes)
+            mcu_i += 1
             for ci in range(len(planes)):
                 dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                 zz = comp_blocks[ci][yb, xb]
@@ -377,6 +394,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     if color:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

@@ -178,3 +178,21 @@ def test_jpeg_rejects_progressive():
     enc[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn decode path: encoder emits restart markers so the
+    decoder's byte-realign + DC-predictor reset is round-trip
+    testable without external files."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import jpeg
+
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(np.linspace(0, 200, 48), x), 0, 255).astype(np.uint8)
+    for ri in (1, 3, 7):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, restart_interval=ri))
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 6
+    rgb = np.stack([img, img[::-1], np.roll(img, 7, axis=1)], axis=2)
+    dec3 = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=92, restart_interval=2))
+    assert dec3.shape == rgb.shape
