@@ -196,3 +196,51 @@ def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
     r = rows[0]
     assert r["n_events"] == 4
     assert r["session_end_us"] // 60_000_000 == int(t0.timestamp()) // 60 + 17
+
+
+def test_dedup_stream_exact_across_batches(spark, tmp_path):
+    """Streaming dedup must drop duplicates that arrive in LATER
+    micro-batches (cross-batch state), not just within one batch."""
+    import datetime as dt
+
+    from osm2pgsql_spark.streaming.dedup_stream import dedup_stream
+
+    src_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt_dd")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    schema = "doc_id long, ts timestamp, text string"
+    batch1 = [(1, t0, "alpha"), (2, t0, "beta"), (3, t0, "alpha")]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = dedup_stream(stream, key="exact", watermark_delay="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # second batch: one true duplicate of batch 1, one new doc
+    batch2 = [(4, t0 + dt.timedelta(minutes=5), "beta"),
+              (5, t0 + dt.timedelta(minutes=5), "gamma")]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src_dir)
+    q = (
+        dedup_stream(
+            spark.readStream.schema(schema).parquet(src_dir),
+            key="exact", watermark_delay="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
+    assert got == ["alpha", "beta", "gamma"]
