@@ -216,6 +216,15 @@ def propagate_width_chained(
     so no side branch can feed the middle of a chain — which is what
     makes the prefix/entry split exact.
 
+    Cycle classification uses the GLOBAL interior flags, not the
+    chain's own head set: a chain that leaves and re-enters the same
+    junction (J->a->b->J with other edges at J) is NOT a closed
+    interior cycle — its start is the unique edge whose tail is the
+    non-interior junction, and it stays in the contracted graph as a
+    self-loop so junction inflow reaches it.  Only a chain all of
+    whose endpoint nodes are 1-in/1-out globally (no edge with a
+    non-interior tail) is a closed interior cycle.
+
     Crossover point, measured: at sf0.1 (max chain 23 edges) the
     direct relaxation wins (14s vs 26s — the labeling rounds dominate
     when chains are short); the chained path wins when chain length
@@ -285,24 +294,35 @@ def propagate_width_chained(
         if changed == 0:
             break
 
-    # ---- 2. per-chain prefix max + chain summary (one kernel pass)
-    chained = edges.select("edge_id", "x1", "y1", "x2", "y2", "width").join(
-        labels, "edge_id"
+    # ---- 2. per-chain prefix max + chain summary (one kernel pass).
+    # tail_int marks edges whose tail node is interior GLOBALLY: the
+    # chain's start edge is the unique one with a non-interior tail
+    # (every non-first edge's tail is an interior link point).
+    tail_flag = (
+        edges.select("edge_id", F.col("x1").alias("px"), F.col("y1").alias("py"))
+        .join(interior.withColumn("ti", F.lit(True)), ["px", "py"], "left")
+        .select("edge_id", F.coalesce("ti", F.lit(False)).alias("tail_int"))
+    )
+    chained = (
+        edges.select("edge_id", "x1", "y1", "x2", "y2", "width")
+        .join(tail_flag, "edge_id")
+        .join(labels, "edge_id")
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         by_tail = {}
         for i, r in pdf.iterrows():
             by_tail[(r.x1, r.y1)] = i
-        heads_set = {(r.x2, r.y2) for _, r in pdf.iterrows()}
         start = None
         for i, r in pdf.iterrows():
-            if (r.x1, r.y1) not in heads_set:
+            if not r.tail_int:
                 start = i
                 break
         rows = []
         if start is None:
-            # closed interior cycle: every edge sees the whole cycle
+            # closed interior cycle (every endpoint node is 1-in/1-out
+            # globally, so nothing outside can feed it): every edge
+            # sees the whole cycle
             cmax = float(pdf.width.max())
             for _, r in pdf.iterrows():
                 rows.append((int(r.edge_id), cmax, None, None, None, None, cmax))

@@ -114,3 +114,32 @@ def test_propagate_width_chained_equals_direct(spark):
     assert direct[10] == 9.0 and chained[10] == 9.0
     assert direct[11] == 9.0 and direct[12] == 9.0  # distributaries inherit
     assert direct[5] == 7.0  # chain B prefix
+
+
+def test_propagate_width_chained_junction_anchored_loop(spark):
+    """A loop that leaves and re-enters the SAME junction is not a
+    closed interior cycle: junction inflow must reach it (ADVICE r4).
+
+    feeder(w=9) -> J, loop J->a->b->J, outlet J -> K."""
+    from osm2pgsql_spark.operators.rivers import (
+        propagate_width,
+        propagate_width_chained,
+    )
+
+    rows = [
+        (1, -1.0, 0.0, 0.0, 0.0, 9.0),  # feeder -> J(0,0)
+        (2, 0.0, 0.0, 1.0, 0.0, 1.0),   # J -> a
+        (3, 1.0, 0.0, 1.0, 1.0, 1.0),   # a -> b
+        (4, 1.0, 1.0, 0.0, 0.0, 1.0),   # b -> J
+        (5, 0.0, 0.0, 0.0, -1.0, 1.0),  # J -> K outlet
+    ]
+    edges = spark.createDataFrame(
+        rows, "edge_id long, x1 double, y1 double, x2 double, y2 double, width double"
+    )
+    direct = {r["edge_id"]: r["width"] for r in propagate_width(edges).collect()}
+    chained = {
+        r["edge_id"]: r["width"] for r in propagate_width_chained(edges).collect()
+    }
+    assert direct == chained
+    # the feeder's width flows through the loop and out the outlet
+    assert chained == {1: 9.0, 2: 9.0, 3: 9.0, 4: 9.0, 5: 9.0}
