@@ -202,7 +202,16 @@ def trace_mask(mask: np.ndarray, turdsize: int = 0) -> list[list[np.ndarray]]:
                 d1 = arr[i + 1] - arr[i]
                 if d0[0] * d1[1] - d0[1] * d1[0] != 0:
                     keep.append(i)
-            ring = np.vstack([arr[keep], arr[:1]])
+            # the walk's start vertex may itself lie mid-run; drop it
+            # when collinear between its ring neighbors and re-close on
+            # the next kept vertex (ADVICE r4 — minimal rings for holes
+            # whose first crack edge starts mid-run)
+            if len(keep) >= 3:
+                d0 = arr[keep[0]] - arr[keep[-1]]
+                d1 = arr[keep[1]] - arr[keep[0]]
+                if d0[0] * d1[1] - d0[1] * d1[0] == 0:
+                    keep = keep[1:]
+            ring = np.vstack([arr[keep], arr[keep[0] : keep[0] + 1]])
             area2 = float(
                 np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
             )

@@ -19,6 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from osm2pgsql_spark.functions import similarity as S
 from osm2pgsql_spark.functions import text as TX
@@ -2661,6 +2662,13 @@ def _copy_encoding_oracle() -> str:
         "|| (CASE WHEN p_partkey % 5 = 0 THEN 'NULL' "
         "ELSE cast(p_partkey % 13 AS varchar) END) || '}'"
     )
+    # string array: elements always double-quoted + escaped (ADVICE r4)
+    sarr = (
+        "'{' || '\"' || " + escq("p_brand || ',x'") + " || '\",' "
+        "|| '\"a' || chr(92) || '\"b\",' "
+        "|| (CASE WHEN p_partkey % 4 = 0 THEN 'NULL' "
+        "ELSE '\"' || " + escq("p_type || chr(92) || 'y'") + " || '\"' END) || '}'"
+    )
     hs = (
         "'\"brand\"=>\"' || " + escq("p_brand || '\"q'")
         + " || '\",\"type\"=>\"' || " + escq("p_type || chr(92) || 'z'")
@@ -2674,6 +2682,7 @@ def _copy_encoding_oracle() -> str:
             f"({n})",
             f"({b})",
             esc(f"({arr})"),
+            esc(f"({sarr})"),
             esc(f"({hs})"),
             f"({g})",
         ]
@@ -2702,6 +2711,13 @@ def q_copy_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k % 13).cast("long")
         ),
     )
+    sarr = F.array(
+        F.concat(F.col("p_brand"), F.lit(",x")),
+        F.lit('a"b'),
+        F.when(k % 4 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.col("p_type"), F.lit("\\y"))
+        ),
+    )
     hs = F.map_from_arrays(
         F.array(F.lit("brand"), F.lit("type")),
         F.array(
@@ -2717,6 +2733,7 @@ def q_copy_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.copy_int_expr(num),
         W.copy_bool_expr(bl),
         W.copy_array_expr(arr),
+        W.copy_array_expr(sarr, T.StringType()),
         W.copy_hstore_expr(hs),
         W.copy_binary_expr(bin_),
     )

@@ -49,8 +49,23 @@ def copy_encode_value(v, hstore: bool = False) -> str:
             items.append(f'"{kk}"=>"{vv}"')
         return _escape_copy(",".join(items))
     if isinstance(v, (list, tuple)):
-        return _escape_copy("{" + ",".join("NULL" if x is None else str(x) for x in v) + "}")
+        return _escape_copy("{" + ",".join(_array_elem(x) for x in v) + "}")
     return _escape_copy(str(v))
+
+
+def _array_elem(x) -> str:
+    """One Postgres array-literal element.  String elements are always
+    double-quoted with backslash/quote escaping (the reference's array
+    builder quotes unconditionally, db-copy-mgr.hpp:120-148) — an
+    unquoted string containing ',' '{' '}' '"' or backslash would
+    corrupt the literal (ADVICE r4)."""
+    if x is None:
+        return "NULL"
+    if isinstance(x, bool):
+        return "t" if x else "f"
+    if isinstance(x, str):
+        return '"' + x.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return str(x)
 
 
 def _escape_copy(s: str) -> str:
@@ -113,13 +128,38 @@ def copy_bool_expr(c):
     )
 
 
-def copy_array_expr(c):
-    """ARRAY<numeric/string> -> {a,b,NULL,...} (db-copy-mgr.hpp:120-148)."""
+def copy_array_expr(c, element_type=None):
+    """ARRAY<numeric/bool/string> -> {a,b,NULL,...}
+    (db-copy-mgr.hpp:120-148).  String elements are always
+    double-quoted with backslash/quote escaping — unquoted strings
+    containing ',' '{' '}' '"' or backslash corrupt the literal
+    (ADVICE r4); bool elements render t/f; numerics cast bare.
+    Pass the ArrayType's elementType (copy_lines does) to pick the
+    element encoding; None keeps the bare-cast numeric path."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    inner = F.array_join(
-        F.transform(c, lambda x: x.cast("string")), ",", "NULL"
-    )
+    if isinstance(element_type, T.StringType):
+        def el(x):
+            q = F.replace(
+                F.replace(x, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+            )
+            return F.concat(F.lit('"'), q, F.lit('"'))
+
+        inner = F.array_join(F.transform(c, el), ",", "NULL")
+    elif isinstance(element_type, T.BooleanType):
+        inner = F.array_join(
+            F.transform(
+                c,
+                lambda x: F.when(x.isNull(), F.lit(None).cast("string"))
+                .when(x, F.lit("t"))
+                .otherwise(F.lit("f")),
+            ),
+            ",",
+            "NULL",
+        )
+    else:
+        inner = F.array_join(F.transform(c, lambda x: x.cast("string")), ",", "NULL")
     return F.coalesce(
         copy_escape_expr(F.concat(F.lit("{"), inner, F.lit("}"))),
         F.lit(_COPY_NULL),
@@ -172,7 +212,7 @@ def copy_lines(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         elif isinstance(dt, T.BinaryType):
             enc.append(copy_binary_expr(c))
         elif isinstance(dt, T.ArrayType):
-            enc.append(copy_array_expr(c))
+            enc.append(copy_array_expr(c, dt.elementType))
         elif isinstance(dt, T.MapType):
             enc.append(copy_hstore_expr(c))
         elif isinstance(dt, T.StringType):

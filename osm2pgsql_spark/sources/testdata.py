@@ -26,25 +26,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # flag is a runtime-settable session conf, but callers (e.g. the
         # driver) may hand us a session that never set it — set it here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # NTZ->TZ cast below is only exact when the session TZ is UTC;
-        # pin it so a driver-provided session can't skew the epochs.
+        # The NTZ->TZ cast below is only exact when the session TZ is
+        # UTC.  Spark analysis is eager and ResolveTimeZone bakes the
+        # session zone into the cast at DataFrame-construction time, so
+        # pinning UTC around the construction is enough — restore the
+        # caller's zone afterwards instead of mutating their session
+        # permanently (ADVICE r4).
+        prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # Be tolerant of all three ts encodings the driver has shipped:
-        #   1. TIMESTAMP(NANOS) read as int64 nanos (legacy flag above)
-        #   2. timestamp[us] isAdjustedToUTC=false -> TIMESTAMP_NTZ
-        #   3. plain TIMESTAMP (already what downstream expects)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # convert int64 nanos to a microsecond timestamp (matches
-            # DuckDB's epoch_us truncation for positive epochs)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(ts_type, T.TimestampNTZType):
-            # session TZ is UTC, so NTZ wall-clock == UTC instant and
-            # unix_micros after the cast matches DuckDB's epoch_us
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            # Be tolerant of all three ts encodings the driver has
+            # shipped:
+            #   1. TIMESTAMP(NANOS) read as int64 nanos (legacy flag)
+            #   2. timestamp[us] isAdjustedToUTC=false -> TIMESTAMP_NTZ
+            #   3. plain TIMESTAMP (already what downstream expects)
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, T.LongType):
+                # convert int64 nanos to a microsecond timestamp
+                # (matches DuckDB's epoch_us truncation for positive
+                # epochs)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(ts_type, T.TimestampNTZType):
+                # session TZ is UTC here, so NTZ wall-clock == UTC
+                # instant and unix_micros after the cast matches
+                # DuckDB's epoch_us
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        finally:
+            if prev_tz is not None:
+                spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

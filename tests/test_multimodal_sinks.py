@@ -56,6 +56,14 @@ def test_copy_encoding():
     assert copy_encode_value("a\tb\nc") == "a\\tb\\nc"
     assert copy_encode_value(b"\x01\xff") == r"\\x01ff"
     assert copy_encode_value([1, None, 3]) == "{1,NULL,3}"
+    # string elements always quoted; ',{}"\ would corrupt an unquoted
+    # literal.  COPY-level escaping doubles the inner backslashes.
+    assert copy_encode_value(["a,b", None]) == '{"a,b",NULL}'
+    assert (
+        copy_encode_value(['q"x', "b\\c", "{d}"])
+        == '{"q\\\\"x","b\\\\\\\\c","{d}"}'
+    )
+    assert copy_encode_value([True, False, None]) == "{t,f,NULL}"
     # hstore-level quote escaping (\") then COPY-level backslash
     # escaping (\\) — PostgreSQL unescapes COPY first, hstore second
     assert copy_encode_value({"k": "v", "a": 'q"x'}) == '"a"=>"q\\\\"x","k"=>"v"'
@@ -123,19 +131,28 @@ def test_copy_lines_matches_python_encoder(spark):
             s="plain",
             b=True,
             a=[1, 2, None],
+            sa=['a,b', 'q"x', "c\\d", "{e}", None],
+            ba=[True, None, False],
             m={"k": 'va"l', "a": "x\\y"},
             g=b"\x00\xff ab",
         ),
-        Row(i=None, s="tab\there\nand\rmore\\end", b=False, a=[], m={}, g=b""),
-        Row(i=-7, s=None, b=None, a=None, m=None, g=None),
+        Row(
+            i=None, s="tab\there\nand\rmore\\end", b=False,
+            a=[], sa=[], ba=[], m={}, g=b"",
+        ),
+        Row(i=-7, s=None, b=None, a=None, sa=None, ba=None, m=None, g=None),
     ]
     df = spark.createDataFrame(
         rows,
-        "i long, s string, b boolean, a array<long>, m map<string,string>, g binary",
+        "i long, s string, b boolean, a array<long>, sa array<string>, "
+        "ba array<boolean>, m map<string,string>, g binary",
     )
     got = [r["copy_line"] for r in copy_lines(df).collect()]
     want = [
-        "\t".join(copy_encode_value(r[c]) for c in ["i", "s", "b", "a", "m", "g"])
+        "\t".join(
+            copy_encode_value(r[c])
+            for c in ["i", "s", "b", "a", "sa", "ba", "m", "g"]
+        )
         for r in rows
     ]
     assert sorted(got) == sorted(want)

@@ -204,6 +204,9 @@ def test_trace_mask_shapes():
     p = trace_mask(m)
     assert len(p) == 1 and len(p[0]) == 2
     assert area(p[0][0]) == 100.0 and area(p[0][1]) == 12.0
+    # minimal rings for BOTH rings: rectangular hole = 5 points even
+    # when the walk's first crack edge starts mid-run (ADVICE r4)
+    assert p[0][0].shape[0] == 5 and p[0][1].shape[0] == 5
 
     # diagonal touch -> two separate polygons (4-connectivity)
     m = np.zeros((8, 8), dtype=bool)

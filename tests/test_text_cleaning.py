@@ -22,6 +22,7 @@ def docs(spark):
 def test_url_email_redact(spark, docs):
     out = docs.select(
         "doc_id",
+        "text",
         TX.url_count(F.col("text")).alias("u"),
         TX.email_count(F.col("text")).alias("e"),
         TX.redact(F.col("text")).alias("red"),
@@ -30,7 +31,8 @@ def test_url_email_redact(spark, docs):
     assert r[1]["u"] == 1 and r[1]["e"] == 1
     assert "<url>" in r[1]["red"] and "<email>" in r[1]["red"]
     assert "example.com" not in r[1]["red"] and "test.org" not in r[1]["red"]
-    assert r[2]["u"] == 0 and r[2]["e"] == 0 and r[2]["red"] == r[2]["text" if False else "red"]
+    # redact is the identity on text without URLs/emails
+    assert r[2]["u"] == 0 and r[2]["e"] == 0 and r[2]["red"] == r[2]["text"]
 
 
 def test_is_quality(spark, docs):
