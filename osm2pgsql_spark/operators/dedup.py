@@ -9,6 +9,7 @@ candidates — never the full cross product.
 
 from __future__ import annotations
 
+from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -231,13 +232,12 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    sym = _ckpt(sym)
+    labels = _ckpt(
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -262,8 +262,8 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("jumped", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.functions.rounding import round4
+from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
 
 # built lazily: F.sqrt() invokes the JVM, so module-level expression
 # constants would require an active SparkContext at import time
@@ -205,7 +206,7 @@ def grid(
     # pinned in the CacheManager forever (leak per grid() call).
     # The LEFT join keeps one row per point, so this checkpoint IS the
     # corpus (id, ax, ay, aimp, iso).
-    near = _neighborhood_min(probe, cand_full, cell).localCheckpoint()
+    near = _ckpt(_neighborhood_min(probe, cand_full, cell))
 
     # bounded (1-row) aggregate on the checkpoint: data span
     stats = near.agg(
@@ -239,7 +240,7 @@ def grid(
             # checkpointing it caps the otherwise O(rounds^2) lazy
             # re-derivation while later (tiny) rounds stay lazy — one
             # extra small job instead of one per round
-            nr = nr.localCheckpoint()
+            nr = _ckpt(nr)
         if i == len(radii) - 1:
             done.append(nr.select("id", "aimp", "iso"))
         else:

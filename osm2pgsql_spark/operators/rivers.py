@@ -26,8 +26,49 @@ reference's point-based equal_range probing (:297-300).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
+
+# Below this edge count the fixpoint's wall-clock is dominated by
+# per-stage fixed costs, not data volume; above it the default session
+# confs (whole-stage codegen, AQE) win and must stay on.
+_SMALL_GRAPH_EDGES = 2_000_000
+
+
+@contextmanager
+def _small_graph_mode(spark, n_rows: int):
+    """Per-round frames in an iterative fixpoint are tiny compared to
+    the input, so each round's cost is per-stage FIXED overhead:
+    whole-stage-codegen compiles a fresh Janino class per generated
+    plan (new attribute ids every round => no codegen cache hits) and
+    AQE re-plans + schedules every shuffle stage separately.  Measured
+    at sf0.1 (135k edges): codegen+AQE off + 8 shuffle partitions
+    takes contract_chains 13.7s->4.3s and propagate_width 20s->11.6s
+    with identical results.  On a big graph (>= _SMALL_GRAPH_EDGES)
+    the session confs are left untouched — codegen/AQE win there.
+    Always restores the caller's confs."""
+    if n_rows >= _SMALL_GRAPH_EDGES:
+        yield
+        return
+    conf = spark.conf
+    keys = (
+        "spark.sql.codegen.wholeStage",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        yield
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 def endpoint_degrees(edges: DataFrame) -> DataFrame:
@@ -47,6 +88,18 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     Returns edges + chain_id.  Label propagation: each round, every
     edge takes the min chain label among neighbors across degree-2
     endpoints; converges when no label changes."""
+    # Materializing the labels runs the (possibly heavy) edge input at
+    # the caller's session confs; the count on the checkpointed RDD is
+    # then cheap and sizes the fixpoint's conf mode.
+    labels = _ckpt(edges.select("edge_id", F.col("edge_id").alias("chain_id")))
+    n_edges = labels.count()
+    with _small_graph_mode(edges.sparkSession, n_edges):
+        return _contract_chains_loop(edges, labels, max_iter)
+
+
+def _contract_chains_loop(
+    edges: DataFrame, labels: DataFrame, max_iter: int
+) -> DataFrame:
     deg = endpoint_degrees(edges)
     deg2 = deg.where(F.col("degree") == 2).select("px", "py")
 
@@ -68,8 +121,7 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # lineage truncation the plan doubles per round (2^rounds paths —
     # analysis alone goes exponential).  localCheckpoint materializes
     # the round and resets lineage to a constant-size scan.
-    adj = adj.localCheckpoint()
-    labels = edges.select("edge_id", F.col("edge_id").alias("chain_id")).localCheckpoint()
+    adj = _ckpt(adj)
 
     def one_step(lbl):
         # hash-min step: take the min label across chain neighbors
@@ -104,7 +156,7 @@ def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         # two hash-min+jump steps per checkpoint/probe round: halves
         # the fixed per-round job costs; the lazy plan between
         # checkpoints stays a bounded two-step chain
-        new_labels = one_step(one_step(labels)).localCheckpoint()
+        new_labels = _ckpt(one_step(one_step(labels)))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "edge_id")
@@ -131,7 +183,10 @@ def merge_chains(edges_with_chains: DataFrame) -> DataFrame:
 
 
 def propagate_width(
-    edges: DataFrame, max_iter: int = 30, hops_per_round: int = 4
+    edges: DataFrame,
+    max_iter: int = 30,
+    hops_per_round: int = 4,
+    escalate_after_hops: int | None = 24,
 ) -> DataFrame:
     """Downstream max-width fixpoint (gen-rivers.cpp:83-120).
 
@@ -148,46 +203,71 @@ def propagate_width(
     hops instead of once per hop.  Lineage stays bounded: the plan
     between checkpoints is hops_per_round self-joins deep.
 
+    Each hop is in MESSAGE form: widths are first max-combined per
+    head vertex (groupBy on the head key = map-side partial agg, the
+    Pregel combiner), then LEFT-joined to downstream tails.  That is
+    2 exchanges per hop instead of the naive join-then-agg-then-join-
+    back's 3-4, and the pre-combine bounds the join's probe fan-in at
+    high-in-degree junctions (skew safety at planet scale).
+
     The loop frame is slimmed to (edge_id, tail, head, width) — the
     geometry/name columns would otherwise ride through every shuffle
     and checkpoint of every round; they are re-attached once at the
-    end."""
+    end.
+
+    The convergence probe is FUSED into the round: a `w0` copy of the
+    round-start width rides through the lazy hop chain, so detecting
+    change is a filter on the freshly checkpointed RDD (no join, no
+    extra shuffle).
+
+    escalate_after_hops: if the relaxation is still changing after
+    this many hops, the graph has chains longer than one-hop
+    relaxation can cheaply cover, and the remainder is handed to
+    propagate_width_chained on the current (partially relaxed) widths.
+    That is exact: for monotone max-propagation, the fixpoint from any
+    state between the input and the fixpoint is the same fixpoint —
+    each partial width is a max over a subset of the edge's upstream
+    closure.  This is the measured-crossover selection the two paths
+    need: short chains never escalate and pay nothing; long chains
+    (planet rivers) escalate after a bounded number of rounds instead
+    of relaxing for O(diameter) hops.  None disables escalation (used
+    by the chained path itself on the contracted junction graph)."""
     slim = edges.select("edge_id", "x1", "y1", "x2", "y2", "width")
-    cur = slim.localCheckpoint()
-    for _ in range(max_iter):
-        step = cur
-        for _h in range(hops_per_round):
-            inflow = (
-                step.alias("up")
-                .join(
-                    step.alias("dn"),
-                    (F.col("up.x2") == F.col("dn.x1"))
-                    & (F.col("up.y2") == F.col("dn.y1")),
+    cur = _ckpt(slim)
+    n_edges = cur.count()
+    hops_done = 0
+    with _small_graph_mode(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            step = cur.withColumn("w0", F.col("width"))
+            for _h in range(hops_per_round):
+                msgs = (
+                    step.groupBy(
+                        F.col("x2").alias("jx"), F.col("y2").alias("jy")
+                    ).agg(F.max("width").alias("up_width"))
                 )
-                .groupBy(F.col("dn.edge_id").alias("edge_id"))
-                .agg(F.max(F.col("up.width")).alias("up_width"))
-            )
-            step = (
-                step.join(inflow, "edge_id", "left")
-                .withColumn(
-                    "width",
-                    F.greatest(
-                        F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))
-                    ),
+                step = (
+                    step.join(
+                        msgs,
+                        (F.col("x1") == F.col("jx")) & (F.col("y1") == F.col("jy")),
+                        "left",
+                    )
+                    .withColumn(
+                        "width",
+                        F.greatest(
+                            F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))
+                        ),
+                    )
+                    .drop("jx", "jy", "up_width")
                 )
-                .drop("up_width")
-            )
-        nxt = step.localCheckpoint()
-        changed = (
-            nxt.select("edge_id", F.col("width").alias("new_width"))
-            .join(cur.select("edge_id", "width"), "edge_id")
-            .where(F.col("new_width") != F.col("width"))
-            .limit(1)
-            .count()
-        )
-        cur = nxt
-        if changed == 0:
-            break
+            nxt = _ckpt(step)
+            changed = nxt.where(F.col("width") != F.col("w0")).limit(1).count()
+            cur = nxt.drop("w0")
+            hops_done += hops_per_round
+            if changed == 0:
+                break
+            if escalate_after_hops is not None and hops_done >= escalate_after_hops:
+                cur = _ckpt(propagate_width_chained(cur, max_iter=max_iter))
+                break
     return edges.drop("width").join(cur.select("edge_id", "width"), "edge_id")
 
 
@@ -233,6 +313,14 @@ def propagate_width_chained(
     result-identical (tested)."""
     import pandas as pd
 
+    base = _ckpt(edges.select("edge_id", "x1", "y1", "x2", "y2", "width"))
+    n_edges = base.count()
+    with _small_graph_mode(edges.sparkSession, n_edges):
+        out = _propagate_width_chained_body(base, max_iter, pd)
+    return edges.drop("width").join(out, "edge_id")
+
+
+def _propagate_width_chained_body(edges: DataFrame, max_iter: int, pd) -> DataFrame:
     # ---- 1. chain labels over the directed interior adjacency
     heads = edges.select(F.col("x2").alias("px"), F.col("y2").alias("py"))
     tails = edges.select(F.col("x1").alias("px"), F.col("y1").alias("py"))
@@ -253,11 +341,9 @@ def propagate_width_chained(
     adj = (
         link.select(F.col("ue").alias("edge_id"), F.col("de").alias("nbr"))
         .unionByName(link.select(F.col("de").alias("edge_id"), F.col("ue").alias("nbr")))
-        .localCheckpoint()
     )
-    labels = edges.select(
-        "edge_id", F.col("edge_id").alias("chain_id")
-    ).localCheckpoint()
+    adj = _ckpt(adj)
+    labels = _ckpt(edges.select("edge_id", F.col("edge_id").alias("chain_id")))
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels.withColumnRenamed("edge_id", "nbr"), "nbr")
@@ -281,8 +367,8 @@ def propagate_width_chained(
                     "chain_id"
                 ),
             )
-            .localCheckpoint()
         )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "edge_id")
@@ -366,8 +452,8 @@ def propagate_width_chained(
             "ex2 double, ey2 double, chain_max double",
         )
         .join(labels, "edge_id")
-        .localCheckpoint()
     )
+    scanned = _ckpt(scanned)
 
     # ---- 3. relaxation on the contracted junction graph (tiny)
     contracted = (
@@ -380,7 +466,9 @@ def propagate_width_chained(
         )
         .withColumnRenamed("chain_id", "edge_id")
     )
-    solved = propagate_width(contracted, max_iter=max_iter)
+    # escalation off: on a junction-only graph the chained path would
+    # contract to itself and recurse forever
+    solved = propagate_width(contracted, max_iter=max_iter, escalate_after_hops=None)
 
     # ---- 4. inflow at each chain entry = max solved width over the
     # chains whose exit feeds it; edge width = max(prefix, inflow)
@@ -393,7 +481,7 @@ def propagate_width_chained(
         .groupBy(F.col("d.edge_id").alias("chain_id"))
         .agg(F.max(F.col("u.width")).alias("in_max"))
     )
-    out = (
+    return (
         scanned.join(inflow, "chain_id", "left")
         .select(
             "edge_id",
@@ -402,4 +490,3 @@ def propagate_width_chained(
             ).alias("width"),
         )
     )
-    return edges.drop("width").join(out, "edge_id")

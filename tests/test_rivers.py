@@ -116,6 +116,35 @@ def test_propagate_width_chained_equals_direct(spark):
     assert direct[5] == 7.0  # chain B prefix
 
 
+def test_propagate_width_escalation_equals_direct(spark):
+    """Escalating from a partially relaxed state to the chained path
+    mid-fixpoint is exact: max-propagation's fixpoint from any state
+    between input and fixpoint is the same fixpoint.  A long chain
+    (24 edges, rising widths upstream) forces real escalation work."""
+    from osm2pgsql_spark.operators.rivers import propagate_width
+
+    rows = [
+        (i + 1, float(i), 0.0, float(i + 1), 0.0, float(24 - i))
+        for i in range(24)
+    ]
+    # a tributary at the far end so the junction graph is non-trivial
+    rows.append((25, 12.0, -1.0, 12.0, 0.0, 99.0))
+    edges = spark.createDataFrame(
+        rows, "edge_id long, x1 double, y1 double, x2 double, y2 double, width double"
+    )
+    direct = {
+        r["edge_id"]: r["width"]
+        for r in propagate_width(edges, escalate_after_hops=None).collect()
+    }
+    escalated = {
+        r["edge_id"]: r["width"]
+        for r in propagate_width(edges, escalate_after_hops=4).collect()
+    }
+    assert direct == escalated
+    assert escalated[24] == 99.0  # tributary reaches the mouth
+    assert escalated[1] == 24.0
+
+
 def test_propagate_width_chained_junction_anchored_loop(spark):
     """A loop that leaves and re-enters the SAME junction is not a
     closed interior cycle: junction inflow must reach it (ADVICE r4).
