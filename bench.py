@@ -58,16 +58,32 @@ HEAVY = [
 ]
 
 
-def _run_set(spark, qs, names, sf_dir, timings, errors):
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _run_set(spark, qs, names, sf_dir, timings, first_run, errors):
+    """Per query: RUNS timed executions; record the MEDIAN (the box is
+    noisy — single-run totals swing +-17%, drowning real trends) and
+    the first run separately for continuity with rounds 1-4."""
     for name in names:
         if name not in qs:
             continue
-        t0 = time.time()
+        samples = []
+        n = None
         try:
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            for _ in range(RUNS):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                samples.append(time.time() - t0)
+            samples_sorted = sorted(samples)
+            timings[name] = round(samples_sorted[len(samples_sorted) // 2], 3)
+            first_run[name] = round(samples[0], 3)
+            print(
+                f"# {name}: {n} rows median {timings[name]}s "
+                f"(runs {[round(s, 3) for s in samples]})",
+                file=sys.stderr,
+            )
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -101,9 +117,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     heavy_timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
-    _run_set(spark, qs, HEADLINE, sf_dir, timings, errors)
-    _run_set(spark, qs, HEAVY, sf_dir, heavy_timings, errors)
+    _run_set(spark, qs, HEADLINE, sf_dir, timings, first_run, errors)
+    _run_set(spark, qs, HEAVY, sf_dir, heavy_timings, first_run, errors)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -113,6 +130,8 @@ def main() -> None:
         "queries": timings,
         "heavy_queries": heavy_timings,
         "heavy_total": round(sum(heavy_timings.values()), 3),
+        "runs_per_query": RUNS,
+        "first_run": first_run,
         "sf": sf,
     }
     if errors:
