@@ -1,0 +1,372 @@
+"""Arbitrary-EPSG reprojection, numpy-native.
+
+The reference supports any EPSG via PROJ
+(/root/reference/src/reprojection-generic-proj6.cpp, selected at
+/root/reference/src/reprojection.cpp:17-102); this container has no
+pyproj, so the two projection families that cover the national grids
+real deployments use are implemented from the public formulas:
+
+- Transverse Mercator (EPSG method 9807) — every UTM zone
+  (326xx/327xx WGS84, 258xx ETRS89), OSGB 27700, Poland 2180, ... —
+  via the Krueger series in n to order 6 (Karney 2011, "Transverse
+  Mercator with an accuracy of a few nanometers"; same series PROJ
+  uses for its default tmerc).  Forward + inverse (Newton on the
+  conformal tangent), round-trip < 1e-9 deg.
+- Lambert Azimuthal Equal Area (EPSG method 9820) — EPSG 3035
+  (ETRS89-LAEA Europe, the EU statistical grid) — Snyder pp. 187-190
+  ellipsoidal form.
+
+All kernels are vectorized numpy over coordinate arrays (Arrow-batch
+friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
+per-row Python.  `tmerc_forward_sql`/`laea_forward_sql` emit the SAME
+formula as DuckDB SQL (constants interpolated from the same params
+object) so driver oracles can check the kernel against an
+independently evaluated twin.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+# ---------------------------------------------------------------- ellipsoids
+
+#: name -> (semi-major axis a [m], inverse flattening 1/f)
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    # Airy 1830 (OSGB36): defined via a and b
+    "airy": (6377563.396, 299.3249646),
+    # Krassowsky 1940 (many eastern-european legacy grids)
+    "krass": (6378245.0, 298.3),
+    # Bessel 1841 (DHDN / Gauss-Krueger legacy)
+    "bessel": (6377397.155, 299.1528128),
+}
+
+
+@dataclass(frozen=True)
+class TmercParams:
+    """Transverse Mercator parameters (EPSG method 9807)."""
+
+    a: float
+    inv_f: float
+    lon0: float  # central meridian, degrees
+    lat0: float  # latitude of natural origin, degrees
+    k0: float  # scale on the central meridian
+    fe: float  # false easting, m
+    fn: float  # false northing, m
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def n(self) -> float:
+        return self.f / (2.0 - self.f)
+
+    @property
+    def big_a(self) -> float:
+        """Rectifying radius A = a/(1+n) (1 + n^2/4 + n^4/64 + n^6/256)."""
+        n = self.n
+        return (self.a / (1.0 + n)) * (
+            1.0 + n * n / 4.0 + n**4 / 64.0 + n**6 / 256.0
+        )
+
+    @property
+    def alpha(self) -> tuple[float, ...]:
+        """Krueger forward series coefficients alpha_1..alpha_6."""
+        n = self.n
+        n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+        return (
+            n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0
+            - 127.0 * n5 / 288.0 + 7891.0 * n6 / 37800.0,
+            13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0
+            + 281.0 * n5 / 630.0 - 1983433.0 * n6 / 1935360.0,
+            61.0 * n3 / 240.0 - 103.0 * n4 / 140.0 + 15061.0 * n5 / 26880.0
+            + 167603.0 * n6 / 181440.0,
+            49561.0 * n4 / 161280.0 - 179.0 * n5 / 168.0
+            + 6601661.0 * n6 / 7257600.0,
+            34729.0 * n5 / 80640.0 - 3418889.0 * n6 / 1995840.0,
+            212378941.0 * n6 / 319334400.0,
+        )
+
+    @property
+    def beta(self) -> tuple[float, ...]:
+        """Krueger inverse series coefficients beta_1..beta_6."""
+        n = self.n
+        n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+        return (
+            n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0
+            - 81.0 * n5 / 512.0 + 96199.0 * n6 / 604800.0,
+            n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0 + 46.0 * n5 / 105.0
+            - 1118711.0 * n6 / 3870720.0,
+            17.0 * n3 / 480.0 - 37.0 * n4 / 840.0 - 209.0 * n5 / 4480.0
+            + 5569.0 * n6 / 90720.0,
+            4397.0 * n4 / 161280.0 - 11.0 * n5 / 504.0
+            - 830251.0 * n6 / 7257600.0,
+            4583.0 * n5 / 161280.0 - 108847.0 * n6 / 3991680.0,
+            20648693.0 * n6 / 638668800.0,
+        )
+
+    @property
+    def xi0(self) -> float:
+        """Rectifying latitude of the natural origin (meridian-arc
+        offset): N = fn + k0 A (xi - xi0)."""
+        if self.lat0 == 0.0:
+            return 0.0
+        e = self.e
+        sphi = math.sin(math.radians(self.lat0))
+        psi = math.atanh(sphi) - e * math.atanh(e * sphi)
+        t = math.sinh(psi)
+        xip = math.atan(t)  # lambda = 0
+        xi = xip
+        for j, a_j in enumerate(self.alpha, 1):
+            xi += a_j * math.sin(2.0 * j * xip)  # cosh(0) = 1
+        return xi
+
+
+@dataclass(frozen=True)
+class LaeaParams:
+    """Lambert Azimuthal Equal Area parameters (EPSG method 9820)."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+
+def _q_auth(e: float, sphi):
+    """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
+    es = e * sphi
+    return (1.0 - e * e) * (
+        sphi / (1.0 - es * es) - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es))
+    )
+
+
+# ------------------------------------------------------------ EPSG registry
+
+_NAMED: dict[int, TmercParams | LaeaParams] = {}
+
+
+def _tm(code, ell, lon0, lat0, k0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = TmercParams(a, inv_f, lon0, lat0, k0, fe, fn)
+
+
+def _la(code, ell, lon0, lat0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = LaeaParams(a, inv_f, lon0, lat0, fe, fn)
+
+
+# national grids (parameters from the public EPSG registry entries)
+_tm(27700, "airy", -2.0, 49.0, 0.9996012717, 400000.0, -100000.0)  # OSGB36
+_tm(2180, "GRS80", 19.0, 0.0, 0.9993, 500000.0, -5300000.0)  # Poland CS92
+_la(3035, "GRS80", 10.0, 52.0, 4321000.0, 3210000.0)  # ETRS89-LAEA Europe
+
+
+def epsg_params(code: int) -> TmercParams | LaeaParams:
+    """Resolve an EPSG code to projection parameters.
+
+    Covers: WGS84 UTM 32601-32660 (N) / 32701-32760 (S), ETRS89 UTM
+    25828-25838, NAD83 UTM 26901-26923, plus the named national grids
+    above.  Raises KeyError for unknown codes (the reference raises
+    for SRIDs PROJ cannot resolve, src/reprojection.cpp:83-85)."""
+    if code in _NAMED:
+        return _NAMED[code]
+    if 32601 <= code <= 32660:  # WGS84 / UTM north
+        zone = code - 32600
+        return TmercParams(*ELLIPSOIDS["WGS84"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 0.0)
+    if 32701 <= code <= 32760:  # WGS84 / UTM south
+        zone = code - 32700
+        return TmercParams(*ELLIPSOIDS["WGS84"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 10000000.0)
+    if 25828 <= code <= 25838:  # ETRS89 / UTM
+        zone = code - 25800
+        return TmercParams(*ELLIPSOIDS["GRS80"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 0.0)
+    if 26901 <= code <= 26923:  # NAD83 / UTM north
+        zone = code - 26900
+        return TmercParams(*ELLIPSOIDS["GRS80"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 0.0)
+    raise KeyError(
+        f"EPSG:{code} not supported (no PROJ in this environment; "
+        "supported: UTM zones, 27700, 2180, 3035)"
+    )
+
+
+# ------------------------------------------------------------ TM kernels
+
+def tmerc_forward(lon: np.ndarray, lat: np.ndarray, p: TmercParams):
+    """(E, N) from degrees lon/lat.  Krueger series, order n^6."""
+    lam = np.radians(lon - p.lon0)
+    phi = np.radians(lat)
+    e = p.e
+    sphi = np.sin(phi)
+    psi = np.arctanh(sphi) - e * np.arctanh(e * sphi)
+    t = np.sinh(psi)
+    coslam = np.cos(lam)
+    xip = np.arctan2(t, coslam)
+    etap = np.arcsinh(np.sin(lam) / np.sqrt(t * t + coslam * coslam))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a_j in enumerate(p.alpha, 1):
+        xi = xi + a_j * np.sin(2.0 * j * xip) * np.cosh(2.0 * j * etap)
+        eta = eta + a_j * np.cos(2.0 * j * xip) * np.sinh(2.0 * j * etap)
+    k0A = p.k0 * p.big_a
+    return p.fe + k0A * eta, p.fn + k0A * (xi - p.xi0)
+
+
+def tmerc_inverse(E: np.ndarray, N: np.ndarray, p: TmercParams):
+    """(lon, lat) degrees from (E, N).  Inverse series + Newton on the
+    ellipsoidal tangent (5 iterations: double-precision converged)."""
+    k0A = p.k0 * p.big_a
+    xi = (np.asarray(N, dtype="f8") - p.fn) / k0A + p.xi0
+    eta = (np.asarray(E, dtype="f8") - p.fe) / k0A
+    xip = xi.copy()
+    etap = eta.copy()
+    for j, b_j in enumerate(p.beta, 1):
+        xip = xip - b_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        etap = etap - b_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    lam = np.arctan2(np.sinh(etap), np.cos(xip))
+    tp = np.sin(xip) / np.sqrt(np.sinh(etap) ** 2 + np.cos(xip) ** 2)
+    # Newton: find phi with t(phi) = tp, t = sinh(atanh(sin phi) - e atanh(e sin phi))
+    e = p.e
+    phi = np.arctan(tp)
+    for _ in range(5):
+        sphi = np.sin(phi)
+        psi = np.arctanh(sphi) - e * np.arctanh(e * sphi)
+        g = np.sinh(psi) - tp
+        dpsi = 1.0 / np.cos(phi) - e * e * np.cos(phi) / (1.0 - (e * sphi) ** 2)
+        phi = phi - g / (np.cosh(psi) * dpsi)
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# ------------------------------------------------------------ LAEA kernels
+
+def laea_forward(lon: np.ndarray, lat: np.ndarray, p: LaeaParams):
+    """(E, N) — ellipsoidal oblique LAEA (Snyder 24-2..24-30)."""
+    e = p.e
+    phi = np.radians(lat)
+    lam = np.radians(lon - p.lon0)
+    phi0 = math.radians(p.lat0)
+    q = _q_auth(e, np.sin(phi))
+    qp = _q_auth(e, 1.0)
+    q0 = _q_auth(e, math.sin(phi0))
+    beta = np.arcsin(q / qp)
+    beta0 = math.asin(q0 / qp)
+    rq = p.a * math.sqrt(qp / 2.0)
+    s0 = math.sin(phi0)
+    d = (p.a * math.cos(phi0) / math.sqrt(1.0 - (e * s0) ** 2)) / (
+        rq * math.cos(beta0)
+    )
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    sb, cb = np.sin(beta), np.cos(beta)
+    coslam = np.cos(lam)
+    b = rq * np.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * coslam))
+    E = p.fe + (b * d) * cb * np.sin(lam)
+    N = p.fn + (b / d) * (cb0 * sb - sb0 * cb * coslam)
+    return E, N
+
+
+# ------------------------------------------------------------ geometry API
+
+def transform_epsg(geom, code: int):
+    """Forward-transform a geometry (kind, payload) from 4326 into the
+    target EPSG — same geometry model as functions/geometry.py."""
+    from osm2pgsql_spark.functions.geometry import _map_coords
+
+    p = epsg_params(code)
+
+    def f(a: np.ndarray) -> np.ndarray:
+        if isinstance(p, TmercParams):
+            x, y = tmerc_forward(a[:, 0], a[:, 1], p)
+        else:
+            x, y = laea_forward(a[:, 0], a[:, 1], p)
+        return np.column_stack([x, y])
+
+    return _map_coords(geom, f)
+
+
+# ------------------------------------------------------------ SQL oracles
+
+def _r(v: float) -> str:
+    return repr(float(v))
+
+
+def tmerc_forward_sql(lon_expr: str, lat_expr: str, p: TmercParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — the SAME Krueger forward as
+    tmerc_forward, as DuckDB-evaluable scalar SQL over `lon_expr` /
+    `lat_expr`.  Constants are interpolated from the identical params
+    object, so the two evaluations can only differ by libm ULPs
+    (absorbed by the gate's whole-meter rounding).  sinh/cosh/asinh/
+    atanh are spelled with exp/ln, which DuckDB lacks as builtins."""
+    e = p.e
+    lam = f"radians(({lon_expr}) - {_r(p.lon0)})"
+    sphi = f"sin(radians({lat_expr}))"
+    psi = (
+        f"(0.5*ln((1.0+({sphi}))/(1.0-({sphi})))"
+        f" - {_r(e)}*0.5*ln((1.0+{_r(e)}*({sphi}))/(1.0-{_r(e)}*({sphi}))))"
+    )
+    t = f"((exp({psi}) - exp(-({psi})))/2.0)"
+    coslam = f"cos({lam})"
+    xip = f"atan2({t}, {coslam})"
+    w = f"(sin({lam})/sqrt(({t})*({t}) + ({coslam})*({coslam})))"
+    etap = f"ln(({w}) + sqrt(({w})*({w}) + 1.0))"
+    xi_terms = [xip]
+    eta_terms = [etap]
+    for j, a_j in enumerate(p.alpha, 1):
+        c = 2.0 * j
+        cosh_j = f"((exp({c}*({etap})) + exp(-({c})*({etap})))/2.0)"
+        sinh_j = f"((exp({c}*({etap})) - exp(-({c})*({etap})))/2.0)"
+        xi_terms.append(f"{_r(a_j)}*sin({c}*({xip}))*{cosh_j}")
+        eta_terms.append(f"{_r(a_j)}*cos({c}*({xip}))*{sinh_j}")
+    xi = "(" + " + ".join(xi_terms) + ")"
+    eta = "(" + " + ".join(eta_terms) + ")"
+    k0A = p.k0 * p.big_a
+    return (
+        f"({_r(p.fe)} + {_r(k0A)}*{eta})",
+        f"({_r(p.fn)} + {_r(k0A)}*({xi} - {_r(p.xi0)}))",
+    )
+
+
+def laea_forward_sql(lon_expr: str, lat_expr: str, p: LaeaParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of laea_forward."""
+    e = p.e
+    qp = _q_auth(e, 1.0)
+    q0 = _q_auth(e, math.sin(math.radians(p.lat0)))
+    beta0 = math.asin(q0 / qp)
+    rq = p.a * math.sqrt(qp / 2.0)
+    s0 = math.sin(math.radians(p.lat0))
+    d = (p.a * math.cos(math.radians(p.lat0)) / math.sqrt(1.0 - (e * s0) ** 2)) / (
+        rq * math.cos(beta0)
+    )
+    sb0, cb0 = math.sin(beta0), math.cos(beta0)
+    lam = f"radians(({lon_expr}) - {_r(p.lon0)})"
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    q = (
+        f"({_r(1.0 - e * e)}*(({sphi})/(1.0-({es})*({es}))"
+        f" - {_r(1.0 / (2.0 * e))}*ln((1.0-({es}))/(1.0+({es})))))"
+    )
+    beta = f"asin(({q})/{_r(qp)})"
+    sb = f"sin({beta})"
+    cb = f"cos({beta})"
+    coslam = f"cos({lam})"
+    b = f"({_r(rq)}*sqrt(2.0/(1.0 + {_r(sb0)}*({sb}) + {_r(cb0)}*({cb})*({coslam}))))"
+    return (
+        f"({_r(p.fe)} + ({b})*{_r(d)}*({cb})*sin({lam}))",
+        f"({_r(p.fn)} + (({b})/{_r(d)})*({_r(cb0)}*({sb}) - {_r(sb0)}*({cb})*({coslam})))",
+    )

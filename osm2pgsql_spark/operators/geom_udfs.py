@@ -170,6 +170,29 @@ wkb_transform_3857 = _lazy("to3857", _unary_geom(G.transform_4326_to_3857), "bin
 wkb_transform_4326 = _lazy("to4326", _unary_geom(G.transform_3857_to_4326), "binary")
 
 
+def _transform_epsg(wkb: pd.Series, code: pd.Series) -> pd.Series:
+    from osm2pgsql_spark.functions.projection import transform_epsg
+
+    out = []
+    for w, c in zip(wkb, code):
+        if w is None:
+            out.append(None)
+            continue
+        out.append(G.to_wkb(transform_epsg(G.from_wkb(w), int(c))))
+    return pd.Series(out, dtype=object)
+
+
+_transform_epsg_udf = _lazy("toepsg", _transform_epsg, "binary")
+
+
+def wkb_transform_epsg(wkb: Column, code: int) -> Column:
+    """Forward 4326 -> arbitrary EPSG (functions/projection.py;
+    reference selects any PROJ-known SRS at src/reprojection.cpp:83)."""
+    from pyspark.sql import functions as F
+
+    return _transform_epsg_udf(wkb, F.lit(int(code)))
+
+
 def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for w, t in zip(wkb, tol):

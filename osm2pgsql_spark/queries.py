@@ -2229,6 +2229,73 @@ def q_geom_transform_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- arbitrary-EPSG forward transforms (functions/projection.py;
+# reference: PROJ-backed generic reprojection,
+# src/reprojection-generic-proj6.cpp selected at src/reprojection.cpp:83).
+# Graticule points are integer-derived from p_partkey so both engines
+# feed the Krueger/LAEA series bit-identical doubles; the oracle SQL is
+# GENERATED from the same params object (tmerc_forward_sql), so the two
+# sides can only differ by libm ULPs — absorbed by whole-meter rounding.
+
+_EPSG_GRATICULES = {
+    # chk -> (epsg, lon_sql, lat_sql) — ranges stay inside each
+    # projection's validity belt (TM: |lon-lon0|<=6, lat<=83)
+    "tm_utm": (
+        25832,
+        "cast((p_partkey * 7) % 13 AS double) + 3.0e0",
+        "cast((p_partkey * 11) % 68 AS double) + 16.0e0",
+    ),
+    "tm_osgb": (
+        27700,
+        "cast((p_partkey * 5) % 13 AS double) - 8.0e0",
+        "cast((p_partkey * 3) % 13 AS double) + 49.0e0",
+    ),
+    "laea": (
+        3035,
+        "cast((p_partkey * 7) % 41 AS double) - 10.0e0",
+        "cast((p_partkey * 13) % 38 AS double) + 34.0e0",
+    ),
+}
+
+
+def _epsg_oracle(chk: str) -> str:
+    from osm2pgsql_spark.functions import projection as PJ
+
+    code, lon_sql, lat_sql = _EPSG_GRATICULES[chk]
+    p = PJ.epsg_params(code)
+    if isinstance(p, PJ.TmercParams):
+        e_sql, n_sql = PJ.tmerc_forward_sql("lon", "lat", p)
+    else:
+        e_sql, n_sql = PJ.laea_forward_sql("lon", "lat", p)
+    return (
+        f"SELECT id, {roundn_sql(e_sql, 0)} AS e, {roundn_sql(n_sql, 0)} AS n "
+        f"FROM (SELECT p_partkey AS id, {lon_sql} AS lon, {lat_sql} AS lat FROM part)"
+    )
+
+
+def q_geom_epsg(spark: SparkSession, sf_dir: str, chk: str) -> DataFrame:
+    from osm2pgsql_spark.operators import geom_udfs
+
+    code, lon_sql, lat_sql = _EPSG_GRATICULES[chk]
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(lon_sql).alias("lon"),
+        F.expr(lat_sql).alias("lat"),
+    )
+    g = p.select(
+        "id",
+        geom_udfs.wkb_transform_epsg(
+            geom_udfs.point_wkb(F.col("lon"), F.col("lat")), code
+        ).alias("geom"),
+    )
+    b = geom_udfs.wkb_bbox(F.col("geom"))
+    return g.select(
+        "id",
+        roundn(b["min_x"], 0).alias("e"),
+        roundn(b["min_y"], 0).alias("n"),
+    )
+
+
 _GEOM_DI_ORACLE = f"""
     SELECT p_partkey AS id,
            sqrt(8.0e0 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL})) AS dist,
@@ -2569,6 +2636,11 @@ def _geom_suite_oracle() -> str:
         f" cast(NULL AS double), cast(NULL AS double),"
         f" cast(NULL AS varchar) FROM ({_spherical_polygon_area_oracle()})",
     ]
+    for chk in _EPSG_GRATICULES:
+        parts.append(
+            f"SELECT id, '{chk}', e, n, cast(NULL AS double),"
+            f" cast(NULL AS double), cast(NULL AS varchar) FROM ({_epsg_oracle(chk)})"
+        )
     return "\nUNION ALL\n".join(parts)
 
 
@@ -2622,6 +2694,8 @@ def q_geom_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         _suite_rows(q_spherical_polygon_area(spark, sf_dir), "sph_area", "sph_area")
     )
+    for chk in _EPSG_GRATICULES:
+        out = out.unionByName(_suite_rows(q_geom_epsg(spark, sf_dir, chk), chk, "e", "n"))
     return out
 
 

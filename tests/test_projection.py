@@ -1,0 +1,148 @@
+"""Arbitrary-EPSG reprojection tests (functions/projection.py).
+
+Reference parity target: the PROJ-backed generic projection
+(/root/reference/src/reprojection-generic-proj6.cpp).  Vectors are
+published worked examples: the Ordnance Survey's OSGB36 transverse-
+Mercator example and the EPSG Guidance Note 7-2 LAEA example.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.functions.projection import (
+    LaeaParams,
+    TmercParams,
+    epsg_params,
+    laea_forward,
+    laea_forward_sql,
+    tmerc_forward,
+    tmerc_forward_sql,
+    tmerc_inverse,
+    transform_epsg,
+)
+
+
+def test_osgb_worked_example():
+    # OS "A guide to coordinate systems in Great Britain" worked
+    # example: 52d39'27.2531"N 1d43'4.5177"E -> 651409.903, 313177.270
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = tmerc_forward(np.array([lon]), np.array([lat]), epsg_params(27700))
+    assert abs(e[0] - 651409.903) < 2e-3
+    assert abs(n[0] - 313177.270) < 2e-3
+
+
+def test_epsg_laea_example():
+    # EPSG Guidance Note 7-2, method 9820 example (ETRS89-LAEA):
+    # 50N 5E -> E 3962799.45, N 2999718.85
+    e, n = laea_forward(np.array([5.0]), np.array([50.0]), epsg_params(3035))
+    assert abs(e[0] - 3962799.45) < 5e-3
+    assert abs(n[0] - 2999718.85) < 5e-3
+
+
+def test_utm_central_meridian_and_scale():
+    p = epsg_params(32632)
+    assert isinstance(p, TmercParams) and p.lon0 == 9.0
+    e, n = tmerc_forward(np.array([9.0]), np.array([45.0]), p)
+    assert e[0] == pytest.approx(500000.0, abs=1e-6)
+    # scale on the central meridian is k0: northing difference over a
+    # small meridian arc == k0 * ellipsoidal arc length
+    lat0, dlat = 45.0, 1e-4
+    _, n2 = tmerc_forward(np.array([9.0]), np.array([lat0 + dlat]), p)
+    a, inv_f = 6378137.0, 298.257223563
+    f = 1 / inv_f
+    e2 = f * (2 - f)
+    s = math.sin(math.radians(lat0))
+    m = a * (1 - e2) / (1 - e2 * s * s) ** 1.5  # meridional radius
+    arc = m * math.radians(dlat)
+    assert (n2[0] - n[0]) / arc == pytest.approx(0.9996, rel=1e-6)
+
+
+def test_utm_south_and_registry_ranges():
+    pn = epsg_params(32633)
+    ps = epsg_params(32733)
+    assert pn.lon0 == ps.lon0 == 15.0
+    assert ps.fn == 10000000.0 and pn.fn == 0.0
+    assert epsg_params(25832).lon0 == 9.0
+    with pytest.raises(KeyError):
+        epsg_params(99999)
+
+
+def test_tmerc_roundtrip():
+    p = epsg_params(25832)
+    rng = np.random.RandomState(7)
+    lons = 9.0 + rng.uniform(-6, 6, 200)
+    lats = rng.uniform(-83, 83, 200)
+    e, n = tmerc_forward(lons, lats, p)
+    lo, la = tmerc_inverse(e, n, p)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+
+def test_tmerc_lat0_offset():
+    # at the natural origin the projection must give exactly (FE, FN)
+    p = epsg_params(27700)
+    e, n = tmerc_forward(np.array([p.lon0]), np.array([p.lat0]), p)
+    assert e[0] == pytest.approx(400000.0, abs=1e-6)
+    assert n[0] == pytest.approx(-100000.0, abs=1e-6)
+
+
+def test_sql_twin_matches_kernel():
+    import duckdb
+
+    rng = np.random.RandomState(11)
+    lons = list(-2.0 + rng.uniform(-6, 6, 50))
+    lats = list(rng.uniform(49, 61, 50))
+    p = epsg_params(27700)
+    e_np, n_np = tmerc_forward(np.array(lons), np.array(lats), p)
+    esql, nsql = tmerc_forward_sql("lon", "lat", p)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lons, lats)))
+    rows = con.execute(f"SELECT {esql}, {nsql} FROM pts").fetchall()
+    e_sql = np.array([r[0] for r in rows])
+    n_sql = np.array([r[1] for r in rows])
+    assert np.abs(e_sql - e_np).max() < 1e-6
+    assert np.abs(n_sql - n_np).max() < 1e-6
+
+    p3 = epsg_params(3035)
+    e_np, n_np = laea_forward(np.array(lons), np.array(lats), p3)
+    esql, nsql = laea_forward_sql("lon", "lat", p3)
+    rows = con.execute(f"SELECT {esql}, {nsql} FROM pts").fetchall()
+    assert np.abs(np.array([r[0] for r in rows]) - e_np).max() < 1e-6
+    assert np.abs(np.array([r[1] for r in rows]) - n_np).max() < 1e-6
+
+
+def test_transform_epsg_geometry_kinds():
+    ls = ("linestring", np.array([[9.0, 45.0], [9.1, 45.1]]))
+    out = transform_epsg(ls, 25832)
+    assert out[0] == "linestring"
+    assert out[1][0][0] == pytest.approx(500000.0, abs=1e-6)
+    pt = transform_epsg(("point", (10.0, 50.0)), 3035)
+    assert pt[0] == "point"
+    e, n = laea_forward(np.array([10.0]), np.array([50.0]), epsg_params(3035))
+    assert pt[1] == (pytest.approx(e[0]), pytest.approx(n[0]))
+
+
+def test_wkb_transform_epsg_udf(spark):
+    from osm2pgsql_spark.operators import geom_udfs
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 45.0), (2, 12.5, 52.25)], "id long, lon double, lat double"
+    )
+    g = df.select(
+        "id",
+        geom_udfs.wkb_transform_epsg(
+            geom_udfs.point_wkb(F.col("lon"), F.col("lat")), 25832
+        ).alias("geom"),
+    )
+    b = geom_udfs.wkb_bbox(F.col("geom"))
+    rows = {r["id"]: (r["e"], r["n"]) for r in g.select(
+        "id", b["min_x"].alias("e"), b["min_y"].alias("n")).collect()}
+    p = epsg_params(25832)
+    e, n = tmerc_forward(np.array([9.0, 12.5]), np.array([45.0, 52.25]), p)
+    assert rows[1][0] == pytest.approx(e[0]) and rows[1][1] == pytest.approx(n[0])
+    assert rows[2][0] == pytest.approx(e[1]) and rows[2][1] == pytest.approx(n[1])
