@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 from osm2pgsql_spark.functions.rounding import round4
 from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
 
+# residue_n * corpus_n cap for the single-round escalation shortcut:
+# ~2e8 candidate pairs is a few seconds of vectorized distance math on
+# one executor core's worth of rows — cheap locally, and impossible to
+# reach at corpus scale (any planet-sized corpus pushes the product
+# past this with even a 1-point residue epsilon away).
+_ONESHOT_JOIN_BUDGET = 200_000_000
+
 # built lazily: F.sqrt() invokes the JVM, so module-level expression
 # constants would require an active SparkContext at import time
 def _higher():
@@ -183,11 +190,17 @@ def grid(
 
     Job economy: one checkpoint job for round 1 (the only
     corpus-sized round), one 1-row span aggregate on that checkpoint,
-    one small checkpoint job per escalation round (each a pruned join
-    on a fast-shrinking residue — candidates are semi-joined down to
-    the residue's occupied cells, AQE broadcasts the cell list), and
-    one final union+rank job.  Radii are precomputed from the span, so
-    no per-round driver decisions depend on data contents."""
+    then EITHER a single one-shot final round at cell=span (when
+    residue_n * corpus_n is small enough that the 3x3-covers-
+    everything join stays bounded — two cheap counts on the round-1
+    checkpoint decide this; at sf0.1 the residue is ~200 points and
+    the one-shot replaces three escalation rounds) OR the geometric
+    radii ladder (x4 per round, each a pruned join on the shrinking
+    residue — candidates semi-joined down to the residue's occupied
+    cells).  At corpus scale residue_n * corpus_n always exceeds the
+    budget, so the ladder — whose every round is a bounded equi-join —
+    is what runs; the one-shot is a small-data fast path, not a
+    scale assumption."""
     probe = _probe_side(points, id_col, x, y, importance)
     # probe parallelism alone bounds the join: a small input (one
     # parquet file -> one partition) would serialize the whole
@@ -215,6 +228,24 @@ def grid(
     ).head()
     span = max(stats["sx"] or 0.0, stats["sy"] or 0.0)
 
+    cand_ckpt = _cand_side(near, "id", "ax", "ay", "aimp")
+    done = [near.where(F.col("iso") <= cell).select("id", "aimp", "iso")]
+    residue = near.where(F.col("iso").isNull() | (F.col("iso") > cell)).select(
+        "id", "ax", "ay", "aimp"
+    )
+
+    # one-shot fast path: both counts are cheap jobs against the
+    # round-1 checkpoint; the join-output budget keeps this a
+    # small-data shortcut only (never taken at corpus scale)
+    n_total = near.count()
+    n_residue = residue.count()
+    if n_residue == 0:
+        return _ranked(done[0])
+    if n_residue * n_total <= _ONESHOT_JOIN_BUDGET:
+        final = _neighborhood_min(residue, cand_ckpt, max(span, cell), prune=True)
+        done.append(final.select("id", "aimp", "iso"))
+        return _ranked(done[0].unionByName(done[1]))
+
     radii = []
     r = cell * 4.0
     while r < span:
@@ -226,12 +257,6 @@ def grid(
             f"isolation.grid needs {len(radii)} escalation rounds "
             f"(cell={cell} vs span={span}); choose a larger cell"
         )
-
-    cand_ckpt = _cand_side(near, "id", "ax", "ay", "aimp")
-    done = [near.where(F.col("iso") <= cell).select("id", "aimp", "iso")]
-    residue = near.where(F.col("iso").isNull() | (F.col("iso") > cell)).select(
-        "id", "ax", "ay", "aimp"
-    )
     for i, r in enumerate(radii):
         nr = _neighborhood_min(residue, cand_ckpt, r, prune=True)
         if i == 0 and len(radii) > 2:

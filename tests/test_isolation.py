@@ -64,3 +64,20 @@ def test_grid_string_ids(spark):
     exact = {r["id"]: (r["irank"], r["iso"]) for r in isolation.exact(pts).collect()}
     grid = {r["id"]: (r["irank"], r["iso"]) for r in isolation.grid(pts, cell=10.0).collect()}
     assert exact == grid
+
+
+def test_grid_ladder_path_matches_exact(spark, points, monkeypatch):
+    """Force the geometric escalation ladder (the corpus-scale path)
+    by zeroing the one-shot join budget; results must still equal
+    exact()."""
+    from osm2pgsql_spark.operators import isolation as iso_mod
+
+    monkeypatch.setattr(iso_mod, "_ONESHOT_JOIN_BUDGET", 0)
+    exact = {
+        r["id"]: (r["irank"], r["iso"]) for r in isolation.exact(points).collect()
+    }
+    grid = {
+        r["id"]: (r["irank"], r["iso"])
+        for r in iso_mod.grid(points, cell=20.0).collect()
+    }
+    assert exact == grid
