@@ -60,17 +60,37 @@ def member_way_points(
 
 # ------------------------------------------------------ ring assembly
 
+def _ring_ok(ring: np.ndarray) -> bool:
+    """A candidate ring is valid only if it encloses area: the
+    libosmium area assembler rejects degenerate (e.g. collinear)
+    rings, so 'closed but flat' member chains produce no polygon
+    (pinned by BDD relation-changes.feature 'Changing node adds
+    relation': three collinear grid nodes give 0 rows)."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    return bool(np.abs(np.sum(x * y2 - x2 * y)) > 0.0)
+
+
 def _stitch_rings(lines: list[np.ndarray]) -> list[np.ndarray]:
     """Stitch open ways into closed rings by matching endpoints
     (libosmium-assembler correct-data semantics: every endpoint joins
     exactly two ways; leftovers that can't close are dropped)."""
     closed: list[np.ndarray] = []
     open_parts: list[np.ndarray] = []
+    seen: set[bytes] = set()
     for a in lines:
         if a is None or len(a) < 2:
             continue
         a = np.asarray(a, dtype="f8")
-        if np.array_equal(a[0], a[-1]) and a.shape[0] >= 4:
+        # broken-data tolerance: a member listed twice (same points in
+        # either direction) contributes once — otherwise the duplicate
+        # stitches back onto itself into a zero-area non-ring and
+        # poisons the chain
+        k = min(a.tobytes(), a[::-1].copy().tobytes())
+        if k in seen:
+            continue
+        seen.add(k)
+        if np.array_equal(a[0], a[-1]) and a.shape[0] >= 4 and _ring_ok(a):
             closed.append(a)
         else:
             open_parts.append(a)
@@ -97,7 +117,7 @@ def _stitch_rings(lines: list[np.ndarray]) -> list[np.ndarray]:
                 cur = key(chain[-1][-1])
                 break
         ring = np.vstack(chain)
-        if key(ring[0]) == key(ring[-1]) and ring.shape[0] >= 4:
+        if key(ring[0]) == key(ring[-1]) and ring.shape[0] >= 4 and _ring_ok(ring):
             closed.append(ring)
         # else: dangling members — dropped (tolerant like the reference)
     return closed

@@ -249,7 +249,11 @@ class FlexConfig:
         self.callbacks[kind] = fn
 
     def select_relation_members(
-        self, when: Column | None = None, member_type: str = "w", **attrs: Column
+        self,
+        when: Column | None = None,
+        member_type: str = "w",
+        role: str | None = None,
+        **attrs: Column,
     ) -> None:
         """Declare two-stage processing (reference
         select_relation_members + osm2pgsql.stage == 2 reprocessing,
@@ -259,7 +263,9 @@ class FlexConfig:
         comma-joined, the lcn_ref accumulation pattern), plus a
         literal `stage` column — 2 for marked ways, 1 otherwise — that
         rule predicates and values may reference like osm2pgsql.stage."""
-        self._stage2 = {"when": when, "member_type": member_type, "attrs": attrs}
+        self._stage2 = {
+            "when": when, "member_type": member_type, "role": role, "attrs": attrs,
+        }
 
     def define_expire_output(self, name: str, **kw) -> ExpireOutputDef:
         e = ExpireOutputDef(name=name, **kw)
@@ -478,6 +484,7 @@ class FlexConfig:
                 relations,
                 when=spec["when"],
                 member_type=spec["member_type"],
+                role=spec.get("role"),
                 **spec["attrs"],
             ).withColumnRenamed("id", "__s2id")
             ways_in = (

@@ -30,25 +30,31 @@ from pyspark.sql import functions as F
 
 
 def select_relation_members(
-    relations: DataFrame, when: Column | None = None, member_type: str = "w"
+    relations: DataFrame,
+    when: Column | None = None,
+    member_type: str = "w",
+    role: str | None = None,
 ) -> DataFrame:
     """Stage 1c: distinct member ids marked by matching relations
-    (the select_relation_members() analog).  Returns (id)."""
+    (the select_relation_members() analog).  Returns (id).
+
+    role: only members with this exact role mark their way — the
+    common Lua pattern (e.g. role == 'mark' in
+    tests/data/test_output_flex_way.lua way_member_ids)."""
     r = relations
     if when is not None:
         r = r.where(when)
-    return (
-        r.select(F.explode("members").alias("m"))
-        .where(F.col("m.type") == member_type)
-        .select(F.col("m.ref").alias("id"))
-        .distinct()
-    )
+    m = r.select(F.explode("members").alias("m")).where(F.col("m.type") == member_type)
+    if role is not None:
+        m = m.where(F.col("m.role") == role)
+    return m.select(F.col("m.ref").alias("id")).distinct()
 
 
 def relation_attrs_for_members(
     relations: DataFrame,
     when: Column | None = None,
     member_type: str = "w",
+    role: str | None = None,
     **attrs: Column,
 ) -> DataFrame:
     """Marked member ids + aggregated relation attributes — e.g. route
@@ -63,6 +69,8 @@ def relation_attrs_for_members(
     exploded = r.select(
         *[v.alias(k) for k, v in attrs.items()], F.explode("members").alias("m")
     ).where(F.col("m.type") == member_type)
+    if role is not None:
+        exploded = exploded.where(F.col("m.role") == role)
     aggs = [
         F.array_join(F.sort_array(F.collect_set(F.col(k))), ",").alias(k) for k in attrs
     ]
