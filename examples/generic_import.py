@@ -90,6 +90,55 @@ def generic_import(
     return out
 
 
+def waterway_generalization(
+    spark: SparkSession, nodes: DataFrame, ways: DataFrame
+) -> DataFrame:
+    """Generalized river network from waterway ways — the reference's
+    gen-rivers pipeline (/root/reference/src/gen/gen-rivers.cpp) as a
+    post-import stage: split waterway ways into segments keyed by
+    endpoint coordinates, contract degree-2 chains, and propagate max
+    width downstream.  propagate_width self-selects its scale path:
+    short chains relax directly, long chains (>24 hops unconverged)
+    escalate to the chain-decomposition (propagate_width_chained)."""
+    from osm2pgsql_spark.operators.rivers import (
+        contract_chains,
+        merge_chains,
+        propagate_width,
+    )
+
+    ww = ways.where(F.col("tags")["waterway"].isNotNull())
+    refs = ww.select(
+        F.col("id").alias("way_id"),
+        F.col("tags")["name"].alias("name"),
+        F.coalesce(F.col("tags")["width"].cast("double"), F.lit(1.0)).alias("width"),
+        F.posexplode("refs").alias("pos", "ref"),
+    )
+    pts = refs.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref"
+    )
+    nxt = pts.alias("a").join(
+        pts.alias("b"),
+        (F.col("a.way_id") == F.col("b.way_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    )
+    edges = nxt.select(
+        (F.col("a.way_id") * 10000 + F.col("a.pos")).alias("edge_id"),
+        F.col("a.lon").alias("x1"), F.col("a.lat").alias("y1"),
+        F.col("b.lon").alias("x2"), F.col("b.lat").alias("y2"),
+        F.col("a.width").alias("width"),
+        F.sqrt(
+            (F.col("b.lon") - F.col("a.lon")) * (F.col("b.lon") - F.col("a.lon"))
+            + (F.col("b.lat") - F.col("a.lat")) * (F.col("b.lat") - F.col("a.lat"))
+        ).alias("length"),
+        F.col("a.name").alias("name"),
+    )
+    widened = propagate_width(edges)
+    return merge_chains(contract_chains(widened)).select(
+        "chain_id", "name", "length", "width",
+        F.size("member_edges").alias("n_segments"),
+    )
+
+
 def main() -> None:
     from osm2pgsql_spark.session import get_spark
     from osm2pgsql_spark.sinks.writers import write_parquet
@@ -107,6 +156,7 @@ def main() -> None:
     else:
         nodes, ways, rels = read_osm_xml(spark, inp)
     tables = generic_import(spark, nodes, ways, rels)
+    tables["waterways_gen"] = waterway_generalization(spark, nodes, ways)
     for name, df in tables.items():
         write_parquet(df, os.path.join(out_dir, f"{name}.parquet"))
         print(f"{name}: {spark.read.parquet(os.path.join(out_dir, name + '.parquet')).count()} rows")

@@ -77,11 +77,53 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     return counts
 
 
+def ingest_stream(spark, sf_dir: str, work_dir: str, n_shards: int = 4) -> int:
+    """Streaming front door for the same pipeline: crawl shards arrive
+    as files, duplicates are dropped ACROSS micro-batches with
+    watermark-bounded state (streaming/dedup_stream.py), and the
+    deduped stream lands as parquet that curate() can consume.
+
+    Simulated here by splitting the documents table into n_shards
+    parquet files and replaying them one file per trigger — the
+    production shape is identical with a cloud-storage source
+    directory.  Returns the deduped row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    shards = os.path.join(work_dir, "shards")
+    # deterministic event time derived from the id: duplicates within
+    # the watermark window are dropped, the state stays bounded
+    docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_000_000) + F.col("doc_id") % 3600)
+    ).repartition(n_shards).write.mode("overwrite").parquet(shards)
+
+    from osm2pgsql_spark.streaming.dedup_stream import dedup_stream
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(shards).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    deduped = dedup_stream(
+        stream, key="fingerprint", watermark_delay="1 hour", ts_col="ts"
+    )
+    out = os.path.join(work_dir, "ingested")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_docs"
     spark = get_spark("training-data-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+    n = ingest_stream(spark, sf_dir, out_dir + "_ingest")
+    print(f"stream_ingested: {n}")
     counts = curate(spark, sf_dir, out_dir)
     for k, v in counts.items():
         print(f"{k}: {v}")

@@ -48,6 +48,60 @@ def test_is_quality(spark, docs):
     assert out[5] is True        # long but within band
 
 
+def test_training_data_pipeline_stream_ingest(spark, tmp_path):
+    """The streaming front door: shard replay through dedup_stream
+    drops cross-batch duplicates; the deduped count matches the batch
+    fingerprint-distinct count."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from examples.training_data_pipeline import ingest_stream
+    from osm2pgsql_spark.functions.text import fingerprint
+    from osm2pgsql_spark.sources.testdata import load_table
+
+    n = ingest_stream(spark, "/root/testdata/sf0.001", str(tmp_path / "ing"))
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    expected = docs.select(fingerprint(F.col("text")).alias("k")).distinct().count()
+    assert n == expected > 0
+
+
+def test_generic_import_waterway_generalization(spark):
+    """examples/generic_import.py waterway stage: a 30-segment river
+    (long enough to cross propagate_width's escalation threshold into
+    the chained path) feeding a wide tributary; the merged chains
+    carry the propagated max width."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.generic_import import waterway_generalization
+    from osm2pgsql_spark.model import NODE_SCHEMA, WAY_SCHEMA
+
+    nodes = [(i, 50.0, float(i), {}, None, None, None, None, None, None) for i in range(31)]
+    nodes.append((100, 51.0, 15.0, {}, None, None, None, None, None, None))
+    ways = [
+        # main stem: 30 unit segments west->east, width 2
+        (1, list(range(31)), {"waterway": "river", "name": "main", "width": "2"},
+         None, None, None, None, None, None),
+        # wide tributary joining at node 15
+        (2, [100, 15], {"waterway": "stream", "name": "trib", "width": "9"},
+         None, None, None, None, None, None),
+    ]
+    out = waterway_generalization(
+        spark,
+        spark.createDataFrame(nodes, NODE_SCHEMA),
+        spark.createDataFrame(ways, WAY_SCHEMA),
+    )
+    rows = out.collect()
+    # the junction at node 15 splits the stem into two chains + trib
+    assert sum(r["n_segments"] for r in rows) == 31
+    mains = sorted(r["width"] for r in rows if r["name"] == "main")
+    # downstream half carries the tributary's width 9, upstream keeps 2
+    assert mains == [2.0, 9.0]
+    assert [r["width"] for r in rows if r["name"] == "trib"] == [9.0]
+
+
 def test_training_data_pipeline_example(spark, tmp_path):
     """The end-to-end curation example runs and each stage only ever
     narrows the kept set."""
