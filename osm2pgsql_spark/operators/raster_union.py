@@ -124,7 +124,72 @@ def binary_open(mask: np.ndarray, size: int) -> np.ndarray:
 
 # --------------------------------------------------------- vectorize
 
-def trace_mask(mask: np.ndarray, turdsize: int = 0) -> list[list[np.ndarray]]:
+def _optimal_polygon(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Potrace-style straight-line decomposition of a closed lattice
+    ring (Selinger 2003 'Potrace: a polygon-based tracing algorithm'
+    section 2 — the polygon stage the reference's tracer runs, since
+    it keeps alphamax=0 and never enters the curve stage,
+    src/gen/tracer.hpp:30).  A subpath is considered straight when
+    every interior point lies within `tol` of the chord (potrace's
+    half-pixel criterion at tol=0.5); the ring is then covered greedily
+    by maximal straight chords, cutting pixel staircases into diagonal
+    segments.  Greedy cover is at most one segment over the optimal
+    cyclic cover — the cheap 99% of potrace's dynamic program.
+
+    ring: closed [N,2] array (first == last).  Returns a closed ring.
+    """
+    pts = ring[:-1]
+    n = len(pts)
+    if n <= 4:
+        return ring
+
+    def straight_reach(i: int) -> int:
+        """Number of steps s (>=1) such that the chord i -> i+s stays
+        within tol of all interior points, in the L-infinity metric —
+        potrace allows +-0.5 PER AXIS, so a 45-degree chord through a
+        unit staircase (corners at Linf distance exactly 0.5) counts
+        as straight; the Euclidean test would reject it at 0.707."""
+        best = 1
+        max_s = n - 1
+        for s in range(2, max_s + 1):
+            j = (i + s) % n
+            chord = pts[j] - pts[i]
+            denom = float(abs(chord[0]) + abs(chord[1]))
+            if denom == 0.0:
+                break
+            idx = [(i + k) % n for k in range(1, s)]
+            d = pts[idx] - pts[i]
+            # Linf point-to-chord-line distance = |cross| / (|vx|+|vy|)
+            cross = np.abs(d[:, 0] * chord[1] - d[:, 1] * chord[0]) / denom
+            if float(cross.max(initial=0.0)) > tol:
+                break
+            best = s
+        return best
+
+    # greedy cyclic cover from a few rotations; keep the shortest
+    best_poly: list[int] | None = None
+    for start in range(0, n, max(1, n // 4)):
+        verts = [start]
+        i = start
+        covered = 0
+        while covered < n:
+            s = min(straight_reach(i), n - covered)
+            i = (i + s) % n
+            covered += s
+            verts.append(i)
+        if best_poly is None or len(verts) < len(best_poly):
+            best_poly = verts
+        if len(best_poly) <= 5:
+            break
+    out = pts[[v % n for v in best_poly]]
+    if not np.array_equal(out[0], out[-1]):
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+def trace_mask(
+    mask: np.ndarray, turdsize: int = 0, simplify_tol: float = 0.0
+) -> list[list[np.ndarray]]:
     """Boundary-trace a binary mask into polygons with holes —
     the potrace role in the reference tracer (src/gen/tracer.hpp:15-44
     with alphamax=0: pure polygonal output; turdsize drops paths whose
@@ -215,6 +280,10 @@ def trace_mask(mask: np.ndarray, turdsize: int = 0) -> list[list[np.ndarray]]:
             area2 = float(
                 np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1])
             )
+            if simplify_tol > 0.0:
+                # exact crack area decides turdsize/orientation; the
+                # emitted ring gets the potrace polygon treatment
+                ring = _optimal_polygon(ring, simplify_tol)
             loops.append((area2 / 2.0, ring))
 
     # with the edge orientation above, outer boundaries have one area
@@ -361,6 +430,7 @@ def union_polygons_raster(
     close_size: int = 0,
     turdsize: int = 0,
     trace: bool = True,
+    simplify_tol: float = 0.0,
 ):
     """Union of polygons within `rect` via rasterization at
     resolution^2; returns a multipolygon mapped back to `rect`
@@ -370,7 +440,11 @@ def union_polygons_raster(
     trace=True (default): boundary-traced polygons WITH holes via
     trace_mask — the reference's potrace role (tracer.hpp, alphamax=0
     polygonal output + turdsize).  trace=False keeps the older
-    rectangle decomposition (hole-free, one rect ring per row-span)."""
+    rectangle decomposition (hole-free, one rect ring per row-span).
+
+    simplify_tol > 0 (in pixels; potrace's criterion is 0.5) runs the
+    straight-line polygon decomposition on each traced ring, cutting
+    pixel staircases into diagonal chords."""
     xmin, ymin, xmax, ymax = rect
     sx = resolution / (xmax - xmin)
     sy = resolution / (ymax - ymin)
@@ -399,7 +473,7 @@ def union_polygons_raster(
         return out
 
     if trace:
-        polys = trace_mask(mask, turdsize=turdsize)
+        polys = trace_mask(mask, turdsize=turdsize, simplify_tol=simplify_tol)
         if not polys:
             return None
         return ("multipolygon", [[back(r) for r in rings] for rings in polys])

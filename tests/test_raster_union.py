@@ -238,3 +238,49 @@ def test_union_polygons_raster_traced_hole():
     u = union_polygons_raster([donut], (0.0, 0.0, 100.0, 100.0), resolution=100)
     assert u is not None and u[0] == "multipolygon"
     assert len(u[1]) == 1 and len(u[1][0]) == 2  # outer + hole survives
+
+
+def test_optimal_polygon_cuts_staircase():
+    """simplify_tol>0 runs the potrace polygon stage (the reference
+    tracer's effective output mode, alphamax=0): a diagonal staircase
+    band collapses to a few chords while preserving area to within
+    half a pixel per boundary step."""
+    import numpy as np
+
+    from osm2pgsql_spark.operators.raster_union import trace_mask
+
+    n = 40
+    mask = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if i <= j <= i + 6:
+                mask[i, j] = True
+
+    exact = trace_mask(mask)
+    simp = trace_mask(mask, simplify_tol=0.5)
+    assert len(exact) == len(simp) == 1
+
+    def ring_area(r):
+        return 0.5 * abs(float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])))
+
+    a_exact = ring_area(exact[0][0])
+    a_simp = ring_area(simp[0][0])
+    n_exact = len(exact[0][0])
+    n_simp = len(simp[0][0])
+    assert n_simp < n_exact / 5  # staircase collapsed to chords
+    # each boundary lattice step can move the outline at most tol=0.5
+    perimeter_steps = n_exact
+    assert abs(a_simp - a_exact) <= 0.5 * perimeter_steps
+
+
+def test_optimal_polygon_keeps_holes_and_rects():
+    import numpy as np
+
+    from osm2pgsql_spark.operators.raster_union import trace_mask
+
+    mask = np.ones((12, 12), dtype=bool)
+    mask[4:8, 4:7] = False  # hole
+    out = trace_mask(mask, simplify_tol=0.5)
+    assert len(out) == 1 and len(out[0]) == 2  # outer + hole
+    # a rectangle is already optimal: 5 points, unchanged
+    assert len(out[0][0]) == 5 and len(out[0][1]) == 5
