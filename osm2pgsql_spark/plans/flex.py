@@ -149,6 +149,15 @@ def _callback_mapper(kind: str, fn, valid_tables: frozenset):
             rows: list[tuple] = []
             for rec in pdf.to_dict("records"):
                 obj: dict = {"id": int(rec["id"]), "tags": dict(rec["tags"] or {})}
+                # object attributes when the source carries them — the
+                # reference pushes version/changeset/uid/user onto the
+                # Lua object (src/output-flex.cpp:140-155)
+                for attr in ("version", "changeset", "uid", "user", "visible"):
+                    if attr in rec:
+                        v = rec[attr]
+                        obj[attr] = None if v is None or (v != v) else (
+                            v if attr in ("user", "visible") else int(v)
+                        )
                 if kind == "node":
                     # visible=False / deleted nodes carry no location
                     # (NULL lon/lat -> NaN after Arrow) — hand the
@@ -648,10 +657,12 @@ class FlexConfig:
             src = sources.get(kind)
             if src is None:
                 continue
+            attrs = [c for c in ("version", "changeset", "uid", "user", "visible")
+                     if c in src.columns]
             if kind == "node":
-                prep = src.select("id", "tags", "lon", "lat")
+                prep = src.select("id", "tags", "lon", "lat", *attrs)
             elif kind == "way":
-                prep = src.select("id", "tags", "refs")
+                prep = src.select("id", "tags", "refs", *attrs)
                 if way_geoms is not None:
                     prep = prep.join(
                         way_geoms.withColumnRenamed("way_id", "__gid"),
@@ -659,7 +670,7 @@ class FlexConfig:
                         "left",
                     ).drop("__gid")
             else:
-                prep = src.select("id", "tags", "members")
+                prep = src.select("id", "tags", "members", *attrs)
             frames.append(
                 prep.mapInPandas(
                     _callback_mapper(kind, fn, frozenset(self.tables)), out_schema
