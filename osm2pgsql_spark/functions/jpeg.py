@@ -1,19 +1,24 @@
-"""Pure-python baseline JPEG codec (decode + encode).
+"""Pure-python JPEG codec (decode + encode), baseline + progressive.
 
-Implements the baseline sequential DCT process from the public JPEG
-specification (ITU-T T.81): 8x8 forward/inverse DCT, Annex-K-style
-quantization tables scaled by the libjpeg quality formula, canonical
-Huffman coding of DC differences and AC run/size symbols, JFIF YCbCr
-color, 0xFF byte stuffing, and restart markers on decode.
+Implements the DCT processes from the public JPEG specification
+(ITU-T T.81): 8x8 forward/inverse DCT, Annex-K-style quantization
+tables scaled by the libjpeg quality formula, canonical Huffman coding
+of DC differences and AC run/size symbols, JFIF YCbCr color, 0xFF
+byte stuffing, and restart markers.
 
 Scope (honest limits, mirrored in operators/multimodal.py):
-- decode: baseline SOF0 only (progressive SOF2 raises), 8-bit,
+- decode: baseline sequential (SOF0/SOF1) and PROGRESSIVE (SOF2,
+  T.81 Annex G: DC first/refine, AC spectral selection with EOB runs,
+  AC successive-approximation refinement with correction bits), 8-bit,
   1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
-  DRI/RSTn handled; arithmetic coding, hierarchical and 12-bit modes
-  raise NotImplementedError.
-- encode: grayscale or RGB, 4:4:4, no restart markers — enough to
-  round-trip through the decoder within quantization error, which is
-  how tests pin correctness without an external image library.
+  DRI/RSTn handled; arithmetic coding, hierarchical, lossless and
+  12-bit modes raise NotImplementedError.
+- encode: grayscale or RGB, 4:4:4, optional restart markers; optional
+  progressive scan script (DC successive approximation + AC spectral
+  bands with EOB-run coding, flat Kraft-complete AC table carrying the
+  EOBn symbols the baseline Annex-K tables lack).  Round-trips through
+  the decoder bit-identically vs the baseline path, which is how
+  tests pin correctness without an external image library.
 
 The reference engine has no JPEG path at all (it is a geo pipeline);
 this exists for the multimodal training-data operators
@@ -97,6 +102,15 @@ AC_CHROMA_VALS = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r=1..14) that the
+# Annex-K baseline AC tables do not contain; this flat canonical table
+# (255 symbols at 8 bits + 1 at 9, Kraft-complete) covers every
+# possible RS byte and is emitted in place of the baseline AC tables
+# when encoding progressive streams.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(255)) + [255]
 
 
 def _dct_matrix() -> np.ndarray:
@@ -293,14 +307,116 @@ def _pad_to8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+def _encode_progressive_scans(comp_blocks: list[np.ndarray]) -> list[tuple[bytes, bytes]]:
+    """Progressive scan script (T.81 Annex G): DC first at Al=1 ->
+    DC refinement -> per-component AC spectral-selection bands 1-5 and
+    6-63 (Al=0, with EOB-run accumulation).  Returns
+    [(sos_payload, entropy_bytes)] in scan order."""
+    ncomp = len(comp_blocks)
+    dc_codes = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS) if ci == 0
+        else _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        for ci in range(ncomp)
+    ]
+    prog_ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    ac_codes = [prog_ac for _ci in range(ncomp)]
+    by, bx = comp_blocks[0].shape[:2]
+    scans: list[tuple[bytes, bytes]] = []
+
+    def sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(comp_specs)])
+        for cid, tt in comp_specs:
+            p += bytes([cid, tt])
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    # ---- scan 1: DC first pass, Al=1 (arithmetic >> on signed DCs)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                v = int(comp_blocks[ci][yb, xb, 0]) >> 1
+                t, code = _magnitude(v - pred[ci])
+                pred[ci] = v
+                c, ln = dc_codes[ci][t]
+                bw.write(c, ln)
+                if t:
+                    bw.write(code, t)
+    scans.append((sos([(ci + 1, (ci and 1) << 4) for ci in range(ncomp)], 0, 0, 0, 1), bw.flush()))
+
+    # ---- scan 2: DC refinement, one bit per block
+    bw = _BitWriter()
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                bw.write(int(comp_blocks[ci][yb, xb, 0]) & 1, 1)
+    scans.append((sos([(ci + 1, (ci and 1) << 4) for ci in range(ncomp)], 0, 0, 1, 0), bw.flush()))
+
+    # ---- AC spectral-selection bands per component
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            act = ac_codes[ci]
+            eobrun = 0
+
+            def flush_eob() -> None:
+                nonlocal eobrun
+                if eobrun == 0:
+                    return
+                r = eobrun.bit_length() - 1
+                c, ln = act[r << 4]
+                bw.write(c, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for yb in range(by):
+                for xb in range(bx):
+                    band = comp_blocks[ci][yb, xb, ss:se + 1]
+                    nz = np.nonzero(band)[0]
+                    if len(nz) == 0:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    last = int(nz[-1])
+                    for k in range(last + 1):
+                        v = int(band[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = act[0xF0]
+                            bw.write(c, ln)
+                            run -= 16
+                        t, code = _magnitude(v)
+                        c, ln = act[(run << 4) | t]
+                        bw.write(c, ln)
+                        bw.write(code, t)
+                        run = 0
+                    if last < se - ss:
+                        eobrun = 1  # this block's EOB starts a new run
+            flush_eob()
+            tt = (0 if ci == 0 else 1)  # AC table id (Td unused)
+            scans.append((sos([(ci + 1, tt)], ss, se, 0, 0), bw.flush()))
+    return scans
+
+
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encode of uint8 gray [H,W] or RGB [H,W,3], 4:4:4.
+    """JFIF encode of uint8 gray [H,W] or RGB [H,W,3], 4:4:4.
 
     restart_interval > 0 emits a DRI segment and RSTn markers every N
     MCUs (byte-aligned, DC predictors reset) — mainly so the decoder's
-    restart path has a round-trip test without external files."""
+    restart path has a round-trip test without external files.
+
+    progressive=True writes SOF2 with the Annex-G scan script from
+    _encode_progressive_scans (DC successive approximation + AC
+    spectral selection with EOB runs); ignores restart_interval."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg wants uint8")
     color = img.ndim == 3
@@ -317,6 +433,13 @@ def encode_jpeg(
     for ci, plane in enumerate(planes):
         qt = qt_l if ci == 0 else qt_c
         comp_blocks.append(_encode_plane_blocks(_pad_to8(plane), qt))
+
+    if progressive:
+        scan_pairs = _encode_progressive_scans(comp_blocks)
+        return _assemble_jpeg(
+            h, w, qt_l, qt_c, img.ndim == 3, 0, scan_pairs, sof_marker=0xC2,
+            prog_ac=True,
+        )
 
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -371,7 +494,20 @@ def encode_jpeg(
                     c, ln = act[0x00]  # EOB
                     bw.write(c, ln)
     scan = bw.flush()
+    sos = bytes([3 if color else 1])
+    for ci in range(3 if color else 1):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    return _assemble_jpeg(
+        h, w, qt_l, qt_c, color, restart_interval, [(sos, scan)], sof_marker=0xC0
+    )
 
+
+def _assemble_jpeg(
+    h: int, w: int, qt_l: np.ndarray, qt_c: np.ndarray, color: bool,
+    restart_interval: int, scan_pairs: list[tuple[bytes, bytes]],
+    sof_marker: int, prog_ac: bool = False,
+) -> bytes:
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
@@ -384,24 +520,23 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
+    out += seg(sof_marker, sof)
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += dht(1, 0, PROG_AC_BITS if prog_ac else AC_LUMA_BITS,
+               PROG_AC_VALS if prog_ac else AC_LUMA_VALS)
     if color:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += dht(1, 1, PROG_AC_BITS if prog_ac else AC_CHROMA_BITS,
+                   PROG_AC_VALS if prog_ac else AC_CHROMA_VALS)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += scan
+    for sos_payload, entropy in scan_pairs:
+        out += seg(0xDA, sos_payload)
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -409,7 +544,13 @@ def encode_jpeg(
 # ------------------------------------------------------------- decode
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF decode -> uint8 gray [H,W] or RGB [H,W,3]."""
+    """JFIF decode -> uint8 gray [H,W] or RGB [H,W,3].
+
+    Supports baseline sequential (SOF0), extended sequential huffman
+    (SOF1 — decode-identical) and PROGRESSIVE (SOF2): spectral
+    selection + successive approximation scans per ITU-T T.81 Annex G
+    (DC first/refine, AC first with EOB runs, AC refinement with
+    correction bits), with restart markers in any scan type."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -418,7 +559,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
     out_planes: dict[int, np.ndarray] = {}
+    coef: dict[int, np.ndarray] = {}  # progressive coefficient store
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -451,7 +594,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + n])
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -460,10 +604,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    # full MCU-grid allocation; non-interleaved scans
+                    # cover the (possibly smaller) per-component grid
+                    coef[c["id"]] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                    )
+                    c["bw_s"] = (-(-(w * c["h"]) // hmax) + 7) // 8
+                    c["bh_s"] = (-(-(h * c["v"]) // vmax) + 7) // 8
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0)"
+                f"JPEG SOF{marker - 0xC0}: lossless/arithmetic/"
+                f"hierarchical processes unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -475,12 +633,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 comp["td"], comp["ta"] = tt >> 4, tt & 0xF
                 scan_comps.append(comp)
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
             pos += seglen
-            pos, out_planes = _decode_scan(
-                data, pos, scan_comps, qtables, htables, h, w, restart_interval
-            )
+            if progressive:
+                pos = _decode_scan_prog(
+                    data, pos, scan_comps, comps, htables, coef,
+                    ss, se, ahal >> 4, ahal & 0xF, restart_interval,
+                )
+            else:
+                pos, out_planes = _decode_scan(
+                    data, pos, scan_comps, qtables, htables, h, w,
+                    restart_interval,
+                )
             continue
         pos += seglen
+
+    if progressive:
+        if not coef:
+            raise ValueError("progressive JPEG has no scans")
+        for c in comps:
+            zz = coef[c["id"]].astype(np.float64)
+            qt = qtables[c["tq"]]
+            by, bx = zz.shape[:2]
+            raster = np.zeros((by, bx, 64))
+            raster[:, :, ZIGZAG] = zz
+            raster *= qt
+            blocks = np.einsum(
+                "xu,abuv,yv->abxy", _A.T, raster.reshape(by, bx, 8, 8), _A.T
+            ) + 128.0
+            plane = np.clip(blocks.round(), 0, 255).astype(np.uint8)
+            out_planes[c["id"]] = (
+                plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            )
 
     if not out_planes:
         raise ValueError("JPEG has no decoded scan")
@@ -495,6 +679,157 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plane = np.repeat(plane, vmax // c["v"], axis=0)
         full.append(plane[:h, :w].astype(np.float64))
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _skip_to_marker(data: bytes, p: int) -> int:
+    """Advance past entropy bytes to the next real (non-RST) marker."""
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _decode_scan_prog(
+    data, pos, scan_comps, all_comps, htables, coef, ss, se, ah, al,
+    restart_interval,
+):
+    """One progressive scan (T.81 Annex G.2): updates the coefficient
+    store in place, returns the stream position after the scan."""
+    br = _BitReader(data, pos)
+
+    if ss == 0:
+        # ---- DC scan (interleaved over scan comps, MCU order)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        hmax = max(c["h"] for c in all_comps)
+        vmax = max(c["v"] for c in all_comps)
+        any_id = scan_comps[0]["id"]
+        if len(all_comps) == 1 or len(scan_comps) == 1:
+            # single-component scan: per-component block grid
+            c0 = scan_comps[0]
+            mcux, mcuy = c0["bw_s"], c0["bh_s"]
+        else:
+            mcux = coef[any_id].shape[1] // scan_comps[0]["h"]
+            mcuy = coef[any_id].shape[0] // scan_comps[0]["v"]
+        pred = {c["id"]: 0 for c in scan_comps}
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.align_restart()
+                    pred = {c["id"]: 0 for c in scan_comps}
+                for c in scan_comps:
+                    nbx = c["h"] if len(scan_comps) > 1 else 1
+                    nby = c["v"] if len(scan_comps) > 1 else 1
+                    for iy in range(nby):
+                        for ix in range(nbx):
+                            by = my * nby + iy
+                            bx = mx * nbx + ix
+                            cc = coef[c["id"]]
+                            if by >= cc.shape[0] or bx >= cc.shape[1]:
+                                continue
+                            if ah == 0:
+                                t = br.decode_symbol(htables[(0, c["td"])])
+                                diff = _extend(br.read_bits(t), t)
+                                pred[c["id"]] += diff
+                                cc[by, bx, 0] = pred[c["id"]] << al
+                            else:
+                                if br.read_bit():
+                                    cc[by, bx, 0] |= 1 << al
+                mcu_count += 1
+    else:
+        # ---- AC scan: always single-component, non-interleaved
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = scan_comps[0]
+        cc = coef[c["id"]]
+        act = htables[(1, c["ta"])]
+        nbx, nby = c["bw_s"], c["bh_s"]
+        eobrun = 0
+        blk = 0
+        p1, m1 = 1 << al, -1 << al
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    br.align_restart()
+                    eobrun = 0
+                blk += 1
+                z = cc[by, bx]
+                if ah == 0:
+                    # ---- first pass for this bit position
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index out of band")
+                        z[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                else:
+                    # ---- refinement pass (G.1.2.3): correction bits
+                    # for already-nonzero coefficients, run/sign codes
+                    # for newly significant ones
+                    def refine(kk: int) -> None:
+                        if br.read_bit() and (z[kk] & p1) == 0:
+                            z[kk] += p1 if z[kk] > 0 else m1
+
+                    k = ss
+                    if eobrun > 0:
+                        eobrun -= 1
+                        while k <= se:
+                            if z[k] != 0:
+                                refine(k)
+                            k += 1
+                        continue
+                    while k <= se:
+                        rs = br.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                # EOB: refine the remaining history
+                                while k <= se:
+                                    if z[k] != 0:
+                                        refine(k)
+                                    k += 1
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        elif s == 1:
+                            val = p1 if br.read_bit() else m1
+                        else:
+                            raise ValueError("refinement size must be 1")
+                        # advance over r zero-history positions,
+                        # refining nonzero ones along the way
+                        while k <= se:
+                            if z[k] != 0:
+                                refine(k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            z[k] = val
+                        k += 1
+
+    return _skip_to_marker(data, br.pos)
 
 
 def _decode_scan(data, pos, scan_comps, qtables, htables, h, w, restart_interval):

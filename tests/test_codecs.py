@@ -165,19 +165,122 @@ def test_jpeg_roundtrip_rgb_and_multimodal_path():
     assert g.ndim == 2 and g.shape == rgb.shape[:2]
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode: the Annex-G scan script (DC
+    successive approximation + AC spectral bands with EOB runs) must
+    reconstruct EXACTLY the same pixels as the baseline path — both
+    carry the identical quantized coefficients."""
     import numpy as np
-    import pytest
 
     from osm2pgsql_spark.functions import jpeg
 
-    img = np.zeros((8, 8), dtype=np.uint8)
-    enc = bytearray(jpeg.encode_jpeg(img))
-    # flip SOF0 (0xC0) to SOF2 (0xC2, progressive)
-    i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
-        jpeg.decode_jpeg(bytes(enc))
+    rng = np.random.RandomState(3)
+    gray = (
+        np.outer(np.linspace(0, 255, 37), np.ones(29))
+        + rng.randint(0, 30, (37, 29))
+    ).clip(0, 255).astype(np.uint8)
+    rgb = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+    # smooth image: most high-frequency bands are all-zero, so the
+    # encoder accumulates EOB runs > 1 (decoder EOBRUN path)
+    smooth = (
+        np.outer(np.linspace(40, 200, 64), np.linspace(40, 200, 64)) / 2 + 60
+    ).astype(np.uint8)
+    for img, q in ((gray, 85), (rgb, 70), (smooth, 50)):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_ac_refinement_scan():
+    """Hand-crafted successive-approximation AC scans (first pass at
+    Al=1 then a refinement pass with correction bits, ZRL-in-refine
+    and newly-significant coefficients) — the G.1.2.3 path the
+    encoder's spectral-selection-only script doesn't emit."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import jpeg
+
+    # one 8x8 block; zigzag coefficients: DC=24, then
+    # k=1: 5 (history, refine bit 1), k=3: -1 (newly significant),
+    # k=10: -6 (history, refine bit 0), k=20: +1 (newly significant)
+    dc_val = 24
+    ac = {1: 5, 3: -1, 10: -6, 20: 1}
+    qt_l, _ = jpeg._quality_tables(85)
+
+    dc_codes = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    prog_ac = jpeg._canonical_codes(jpeg.PROG_AC_BITS, jpeg.PROG_AC_VALS)
+
+    def wsym(bw, codes, sym):
+        c, ln = codes[sym]
+        bw.write(c, ln)
+
+    # ---- baseline twin stream with identical coefficients
+    ac_codes = jpeg._canonical_codes(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+    bw = jpeg._BitWriter()
+    t, code = jpeg._magnitude(dc_val)
+    wsym(bw, dc_codes, t)
+    bw.write(code, t)
+    prev = 0
+    for k in sorted(ac):
+        run = k - prev - 1
+        while run > 15:
+            wsym(bw, ac_codes, 0xF0)
+            run -= 16
+        t, code = jpeg._magnitude(ac[k])
+        wsym(bw, ac_codes, (run << 4) | t)
+        bw.write(code, t)
+        prev = k
+    wsym(bw, ac_codes, 0x00)
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    baseline = jpeg._assemble_jpeg(
+        8, 8, qt_l, qt_l, False, 0, [(sos, bw.flush())], sof_marker=0xC0
+    )
+
+    # ---- progressive: DC scan (Al=0), AC first (Al=1), AC refine
+    scans = []
+    bw = jpeg._BitWriter()
+    t, code = jpeg._magnitude(dc_val)
+    wsym(bw, dc_codes, t)
+    bw.write(code, t)
+    scans.append((bytes([1, 1, 0x00, 0, 0, 0x00]), bw.flush()))
+
+    # AC first pass, Al=1: send sign * (|v| >> 1); |v|==1 stays zero
+    bw = jpeg._BitWriter()
+    prev = 0
+    firsts = {k: (1 if v > 0 else -1) * (abs(v) >> 1) for k, v in ac.items()}
+    for k in sorted(k for k, v in firsts.items() if v != 0):
+        run = k - prev - 1
+        # skip zero positions incl. the not-yet-significant ones
+        while run > 15:
+            wsym(bw, prog_ac, 0xF0)
+            run -= 16
+        t, code = jpeg._magnitude(firsts[k])
+        wsym(bw, prog_ac, (run << 4) | t)
+        bw.write(code, t)
+        prev = k
+    wsym(bw, prog_ac, 0x00)  # EOB
+    scans.append((bytes([1, 1, 0x00, 1, 63, 0x01]), bw.flush()))
+
+    # AC refinement pass Ah=1 Al=0: correction bits for history
+    # coefficients, run/sign codes for newly significant +-1s
+    bw = jpeg._BitWriter()
+    # k=1 history -> pending bit 1; k=2 zero (r=1); k=3 new -1
+    wsym(bw, prog_ac, 0x11)
+    bw.write(0, 1)  # sign: negative
+    bw.write(1, 1)  # pending correction bit for k=1 (|5| & 1)
+    # k=4..9 zeros (6), k=10 history (bit 0), k=11..19 zeros (9), k=20 new +1
+    wsym(bw, prog_ac, 0xF1)
+    bw.write(1, 1)  # sign: positive
+    bw.write(0, 1)  # correction bit for k=10 (|6| & 1)
+    wsym(bw, prog_ac, 0x00)  # EOB for the trailing zeros
+    scans.append((bytes([1, 1, 0x00, 1, 63, 0x10]), bw.flush()))
+
+    progressive = jpeg._assemble_jpeg(
+        8, 8, qt_l, qt_l, False, 0, scans, sof_marker=0xC2, prog_ac=True
+    )
+    assert np.array_equal(
+        jpeg.decode_jpeg(progressive), jpeg.decode_jpeg(baseline)
+    )
 
 
 def test_jpeg_restart_markers_roundtrip():
