@@ -15,6 +15,9 @@ real deployments use are implemented from the public formulas:
 - Lambert Azimuthal Equal Area (EPSG method 9820) — EPSG 3035
   (ETRS89-LAEA Europe, the EU statistical grid) — Snyder pp. 187-190
   ellipsoidal form.
+- Lambert Conformal Conic 2SP (EPSG method 9802) — Lambert-93 (2154),
+  ETRS89-LCC (3034), and the LCC state/national grids — with inverse
+  via the conformal-latitude fixed point.
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -151,6 +154,55 @@ class LaeaParams:
         return math.sqrt(self.f * (2.0 - self.f))
 
 
+@dataclass(frozen=True)
+class LccParams:
+    """Lambert Conformal Conic 2SP parameters (EPSG method 9802)."""
+
+    a: float
+    inv_f: float
+    lon0: float  # longitude of false origin
+    lat0: float  # latitude of false origin
+    lat1: float  # first standard parallel
+    lat2: float  # second standard parallel
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    def _m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - (self.e * s) ** 2)
+
+    def _t(self, phi: float) -> float:
+        e = self.e
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    @property
+    def n(self) -> float:
+        p1, p2 = math.radians(self.lat1), math.radians(self.lat2)
+        return (math.log(self._m(p1)) - math.log(self._m(p2))) / (
+            math.log(self._t(p1)) - math.log(self._t(p2))
+        )
+
+    @property
+    def big_f(self) -> float:
+        p1 = math.radians(self.lat1)
+        return self._m(p1) / (self.n * self._t(p1) ** self.n)
+
+    @property
+    def r0(self) -> float:
+        return self.a * self.big_f * self._t(math.radians(self.lat0)) ** self.n
+
+
 def _q_auth(e: float, sphi):
     """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
     es = e * sphi
@@ -174,10 +226,17 @@ def _la(code, ell, lon0, lat0, fe, fn):
     _NAMED[code] = LaeaParams(a, inv_f, lon0, lat0, fe, fn)
 
 
+def _lc(code, ell, lon0, lat0, lat1, lat2, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = LccParams(a, inv_f, lon0, lat0, lat1, lat2, fe, fn)
+
+
 # national grids (parameters from the public EPSG registry entries)
 _tm(27700, "airy", -2.0, 49.0, 0.9996012717, 400000.0, -100000.0)  # OSGB36
 _tm(2180, "GRS80", 19.0, 0.0, 0.9993, 500000.0, -5300000.0)  # Poland CS92
 _la(3035, "GRS80", 10.0, 52.0, 4321000.0, 3210000.0)  # ETRS89-LAEA Europe
+_lc(2154, "GRS80", 3.0, 46.5, 49.0, 44.0, 700000.0, 6600000.0)  # RGF93 / Lambert-93
+_lc(3034, "GRS80", 10.0, 52.0, 35.0, 65.0, 4000000.0, 2800000.0)  # ETRS89-LCC Europe
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -254,6 +313,40 @@ def tmerc_inverse(E: np.ndarray, N: np.ndarray, p: TmercParams):
     return p.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# ------------------------------------------------------------- LCC kernels
+
+def lcc_forward(lon: np.ndarray, lat: np.ndarray, p: LccParams):
+    """(E, N) — Lambert Conformal Conic 2SP forward (EPSG 9802)."""
+    e, n = p.e, p.n
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+    r = p.a * p.big_f * t**n
+    theta = n * np.radians(lon - p.lon0)
+    return p.fe + r * np.sin(theta), p.fn + p.r0 - r * np.cos(theta)
+
+
+def lcc_inverse(E: np.ndarray, N: np.ndarray, p: LccParams):
+    """(lon, lat) — 9802 inverse; conformal-latitude fixed point (5
+    iterations: double-precision converged)."""
+    e, n = p.e, p.n
+    dx = np.asarray(E, dtype="f8") - p.fe
+    dy = p.r0 - (np.asarray(N, dtype="f8") - p.fn)
+    r = np.sign(n) * np.hypot(dx, dy)
+    t = (r / (p.a * p.big_f)) ** (1.0 / n)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    lon = p.lon0 + np.degrees(theta / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(5):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------------------------------ LAEA kernels
 
 def laea_forward(lon: np.ndarray, lat: np.ndarray, p: LaeaParams):
@@ -293,6 +386,8 @@ def transform_epsg(geom, code: int):
     def f(a: np.ndarray) -> np.ndarray:
         if isinstance(p, TmercParams):
             x, y = tmerc_forward(a[:, 0], a[:, 1], p)
+        elif isinstance(p, LccParams):
+            x, y = lcc_forward(a[:, 0], a[:, 1], p)
         else:
             x, y = laea_forward(a[:, 0], a[:, 1], p)
         return np.column_stack([x, y])
@@ -339,6 +434,23 @@ def tmerc_forward_sql(lon_expr: str, lat_expr: str, p: TmercParams) -> tuple[str
     return (
         f"({_r(p.fe)} + {_r(k0A)}*{eta})",
         f"({_r(p.fn)} + {_r(k0A)}*({xi} - {_r(p.xi0)}))",
+    )
+
+
+def lcc_forward_sql(lon_expr: str, lat_expr: str, p: LccParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of lcc_forward."""
+    e, n = p.e, p.n
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    t = (
+        f"(tan(pi()/4.0 - radians({lat_expr})/2.0)"
+        f" / pow((1.0-({es}))/(1.0+({es})), {_r(e / 2.0)}))"
+    )
+    r = f"({_r(p.a * p.big_f)}*pow({t}, {_r(n)}))"
+    theta = f"({_r(n)}*radians(({lon_expr}) - {_r(p.lon0)}))"
+    return (
+        f"({_r(p.fe)} + ({r})*sin({theta}))",
+        f"({_r(p.fn + p.r0)} - ({r})*cos({theta}))",
     )
 
 

@@ -2255,6 +2255,11 @@ _EPSG_GRATICULES = {
         "cast((p_partkey * 7) % 41 AS double) - 10.0e0",
         "cast((p_partkey * 13) % 38 AS double) + 34.0e0",
     ),
+    "lcc": (
+        2154,
+        "cast((p_partkey * 11) % 17 AS double) - 5.0e0",
+        "cast((p_partkey * 19) % 12 AS double) + 41.0e0",
+    ),
 }
 
 
@@ -2265,6 +2270,8 @@ def _epsg_oracle(chk: str) -> str:
     p = PJ.epsg_params(code)
     if isinstance(p, PJ.TmercParams):
         e_sql, n_sql = PJ.tmerc_forward_sql("lon", "lat", p)
+    elif isinstance(p, PJ.LccParams):
+        e_sql, n_sql = PJ.lcc_forward_sql("lon", "lat", p)
     else:
         e_sql, n_sql = PJ.laea_forward_sql("lon", "lat", p)
     return (

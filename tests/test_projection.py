@@ -146,3 +146,79 @@ def test_wkb_transform_epsg_udf(spark):
     e, n = tmerc_forward(np.array([9.0, 12.5]), np.array([45.0, 52.25]), p)
     assert rows[1][0] == pytest.approx(e[0]) and rows[1][1] == pytest.approx(n[0])
     assert rows[2][0] == pytest.approx(e[1]) and rows[2][1] == pytest.approx(n[1])
+
+
+def test_lcc_properties_and_roundtrip():
+    """LCC 2SP (EPSG 9802, Lambert-93): conformal-projection
+    properties pin correctness without a memorized vector — scale
+    factor is exactly 1 on both standard parallels, the projection is
+    locally isotropic (conformal), the false origin maps to (FE, FN),
+    and forward/inverse round-trips at machine precision."""
+    from osm2pgsql_spark.functions.projection import lcc_forward, lcc_inverse
+
+    p = epsg_params(2154)
+    # false origin -> (FE, FN)
+    e, n = lcc_forward(np.array([3.0]), np.array([46.5]), p)
+    assert e[0] == pytest.approx(700000.0, abs=1e-6)
+    assert n[0] == pytest.approx(6600000.0, abs=1e-6)
+
+    # scale along each standard parallel == 1 (numeric derivative)
+    a, inv_f = 6378137.0, 298.257222101
+    f = 1 / inv_f
+    e2 = f * (2 - f)
+    for lat in (49.0, 44.0, 46.0):
+        dlon = 1e-6
+        x1, y1 = lcc_forward(np.array([3.0]), np.array([lat]), p)
+        x2, y2 = lcc_forward(np.array([3.0 + dlon]), np.array([lat]), p)
+        dist = math.hypot(x2[0] - x1[0], y2[0] - y1[0])
+        s = math.sin(math.radians(lat))
+        nu = a / math.sqrt(1 - e2 * s * s)
+        arc = nu * math.cos(math.radians(lat)) * math.radians(dlon)
+        k = dist / arc
+        if lat in (49.0, 44.0):
+            assert k == pytest.approx(1.0, abs=1e-9)
+        else:
+            assert k < 1.0  # between the parallels the cone undershoots
+
+    # conformality: meridian scale == parallel scale away from origin
+    lat, lon = 47.3, 5.7
+    d = 1e-6
+    x0, y0 = lcc_forward(np.array([lon]), np.array([lat]), p)
+    xe, ye = lcc_forward(np.array([lon + d]), np.array([lat]), p)
+    xn, yn = lcc_forward(np.array([lon]), np.array([lat + d]), p)
+    s = math.sin(math.radians(lat))
+    nu = a / math.sqrt(1 - e2 * s * s)
+    rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    k_par = math.hypot(xe[0] - x0[0], ye[0] - y0[0]) / (
+        nu * math.cos(math.radians(lat)) * math.radians(d)
+    )
+    k_mer = math.hypot(xn[0] - x0[0], yn[0] - y0[0]) / (rho * math.radians(d))
+    assert k_par == pytest.approx(k_mer, rel=1e-6)
+
+    # round-trip
+    rng = np.random.RandomState(5)
+    lons = 3.0 + rng.uniform(-8, 8, 100)
+    lats = rng.uniform(41, 51.5, 100)
+    E, N = lcc_forward(lons, lats, p)
+    lo, la = lcc_inverse(E, N, p)
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+
+
+def test_lcc_sql_twin_matches_kernel():
+    import duckdb
+
+    from osm2pgsql_spark.functions.projection import lcc_forward, lcc_forward_sql
+
+    p = epsg_params(2154)
+    rng = np.random.RandomState(13)
+    lons = list(3.0 + rng.uniform(-6, 6, 40))
+    lats = list(rng.uniform(42, 50, 40))
+    e_np, n_np = lcc_forward(np.array(lons), np.array(lats), p)
+    esql, nsql = lcc_forward_sql("lon", "lat", p)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lons, lats)))
+    rows = con.execute(f"SELECT {esql}, {nsql} FROM pts").fetchall()
+    assert np.abs(np.array([r[0] for r in rows]) - e_np).max() < 1e-6
+    assert np.abs(np.array([r[1] for r in rows]) - n_np).max() < 1e-6
