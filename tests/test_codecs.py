@@ -299,3 +299,94 @@ def test_jpeg_restart_markers_roundtrip():
     rgb = np.stack([img, img[::-1], np.roll(img, 7, axis=1)], axis=2)
     dec3 = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=92, restart_interval=2))
     assert dec3.shape == rgb.shape
+
+
+def test_jpeg_progressive_420_subsampled():
+    """Hand-crafted 4:2:0 progressive stream (Y at 2x2 sampling, 4
+    blocks; chroma at 1x1): pins the interleaved-DC MCU walk and the
+    per-component (non-MCU) AC block grids, plus an EOBRUN spanning 3
+    blocks.  Expected pixels computed from the same IDCT basis."""
+    import struct
+
+    import numpy as np
+
+    from osm2pgsql_spark.functions import jpeg
+
+    qt = np.ones(64)  # flat quant table: exact coefficient math
+    dc_l = jpeg._canonical_codes(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+    dc_c = jpeg._canonical_codes(jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS)
+    prog_ac = jpeg._canonical_codes(jpeg.PROG_AC_BITS, jpeg.PROG_AC_VALS)
+    ydc, cbdc, crdc, yac1 = [8, 16, 24, 32], 4, -4, 3
+
+    def wsym(bw, codes, sym):
+        c, ln = codes[sym]
+        bw.write(c, ln)
+
+    def wmag(bw, codes, v):
+        t, code = jpeg._magnitude(v)
+        wsym(bw, codes, t)
+        if t:
+            bw.write(code, t)
+
+    # scan 1: interleaved DC (Y 2x2 raster, then Cb, Cr)
+    bw = jpeg._BitWriter()
+    pred = 0
+    for v in ydc:
+        wmag(bw, dc_l, v - pred)
+        pred = v
+    wmag(bw, dc_c, cbdc)
+    wmag(bw, dc_c, crdc)
+    scans = [(bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x00]), bw.flush())]
+
+    # scan 2: Y AC band — block 1 has one coefficient, EOBRUN=3 covers
+    # the remaining blocks
+    bw = jpeg._BitWriter()
+    t, code = jpeg._magnitude(yac1)
+    wsym(bw, prog_ac, t)
+    bw.write(code, t)
+    wsym(bw, prog_ac, 0x00)  # EOB block 1
+    wsym(bw, prog_ac, 0x10)  # EOBn r=1
+    bw.write(1, 1)  # eobrun = 2^1 + 1 = 3 blocks
+    scans.append((bytes([1, 1, 0x00, 1, 63, 0x00]), bw.flush()))
+    for cid in (2, 3):  # chroma AC: all-zero -> one EOB
+        bw = jpeg._BitWriter()
+        wsym(bw, prog_ac, 0x00)
+        scans.append((bytes([1, cid, 0x00, 1, 63, 0x00]), bw.flush()))
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qt[jpeg.ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(jpeg.DC_LUMA_BITS) + bytes(jpeg.DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x01]) + bytes(jpeg.DC_CHROMA_BITS) + bytes(jpeg.DC_CHROMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(jpeg.PROG_AC_BITS) + bytes(jpeg.PROG_AC_VALS))
+    for sp, sc in scans:
+        out += seg(0xDA, sp) + sc
+    out += b"\xff\xd9"
+
+    img = jpeg.decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+
+    A = jpeg._A
+
+    def block(dc, ac1=0):
+        z = np.zeros(64)
+        z[jpeg.ZIGZAG[0]] = dc
+        if ac1:
+            z[jpeg.ZIGZAG[1]] = ac1
+        return A.T @ z.reshape(8, 8) @ A + 128.0
+
+    Y = np.zeros((16, 16))
+    Y[0:8, 0:8] = block(ydc[0], yac1)
+    Y[0:8, 8:16] = block(ydc[1])
+    Y[8:16, 0:8] = block(ydc[2])
+    Y[8:16, 8:16] = block(ydc[3])
+    Y = np.clip(Y.round(), 0, 255)
+    cb = np.clip(np.full((16, 16), block(cbdc)[0, 0]).round(), 0, 255)
+    cr = np.clip(np.full((16, 16), block(crdc)[0, 0]).round(), 0, 255)
+    exp = jpeg._ycbcr_to_rgb(Y, cb, cr)
+    assert int(np.abs(img.astype(int) - exp.astype(int)).max()) <= 1
