@@ -344,3 +344,85 @@ def test_rel_duplicate_member_tolerated(spark):
         REL_WAYS + "r30 v1 dV Ttype=multipolygon Mw20@,w20@,w21@",
     )
     assert _run_rel(spark, trio).count() == 1
+
+
+# ----------------------------------------------- way-del / *-add features
+
+@pytest.mark.parametrize(
+    "w10_tags,member,expect",
+    [
+        # way-del.feature: delete w10 in every initial placement
+        ("Tt=ag", False, {"t1": [11], "t2": [12], "tboth": [13, 14]}),
+        ("Tt1=yes", False, {"t1": [10, 11], "t2": [12], "tboth": [13, 14]}),
+        ("Tt2=yes", True, {"t1": [11], "t2": [10, 12], "tboth": [13, 14]}),
+        ("Tt1=yes,t2=yes", True, {"t1": [10, 11], "t2": [10, 12], "tboth": [13, 14]}),
+        ("Ttboth=yes", True, {"t1": [11], "t2": [12], "tboth": [10, 13, 14]}),
+    ],
+)
+def test_way_del(spark, w10_tags, member, expect):
+    """way-del.feature: deleting w10 removes it from every table it
+    was in; everything else is untouched."""
+    mark = ",w10@mark" if member else ""
+    base = (
+        f"w10 v1 dV {w10_tags} Nn10,n11" + WAY_BASE_TAIL.rstrip("\n").replace(
+            "r30 v1 dV Tt=ag Mw10@mark,w11@,w12@mark,w13@,w14@mark",
+            f"r30 v1 dV Tt=ag Mw11@,w12@mark,w13@,w14@mark{mark}",
+        )
+    )
+    trio = _world(spark, WAY_GRID, base)
+    ids, _ = _run_way(spark, trio)
+    assert ids == expect
+    after = _apply(spark, trio, "w10 v2 dD")
+    ids, _ = _run_way(spark, after)
+    gone = {t: [i for i in v if i != 10] for t, v in expect.items()}
+    assert ids == gone
+
+
+def test_way_relation_add_marks_member(spark):
+    """way-relation-add.feature core: a NEW relation marking w10
+    pushes it into t2 and refreshes the tboth rel_ids."""
+    base = "w10 v1 dV Tt2=yes,tboth=yes Nn10,n11" + WAY_BASE_TAIL.replace(
+        "Mw10@mark,", "Mw10@,"
+    )
+    trio = _world(spark, WAY_GRID, base)
+    ids, out = _run_way(spark, trio)
+    assert ids["t2"] == [12]  # w10 not marked by r30
+    after = _apply(
+        spark, trio, "r31 v1 dV Tt=ag Mw10@mark,w11@,w12@,w13@,w14@"
+    )
+    ids, out = _run_way(spark, after)
+    assert ids["t2"] == [10, 12]
+    rels = {r["osm_id"]: r["rel_ids"] for r in out["t2"].collect()}
+    assert rels[10] == "31" and rels[12] == "30"
+    tb = {r["osm_id"]: r["rel_ids"] for r in out["tboth"].collect()}
+    assert tb[10] == "31"
+
+
+def test_way_relation_del_unmarks_member(spark):
+    """way-relation-del.feature core: deleting the marking relation
+    pulls w10 out of t2 and nulls its tboth rel_ids."""
+    base = (
+        "w10 v1 dV Tt2=yes,tboth=yes Nn10,n11"
+        + WAY_BASE_TAIL.replace("Mw10@mark,", "Mw10@,")
+        + "r31 v1 dV Tt=ag Mw10@mark,w11@,w12@,w13@,w14@\n"
+    )
+    trio = _world(spark, WAY_GRID, base)
+    ids, out = _run_way(spark, trio)
+    assert ids["t2"] == [10, 12]
+    after = _apply(spark, trio, "r31 v2 dD")
+    ids, out = _run_way(spark, after)
+    assert ids["t2"] == [12]
+    tb = {r["osm_id"]: r["rel_ids"] for r in out["tboth"].collect()}
+    assert tb[10] is None and tb[14] == "30"
+
+
+def test_node_add_completes_way(spark):
+    """node-add.feature core: a way referencing a missing node is
+    invalid until the node arrives in a diff."""
+    base = "w10 v1 dV Tt1=yes Nn10,n99" + WAY_BASE_TAIL
+    trio = _world(spark, WAY_GRID, base)
+    ids, _ = _run_way(spark, trio)
+    assert ids["t1"] == [11]  # w10 geometry unresolvable
+    after = _apply(spark, trio, "n99 v1 dV x10.4 y10.2")
+    ids, _ = _run_way(spark, after)
+    assert ids["t1"] == [10, 11]
