@@ -323,6 +323,43 @@ class FlexConfig:
                 )
         return out
 
+    def compute_expire_diff(
+        self,
+        old_tables: dict[str, DataFrame],
+        new_tables: dict[str, DataFrame],
+        touched_ids: DataFrame,
+    ) -> dict[str, DataFrame]:
+        """Dirty tiles for one append batch: the union of the OLD and
+        the NEW geometry's tiles of every touched object — the
+        reference expires the row it deletes AND the row it re-inserts
+        (src/output-flex.cpp:1175-1282 delete_from_table +
+        expire_from_result on insert), which is why a moved node dirties
+        both where the way was and where it now is
+        (tests/bdd/flex/expire-diff.feature).  A full import expires
+        nothing (the reference only records expiry in append mode);
+        only rows semi-joined to `touched_ids` (column: osm_id)
+        contribute."""
+        ids = touched_ids.select(
+            F.col(touched_ids.columns[0]).alias("osm_id")
+        ).distinct()
+
+        def touched(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+            return {
+                name: df.join(ids, "osm_id", "leftsemi")
+                for name, df in tables.items()
+            }
+
+        old_t = self.compute_expire(touched(old_tables))
+        new_t = self.compute_expire(touched(new_tables))
+        out: dict[str, DataFrame] = {}
+        for name in set(old_t) | set(new_t):
+            parts = [t for t in (old_t.get(name), new_t.get(name)) if t is not None]
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
+            out[name] = d.distinct()
+        return out
+
     def describe(self) -> dict:
         """Structured dump of the config (the reference's debug/
         taginfo output, src/debug-output.cpp:34-71 table list +

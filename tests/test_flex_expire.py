@@ -40,3 +40,56 @@ def test_flex_expire_outputs(spark):
         (11, 1023, 1023),
         (11, 1024, 1023),
     }
+
+
+def test_expire_diff_old_and_new_geometry(spark):
+    """expire-diff.feature 'diff expire way node changes': moving a
+    node dirties the tiles of BOTH the way's old and new geometry;
+    the full import expires nothing.  Tile expectations are the
+    reference's own (zoom 8, default buffer)."""
+    from osm2pgsql_spark.model import WAY_SCHEMA
+    from osm2pgsql_spark.streaming.append import apply_diff
+
+    def nodes_df(n2):
+        rows = [
+            (1, 0.0, 0.0), (2, n2[1], n2[0]), (3, 1.0, 2.0), (4, 1.0, 4.0)
+        ]
+        return spark.createDataFrame(
+            [(i, lat, lon, {}, None, None, None, None, None, None)
+             for i, lat, lon in rows],
+            "id long, lat double, lon double, tags map<string,string>, "
+            "version int, ts timestamp, changeset long, uid long, "
+            "user string, visible boolean",
+        )
+
+    ways = spark.createDataFrame(
+        [(1, [1, 2, 3, 4], {"highway": "primary"},
+          None, None, None, None, None, None)],
+        WAY_SCHEMA,
+    )
+    cfg = FlexConfig()
+    cfg.define_expire_output("exp", maxzoom=8)
+    cfg.define_table(
+        "roads", ids="way",
+        columns=[ColumnDef("geom", "linestring", srid=3857,
+                           not_null=True, expire="exp")],
+    )
+    cfg.insert("roads", "way", when=F.col("tags")["highway"].isNotNull())
+
+    old_nodes = nodes_df((2.0, 0.0))  # n2 at lon 2, lat 0
+    new_nodes = nodes_df((0.0, 1.0))  # diff: n2 -> lon 0, lat 1
+    old_tables = cfg.run(nodes=old_nodes, ways=ways)
+    new_tables = cfg.run(nodes=new_nodes, ways=ways)
+
+    touched = spark.createDataFrame([(1,)], "osm_id long")
+    tiles = cfg.compute_expire_diff(old_tables, new_tables, touched)
+    got = {(r["zoom"], r["x"], r["y"]) for r in tiles["exp"].collect()}
+    assert got == {
+        (8, 127, 127), (8, 128, 127), (8, 129, 127), (8, 130, 127),
+        (8, 127, 128), (8, 128, 128), (8, 129, 128),
+    }
+    # no touched ids -> nothing expires (the full-import case)
+    empty = cfg.compute_expire_diff(
+        old_tables, new_tables, spark.createDataFrame([], "osm_id long")
+    )
+    assert empty["exp"].count() == 0
