@@ -61,6 +61,13 @@ def parse_opl_line(line: str) -> tuple[str, dict] | None:
             obj["changeset"] = int(rest)
         elif c == "i" and rest:
             obj["uid"] = int(rest)
+        elif c == "t" and rest:
+            # ISO-8601 Zulu timestamp (OPL t-field)
+            from datetime import datetime, timezone
+
+            obj["ts"] = datetime.strptime(
+                rest, "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc).replace(tzinfo=None)
         elif c == "u":
             obj["user"] = _unescape(rest)
         elif c == "T" and rest:

@@ -273,3 +273,46 @@ def test_delete_callbacks(spark):
         (r["osm_type"], r["osm_id"], r["extra"]) for r in out.collect()
     )
     assert got == [("n", 2, 3), ("r", 20, 5), ("w", 10, 2)]
+
+
+def test_extra_attributes_passthrough(spark):
+    """extra-attributes.feature: version/changeset/timestamp/uid/user
+    flow from the OPL t/c/i/u fields into declared columns (the
+    reference's -x object attributes, src/output-flex.cpp:140-155;
+    here the source always carries whatever the input had — the -x
+    flag is an ingest concern, not an engine mode)."""
+    nodes, ways, _ = read_opl(
+        spark,
+        grid_nodes("11 12\n10 .", origin=(10.0, 10.0))
+        + ["w20 v1 dV c31 t2020-01-12T12:34:56Z i17 utest "
+           "Thighway=primary Nn10,n11,n12"],
+    )
+    cfg = FlexConfig()
+    cfg.define_table(
+        "attr", ids="way",
+        columns=[
+            ColumnDef("highway", "text"),
+            ColumnDef("version", "int4"),
+            ColumnDef("changeset", "int4"),
+            ColumnDef("epoch", "int4"),
+            ColumnDef("uid", "int4"),
+            ColumnDef("username", "text"),
+            ColumnDef("geom", "linestring", not_null=True),
+        ],
+    )
+    cfg.insert(
+        "attr", "way",
+        when=F.col("tags")["highway"].isNotNull(),
+        highway=F.col("tags")["highway"],
+        version=F.col("version").cast("string"),
+        changeset=F.col("changeset").cast("string"),
+        epoch=F.unix_timestamp(F.to_utc_timestamp("ts", "UTC")).cast("string"),
+        uid=F.col("uid").cast("string"),
+        username=F.col("user"),
+    )
+    r = cfg.run(nodes=nodes, ways=ways)["attr"].collect()[0]
+    assert (r["osm_id"], r["highway"], r["version"], r["changeset"]) == (
+        20, "primary", 1, 31
+    )
+    assert r["epoch"] == 1578832496  # 2020-01-12T12:34:56Z
+    assert (r["uid"], r["username"]) == (17, "test")
