@@ -316,3 +316,57 @@ def test_extra_attributes_passthrough(spark):
     )
     assert r["epoch"] == 1578832496  # 2020-01-12T12:34:56Z
     assert (r["uid"], r["username"]) == (17, "test")
+
+
+# --------------------------------------------------------------- locator
+
+def test_locator_first_and_all_intersecting(spark):
+    """locator.feature functional scenarios: first_intersecting picks
+    one region (canonicalized to sorted-first; reference order is
+    R-tree-unspecified), all_intersecting counts every hit, points in
+    no region drop out."""
+    from osm2pgsql_spark.operators.locator import all_intersecting, first_intersecting
+
+    pts = spark.createDataFrame(
+        [(10, 0.5, 0.5), (11, 2.5, 2.5), (12, 1.5, 1.5), (13, 1.0, 1.0)],
+        "node_id long, lon double, lat double",
+    )
+    regions = spark.createDataFrame(
+        [("B1", 0.0, 0.0, 1.0, 1.0), ("B2", 1.0, 1.0, 2.0, 2.0)],
+        "name string, min_x double, min_y double, max_x double, max_y double",
+    )
+    first = {r["node_id"]: r["region"] for r in first_intersecting(pts, regions).collect()}
+    # n11 is outside every region; n13 sits on the shared corner
+    assert first == {10: "B1", 12: "B2", 13: "B1"}
+    alln = {r["node_id"]: r["n_regions"] for r in all_intersecting(pts, regions).collect()}
+    assert alln == {10: 1, 12: 1, 13: 2}
+
+
+def test_locator_polygon_region_from_db(spark):
+    """locator.feature 'polygon from db': a triangle region way (10x
+    grid) classifies post boxes by exact point-in-polygon — n10 at
+    (15, 8) inside the triangle, n11 at (15, 2) outside (below the
+    diagonal)."""
+    from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.locator import polygon_all_intersecting
+
+    # triangle (10,0) (20,10) (10,10) — the feature's P1 region
+    tri = spark.createDataFrame(
+        [(1, [[10.0, 0.0], [20.0, 10.0], [10.0, 10.0], [10.0, 0.0]])],
+        "id long, ring array<array<double>>",
+    ).select(
+        geom_udfs.pts_polygon_wkb(
+            F.transform(
+                "ring",
+                lambda p: F.struct(
+                    p[0].alias("x"), p[1].alias("y")
+                ),
+            )
+        ).alias("wkb")
+    ).collect()
+    pts = spark.createDataFrame(
+        [(10, 15.0, 8.0), (11, 15.0, 2.0)], "node_id long, lon double, lat double"
+    )
+    out = polygon_all_intersecting(pts, [("P1", bytes(tri[0]["wkb"]))])
+    hits = {r["node_id"]: r["regions"] for r in out.collect()}
+    assert hits == {10: "P1"}
