@@ -185,6 +185,19 @@ def _transform_epsg(wkb: pd.Series, code: pd.Series) -> pd.Series:
 _transform_epsg_udf = _lazy("toepsg", _transform_epsg, "binary")
 
 
+def _split_parts(wkb: pd.Series) -> pd.Series:
+    out = []
+    for w in wkb:
+        if w is None:
+            out.append([])
+            continue
+        out.append([G.to_wkb(g) for g in G.split_multi(G.from_wkb(w))])
+    return pd.Series(out, dtype=object)
+
+
+wkb_split_parts = _lazy("splitparts", _split_parts, "array<binary>")
+
+
 def wkb_transform_epsg(wkb: Column, code: int) -> Column:
     """Forward 4326 -> arbitrary EPSG (functions/projection.py;
     reference selects any PROJ-known SRS at src/reprojection.cpp:83)."""

@@ -618,6 +618,35 @@ class FlexConfig:
                         df = df.withColumn("__rel_geom", F.lit(None).cast("binary"))
                 if rule.when is not None:
                     df = df.where(rule.when)
+                # multi-geometry splitting (reference flex semantics:
+                # inserting a multi value into a SINGLE-geometry
+                # column splits it, one row per part — multigeom
+                # BDD feature; src/flex-write.cpp geometry handling):
+                # a relation rule whose declared column is the single
+                # counterpart of the assembled multi explodes parts.
+                _single_of = {
+                    "polygon": "multipolygon",
+                    "linestring": "multilinestring",
+                    "point": "multipoint",
+                }
+                if rule.kind == "relation":
+                    split_cols = [
+                        cd for cd in tdef.geom_columns()
+                        if _single_of.get(cd.type) == rule.relation_geometry
+                    ]
+                    if len(split_cols) > 1:
+                        raise ValueError(
+                            "only one geometry column may split a multi value"
+                        )
+                    if split_cols:
+                        from osm2pgsql_spark.operators.geom_udfs import (
+                            wkb_split_parts,
+                        )
+
+                        df = df.withColumn(
+                            "__rel_geom",
+                            F.explode(wkb_split_parts(F.col("__rel_geom"))),
+                        )
                 cols: list[Column] = []
                 # id scheme (flex-table.hpp:40-49, map_id :166)
                 if tdef.ids in ("node", "way", "relation"):
@@ -822,6 +851,11 @@ class FlexConfig:
                 or (cd.type == "multilinestring" and want == "multilinestring")
                 or (cd.type == "multipoint" and want == "multipoint")
                 or (cd.type == "geometrycollection" and want == "geometrycollection")
+                # single column fed by the multi assembly: the run()
+                # loop has already split __rel_geom into single parts
+                or (cd.type == "polygon" and want == "multipolygon")
+                or (cd.type == "linestring" and want == "multilinestring")
+                or (cd.type == "point" and want == "multipoint")
             )
             if ok:
                 g = F.col("__rel_geom")

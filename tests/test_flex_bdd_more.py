@@ -370,3 +370,55 @@ def test_locator_polygon_region_from_db(spark):
     out = polygon_all_intersecting(pts, [("P1", bytes(tri[0]["wkb"]))])
     hits = {r["node_id"]: r["regions"] for r in out.collect()}
     assert hits == {10: "P1"}
+
+
+# -------------------------------------------------------------- multigeom
+
+def test_multigeom_split_vs_keep(spark):
+    """multigeom.feature: a 2-part multipolygon relation inserted into
+    a 'geometry'/'multipolygon' column stays ONE row; inserted into a
+    single 'polygon' column it SPLITS into one row per part (reference
+    flex multi-into-single-column semantics)."""
+    from osm2pgsql_spark.operators import geom_udfs
+    from tests.test_flex_updates import _world
+
+    grid = [["13", "12", "", "17", "16"], ["10", "11", "", "14", "15"]]
+    data = """
+    w21 v1 dV Nn10,n11,n12,n13,n10
+    w22 v1 dV Nn14,n15,n16,n17,n14
+    r31 v1 dV Ttype=multipolygon,natural=water,name=multi Mw21@outer,w22@outer
+    """
+    nodes, ways, rels = _world(spark, grid, data, origin=(10.0, 10.0))
+
+    def run(col_type):
+        cfg = FlexConfig()
+        cfg.define_table(
+            "polys", ids="area",
+            columns=[ColumnDef("name", "text"),
+                     ColumnDef("geom", col_type, not_null=True)],
+        )
+        cfg.insert(
+            "polys", "relation",
+            when=F.col("tags")["type"] == "multipolygon",
+            name=F.col("tags")["name"],
+        )
+        return cfg.run(nodes=nodes, ways=ways, relations=rels)["polys"]
+
+    kept = run("multipolygon").select(
+        "osm_id", "name",
+        geom_udfs.wkb_num_geometries(F.col("geom")).alias("np"),
+        geom_udfs.wkb_geometry_type(F.col("geom")).alias("t"),
+    ).collect()
+    assert [(r["osm_id"], r["name"], r["np"], r["t"]) for r in kept] == [
+        (-31, "multi", 2, "MULTIPOLYGON")
+    ]
+
+    split = run("polygon").select(
+        "osm_id", "name",
+        geom_udfs.wkb_geometry_type(F.col("geom")).alias("t"),
+        geom_udfs.wkb_area(F.col("geom")).alias("a"),
+    ).collect()
+    assert len(split) == 2
+    assert all(r["osm_id"] == -31 and r["t"] == "POLYGON" for r in split)
+    # each square is 0.1 x 0.1 degrees
+    assert all(abs(r["a"] - 0.01) < 1e-12 for r in split)
