@@ -43,6 +43,15 @@ class ExpireConfig:
     buffer: float = 0.1
     mode: str = "full_area"  # full_area | boundary_only | hybrid
     full_area_limit: float = 0.0  # meters, hybrid switch threshold
+    # reference expire-output caps (src/expire-output.cpp:20-50):
+    # a geometry dirtying more than max_tiles_geometry tiles expires
+    # nothing (bad-geometry guard); a run whose DISTINCT dirty set
+    # exceeds max_tiles_overall expires nothing (the reference's
+    # mutable first-come variant is order-dependent and has no
+    # declarative analog — the distinct-count form is the
+    # deterministic equivalent).  0 = unlimited.
+    max_tiles_geometry: int = 0
+    max_tiles_overall: int = 0
 
 
 def _coords_to_tile(pts: np.ndarray, map_width: int) -> np.ndarray:
@@ -215,7 +224,8 @@ _UDF_CACHE: dict[tuple, object] = {}
 
 def tiles_udf(cfg: ExpireConfig):
     """WKB (EPSG:3857) -> ARRAY<STRUCT<x:bigint,y:bigint>> pandas UDF."""
-    key = (cfg.maxzoom, cfg.buffer, cfg.mode, cfg.full_area_limit)
+    key = (cfg.maxzoom, cfg.buffer, cfg.mode, cfg.full_area_limit,
+           cfg.max_tiles_geometry)
     if key not in _UDF_CACHE:
 
         def kernel(wkb: pd.Series) -> pd.Series:
@@ -225,6 +235,11 @@ def tiles_udf(cfg: ExpireConfig):
                     out.append([])
                     continue
                 tl = tiles_for_geometry(G.from_wkb(w), cfg)
+                if cfg.max_tiles_geometry and len(tl) > cfg.max_tiles_geometry:
+                    # "Tile limit reached for single geometry" — the
+                    # geometry expires nothing (expire-output.cpp:29)
+                    out.append([])
+                    continue
                 out.append([{"x": x, "y": y} for x, y in tl])
             return pd.Series(out, dtype=object)
 
@@ -241,4 +256,11 @@ def dirty_tiles(
     functions.tiles.rollup_zoom for the minzoom..maxzoom pyramid."""
     udf = tiles_udf(cfg)
     t = geoms.select(F.explode(udf(F.col(wkb_col))).alias("t"))
-    return t.select(F.col("t.x").alias("x"), F.col("t.y").alias("y")).distinct()
+    out = t.select(F.col("t.x").alias("x"), F.col("t.y").alias("y")).distinct()
+    if cfg.max_tiles_overall:
+        # overall cap: a run that would dirty more than the cap
+        # expires nothing (expire-output.cpp:43; deterministic
+        # distinct-count form — the limit+1 probe short-circuits)
+        if out.limit(cfg.max_tiles_overall + 1).count() > cfg.max_tiles_overall:
+            return out.limit(0)
+    return out

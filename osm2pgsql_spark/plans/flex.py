@@ -132,6 +132,8 @@ class ExpireOutputDef:
     buffer: float = 0.1
     mode: str = "full_area"
     full_area_limit: float = 0.0
+    max_tiles_geometry: int = 0
+    max_tiles_overall: int = 0
 
 
 def _callback_mapper(kind: str, fn, valid_tables: frozenset):
@@ -306,6 +308,8 @@ class FlexConfig:
                     buffer=eo.buffer,
                     mode=eo.mode,
                     full_area_limit=eo.full_area_limit,
+                    max_tiles_geometry=eo.max_tiles_geometry,
+                    max_tiles_overall=eo.max_tiles_overall,
                 )
                 tiles = dirty_tiles(tables[tname], cfg, wkb_col=cd.name)
                 if eo.minzoom is not None and eo.minzoom < eo.maxzoom:

@@ -93,3 +93,37 @@ def test_expire_diff_old_and_new_geometry(spark):
         old_tables, new_tables, spark.createDataFrame([], "osm_id long")
     )
     assert empty["exp"].count() == 0
+
+
+def test_expire_limit_caps(spark):
+    """expire-limit.feature: a geometry dirtying more than
+    max_tiles_geometry tiles expires nothing; a run exceeding
+    max_tiles_overall expires nothing."""
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators.expire import ExpireConfig, dirty_tiles
+
+    def merc_line(pts):
+        return G.to_wkb(
+            G.transform_4326_to_3857(("linestring", __import__("numpy").array(pts)))
+        )
+
+    # zoom 2 world: 4x4 tiles; short way spans <=3 tiles, the long
+    # diagonal one spans more than 2
+    short = merc_line([[10.0, 10.0], [100.0, 10.0]])
+    diag = merc_line([[10.0, 10.0], [100.0, 10.0], [100.0, 70.0]])
+    df = spark.createDataFrame([(1, bytearray(short))], "id long, geom binary")
+    cfg = ExpireConfig(maxzoom=2, buffer=0.0, max_tiles_geometry=3)
+    ok = {(r["x"], r["y"]) for r in dirty_tiles(df, cfg).collect()}
+    assert 1 <= len(ok) <= 3
+
+    dfd = spark.createDataFrame([(1, bytearray(diag))], "id long, geom binary")
+    cfg2 = ExpireConfig(maxzoom=2, buffer=0.0, max_tiles_geometry=2)
+    assert dirty_tiles(dfd, cfg2).count() == 0  # single-geometry cap
+
+    both = spark.createDataFrame(
+        [(1, bytearray(short)), (2, bytearray(diag))], "id long, geom binary"
+    )
+    cfg3 = ExpireConfig(maxzoom=2, buffer=0.0, max_tiles_overall=2)
+    assert dirty_tiles(both, cfg3).count() == 0  # overall cap
+    cfg4 = ExpireConfig(maxzoom=2, buffer=0.0, max_tiles_overall=100)
+    assert dirty_tiles(both, cfg4).count() >= 3
