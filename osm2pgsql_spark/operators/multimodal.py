@@ -11,13 +11,14 @@ Design rules for 100 TB of media:
   sized by bytes not rows (spark.sql.execution.arrow.maxRecordsPerBatch
   + maxPartitionBytes are the knobs);
 - codecs: REAL pure-python decoders for PNG (all five scanline
-  filters, gray/RGB/RGBA), BMP (24-bit BI_RGB) and WAV (PCM 16-bit)
-  live in functions/codecs.py — no external image/audio libs needed
-  or available.  JPEG and video formats have no reasonable
-  pure-python decoder: those raise NotImplementedError, and
-  `fake=True` substitutes a deterministic fake decode so the
-  plumbing (schemas, batching, partitioning) stays testable for
-  every format.
+  filters, gray/RGB/RGBA), BMP (24-bit BI_RGB), WAV (PCM 16-bit),
+  JPEG (baseline + progressive, functions/jpeg.py) and MJPEG-in-AVI
+  video (functions/avi.py: RIFF container walk + the JPEG codec per
+  frame) — no external image/audio libs needed or available.
+  Formats with no pure-python codec (e.g. H.264 video) raise
+  NotImplementedError, and `fake=True` substitutes a deterministic
+  fake decode so the plumbing (schemas, batching, partitioning)
+  stays testable for every format.
 """
 
 from __future__ import annotations
@@ -211,34 +212,111 @@ FRAME_SCHEMA = "media_id bigint, frame_no int, ts_ms bigint, frame binary"
 
 
 def sample_frames(media: DataFrame, every_ms: int = 250, fake: bool = True) -> DataFrame:
-    """Frame-sampling operator shape for video: one row per sampled
-    frame (explode in the kernel, so batch size scales with output)."""
+    """Frame-sampling for video: one row per sampled frame (explode in
+    the kernel, so batch size scales with output).
+
+    fake=False is a REAL decode for MJPEG-in-AVI payloads
+    (functions/avi.py): the container is parsed once per row, frames
+    are picked by timestamp against the container's own frame rate,
+    and `frame` carries the sampled frame's compressed JPEG payload
+    (extract-frames semantics — only the container walk is paid, not
+    a pixel decode of every frame; pipe into image_features for
+    pixels).  Formats other than AVI raise NotImplementedError."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm2pgsql_spark.functions import avi as avi_codec
+
         for pdf in it:
             out = []
             for _, row in pdf.iterrows():
-                if not fake:
-                    raise NotImplementedError(
-                        "no pure-python video codec exists; use fake=True "
-                        "for plumbing tests"
-                    )
                 meta = row["meta"]
-                dur = int(meta["duration_ms"])
                 payload = bytes(row["payload"])
-                for k, ts in enumerate(range(0, dur, every_ms)):
-                    frame = hashlib.sha256(payload + ts.to_bytes(8, "little")).digest()
+                if fake:
+                    dur = int(meta["duration_ms"])
+                    for k, ts in enumerate(range(0, dur, every_ms)):
+                        frame = hashlib.sha256(
+                            payload + ts.to_bytes(8, "little")
+                        ).digest()
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_no": k,
+                                "ts_ms": ts,
+                                "frame": bytearray(frame),
+                            }
+                        )
+                    continue
+                fmt = str(meta["format"])
+                if fmt != "avi":
+                    raise NotImplementedError(
+                        f"no pure-python video codec for format {fmt!r} "
+                        "(avi/MJPEG is the real path; use fake=True for "
+                        "plumbing tests of other formats)"
+                    )
+                video = avi_codec.decode_avi(payload)
+                for k, ts in enumerate(range(0, video.duration_ms, every_ms)):
                     out.append(
                         {
                             "media_id": row["media_id"],
                             "frame_no": k,
                             "ts_ms": ts,
-                            "frame": bytearray(frame),
+                            "frame": bytearray(video.frames[video.frame_at_ms(ts)]),
                         }
                     )
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload", "meta").mapInPandas(batches, FRAME_SCHEMA)
+
+
+VIDEO_SCHEMA = (
+    "media_id bigint, n_frames int, fps double, width int, height int, "
+    "duration_ms bigint, mean_frame_bytes double, mean_frame_delta double"
+)
+
+
+def video_features(media: DataFrame, pixel_sample: int = 4) -> DataFrame:
+    """Container + content summary per video (real AVI path): frame
+    count/rate/geometry from the container walk, plus a motion proxy
+    (mean |Δ| between consecutive sampled frames' decoded pixels —
+    every `pixel_sample`-th frame is pixel-decoded, the rest are only
+    counted).  The training-data use is filtering static/broken clips
+    without paying a full decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osm2pgsql_spark.functions import avi as avi_codec
+
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                video = avi_codec.decode_avi(bytes(row["payload"]))
+                idxs = list(range(0, video.n_frames, max(pixel_sample, 1)))
+                prev = None
+                deltas = []
+                for i in idxs:
+                    img = avi_codec.decode_avi_frame(video, i)
+                    if img.ndim == 3:
+                        img = img.mean(axis=2)
+                    img = img.astype(np.float64)
+                    if prev is not None and prev.shape == img.shape:
+                        deltas.append(float(np.abs(img - prev).mean()))
+                    prev = img
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "n_frames": video.n_frames,
+                        "fps": float(video.fps),
+                        "width": video.width,
+                        "height": video.height,
+                        "duration_ms": video.duration_ms,
+                        "mean_frame_bytes": float(
+                            np.mean([len(f) for f in video.frames])
+                        ) if video.frames else 0.0,
+                        "mean_frame_delta": float(np.mean(deltas)) if deltas else 0.0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(batches, VIDEO_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
