@@ -295,3 +295,111 @@ def dedup_decisions(
         )
         .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated-span) dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans whose every k-gram also appears in some
+    OTHER document (cross-document exact substring duplication).
+
+    The suffix-array pass of the Lee et al. pipeline re-expressed as
+    relational algebra — Spark-first shape:
+      1. tokens -> (doc, pos, xxhash64(k-gram)) via one explode: the
+         gram never leaves the executor as a string, only its 64-bit
+         hash shuffles (collisions: ~n^2/2^64, accepted and documented
+         — the oracle twin groups by the gram string itself);
+      2. grams held by >1 distinct doc: ONE corpus-scale hash groupBy
+         (partial-agg'd) + a semi-join back to occurrences;
+      3. adjacent duplicated gram positions merge into maximal spans
+         with a per-doc gaps-and-islands window (pos - row_number()),
+         partition-bounded by document length.
+    A span of duplicated grams at positions p..q covers tokens
+    p..q+k-1.  Output: (doc_id, span_start, span_end, n_tokens),
+    1-based token positions.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    n_pos = F.size("toks") - F.lit(k - 1)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.xxhash64(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias("gh"),
+        )
+    )
+    cross_doc = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gh")
+    )
+    dup_pos = grams.join(cross_doc, "gh", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cleaned corpus: every duplicated span's tokens removed from the
+    text (token positions are 1-based, matching duplicated_spans).
+    Keep-one-copy policies belong to the caller: filter `spans` before
+    passing it (e.g. anti-join the canonical doc per cluster).  Plan:
+    spans collapse to a per-doc interval list (small — bounded by
+    doc length), then one JVM-side filter over the token array; docs
+    without spans pass through a left join untouched."""
+    ivals = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("ivals")
+    )
+    toks = F.split(F.col(text_col), " ").alias("t")
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))).alias("p")
+    pos_kept = F.filter(
+        F.arrays_zip(toks, seq),
+        lambda z: ~F.exists(
+            F.col("ivals"),
+            lambda iv: (z["p"] >= iv["span_start"]) & (z["p"] <= iv["span_end"]),
+        ),
+    )
+    cleaned = F.array_join(F.transform(pos_kept, lambda z: z["t"]), " ")
+    return docs.join(ivals, id_col, "left").withColumn(
+        text_col,
+        F.when(F.col("ivals").isNull(), F.col(text_col)).otherwise(cleaned),
+    ).drop("ivals")

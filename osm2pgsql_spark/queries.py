@@ -503,7 +503,12 @@ def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_fingerprint",
     # exact (md5) and near-exact (canonical fingerprint) duplicate
-    # clustering — two hash-groupBy dedup operators, one gate
+    # clustering, plus exact-substring duplicated spans (Lee et al.
+    # 2021 style, operators/dedup.py:duplicated_spans) — three dedup
+    # operators, one gate.  Span rows reuse the schema as
+    # grp_key=doc:start, keep_id=span_start, n_dups=span token count;
+    # the oracle twin groups by the gram STRING (the Spark plan
+    # shuffles only xxhash64(gram) — collision odds ~n^2/2^64).
     oracle=f"""
     SELECT 'exact' AS kind, md5(text) AS grp_key,
            min(doc_id) AS keep_id, count(*) AS n_dups
@@ -512,6 +517,24 @@ def q_locator_all_intersecting(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'fp' AS kind, {TX.fingerprint_sql('text')} AS grp_key,
            min(doc_id) AS keep_id, count(*) AS n_dups
     FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'span' AS kind,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(span_start AS VARCHAR) AS grp_key,
+           span_start AS keep_id, n_tokens AS n_dups
+    FROM (
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, UNNEST(range(1, greatest(len(toks) - 6, 1))) AS u(i)),
+      dup AS (SELECT doc_id, pos FROM g WHERE gram IN
+              (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1)),
+      isl AS (SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dup)
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 7 - min(pos) + 1 AS n_tokens
+      FROM isl GROUP BY doc_id, grp
+    )
     """,
 )
 def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,7 +547,16 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fp").alias("kind"), F.col("fp").alias("grp_key"),
         "keep_id", "n_dups",
     )
-    return ex.unionByName(fp)
+    sp = dedup.duplicated_spans(docs, k=8).select(
+        F.lit("span").alias("kind"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("span_start").cast("string"),
+        ).alias("grp_key"),
+        F.col("span_start").alias("keep_id"),
+        F.col("n_tokens").alias("n_dups"),
+    )
+    return ex.unionByName(fp).unionByName(sp)
 
 
 # ---------------------------------------------------------------------------
