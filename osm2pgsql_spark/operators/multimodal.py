@@ -12,9 +12,11 @@ Design rules for 100 TB of media:
   + maxPartitionBytes are the knobs);
 - codecs: REAL pure-python decoders for PNG (all five scanline
   filters, gray/RGB/RGBA), BMP (24-bit BI_RGB), WAV (PCM 16-bit),
-  JPEG (baseline + progressive, functions/jpeg.py) and MJPEG-in-AVI
-  video (functions/avi.py: RIFF container walk + the JPEG codec per
-  frame) — no external image/audio libs needed or available.
+  JPEG (baseline + progressive, functions/jpeg.py), GIF (87a/89a
+  LZW incl. interlace/animation/disposal, functions/gif.py) and
+  MJPEG-in-AVI video (functions/avi.py: RIFF container walk + the
+  JPEG codec per frame) — no external image/audio libs needed or
+  available.
   Formats with no pure-python codec (e.g. H.264 video) raise
   NotImplementedError, and `fake=True` substitutes a deterministic
   fake decode so the plumbing (schemas, batching, partitioning)
@@ -90,6 +92,10 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
         from osm2pgsql_spark.functions import jpeg
 
         img = jpeg.decode_jpeg(payload)
+    elif fmt == "gif":
+        from osm2pgsql_spark.functions import gif
+
+        img = gif.decode_gif(payload).frames[0]
     else:
         raise NotImplementedError(
             f"no pure-python codec for image format {fmt!r}"
@@ -247,21 +253,44 @@ def sample_frames(media: DataFrame, every_ms: int = 250, fake: bool = True) -> D
                         )
                     continue
                 fmt = str(meta["format"])
-                if fmt != "avi":
+                if fmt == "avi":
+                    video = avi_codec.decode_avi(payload)
+                    for k, ts in enumerate(range(0, video.duration_ms, every_ms)):
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_no": k,
+                                "ts_ms": ts,
+                                "frame": bytearray(
+                                    video.frames[video.frame_at_ms(ts)]
+                                ),
+                            }
+                        )
+                elif fmt == "gif":
+                    # animated GIF: frames are deltas, so compositing
+                    # decodes everything once; sampled frames re-encode
+                    # as PNG (lossless) for downstream decoders
+                    from osm2pgsql_spark.functions import codecs, gif
+
+                    g = gif.decode_gif(payload)
+                    starts = np.cumsum([0] + list(g.delays_ms[:-1]))
+                    for k, ts in enumerate(range(0, g.duration_ms, every_ms)):
+                        i = int(np.searchsorted(starts, ts, side="right")) - 1
+                        out.append(
+                            {
+                                "media_id": row["media_id"],
+                                "frame_no": k,
+                                "ts_ms": ts,
+                                "frame": bytearray(
+                                    codecs.encode_png(g.frames[max(i, 0)])
+                                ),
+                            }
+                        )
+                else:
                     raise NotImplementedError(
                         f"no pure-python video codec for format {fmt!r} "
-                        "(avi/MJPEG is the real path; use fake=True for "
-                        "plumbing tests of other formats)"
-                    )
-                video = avi_codec.decode_avi(payload)
-                for k, ts in enumerate(range(0, video.duration_ms, every_ms)):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_no": k,
-                            "ts_ms": ts,
-                            "frame": bytearray(video.frames[video.frame_at_ms(ts)]),
-                        }
+                        "(avi/MJPEG and animated gif are the real paths; "
+                        "use fake=True for plumbing tests of other formats)"
                     )
             yield pd.DataFrame(out)
 
