@@ -117,57 +117,65 @@ def _contract_chains_loop(
     )
 
     # Iterative fixpoint.  Every round MUST eagerly checkpoint: the
-    # convergence probe joins new labels against old, so without
+    # step joins labels against a projection of themselves, so without
     # lineage truncation the plan doubles per round (2^rounds paths —
     # analysis alone goes exponential).  localCheckpoint materializes
     # the round and resets lineage to a constant-size scan.
     adj = _ckpt(adj)
 
-    def one_step(lbl):
-        # hash-min step: take the min label across chain neighbors
-        nbr_min = (
-            adj.join(lbl.withColumnRenamed("edge_id", "nbr"), "nbr")
-            .groupBy("edge_id")
-            .agg(F.min("chain_id").alias("nbr_chain"))
-        )
-        hashed = lbl.join(nbr_min, "edge_id", "left").select(
-            "edge_id",
-            F.least(
-                F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))
-            ).alias("chain_id"),
-        )
-        # pointer-jump step: chain_id <- label(chain_id).  Labels are
-        # edge ids, so the label map doubles as a pointer table; the
-        # combination converges in O(log diameter) rounds instead of
-        # O(diameter) — the difference between ~20 and ~5 shuffles on
-        # a long river chain, and what keeps this viable at planet
-        # scale where chains between confluences run 10^3+ segments.
-        jump = lbl.select(
-            F.col("edge_id").alias("chain_id"), F.col("chain_id").alias("jumped")
-        )
-        return hashed.join(jump, "chain_id", "left").select(
-            "edge_id",
-            F.least(
-                F.col("chain_id"), F.coalesce(F.col("jumped"), F.col("chain_id"))
-            ).alias("chain_id"),
-        )
-
     for _ in range(max_iter):
         # two hash-min+jump steps per checkpoint/probe round: halves
         # the fixed per-round job costs; the lazy plan between
-        # checkpoints stays a bounded two-step chain
-        new_labels = _ckpt(one_step(one_step(labels)))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "edge_id")
-            .where(F.col("n.chain_id") != F.col("o.chain_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # checkpoints stays a bounded two-step chain.  The convergence
+        # probe is FUSED into the round: `c0` (the round-start label)
+        # rides through the lazy step chain, so detecting change is a
+        # filter on the freshly checkpointed RDD — no old-vs-new join,
+        # no extra shuffle, one cheap job.
+        step = labels.withColumn("c0", F.col("chain_id"))
+        for _s in range(2):
+            step = _label_step(adj, step)
+        nxt = _ckpt(step)
+        changed = nxt.where(F.col("chain_id") != F.col("c0")).limit(1).count()
+        labels = nxt.drop("c0")
         if changed == 0:
             break
     return edges.join(labels, "edge_id")
+
+
+def _label_step(adj: DataFrame, lbl: DataFrame) -> DataFrame:
+    """One hash-min + pointer-jump label-propagation step; passthrough
+    columns beyond (edge_id, chain_id) — e.g. the fused convergence
+    probe's `c0` — ride along untouched."""
+    extra = [c for c in lbl.columns if c not in ("edge_id", "chain_id")]
+    # hash-min step: take the min label across chain neighbors
+    nbr_min = (
+        adj.join(lbl.select("edge_id", "chain_id").withColumnRenamed("edge_id", "nbr"), "nbr")
+        .groupBy("edge_id")
+        .agg(F.min("chain_id").alias("nbr_chain"))
+    )
+    hashed = lbl.join(nbr_min, "edge_id", "left").select(
+        "edge_id",
+        F.least(
+            F.col("chain_id"), F.coalesce(F.col("nbr_chain"), F.col("chain_id"))
+        ).alias("chain_id"),
+        *extra,
+    )
+    # pointer-jump step: chain_id <- label(chain_id).  Labels are
+    # edge ids, so the label map doubles as a pointer table; the
+    # combination converges in O(log diameter) rounds instead of
+    # O(diameter) — the difference between ~20 and ~5 shuffles on
+    # a long river chain, and what keeps this viable at planet
+    # scale where chains between confluences run 10^3+ segments.
+    jump = lbl.select(
+        F.col("edge_id").alias("chain_id"), F.col("chain_id").alias("jumped")
+    )
+    return hashed.join(jump, "chain_id", "left").select(
+        "edge_id",
+        F.least(
+            F.col("chain_id"), F.coalesce(F.col("jumped"), F.col("chain_id"))
+        ).alias("chain_id"),
+        *extra,
+    )
 
 
 def merge_chains(edges_with_chains: DataFrame) -> DataFrame:
@@ -345,38 +353,13 @@ def _propagate_width_chained_body(edges: DataFrame, max_iter: int, pd) -> DataFr
     adj = _ckpt(adj)
     labels = _ckpt(edges.select("edge_id", F.col("edge_id").alias("chain_id")))
     for _ in range(max_iter):
-        nbr_min = (
-            adj.join(labels.withColumnRenamed("edge_id", "nbr"), "nbr")
-            .groupBy("edge_id")
-            .agg(F.min("chain_id").alias("nc"))
-        )
-        hashed = labels.join(nbr_min, "edge_id", "left").select(
-            "edge_id",
-            F.least(F.col("chain_id"), F.coalesce(F.col("nc"), F.col("chain_id"))).alias(
-                "chain_id"
-            ),
-        )
-        jump = labels.select(
-            F.col("edge_id").alias("chain_id"), F.col("chain_id").alias("j")
-        )
-        new_labels = (
-            hashed.join(jump, "chain_id", "left")
-            .select(
-                "edge_id",
-                F.least(F.col("chain_id"), F.coalesce(F.col("j"), F.col("chain_id"))).alias(
-                    "chain_id"
-                ),
-            )
-        )
-        new_labels = _ckpt(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "edge_id")
-            .where(F.col("n.chain_id") != F.col("o.chain_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # same fused-probe double-step as _contract_chains_loop
+        step = labels.withColumn("c0", F.col("chain_id"))
+        for _s in range(2):
+            step = _label_step(adj, step)
+        nxt = _ckpt(step)
+        changed = nxt.where(F.col("chain_id") != F.col("c0")).limit(1).count()
+        labels = nxt.drop("c0")
         if changed == 0:
             break
 
