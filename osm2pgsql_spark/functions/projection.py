@@ -3,7 +3,7 @@
 The reference supports any EPSG via PROJ
 (/root/reference/src/reprojection-generic-proj6.cpp, selected at
 /root/reference/src/reprojection.cpp:17-102); this container has no
-pyproj, so the two projection families that cover the national grids
+pyproj, so the five projection methods that cover the national grids
 real deployments use are implemented from the public formulas:
 
 - Transverse Mercator (EPSG method 9807) — every UTM zone
@@ -18,6 +18,13 @@ real deployments use are implemented from the public formulas:
 - Lambert Conformal Conic 2SP (EPSG method 9802) — Lambert-93 (2154),
   ETRS89-LCC (3034), and the LCC state/national grids — with inverse
   via the conformal-latitude fixed point.
+- Albers Equal Area Conic (EPSG method 9822) — Conus Albers (5070),
+  Australian Albers (3577), California Albers (3310) — Snyder
+  pp. 98-103 ellipsoidal form, inverse via the authalic-latitude
+  Newton step (Snyder 3-16).
+- Oblique Stereographic (EPSG method 9809) — Amersfoort / RD New
+  (28992) — the EPSG Guidance Note 7-2 conformal-sphere formulation,
+  inverse via fixed-point on the conformal latitude.
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -203,6 +210,92 @@ class LccParams:
         return self.a * self.big_f * self._t(math.radians(self.lat0)) ** self.n
 
 
+@dataclass(frozen=True)
+class AlbersParams:
+    """Albers Equal Area Conic parameters (EPSG method 9822)."""
+
+    a: float
+    inv_f: float
+    lon0: float  # longitude of false origin
+    lat0: float  # latitude of false origin
+    lat1: float  # first standard parallel
+    lat2: float  # second standard parallel
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    def _m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - (self.e * s) ** 2)
+
+    @property
+    def n(self) -> float:
+        p1, p2 = math.radians(self.lat1), math.radians(self.lat2)
+        m1, m2 = self._m(p1), self._m(p2)
+        q1 = _q_auth(self.e, math.sin(p1))
+        q2 = _q_auth(self.e, math.sin(p2))
+        return (m1 * m1 - m2 * m2) / (q2 - q1)
+
+    @property
+    def big_c(self) -> float:
+        p1 = math.radians(self.lat1)
+        return self._m(p1) ** 2 + self.n * _q_auth(self.e, math.sin(p1))
+
+    @property
+    def rho0(self) -> float:
+        q0 = _q_auth(self.e, math.sin(math.radians(self.lat0)))
+        return self.a * math.sqrt(self.big_c - self.n * q0) / self.n
+
+
+@dataclass(frozen=True)
+class StereaParams:
+    """Oblique Stereographic parameters (EPSG method 9809) — the
+    conformal-sphere formulation of EPSG Guidance Note 7 part 2."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    k0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _derived(self) -> tuple[float, float, float, float]:
+        """(R, n, c, chi0): conformal-sphere radius, exaggeration,
+        absorption constant, conformal origin latitude."""
+        e, e2 = self.e, self.e**2
+        phi0 = math.radians(self.lat0)
+        s0 = math.sin(phi0)
+        rho0 = self.a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+        nu0 = self.a / math.sqrt(1.0 - e2 * s0 * s0)
+        big_r = math.sqrt(rho0 * nu0)
+        n = math.sqrt(1.0 + e2 * math.cos(phi0) ** 4 / (1.0 - e2))
+        s1 = (1.0 + s0) / (1.0 - s0)
+        s2 = (1.0 - e * s0) / (1.0 + e * s0)
+        w1 = (s1 * s2**e) ** n
+        sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+        c = (n + s0) * (1.0 - sin_chi00) / ((n - s0) * (1.0 + sin_chi00))
+        w2 = c * w1
+        chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+        return big_r, n, c, chi0
+
+
 def _q_auth(e: float, sphi):
     """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
     es = e * sphi
@@ -231,12 +324,28 @@ def _lc(code, ell, lon0, lat0, lat1, lat2, fe, fn):
     _NAMED[code] = LccParams(a, inv_f, lon0, lat0, lat1, lat2, fe, fn)
 
 
+def _ab(code, ell, lon0, lat0, lat1, lat2, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = AlbersParams(a, inv_f, lon0, lat0, lat1, lat2, fe, fn)
+
+
+def _st(code, ell, lon0, lat0, k0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = StereaParams(a, inv_f, lon0, lat0, k0, fe, fn)
+
+
 # national grids (parameters from the public EPSG registry entries)
 _tm(27700, "airy", -2.0, 49.0, 0.9996012717, 400000.0, -100000.0)  # OSGB36
 _tm(2180, "GRS80", 19.0, 0.0, 0.9993, 500000.0, -5300000.0)  # Poland CS92
 _la(3035, "GRS80", 10.0, 52.0, 4321000.0, 3210000.0)  # ETRS89-LAEA Europe
 _lc(2154, "GRS80", 3.0, 46.5, 49.0, 44.0, 700000.0, 6600000.0)  # RGF93 / Lambert-93
 _lc(3034, "GRS80", 10.0, 52.0, 35.0, 65.0, 4000000.0, 2800000.0)  # ETRS89-LCC Europe
+_ab(5070, "GRS80", -96.0, 23.0, 29.5, 45.5, 0.0, 0.0)  # NAD83 / Conus Albers
+_ab(3577, "GRS80", 132.0, 0.0, -18.0, -36.0, 0.0, 0.0)  # GDA94 / Australian Albers
+_ab(3310, "GRS80", -120.0, 0.0, 34.0, 40.5, 0.0, -4000000.0)  # NAD83 / California Albers
+# Amersfoort / RD New (Bessel 1841)
+_st(28992, "bessel", 5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+    52.0 + 9.0 / 60.0 + 22.178 / 3600.0, 0.9999079, 155000.0, 463000.0)
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -262,7 +371,8 @@ def epsg_params(code: int) -> TmercParams | LaeaParams:
         return TmercParams(*ELLIPSOIDS["GRS80"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 0.0)
     raise KeyError(
         f"EPSG:{code} not supported (no PROJ in this environment; "
-        "supported: UTM zones, 27700, 2180, 3035)"
+        "supported: UTM zones, 27700, 2180, 3035, 2154, 3034, 5070, "
+        "3577, 3310, 28992)"
     )
 
 
@@ -374,6 +484,95 @@ def laea_forward(lon: np.ndarray, lat: np.ndarray, p: LaeaParams):
     return E, N
 
 
+# ---------------------------------------------------------- Albers kernels
+
+def albers_forward(lon: np.ndarray, lat: np.ndarray, p: AlbersParams):
+    """(E, N) — ellipsoidal Albers Equal Area Conic (Snyder 14-1..4)."""
+    n, big_c = p.n, p.big_c
+    q = _q_auth(p.e, np.sin(np.radians(lat)))
+    rho = p.a * np.sqrt(big_c - n * q) / n
+    theta = n * np.radians(lon - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + p.rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(E: np.ndarray, N: np.ndarray, p: AlbersParams):
+    """(lon, lat) — 9822 inverse; authalic-latitude Newton (Snyder
+    3-16, 5 iterations: double-precision converged)."""
+    e, n, big_c = p.e, p.n, p.big_c
+    dx = np.asarray(E, dtype="f8") - p.fe
+    dy = p.rho0 - (np.asarray(N, dtype="f8") - p.fn)
+    rho = np.sign(n) * np.hypot(dx, dy)
+    theta = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    lon = p.lon0 + np.degrees(theta / n)
+    q = (big_c - (rho * n / p.a) ** 2) / n
+    qp = _q_auth(e, 1.0)
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(5):
+        s = np.sin(phi)
+        es2 = (e * s) ** 2
+        phi = phi + (1.0 - es2) ** 2 / (2.0 * np.cos(phi) * (1.0 - e * e)) * (
+            q - _q_auth(e, s)
+        )
+    return lon, np.degrees(phi)
+
+
+# --------------------------------------------- oblique stereographic kernels
+
+def _sterea_chi(p: StereaParams, phi: np.ndarray):
+    """Conformal latitude chi and sphere longitude multiplier inputs."""
+    _, n, c, _ = p._derived
+    e = p.e
+    s = np.sin(phi)
+    sa = (1.0 + s) / (1.0 - s)
+    sb = (1.0 - e * s) / (1.0 + e * s)
+    w = c * (sa * sb**e) ** n
+    return np.arcsin((w - 1.0) / (w + 1.0))
+
+
+def sterea_forward(lon: np.ndarray, lat: np.ndarray, p: StereaParams):
+    """(E, N) — oblique stereographic (EPSG 9809, conformal sphere)."""
+    big_r, n, _, chi0 = p._derived
+    phi = np.radians(lat)
+    chi = _sterea_chi(p, phi)
+    dlam = n * np.radians(lon - p.lon0)
+    b = 1.0 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dlam)
+    k = 2.0 * big_r * p.k0 / b
+    E = p.fe + k * np.cos(chi) * np.sin(dlam)
+    N = p.fn + k * (np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dlam))
+    return E, N
+
+
+def sterea_inverse(E: np.ndarray, N: np.ndarray, p: StereaParams):
+    """(lon, lat) — 9809 inverse: sphere-side exact, then fixed point
+    on the conformal latitude (8 iterations: double converged)."""
+    big_r, n, c, chi0 = p._derived
+    e = p.e
+    x = np.asarray(E, dtype="f8") - p.fe
+    y = np.asarray(N, dtype="f8") - p.fn
+    rho = np.hypot(x, y)
+    with np.errstate(invalid="ignore"):
+        tau = rho / (2.0 * big_r * p.k0)
+    delta = 2.0 * np.arctan(tau)
+    sc0, cc0 = math.sin(chi0), math.cos(chi0)
+    sind, cosd = np.sin(delta), np.cos(delta)
+    # guard rho=0 (the origin): sin/cos terms collapse to chi=chi0
+    unit_x = np.where(rho == 0.0, 0.0, x / np.where(rho == 0.0, 1.0, rho))
+    unit_y = np.where(rho == 0.0, 0.0, y / np.where(rho == 0.0, 1.0, rho))
+    chi = np.arcsin(np.clip(cosd * sc0 + unit_y * sind * cc0, -1.0, 1.0))
+    dlam = np.arctan2(unit_x * sind, cc0 * cosd - unit_y * sc0 * sind)
+    lon = p.lon0 + np.degrees(dlam / n)
+    # invert chi(phi): w = c ((1+s)/(1-s) ((1-es)/(1+es))^e)^n
+    sin_chi = np.sin(chi)
+    w = (1.0 + sin_chi) / (1.0 - sin_chi)
+    phi = chi
+    for _ in range(8):
+        s = np.sin(phi)
+        sb = (1.0 - e * s) / (1.0 + e * s)
+        ratio = (w / c) ** (1.0 / n) / sb**e
+        phi = np.arcsin((ratio - 1.0) / (ratio + 1.0))
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------------------------------ geometry API
 
 def transform_epsg(geom, code: int):
@@ -388,6 +587,10 @@ def transform_epsg(geom, code: int):
             x, y = tmerc_forward(a[:, 0], a[:, 1], p)
         elif isinstance(p, LccParams):
             x, y = lcc_forward(a[:, 0], a[:, 1], p)
+        elif isinstance(p, AlbersParams):
+            x, y = albers_forward(a[:, 0], a[:, 1], p)
+        elif isinstance(p, StereaParams):
+            x, y = sterea_forward(a[:, 0], a[:, 1], p)
         else:
             x, y = laea_forward(a[:, 0], a[:, 1], p)
         return np.column_stack([x, y])
@@ -481,4 +684,43 @@ def laea_forward_sql(lon_expr: str, lat_expr: str, p: LaeaParams) -> tuple[str, 
     return (
         f"({_r(p.fe)} + ({b})*{_r(d)}*({cb})*sin({lam}))",
         f"({_r(p.fn)} + (({b})/{_r(d)})*({_r(cb0)}*({sb}) - {_r(sb0)}*({cb})*({coslam})))",
+    )
+
+
+def albers_forward_sql(lon_expr: str, lat_expr: str, p: AlbersParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of albers_forward."""
+    e, n = p.e, p.n
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    q = (
+        f"({_r(1.0 - e * e)}*(({sphi})/(1.0-({es})*({es}))"
+        f" - {_r(1.0 / (2.0 * e))}*ln((1.0-({es}))/(1.0+({es})))))"
+    )
+    rho = f"({_r(p.a / n)}*sqrt({_r(p.big_c)} - {_r(n)}*({q})))"
+    theta = f"({_r(n)}*radians(({lon_expr}) - {_r(p.lon0)}))"
+    return (
+        f"({_r(p.fe)} + ({rho})*sin({theta}))",
+        f"({_r(p.fn + p.rho0)} - ({rho})*cos({theta}))",
+    )
+
+
+def sterea_forward_sql(lon_expr: str, lat_expr: str, p: StereaParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of sterea_forward."""
+    big_r, n, c, chi0 = p._derived
+    e = p.e
+    sphi = f"sin(radians({lat_expr}))"
+    sa = f"((1.0+({sphi}))/(1.0-({sphi})))"
+    sb = f"((1.0-{_r(e)}*({sphi}))/(1.0+{_r(e)}*({sphi})))"
+    w = f"({_r(c)}*pow(({sa})*pow({sb}, {_r(e)}), {_r(n)}))"
+    chi = f"asin((({w})-1.0)/(({w})+1.0))"
+    dlam = f"({_r(n)}*radians(({lon_expr}) - {_r(p.lon0)}))"
+    b = (
+        f"(1.0 + sin({chi})*{_r(math.sin(chi0))}"
+        f" + cos({chi})*{_r(math.cos(chi0))}*cos({dlam}))"
+    )
+    k = f"({_r(2.0 * big_r * p.k0)}/({b}))"
+    return (
+        f"({_r(p.fe)} + ({k})*cos({chi})*sin({dlam}))",
+        f"({_r(p.fn)} + ({k})*(sin({chi})*{_r(math.cos(chi0))}"
+        f" - cos({chi})*{_r(math.sin(chi0))}*cos({dlam})))",
     )

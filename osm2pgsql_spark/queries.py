@@ -2292,6 +2292,16 @@ _EPSG_GRATICULES = {
         "cast((p_partkey * 11) % 17 AS double) - 5.0e0",
         "cast((p_partkey * 19) % 12 AS double) + 41.0e0",
     ),
+    "albers": (
+        5070,
+        "cast((p_partkey * 13) % 45 AS double) - 120.0e0",
+        "cast((p_partkey * 7) % 24 AS double) + 25.0e0",
+    ),
+    "sterea": (
+        28992,
+        "cast((p_partkey * 3) % 5 AS double) + 3.0e0",
+        "cast((p_partkey * 5) % 4 AS double) + 50.0e0",
+    ),
 }
 
 
@@ -2304,6 +2314,10 @@ def _epsg_oracle(chk: str) -> str:
         e_sql, n_sql = PJ.tmerc_forward_sql("lon", "lat", p)
     elif isinstance(p, PJ.LccParams):
         e_sql, n_sql = PJ.lcc_forward_sql("lon", "lat", p)
+    elif isinstance(p, PJ.AlbersParams):
+        e_sql, n_sql = PJ.albers_forward_sql("lon", "lat", p)
+    elif isinstance(p, PJ.StereaParams):
+        e_sql, n_sql = PJ.sterea_forward_sql("lon", "lat", p)
     else:
         e_sql, n_sql = PJ.laea_forward_sql("lon", "lat", p)
     return (

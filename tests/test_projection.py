@@ -222,3 +222,111 @@ def test_lcc_sql_twin_matches_kernel():
     rows = con.execute(f"SELECT {esql}, {nsql} FROM pts").fetchall()
     assert np.abs(np.array([r[0] for r in rows]) - e_np).max() < 1e-6
     assert np.abs(np.array([r[1] for r in rows]) - n_np).max() < 1e-6
+
+
+def test_sterea_epsg_worked_example():
+    """EPSG Guidance Note 7-2, Amersfoort / RD New: 53N 6E ->
+    E 196105.283, N 557057.739 (to the mm)."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(28992)
+    E, N = PJ.sterea_forward(np.array([6.0]), np.array([53.0]), p)
+    assert abs(E[0] - 196105.283) < 2e-3
+    assert abs(N[0] - 557057.739) < 2e-3
+    # natural origin maps exactly to (FE, FN)
+    E0, N0 = PJ.sterea_forward(np.array([p.lon0]), np.array([p.lat0]), p)
+    assert abs(E0[0] - 155000.0) < 1e-6 and abs(N0[0] - 463000.0) < 1e-6
+
+
+def test_sterea_conformal_and_roundtrip():
+    """Stereographic is conformal: local scale isotropic (dE/dlon,
+    dN/dlon) ⟂ (dE/dlat, dN/dlat) with equal norms per unit arc."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(28992)
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(3.5, 7.0, 100)
+    lat = rng.uniform(50.5, 53.5, 100)
+    h = 1e-7
+    E, N = PJ.sterea_forward(lon, lat, p)
+    Ex, Nx = PJ.sterea_forward(lon + h, lat, p)
+    Ey, Ny = PJ.sterea_forward(lon, lat + h, p)
+    # per-degree derivative vectors
+    ux, uy = (Ex - E) / h, (Nx - N) / h
+    vx, vy = (Ey - E) / h, (Ny - N) / h
+    # orthogonality
+    dot = np.abs(ux * vx + uy * vy) / (np.hypot(ux, uy) * np.hypot(vx, vy))
+    assert dot.max() < 1e-4
+    # isotropy: scale along meridian == scale along parallel, once the
+    # ellipsoidal arc lengths (M dphi vs nu cos(phi) dlam) divide out
+    e2 = p.e**2
+    s = np.sin(np.radians(lat))
+    M = p.a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    nu = p.a / np.sqrt(1 - e2 * s * s)
+    k_par = np.hypot(ux, uy) / (nu * np.cos(np.radians(lat)))
+    k_mer = np.hypot(vx, vy) / M
+    assert np.abs(k_par / k_mer - 1).max() < 1e-4
+
+    lo, la = PJ.sterea_inverse(E, N, p)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_albers_equal_area_property_and_roundtrip():
+    """Albers is equal-area: the forward Jacobian must equal the
+    ellipsoidal area element everywhere (5070 north, 3577 south)."""
+    import numpy as np
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    for code, lon_rng, lat_rng in (
+        (5070, (-120, -75), (25, 48)),
+        (3577, (115, 150), (-40, -12)),
+        (3310, (-124, -114), (32, 42)),
+    ):
+        p = PJ.epsg_params(code)
+        rng = np.random.default_rng(code)
+        lon = rng.uniform(*lon_rng, 60)
+        lat = rng.uniform(*lat_rng, 60)
+        h = 1e-6
+        E, N = PJ.albers_forward(lon, lat, p)
+        Ex, Nx = PJ.albers_forward(lon + h, lat, p)
+        Ey, Ny = PJ.albers_forward(lon, lat + h, p)
+        J = ((Ex - E) * (Ny - N) - (Ey - E) * (Nx - N)) / np.radians(h) ** 2
+        e2 = p.e**2
+        s = np.sin(np.radians(lat))
+        area_el = p.a**2 * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * s * s) ** 2
+        assert np.abs(J / area_el - 1).max() < 1e-6
+        lo, la = PJ.albers_inverse(E, N, p)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+
+
+def test_albers_sterea_sql_twins_match_kernel():
+    import duckdb
+    import numpy as np
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    con = duckdb.connect()
+    for code, fwd, sql_fn, lon0, lat0 in (
+        (5070, PJ.albers_forward, PJ.albers_forward_sql, -96.0, 38.0),
+        (3577, PJ.albers_forward, PJ.albers_forward_sql, 132.0, -25.0),
+        (28992, PJ.sterea_forward, PJ.sterea_forward_sql, 5.5, 52.0),
+    ):
+        p = PJ.epsg_params(code)
+        lon = np.linspace(lon0 - 2.0, lon0 + 2.0, 21)
+        lat = np.full_like(lon, lat0) + np.linspace(-1.5, 1.5, 21)
+        E, N = fwd(lon, lat, p)
+        e_sql, n_sql = sql_fn("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        ge = np.array(got[list(got)[0]])
+        gn = np.array(got[list(got)[1]])
+        assert np.abs(ge - E).max() < 1e-4, code
+        assert np.abs(gn - N).max() < 1e-4, code
