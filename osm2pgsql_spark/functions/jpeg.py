@@ -9,16 +9,20 @@ byte stuffing, and restart markers.
 Scope (honest limits, mirrored in operators/multimodal.py):
 - decode: baseline sequential (SOF0/SOF1) and PROGRESSIVE (SOF2,
   T.81 Annex G: DC first/refine, AC spectral selection with EOB runs,
-  AC successive-approximation refinement with correction bits), 8-bit,
+  AC successive-approximation refinement with correction bits), 8-bit
   1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
-  DRI/RSTn handled; arithmetic coding, hierarchical, lossless and
-  12-bit modes raise NotImplementedError.
+  DRI/RSTn handled; 12-BIT sequential grayscale (SOF1, Pq=1 16-bit
+  quant tables, returns uint16); arithmetic coding, hierarchical,
+  lossless, 12-bit progressive and 12-bit color raise
+  NotImplementedError.
 - encode: grayscale or RGB, 4:4:4, optional restart markers; optional
   progressive scan script (DC successive approximation + AC spectral
   bands with EOB-run coding, flat Kraft-complete AC table carrying the
-  EOBn symbols the baseline Annex-K tables lack).  Round-trips through
-  the decoder bit-identically vs the baseline path, which is how
-  tests pin correctness without an external image library.
+  EOBn symbols the baseline Annex-K tables lack); encode_jpeg12 for
+  12-bit grayscale (level shift 2048, extended-category flat Huffman
+  tables).  Round-trips through the decoder bit-identically vs the
+  baseline path, which is how tests pin correctness without an
+  external image library.
 
 The reference engine has no JPEG path at all (it is a geo pipeline);
 this exists for the multimodal training-data operators
@@ -288,13 +292,16 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
 
 
-def _encode_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+def _encode_plane_blocks(
+    plane: np.ndarray, qt: np.ndarray, level: float = 128.0
+) -> np.ndarray:
     """Plane (padded to 8s) -> quantized zigzag coefficients
-    [n_blocks_y, n_blocks_x, 64]."""
+    [n_blocks_y, n_blocks_x, 64].  level = 2^(P-1) sample level shift
+    (128 for 8-bit, 2048 for 12-bit)."""
     h, w = plane.shape
     by, bx = h // 8, w // 8
     blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).astype(np.float64)
-    blocks -= 128.0
+    blocks -= level
     # forward DCT on every block at once: A @ b @ A.T
     coeffs = np.einsum("ux,abxy,vy->abuv", _A, blocks, _A)
     qraster = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
@@ -503,6 +510,106 @@ def encode_jpeg(
     )
 
 
+def encode_jpeg12(
+    img: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Extended-sequential (SOF1) 12-bit GRAYSCALE encode of uint16
+    [H,W] samples in 0..4095 — the medical/DNG precision class.
+
+    Differences from the 8-bit path, per ITU-T T.81: sample precision
+    12 in SOF, level shift 2048, DQT written with Pq=1 (16-bit
+    entries), and Huffman tables sized for the larger magnitude
+    categories (DC SSSS up to 15, AC size up to 14) — flat canonical
+    tables (all DC codes 5 bits, all AC codes 8 bits) rather than the
+    8-bit Annex K defaults, which stop at categories baseline needs.
+    Round-trips through decode_jpeg (returns uint16)."""
+    if img.dtype != np.uint16 or img.ndim != 2:
+        raise ValueError("encode_jpeg12 wants uint16 gray [H,W]")
+    if img.max() > 4095:
+        raise ValueError("12-bit samples must be <= 4095")
+    qt_l, _ = _quality_tables(quality)
+    zz_blocks = _encode_plane_blocks(
+        _pad_to8(img.astype(np.float64)), qt_l, level=2048.0
+    )
+
+    # flat canonical tables: 16 DC categories at 5 bits; EOB + ZRL +
+    # 16 runs x 14 sizes = 226 AC symbols at 8 bits (Kraft: 226/256)
+    dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+    dc_vals = list(range(16))
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, len(ac_vals)] + [0] * 8
+    dct = _canonical_codes(dc_bits, dc_vals)
+    act = _canonical_codes(ac_bits, ac_vals)
+
+    bw = _BitWriter()
+    pred = 0
+    by, bx = zz_blocks.shape[:2]
+    mcu_i = 0
+    rst = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.buf = bytearray(bw.flush())
+                bw.acc = 0
+                bw.nbits = 0
+                bw.buf += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                pred = 0
+            mcu_i += 1
+            zz = zz_blocks[yb, xb]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t, code = _magnitude(diff)
+            c, ln = dct[t]
+            bw.write(c, ln)
+            if t:
+                bw.write(code, t)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = act[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                t, code = _magnitude(v)
+                c, ln = act[(run << 4) | t]
+                bw.write(c, ln)
+                bw.write(code, t)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                c, ln = act[0x00]
+                bw.write(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    h, w = img.shape
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB,
+        bytes([0x10]) + qt_l[ZIGZAG].astype(">u2").tobytes(),  # Pq=1
+    )
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _assemble_jpeg(
     h: int, w: int, qt_l: np.ndarray, qt_c: np.ndarray, color: bool,
     restart_interval: int, scan_pairs: list[tuple[bytes, bytes]],
@@ -558,6 +665,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     h = w = 0
+    prec = 8
     restart_interval = 0
     progressive = False
     out_planes: dict[int, np.ndarray] = {}
@@ -579,12 +687,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
                 t = np.zeros(64)
-                t[ZIGZAG] = np.frombuffer(payload[p + 1:p + 65], dtype=np.uint8)
+                if pq == 0:
+                    t[ZIGZAG] = np.frombuffer(payload[p + 1:p + 65], dtype=np.uint8)
+                    p += 65
+                else:  # Pq=1: 16-bit entries (12-bit sample precision)
+                    t[ZIGZAG] = np.frombuffer(
+                        payload[p + 1:p + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    p += 129
                 qtables[tq] = t
-                p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -597,8 +709,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit JPEG")
+            if prec == 12 and progressive:
+                raise NotImplementedError(
+                    "12-bit progressive JPEG (sequential 12-bit is "
+                    "supported; progressive reconstruction is 8-bit-only)"
+                )
+            if prec == 12 and nc != 1:
+                raise NotImplementedError(
+                    "12-bit color JPEG (12-bit support is grayscale — "
+                    "the medical/DNG use case)"
+                )
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
                 comps.append(
@@ -643,7 +765,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             else:
                 pos, out_planes = _decode_scan(
                     data, pos, scan_comps, qtables, htables, h, w,
-                    restart_interval,
+                    restart_interval, prec,
                 )
             continue
         pos += seglen
@@ -832,13 +954,17 @@ def _decode_scan_prog(
     return _skip_to_marker(data, br.pos)
 
 
-def _decode_scan(data, pos, scan_comps, qtables, htables, h, w, restart_interval):
+def _decode_scan(data, pos, scan_comps, qtables, htables, h, w, restart_interval,
+                 prec=8):
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    level = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     planes = {
-        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.uint8)
+        c["id"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=dtype)
         for c in scan_comps
     }
     br = _BitReader(data, pos)
@@ -876,8 +1002,8 @@ def _decode_scan(data, pos, scan_comps, qtables, htables, h, w, restart_interval
                             k += 1
                         coeffs = np.zeros(64)
                         coeffs[ZIGZAG] = zz * qt[ZIGZAG]
-                        block = _A.T @ coeffs.reshape(8, 8) @ _A + 128.0
-                        block = np.clip(block.round(), 0, 255).astype(np.uint8)
+                        block = _A.T @ coeffs.reshape(8, 8) @ _A + level
+                        block = np.clip(block.round(), 0, maxval).astype(dtype)
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block

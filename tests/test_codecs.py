@@ -390,3 +390,42 @@ def test_jpeg_progressive_420_subsampled():
     cr = np.clip(np.full((16, 16), block(crdc)[0, 0]).round(), 0, 255)
     exp = jpeg._ycbcr_to_rgb(Y, cb, cr)
     assert int(np.abs(img.astype(int) - exp.astype(int)).max()) <= 1
+
+
+def test_jpeg12_roundtrip_smooth_and_random():
+    """12-bit sequential grayscale: uint16 in/out, near-lossless on
+    smooth content at q95, sub-LSB mean error on noise at q100."""
+    from osm2pgsql_spark.functions import jpeg
+
+    y, x = np.mgrid[0:40, 0:56]
+    img = ((np.sin(x / 9.0) + np.cos(y / 7.0) + 2.0) * 1000).astype(np.uint16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg12(img, quality=95))
+    assert out.dtype == np.uint16 and out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(3)
+    img2 = rng.integers(0, 4096, size=(24, 24)).astype(np.uint16)
+    out2 = jpeg.decode_jpeg(jpeg.encode_jpeg12(img2, quality=100))
+    assert np.abs(out2.astype(int) - img2.astype(int)).mean() < 1.0
+
+    # restart markers reset the 12-bit DC predictor too
+    out3 = jpeg.decode_jpeg(jpeg.encode_jpeg12(img, quality=95, restart_interval=3))
+    assert np.abs(out3.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg12_honest_limits():
+    import pytest as _pytest
+
+    from osm2pgsql_spark.functions import jpeg
+
+    with _pytest.raises(ValueError):
+        jpeg.encode_jpeg12(np.zeros((8, 8), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        jpeg.encode_jpeg12(np.full((8, 8), 5000, dtype=np.uint16))
+    # 12-bit progressive / color decode raise with explanatory messages
+    data = bytearray(jpeg.encode_jpeg12(np.zeros((8, 8), dtype=np.uint16)))
+    sof = bytes(data).index(b"\xff\xc1")
+    patched = bytearray(data)
+    patched[sof + 1] = 0xC2  # claim progressive
+    with _pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(patched))
