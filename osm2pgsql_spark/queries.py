@@ -567,8 +567,20 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     # per-doc text analysis + the 32-bit document fingerprint (SimHash,
     # integer-exact) in one pass; the banded pair search over the same
-    # hash is gated separately by simhash_hamming_pairs
+    # hash is gated separately by simhash_hamming_pairs.  ppl3 is the
+    # CCNet-style char-trigram LM perplexity against the corpus's own
+    # model (operators/lm.py) — the oracle trains the identical model
+    # in CTEs; 4-decimal rounding absorbs float sum-order ULPs.
     oracle=f"""
+    WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g3
+                 FROM documents,
+                      UNNEST(range(1, greatest(length(text) - 1, 1))) AS u(i)),
+    m3 AS (SELECT g3, count(*) AS c3 FROM tri GROUP BY g3),
+    m2 AS (SELECT substr(g3, 1, 2) AS p2, sum(c3) AS c2 FROM m3 GROUP BY 1),
+    sc AS (SELECT doc_id, count(*) AS n_tri, avg(ln(c3 * 1.0 / c2)) AS lp
+           FROM tri JOIN m3 USING (g3)
+                    JOIN m2 ON substr(tri.g3, 1, 2) = m2.p2
+           GROUP BY doc_id)
     SELECT doc_id,
            {TX.token_count_sql('text')} AS n_tokens,
            {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
@@ -581,12 +593,21 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            {TX.email_count_sql('text')} AS n_emails,
            cast(length({TX.redact_sql('text')}) AS bigint) AS redacted_len,
            {TX.is_quality_sql('text')} AS is_quality,
-           {S.simhash32_sql('text')} AS simhash
-    FROM documents
+           {S.simhash32_sql('text')} AS simhash,
+           coalesce(n_tri, 0) AS n_tri3,
+           {roundn_sql('exp(-lp)', 4)} AS ppl3
+    FROM documents LEFT JOIN sc USING (doc_id)
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import lm
+
     docs = load_table(spark, sf_dir, "documents")
+    ppl = lm.perplexity3(docs).select(
+        "doc_id",
+        F.col("n_tri").alias("n_tri3"),
+        round4(F.col("ppl3")).alias("ppl3"),
+    )
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -601,7 +622,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.char_count(TX.redact(F.col("text"))).alias("redacted_len"),
         TX.is_quality(F.col("text")).alias("is_quality"),
         S.simhash32(F.col("text")).alias("simhash"),
-    )
+    ).join(ppl, "doc_id")
 
 
 # ---------------------------------------------------------------------------
