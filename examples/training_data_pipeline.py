@@ -48,6 +48,27 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = annotated.where(F.col("keep")).drop("keep")
     counts["after_quality_filter"] = kept.count()
 
+    # 2b. LM-perplexity filter (CCNet-style): score every doc against
+    # the corpus's own char-trigram model, drop the worst tail
+    from osm2pgsql_spark.operators import lm
+
+    ppl = lm.perplexity3(docs)
+    cutoff = ppl.agg(
+        F.expr("percentile_approx(ppl3, 0.95)").alias("p95")
+    ).collect()[0]["p95"]
+    good_ppl = ppl.where(F.col("ppl3").isNull() | (F.col("ppl3") <= cutoff))
+    kept = kept.join(good_ppl.select("doc_id"), "doc_id", "leftsemi")
+    counts["after_perplexity_filter"] = kept.count()
+
+    # 2c. exact-substring dedup (Lee et al.): strip token spans whose
+    # every k-gram also appears in another document
+    spans = dedup.duplicated_spans(docs, k=8)
+    stripped = dedup.strip_duplicated_spans(
+        kept.select("doc_id", "text"), spans
+    )
+    kept = kept.drop("text").join(stripped, "doc_id")
+    counts["after_span_strip"] = kept.count()
+
     # 3. exact dedup: keep the lowest doc_id per md5 group
     exact_keep = dedup.exact_groups(docs).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(exact_keep, "doc_id", "leftsemi")

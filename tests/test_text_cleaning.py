@@ -114,8 +114,13 @@ def test_training_data_pipeline_example(spark, tmp_path):
     assert counts["input"] == 500
     seq = [
         counts["input"], counts["after_quality_filter"],
+        counts["after_perplexity_filter"], counts["after_span_strip"],
         counts["after_exact_dedup"], counts["after_near_dedup"],
         counts["after_embedding_dedup"],
     ]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
+    # perplexity filter drops the worst tail but keeps most docs
+    assert counts["after_perplexity_filter"] >= counts["after_quality_filter"] * 0.8
+    # span stripping rewrites text without dropping rows
+    assert counts["after_span_strip"] == counts["after_perplexity_filter"]
     assert counts["written"] == counts["after_embedding_dedup"] > 0
