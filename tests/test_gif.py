@@ -160,3 +160,39 @@ def test_gif_in_multimodal_pipeline(spark):
     assert [r["ts_ms"] for r in got] == [0, 200, 400]
     vals = [codecs.decode_png(bytes(r["frame"]))[:, :, 0].mean() for r in got]
     assert vals == [10, 120, 240]
+
+
+def test_gif_lzw_property_random_streams():
+    """Property: GIF-LZW round-trips arbitrary index streams,
+    including runs that overflow the 4096-entry table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(0, 255), min_size=1, max_size=4000),
+        st.integers(2, 8),
+    )
+    def check(vals, mcs):
+        idx = np.array([v % (1 << mcs) for v in vals], dtype=np.uint8)
+        enc = gif._lzw_encode(idx, mcs)
+        dec = gif._lzw_decode(enc, mcs, len(idx))
+        assert np.array_equal(dec, idx)
+
+    check()
+
+
+def test_gif_roundtrip_property_random_images():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(2, 200), st.integers(0, 2**32 - 1))
+    def check(h, w, ncolors, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        f = pal[rng.integers(0, ncolors, size=(h, w))]
+        img = gif.decode_gif(gif.encode_gif([f]))
+        assert np.array_equal(img.frames[0], f)
+
+    check()
