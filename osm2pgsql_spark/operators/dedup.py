@@ -201,15 +201,27 @@ def simhash_hamming_pairs(
     b = allb.select(
         F.col(id_col).alias("doc_b"), F.col(hash_col).alias("hb"), "band", "sig"
     )
-    cand = (
+    # A pair whose hashes match in k bands surfaces k times from the
+    # band join.  Instead of a distinct() (a full extra shuffle over
+    # the candidate stream), keep each pair only at its FIRST matching
+    # band — computable from the two hashes already on the row, so the
+    # dedup is a pure JVM filter with zero exchanges.
+    x = F.col("ha").bitwiseXOR(F.col("hb"))
+    first_match = None
+    for i, (lo, hi) in reversed(list(enumerate(bounds))):
+        mask = (1 << (hi - lo)) - 1
+        cond = F.shiftright(x, lo).bitwiseAND(F.lit(mask)) == 0
+        first_match = (
+            F.when(cond, F.lit(i))
+            if first_match is None
+            else F.when(cond, F.lit(i)).otherwise(first_match)
+        )
+    ham = F.bit_count(x)
+    return (
         a.join(b, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("band") == first_match)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 
