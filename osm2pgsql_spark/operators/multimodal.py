@@ -96,6 +96,12 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
         from osm2pgsql_spark.functions import gif
 
         img = gif.decode_gif(payload).frames[0]
+    elif fmt in ("tiff", "tif"):
+        from osm2pgsql_spark.functions import tiff
+
+        img = tiff.decode_tiff(payload).image
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
     else:
         raise NotImplementedError(
             f"no pure-python codec for image format {fmt!r}"
