@@ -1,0 +1,120 @@
+"""End-to-end import/append binary (tools/import_tool.py) — the
+osm2pgsql-executable twin: create, properties, append with dependency
+propagation and old+new expiry."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OPL = """n1 Tamenity=pub,name=A x9.0 y50.0
+n2 x9.001 y50.0
+n3 x9.001 y50.001
+n4 x9.0 y50.001
+n10 Thighway=bus_stop x9.2 y50.2
+w100 Thighway=residential,name=Main Nn1,n2
+w101 Tnatural=water Nn1,n2,n3,n4,n1
+"""
+
+# node 2 moves far away -> way 100 geometry changes without w100
+# itself appearing in the diff (dependency propagation)
+OSC = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="2" lat="50.5" lon="9.5"/></modify>
+  <create><node id="20" lat="50.3" lon="9.3" version="1"/></create>
+</osmChange>
+"""
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "import_tool.py"), *args],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+
+
+@pytest.fixture(scope="module")
+def imported(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imp")
+    src = d / "in.opl"
+    src.write_text(OPL)
+    out = d / "db"
+    r = _run([str(src), str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    return d, out, r
+
+
+def test_create_lands_tables_middle_properties(imported, spark):
+    d, out, r = imported
+    assert "table points:" in r.stdout and "table lines:" in r.stdout
+    pts = spark.read.parquet(str(out / "tables" / "points"))
+    assert pts.count() == 2  # tagged nodes only (n1, n10)
+    lines = spark.read.parquet(str(out / "tables" / "lines"))
+    assert lines.count() == 1  # w100
+    polys = spark.read.parquet(str(out / "tables" / "polygons"))
+    assert polys.count() == 1  # closed water way w101
+    # slim middle holds everything, including untagged nodes
+    mid_nodes = spark.read.parquet(str(out / "middle" / "nodes"))
+    assert mid_nodes.count() == 5
+    import json
+
+    props = json.load(open(out / "properties.json"))
+    assert props["db_format"] == "parquet-v1"
+    assert props["style"] == "generic"
+
+
+def test_append_propagates_and_expires(imported, spark):
+    d, out, _ = imported
+    osc = d / "change.osc"
+    osc.write_text(OSC)
+    expire = d / "dirty.list"
+    r = _run(
+        [str(osc), str(out), "--append", "--expire-tiles", "12",
+         "--expire-output", str(expire)]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # middle MERGEd: node 2 moved, node 20 created
+    mid_nodes = {
+        row["id"]: row for row in
+        spark.read.parquet(str(out / "middle" / "nodes")).collect()
+    }
+    assert mid_nodes[2]["lat"] == 50.5 and mid_nodes[2]["lon"] == 9.5
+    assert 20 in mid_nodes and len(mid_nodes) == 6
+    # way 100's refreshed geometry reflects the moved node: its line
+    # now spans from (9.0,50.0) to (9.5,50.5) in 3857
+    from osm2pgsql_spark.functions.geometry import from_wkb
+
+    lines = spark.read.parquet(str(out / "tables" / "lines")).collect()
+    assert len(lines) == 1
+    kind, pts = from_wkb(bytes(lines[0]["geom"]))
+    assert kind == "linestring"
+    import numpy as np
+
+    span = np.abs(pts[-1] - pts[0])
+    assert span[0] > 50000  # ~0.5 deg lon in meters
+    # expiry: tiles for BOTH the old and the new position of the way
+    txt = expire.read_text().strip().splitlines()
+    assert txt and all(line.startswith("12/") for line in txt)
+    assert len(txt) >= 2  # old location + new location differ at z12
+    # append timestamp recorded
+    import json
+
+    props = json.load(open(out / "properties.json"))
+    assert "append_timestamp" in props
+
+
+def test_append_rejects_incompatible_style(imported, tmp_path):
+    d, out, _ = imported
+    style = tmp_path / "other_style.py"
+    style.write_text(
+        "def tables(spark, nodes, ways, rels):\n    return {}\n"
+    )
+    osc = d / "change2.osc"
+    osc.write_text(OSC)
+    r = _run([str(osc), str(out), "--append", "--style", str(style)])
+    assert r.returncode != 0
+    assert "incompatible" in (r.stderr + r.stdout)

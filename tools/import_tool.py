@@ -1,0 +1,277 @@
+"""Main import/append binary — Spark port of the osm2pgsql executable.
+
+Reference surface (/root/reference/src/osm2pgsql.cpp + the options it
+wires from src/command-line-parser.cpp): read an OSM file, run the
+flex output config, land tables; in --append mode fold a change file
+into the middle, propagate dependencies, refresh the output tables,
+and write the dirty-tile list.
+
+Spark shape:
+- the "database" is a parquet directory: OUT_DIR/middle/{nodes,ways,
+  rels} (the slim middle, bucketed ParquetMergeTable so append MERGEs
+  prune partitions) and OUT_DIR/tables/<name> (flex outputs);
+- the style is a Python module with `tables(spark, nodes, ways, rels)
+  -> dict[str, DataFrame]` (default: the generic config —
+  examples/generic_import.py, the port of flex-config/generic.lua);
+- append refreshes output tables from the updated middle (declarative
+  equal-to-reimport semantics; the keyed incremental MERGE path is
+  streaming/merge_sink.py and is used for the middle itself) and
+  computes expiry incrementally: the OLD and NEW geometry tiles of
+  every object touched directly or via dependency propagation
+  (src/output-flex.cpp:1175-1282);
+- osm2pgsql_properties lives at OUT_DIR/properties.json with the
+  reference's append compatibility check (src/osm2pgsql.cpp:300-309).
+
+Usage:
+  python tools/import_tool.py INPUT OUT_DIR
+      [--append] [--style MODULE.py] [--bbox minlon,minlat,maxlon,maxlat]
+      [--expire-tiles Z] [--expire-output FILE]
+      [--number-processes N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import importlib.util
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executor python workers import the package too (expire kernel):
+# they inherit the driver env, not the driver's sys.path
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _REPO
+)
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def read_osm_any(spark, path: str):
+    """(nodes, ways, rels) from .pbf / .o5m / .opl / .osm[.xml][.gz]."""
+    from osm2pgsql_spark.sources.o5m import read_o5m
+    from osm2pgsql_spark.sources.opl import read_opl
+    from osm2pgsql_spark.sources.osm_xml import read_osm_xml
+    from osm2pgsql_spark.sources.pbf import read_pbf
+
+    low = path.lower()
+    if low.endswith(".pbf"):
+        return read_pbf(spark, path)
+    if low.endswith((".o5m", ".o5c")):
+        return read_o5m(spark, path)
+    if low.endswith(".opl"):
+        return read_opl(spark, path)
+    return read_osm_xml(spark, path)
+
+
+def load_style(path: str | None):
+    """Style module contract: `tables(spark, nodes, ways, rels) ->
+    dict[str, DataFrame]`.  Default is the generic config."""
+    if path is None:
+        from examples.generic_import import generic_import
+
+        return generic_import
+    spec = importlib.util.spec_from_file_location("osm2pgsql_style", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not hasattr(mod, "tables"):
+        raise SystemExit(f"style {path!r} must define tables(spark, nodes, ways, rels)")
+    return mod.tables
+
+
+def _middle(out_dir: str, name: str):
+    from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+    return ParquetMergeTable(os.path.join(out_dir, "middle", name), id_col="id")
+
+
+def _write_tables(tables: dict[str, DataFrame], out_dir: str) -> dict[str, int]:
+    counts = {}
+    for name, df in tables.items():
+        path = os.path.join(out_dir, "tables", name)
+        df.write.mode("overwrite").parquet(path)
+        counts[name] = df.sparkSession.read.parquet(path).count()
+    return counts
+
+
+def _geom_tile_kernel(maxzoom: int, buffer: float):
+    """mapInPandas kernel: WKB geometry column -> (x, y) dirty tiles
+    at maxzoom, via the reference's expire walk."""
+    def batches(it):
+        import pandas as pd
+
+        from osm2pgsql_spark.functions.geometry import from_wkb
+        from osm2pgsql_spark.operators.expire import ExpireConfig, tiles_for_geometry
+
+        cfg = ExpireConfig(maxzoom=maxzoom, buffer=buffer)
+        for pdf in it:
+            rows = []
+            for wkb in pdf["geom"]:
+                if wkb is None:
+                    continue
+                for x, y in tiles_for_geometry(from_wkb(bytes(wkb)), cfg):
+                    rows.append({"x": int(x), "y": int(y)})
+            yield pd.DataFrame(rows, columns=["x", "y"])
+
+    return batches
+
+
+def expire_tiles_of(
+    tables: dict[str, DataFrame], touched: DataFrame | None, maxzoom: int,
+    buffer: float = 0.1,
+) -> DataFrame | None:
+    """Distinct (x, y) dirty tiles across every geometry column of the
+    touched rows (old or new side; caller unions both)."""
+    spark = None
+    parts = []
+    for df in tables.values():
+        spark = df.sparkSession
+        geom_cols = [c for c, t in df.dtypes if t == "binary"]
+        if not geom_cols:
+            continue
+        sel = df
+        if touched is not None and "osm_id" in df.columns:
+            sel = df.join(
+                touched.select(F.col(touched.columns[0]).alias("osm_id")).distinct(),
+                "osm_id", "leftsemi",
+            )
+        for g in geom_cols:
+            parts.append(sel.select(F.col(g).alias("geom")))
+    if not parts:
+        return None
+    allg = parts[0]
+    for p in parts[1:]:
+        allg = allg.unionByName(p)
+    return allg.mapInPandas(
+        _geom_tile_kernel(maxzoom, buffer), "x int, y int"
+    ).distinct()
+
+
+def cmd_create(args, spark) -> None:
+    from osm2pgsql_spark.streaming.properties import Properties
+
+    nodes, ways, rels = read_osm_any(spark, args.input)
+    if args.bbox:
+        lo_x, lo_y, hi_x, hi_y = (float(v) for v in args.bbox.split(","))
+        nodes = nodes.where(
+            (F.col("lon") >= lo_x) & (F.col("lon") <= hi_x)
+            & (F.col("lat") >= lo_y) & (F.col("lat") <= hi_y)
+        )
+    # slim middle (bucketed for append partition pruning)
+    for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
+        _middle(args.out_dir, name).write_full(df)
+    tables = load_style(args.style)(spark, nodes, ways, rels)
+    counts = _write_tables(tables, args.out_dir)
+    props = Properties(os.path.join(args.out_dir, "properties.json"))
+    props.set("db_format", "parquet-v1")
+    props.set("style", args.style or "generic")
+    props.set("attributes", "false")
+    props.set("import_timestamp", datetime.datetime.utcnow().isoformat() + "Z")
+    props.save()
+    for name, n in counts.items():
+        print(f"table {name}: {n} rows")
+
+
+def cmd_append(args, spark) -> None:
+    from osm2pgsql_spark.streaming.append import affected_ids, apply_diff
+    from osm2pgsql_spark.streaming.properties import Properties
+
+    props = Properties(os.path.join(args.out_dir, "properties.json"))
+    problems = props.check_compatible(
+        db_format="parquet-v1", style=args.style or "generic"
+    )
+    if problems:
+        raise SystemExit("append incompatible with import: " + "; ".join(problems))
+
+    from osm2pgsql_spark.sources.osm_xml import read_osc_xml
+
+    n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
+    style = load_style(args.style)
+
+    mids = {name: _middle(args.out_dir, name) for name in ("nodes", "ways", "rels")}
+    old_nodes = mids["nodes"].read(spark)
+    old_ways = mids["ways"].read(spark)
+    old_rels = mids["rels"].read(spark)
+    old_tables = style(spark, old_nodes, old_ways, old_rels)
+
+    new_nodes = apply_diff(old_nodes, n_diff)
+    new_ways = apply_diff(old_ways, w_diff)
+    new_rels = apply_diff(old_rels, r_diff)
+    sets = affected_ids(n_diff, w_diff, r_diff, new_ways, new_rels, spark=spark)
+
+    new_tables = style(spark, new_nodes, new_ways, new_rels)
+
+    # expire BEFORE swapping: old tables must still be readable.
+    # Dirty = old+new tiles of directly-changed and dependency-pending
+    # objects (src/output-flex.cpp delete_from_table + insert expiry).
+    if args.expire_tiles:
+        touched = (
+            sets.changed_ways.unionByName(sets.pending_ways)
+            .unionByName(sets.changed_nodes)
+            .unionByName(sets.changed_rels)
+            .unionByName(sets.pending_rels)
+            .distinct()
+        )
+        dirty = []
+        for side in (old_tables, new_tables):
+            t = expire_tiles_of(side, touched, args.expire_tiles)
+            if t is not None:
+                dirty.append(t)
+        if dirty:
+            allt = dirty[0]
+            for t in dirty[1:]:
+                allt = allt.unionByName(t)
+            out = args.expire_output or os.path.join(args.out_dir, "dirty_tiles.list")
+            from osm2pgsql_spark.sinks.writers import write_expire_file
+
+            write_expire_file(
+                allt.distinct().withColumn("zoom", F.lit(args.expire_tiles)), out
+            )
+            print(f"expire list: {out}")
+
+    # materialize the refreshed outputs BEFORE the middle MERGE swaps
+    # the parquet files their lineage still reads
+    refreshed = {n: df.localCheckpoint() for n, df in new_tables.items()}
+
+    # middle MERGE (partition-pruned on the touched id buckets)
+    mids["nodes"].merge_diff(spark, n_diff)
+    mids["ways"].merge_diff(spark, w_diff)
+    mids["rels"].merge_diff(spark, r_diff)
+    counts = _write_tables(refreshed, args.out_dir)
+    props.set(
+        "append_timestamp", datetime.datetime.utcnow().isoformat() + "Z"
+    )
+    props.save()
+    for name, n in counts.items():
+        print(f"table {name}: {n} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("input")
+    ap.add_argument("out_dir")
+    ap.add_argument("--append", action="store_true")
+    ap.add_argument("--style", default=None, help="python style module path")
+    ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
+    ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
+    ap.add_argument("--expire-output", default=None)
+    ap.add_argument("--number-processes", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.number_processes:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.number_processes)
+    from osm2pgsql_spark.session import get_spark
+
+    spark = get_spark("osm2pgsql-import")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.append:
+        cmd_append(args, spark)
+    else:
+        cmd_create(args, spark)
+
+
+if __name__ == "__main__":
+    main()
