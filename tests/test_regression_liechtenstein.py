@@ -76,3 +76,31 @@ def test_append_invariant_real_diff(spark, osm):
     deleted_nodes = node_diff.where(F.col("op") == "delete").select("id")
     still = new_nodes.join(deleted_nodes, "id", "left_semi").count()
     assert still == 0
+
+
+def test_import_cli_on_liechtenstein(tmp_path):
+    """The main CLI imports the real reference extract end-to-end;
+    table counts pinned as a regression surface."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "db"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_tool.py"),
+         "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf",
+         str(out)],
+        capture_output=True, text=True, timeout=580,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {}
+    for line in r.stdout.splitlines():
+        if line.startswith("table "):
+            name, n = line[6:].split(":")
+            got[name] = int(n.replace("rows", "").strip())
+    assert got == {
+        "points": 1360, "lines": 2990, "polygons": 4113,
+        "routes": 35, "boundaries": 20,
+    }
