@@ -40,6 +40,17 @@ DELETE_KEYS = [
 ]
 
 
+# id scheme per output table (flex-table.hpp:40-49) — lets the import
+# CLI's incremental append map touched object ids to table rows
+ID_SPACES = {
+    "points": "node",
+    "lines": "way",
+    "polygons": "area",
+    "routes": "relation",
+    "boundaries": "relation",
+}
+
+
 def generic_import(
     spark: SparkSession,
     nodes: DataFrame,

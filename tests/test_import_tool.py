@@ -118,3 +118,26 @@ def test_append_rejects_incompatible_style(imported, tmp_path):
     r = _run([str(osc), str(out), "--append", "--style", str(style)])
     assert r.returncode != 0
     assert "incompatible" in (r.stderr + r.stdout)
+
+
+def test_append_incremental_equals_full(tmp_path, spark):
+    """--refresh incremental (touched rows only) must produce exactly
+    the tables --refresh full re-derives."""
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    osc = tmp_path / "c.osc"
+    osc.write_text(OSC)
+    dbs = {}
+    for mode in ("full", "incremental"):
+        out = tmp_path / f"db_{mode}"
+        assert _run([str(src), str(out)]).returncode == 0
+        r = _run([str(osc), str(out), "--append", "--refresh", mode])
+        assert r.returncode == 0, r.stderr[-2000:]
+        dbs[mode] = out
+    for name in ("points", "lines", "polygons", "routes", "boundaries"):
+        full = spark.read.parquet(str(dbs["full"] / "tables" / name))
+        inc = spark.read.parquet(str(dbs["incremental"] / "tables" / name))
+        assert sorted(full.columns) == sorted(inc.columns)
+        a = {tuple(str(v) for v in row) for row in full.collect()}
+        b = {tuple(str(v) for v in row) for row in inc.collect()}
+        assert a == b, name

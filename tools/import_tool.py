@@ -69,17 +69,19 @@ def read_osm_any(spark, path: str):
 
 def load_style(path: str | None):
     """Style module contract: `tables(spark, nodes, ways, rels) ->
-    dict[str, DataFrame]`.  Default is the generic config."""
+    dict[str, DataFrame]`, optionally `ID_SPACES: dict[table ->
+    node|way|relation|area]` (enables incremental append).  Default
+    is the generic config."""
     if path is None:
-        from examples.generic_import import generic_import
+        from examples import generic_import as g
 
-        return generic_import
+        return g.generic_import, g.ID_SPACES
     spec = importlib.util.spec_from_file_location("osm2pgsql_style", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     if not hasattr(mod, "tables"):
         raise SystemExit(f"style {path!r} must define tables(spark, nodes, ways, rels)")
-    return mod.tables
+    return mod.tables, getattr(mod, "ID_SPACES", None)
 
 
 def _middle(out_dir: str, name: str):
@@ -163,7 +165,8 @@ def cmd_create(args, spark) -> None:
     # slim middle (bucketed for append partition pruning)
     for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
         _middle(args.out_dir, name).write_full(df)
-    tables = load_style(args.style)(spark, nodes, ways, rels)
+    style_fn, _ = load_style(args.style)
+    tables = style_fn(spark, nodes, ways, rels)
     counts = _write_tables(tables, args.out_dir)
     props = Properties(os.path.join(args.out_dir, "properties.json"))
     props.set("db_format", "parquet-v1")
@@ -189,34 +192,87 @@ def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
 
     n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
-    style = load_style(args.style)
+    style_fn, id_spaces = load_style(args.style)
+    incremental = args.refresh == "incremental" or (
+        args.refresh == "auto" and id_spaces is not None
+    )
+    if incremental and id_spaces is None:
+        raise SystemExit("--refresh incremental needs the style to define ID_SPACES")
 
     mids = {name: _middle(args.out_dir, name) for name in ("nodes", "ways", "rels")}
     old_nodes = mids["nodes"].read(spark)
     old_ways = mids["ways"].read(spark)
     old_rels = mids["rels"].read(spark)
-    old_tables = style(spark, old_nodes, old_ways, old_rels)
+    old_tables = style_fn(spark, old_nodes, old_ways, old_rels)
 
     new_nodes = apply_diff(old_nodes, n_diff)
     new_ways = apply_diff(old_ways, w_diff)
     new_rels = apply_diff(old_rels, r_diff)
     sets = affected_ids(n_diff, w_diff, r_diff, new_ways, new_rels, spark=spark)
 
-    new_tables = style(spark, new_nodes, new_ways, new_rels)
+    def _ids(df: DataFrame) -> DataFrame:
+        return df.select(F.col(df.columns[0]).alias("id"))
+
+    node_ids = _ids(sets.changed_nodes).distinct()
+    way_ids = _ids(sets.changed_ways).unionByName(_ids(sets.pending_ways)).distinct()
+    rel_ids = _ids(sets.changed_rels).unionByName(_ids(sets.pending_rels)).distinct()
+
+    if incremental:
+        # feed the style ONLY the touched objects plus their closure
+        # (nodes of touched ways, members of touched relations): the
+        # append cost scales with the diff, not the database.  The
+        # style's output is then filtered per table to the id space's
+        # touched set, so closure-only objects don't produce rows.
+        rels_in = new_rels.join(rel_ids, "id", "leftsemi")
+        member = rels_in.select(F.explode("members").alias("m"))
+        member_way_ids = member.where(F.col("m.type") == "w").select(
+            F.col("m.ref").alias("id")
+        )
+        member_node_ids = member.where(F.col("m.type") == "n").select(
+            F.col("m.ref").alias("id")
+        )
+        ways_in = new_ways.join(
+            way_ids.unionByName(member_way_ids).distinct(), "id", "leftsemi"
+        )
+        need_nodes = (
+            ways_in.select(F.explode("refs").alias("id"))
+            .unionByName(node_ids)
+            .unionByName(member_node_ids)
+            .distinct()
+        )
+        nodes_in = new_nodes.join(need_nodes, "id", "leftsemi")
+        sub_tables = style_fn(spark, nodes_in, ways_in, rels_in)
+
+        def table_ids(space: str) -> DataFrame:
+            if space == "node":
+                return node_ids
+            if space == "way":
+                return way_ids
+            if space == "relation":
+                return rel_ids
+            if space == "area":  # ways +id, relations -id
+                return way_ids.unionByName(
+                    rel_ids.select((-F.col("id")).alias("id"))
+                ).distinct()
+            raise SystemExit(f"unsupported id space {space!r} for incremental")
+
+        new_side = {
+            name: df.join(
+                table_ids(id_spaces[name]).select(F.col("id").alias("osm_id")),
+                "osm_id", "leftsemi",
+            )
+            for name, df in sub_tables.items()
+        }
+    else:
+        new_side = style_fn(spark, new_nodes, new_ways, new_rels)
 
     # expire BEFORE swapping: old tables must still be readable.
     # Dirty = old+new tiles of directly-changed and dependency-pending
     # objects (src/output-flex.cpp delete_from_table + insert expiry).
     if args.expire_tiles:
-        touched = (
-            sets.changed_ways.unionByName(sets.pending_ways)
-            .unionByName(sets.changed_nodes)
-            .unionByName(sets.changed_rels)
-            .unionByName(sets.pending_rels)
-            .distinct()
-        )
+        touched = node_ids.unionByName(way_ids).unionByName(rel_ids).distinct()
         dirty = []
-        for side in (old_tables, new_tables):
+        for side in (old_tables, new_side):
             t = expire_tiles_of(side, touched, args.expire_tiles)
             if t is not None:
                 dirty.append(t)
@@ -234,7 +290,18 @@ def cmd_append(args, spark) -> None:
 
     # materialize the refreshed outputs BEFORE the middle MERGE swaps
     # the parquet files their lineage still reads
-    refreshed = {n: df.localCheckpoint() for n, df in new_tables.items()}
+    if incremental:
+        refreshed = {}
+        for name, new_rows in new_side.items():
+            path = os.path.join(args.out_dir, "tables", name)
+            old_rows = spark.read.parquet(path)
+            keep = old_rows.join(
+                table_ids(id_spaces[name]).select(F.col("id").alias("osm_id")),
+                "osm_id", "left_anti",
+            )
+            refreshed[name] = keep.unionByName(new_rows).localCheckpoint()
+    else:
+        refreshed = {n: df.localCheckpoint() for n, df in new_side.items()}
 
     # middle MERGE (partition-pruned on the touched id buckets)
     mids["nodes"].merge_diff(spark, n_diff)
@@ -258,6 +325,12 @@ def main() -> None:
     ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
     ap.add_argument("--expire-output", default=None)
+    ap.add_argument(
+        "--refresh", choices=("auto", "full", "incremental"), default="auto",
+        help="append table refresh: incremental (touched rows only; "
+        "needs the style's ID_SPACES) or full re-derivation; auto "
+        "picks incremental when the style allows it",
+    )
     ap.add_argument("--number-processes", type=int, default=0)
     args = ap.parse_args()
 
