@@ -74,9 +74,9 @@ class AffectedSets:
     """Recompute sets after a diff (pending_ways / pending_rels of the
     reference, src/osmdata.cpp:75-147)."""
 
-    changed_nodes: DataFrame  # node ids from the diff (minus version-1)
-    changed_ways: DataFrame  # way ids from the diff
-    changed_rels: DataFrame  # relation ids from the diff
+    changed_nodes: DataFrame  # ALL node ids from the diff
+    changed_ways: DataFrame  # ALL way ids from the diff
+    changed_rels: DataFrame  # ALL relation ids from the diff
     pending_ways: DataFrame  # parents of changed nodes, minus directly-changed
     pending_rels: DataFrame  # parents of changed nodes/ways, minus changed
 
@@ -92,11 +92,16 @@ def affected_ids(
     """Compute dependency-propagation sets from post-diff snapshots.
 
     ways/relations are the *updated* snapshots (the reference also
-    queries the updated middle).  Version-1 creates are excluded from
-    propagation (they cannot have parents yet, src/osmdata.cpp:60-69).
-    """
+    queries the updated middle).  changed_* contain EVERY diff id —
+    a version-1 create still needs its own outputs computed and its
+    new geometry expired.  The version-1 skip applies only to the
+    PROPAGATION inputs: the reference propagates from node_changed()/
+    way_changed() (modify/delete paths) but not from the add path,
+    because a brand-new object cannot have pre-existing parents
+    (src/osmdata.cpp:60-69) — conflating the two loses modify rows
+    whose upstream metadata mislabels them version=1."""
 
-    def ids_of(diff: DataFrame | None, skip_v1: bool) -> DataFrame | None:
+    def ids_of(diff: DataFrame | None, skip_v1: bool = False) -> DataFrame | None:
         if diff is None:
             return None
         d = diff
@@ -104,23 +109,34 @@ def affected_ids(
             d = d.where(F.coalesce(F.col("version"), F.lit(2)) > 1)
         return d.select(F.col("id")).distinct()
 
-    empty = None
-    changed_nodes = ids_of(node_diff, skip_v1=True)
-    changed_ways = ids_of(way_diff, skip_v1=True)
-    changed_rels = ids_of(rel_diff, skip_v1=False)
-
     sess = spark or ways.sparkSession
-    if changed_nodes is None:
-        changed_nodes = sess.createDataFrame([], "id bigint")
-    if changed_ways is None:
-        changed_ways = sess.createDataFrame([], "id bigint")
-    if changed_rels is None:
-        changed_rels = sess.createDataFrame([], "id bigint")
-    del empty
+
+    def or_empty(df: DataFrame | None) -> DataFrame:
+        return df if df is not None else sess.createDataFrame([], "id bigint")
+
+    changed_nodes = or_empty(ids_of(node_diff))
+    changed_ways = or_empty(ids_of(way_diff))
+    changed_rels = or_empty(ids_of(rel_diff))
+    # propagation triggers: creates (version 1 AND op=create where the
+    # op survives on the diff frame) have no parents to dirty
+    def prop_ids(diff: DataFrame | None) -> DataFrame:
+        if diff is None:
+            return sess.createDataFrame([], "id bigint")
+        d = diff
+        if "version" in d.columns and "op" in d.columns:
+            d = d.where(
+                (F.col("op") != "create")
+                | (F.coalesce(F.col("version"), F.lit(2)) > 1)
+            )
+        elif "version" in d.columns:
+            d = d.where(F.coalesce(F.col("version"), F.lit(2)) > 1)
+        return d.select(F.col("id")).distinct()
+
+    prop_nodes = prop_ids(node_diff)
 
     way_refs = ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("ref"))
     pending_ways = parent_ways_of_nodes(
-        way_refs, changed_nodes.select(F.col("id").alias("node_id"))
+        way_refs, prop_nodes.select(F.col("id").alias("node_id"))
     ).withColumnRenamed("way_id", "id")
     # pending minus directly-changed (idlist remove_ids_if_in,
     # src/osmdata.cpp:126-135)
@@ -131,10 +147,10 @@ def affected_ids(
         F.explode("members").alias("m"),
     ).select("rel_id", F.col("m.type").alias("m_type"), F.col("m.ref").alias("m_ref"))
     rels_from_nodes = parent_relations_of_members(
-        rel_members, changed_nodes, member_type="n"
+        rel_members, prop_nodes, member_type="n"
     )
     # ways trigger relations whether changed directly or as pending
-    all_changed_ways = changed_ways.unionByName(pending_ways).distinct()
+    all_changed_ways = prop_ids(way_diff).unionByName(pending_ways).distinct()
     rels_from_ways = parent_relations_of_members(
         rel_members, all_changed_ways, member_type="w"
     )

@@ -141,3 +141,33 @@ def test_append_incremental_equals_full(tmp_path, spark):
         a = {tuple(str(v) for v in row) for row in full.collect()}
         b = {tuple(str(v) for v in row) for row in inc.collect()}
         assert a == b, name
+
+
+def test_append_reference_multipolygon_diff(tmp_path, spark):
+    """The reference's multipolygon diff through the CLI: a way whose
+    <modify> is (mis)labelled version=1 must still be recomputed
+    (regression: the v1-create propagation skip used to swallow it),
+    deletes must land, and incremental must equal full refresh."""
+    base = "/root/reference/tests/data/test_multipolygon.osm"
+    diff = "/root/reference/tests/data/test_multipolygon_diff.osc"
+    dbs = {}
+    for mode in ("full", "incremental"):
+        out = tmp_path / f"db_{mode}"
+        assert _run([base, str(out)]).returncode == 0
+        r = _run([diff, str(out), "--append", "--refresh", mode])
+        assert r.returncode == 0, r.stderr[-2000:]
+        dbs[mode] = out
+
+    lines = {r["osm_id"] for r in
+             spark.read.parquet(str(dbs["incremental"] / "tables" / "lines")).collect()}
+    polys = {r["osm_id"] for r in
+             spark.read.parquet(str(dbs["incremental"] / "tables" / "polygons")).collect()}
+    assert 15 in lines and 15 not in polys  # closed->open way switched tables
+    assert 97 not in lines | polys and 104 not in lines | polys  # deletes
+
+    for name in ("points", "lines", "polygons", "routes", "boundaries"):
+        full = spark.read.parquet(str(dbs["full"] / "tables" / name))
+        inc = spark.read.parquet(str(dbs["incremental"] / "tables" / name))
+        a = {tuple(str(v) for v in row) for row in full.collect()}
+        b = {tuple(str(v) for v in row) for row in inc.collect()}
+        assert a == b, name
