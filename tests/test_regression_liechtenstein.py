@@ -104,3 +104,42 @@ def test_import_cli_on_liechtenstein(tmp_path):
         "points": 1360, "lines": 2990, "polygons": 4113,
         "routes": 35, "boundaries": 20,
     }
+
+
+def test_append_cli_swiss_diff(tmp_path):
+    """Real replication shape: the Swiss .osc.gz folds into the
+    Liechtenstein import through the CLI (incremental refresh) with a
+    z12 expire list; table counts pinned."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "db"
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "import_tool.py"), *args],
+            capture_output=True, text=True, timeout=580, env=env,
+        )
+
+    r = run("/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf", str(out))
+    assert r.returncode == 0, r.stderr[-2000:]
+    expire = tmp_path / "dirty.list"
+    r = run(
+        "/root/reference/tests/data/008-ch.osc.gz", str(out), "--append",
+        "--expire-tiles", "12", "--expire-output", str(expire),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {}
+    for line in r.stdout.splitlines():
+        if line.startswith("table "):
+            name, n = line[6:].split(":")
+            got[name] = int(n.replace("rows", "").strip())
+    assert got == {
+        "points": 1513, "lines": 3053, "polygons": 4197,
+        "routes": 36, "boundaries": 20,
+    }
+    tiles = expire.read_text().strip().splitlines()
+    assert len(tiles) == 29 and all(t.startswith("12/") for t in tiles)
