@@ -171,3 +171,28 @@ def test_append_reference_multipolygon_diff(tmp_path, spark):
         a = {tuple(str(v) for v in row) for row in full.collect()}
         b = {tuple(str(v) for v in row) for row in inc.collect()}
         assert a == b, name
+
+
+def test_create_bbox_complete_ways(tmp_path, spark):
+    """--bbox keeps a boundary-crossing way complete: all its nodes
+    survive (reference middle semantics), while fully-outside objects
+    drop."""
+    src = tmp_path / "in.opl"
+    # n1 inside, n2 outside; w100 crosses the box. n10 far outside.
+    src.write_text(OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), "--bbox", "8.99,49.99,9.0005,50.0005"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    mid_nodes = {row["id"] for row in
+                 spark.read.parquet(str(out / "middle" / "nodes")).collect()}
+    # n1 inside; n2/n3/n4 pulled back by crossing ways; n10 dropped
+    assert mid_nodes == {1, 2, 3, 4}
+    lines = spark.read.parquet(str(out / "tables" / "lines")).collect()
+    assert len(lines) == 1  # w100 intact
+    from osm2pgsql_spark.functions.geometry import from_wkb
+
+    kind, pts = from_wkb(bytes(lines[0]["geom"]))
+    assert len(pts) == 2  # both endpoints, not truncated at the box
+    pts_tbl = {row["osm_id"] for row in
+               spark.read.parquet(str(out / "tables" / "points")).collect()}
+    assert pts_tbl == {1}  # n10 (outside, tagged) is gone

@@ -141,3 +141,27 @@ def test_tiff_rejects_and_raises_honestly():
     patched[idx : idx + 2] = struct.pack("<H", 324)
     with pytest.raises(ValueError):
         tiff.decode_tiff(bytes(patched))
+
+
+def test_tiff_lzw_property_random_streams():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=1, max_size=3000))
+    def check(data):
+        assert tiff._tiff_lzw_decode(tiff._tiff_lzw_encode(data), len(data)) == data
+
+    check()
+
+
+def test_packbits_property_random_rows():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def check(row):
+        assert tiff._packbits_decode(tiff._packbits_encode(row), len(row)) == row
+
+    check()

@@ -158,10 +158,25 @@ def cmd_create(args, spark) -> None:
     nodes, ways, rels = read_osm_any(spark, args.input)
     if args.bbox:
         lo_x, lo_y, hi_x, hi_y = (float(v) for v in args.bbox.split(","))
-        nodes = nodes.where(
+        inside = nodes.where(
             (F.col("lon") >= lo_x) & (F.col("lon") <= hi_x)
             & (F.col("lat") >= lo_y) & (F.col("lat") <= hi_y)
         )
+        # complete-ways semantics (the reference reads via the middle,
+        # so a way with ANY node in the box keeps ALL its nodes and
+        # its geometry doesn't truncate at the boundary): keep ways
+        # touching the box, then pull their full node closure back in
+        way_refs = ways.select(F.col("id").alias("way_id"), F.explode("refs").alias("ref"))
+        touching = way_refs.join(
+            inside.select(F.col("id").alias("ref")), "ref", "leftsemi"
+        ).select("way_id").distinct()
+        ways = ways.join(touching.withColumnRenamed("way_id", "id"), "id", "leftsemi")
+        closure = (
+            ways.select(F.explode("refs").alias("id"))
+            .unionByName(inside.select("id"))
+            .distinct()
+        )
+        nodes = nodes.join(closure, "id", "leftsemi")
     # slim middle (bucketed for append partition pruning)
     for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
         _middle(args.out_dir, name).write_full(df)
