@@ -415,3 +415,116 @@ def strip_duplicated_spans(
         text_col,
         F.when(F.col("ivals").isNull(), F.col(text_col)).otherwise(cleaned),
     ).drop("ivals")
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: maximal token spans of `docs` whose
+    every k-gram also occurs in `benchmark` (the eval-set n-gram
+    overlap check of GPT-3 appendix C / PaLM-style decontamination).
+
+    Same relational shape as duplicated_spans, but the duplicated-gram
+    set is a semi-join against the benchmark's gram hashes instead of
+    a cross-doc count — the benchmark side is typically tiny (eval
+    sets), so Catalyst broadcasts it and the corpus-side scan is one
+    pass.  Output: (doc_id, span_start, span_end, n_tokens); feed to
+    strip_duplicated_spans to clean, or anti-join doc ids to drop."""
+    from pyspark.sql import Window
+
+    def grams(frame: DataFrame, out_name: str) -> DataFrame:
+        toks = frame.select(
+            F.col(id_col).alias(out_name), F.split(F.col(text_col), " ").alias("toks")
+        )
+        n_pos = F.size("toks") - F.lit(k - 1)
+        return (
+            toks.select(
+                out_name,
+                F.explode(
+                    F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ).alias("pos"),
+                F.col("toks"),
+            )
+            .select(
+                out_name,
+                F.col("pos").cast("bigint").alias("pos"),
+                F.xxhash64(
+                    F.array_join(F.slice("toks", F.col("pos"), k), " ")
+                ).alias("gh"),
+            )
+        )
+
+    bench_grams = grams(benchmark, "bench_id").select("gh").distinct()
+    dup_pos = (
+        grams(docs, "doc_id")
+        .join(bench_grams, "gh", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Layout-independent sampling: keep a row iff
+    pmod(xxhash64(key, salt), 1e6) < rate*1e6.
+
+    df.sample()/F.rand(seed) are only reproducible for a FIXED
+    partition layout — a repartition or a different file split changes
+    the kept set, which silently breaks train/eval splits at scale.
+    Hashing the stable key makes the decision a pure function of the
+    row, so the same corpus always yields the same sample on any
+    cluster; vary `salt` for independent draws."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(1_000_000)
+    )
+    return df.where(bucket < int(rate * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    group_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling (the data-mixing primitive:
+    'keep 100% of wiki, 10% of web, drop the rest').  Same
+    hash-bucket decision as deterministic_sample, with the threshold
+    looked up from the group column via one JVM-side CASE chain —
+    no shuffle, no per-group scans."""
+    thr = F.lit(int(default_rate * 1_000_000))
+    for group, rate in rates.items():
+        thr = F.when(
+            F.col(group_col) == group, F.lit(int(rate * 1_000_000))
+        ).otherwise(thr)
+    bucket = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(1_000_000)
+    )
+    return df.where(bucket < thr)

@@ -196,3 +196,18 @@ def test_create_bbox_complete_ways(tmp_path, spark):
     pts_tbl = {row["osm_id"] for row in
                spark.read.parquet(str(out / "tables" / "points")).collect()}
     assert pts_tbl == {1}  # n10 (outside, tagged) is gone
+
+
+def test_create_drop_removes_middle_and_blocks_append(tmp_path):
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), "--drop"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not (out / "middle").exists()
+    assert (out / "tables" / "lines").exists()
+    osc = tmp_path / "c.osc"
+    osc.write_text(OSC)
+    r = _run([str(osc), str(out), "--append"])
+    assert r.returncode != 0
+    assert "incompatible" in (r.stderr + r.stdout)

@@ -1,0 +1,85 @@
+"""Decontamination spans + deterministic/stratified sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_contaminated_spans_flags_benchmark_overlap(spark):
+    from osm2pgsql_spark.operators.dedup import (
+        contaminated_spans,
+        strip_duplicated_spans,
+    )
+
+    bench_q = "what is the capital of france and when was it founded exactly"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text {bench_q} trailing words"),
+            (2, "completely unrelated content with no overlap at all here today"),
+            (3, "tiny"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_q)], "doc_id bigint, text string"
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(docs, bench, k=8).collect()
+    }
+    # bench_q = 12 tokens at positions 3..14 of doc 1
+    assert spans == {(1, 3, 14)}
+
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(
+            docs, contaminated_spans(docs, bench, k=8)
+        ).collect()
+    }
+    assert cleaned[1] == "intro text trailing words"
+    assert cleaned[2].startswith("completely")
+
+
+def test_deterministic_sample_layout_independent(spark):
+    from osm2pgsql_spark.operators.dedup import deterministic_sample
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    kept1 = {r["doc_id"] for r in deterministic_sample(df, 0.3, "doc_id").collect()}
+    # different partition layout -> identical sample (the property
+    # df.sample() does NOT have)
+    kept2 = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(7), 0.3, "doc_id").collect()
+    }
+    assert kept1 == kept2
+    assert 0.27 < len(kept1) / 10_000 < 0.33
+    # independent draw under a different salt
+    kept3 = {
+        r["doc_id"]
+        for r in deterministic_sample(df, 0.3, "doc_id", salt="v2").collect()
+    }
+    assert kept3 != kept1
+    overlap = len(kept1 & kept3) / len(kept1)
+    assert 0.2 < overlap < 0.4  # ~rate, as independent draws should
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, 1.5, "doc_id")
+
+
+def test_stratified_sample_rates_per_group(spark):
+    from osm2pgsql_spark.operators.dedup import stratified_sample
+
+    df = spark.range(0, 9_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("wiki"), F.lit("web"), F.lit("spam")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    kept = stratified_sample(
+        df, {"wiki": 1.0, "web": 0.2}, "source", "doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["wiki"] == 3000  # keep all
+    assert 450 < counts["web"] < 750  # ~20%
+    assert "spam" not in counts  # default_rate=0 drops

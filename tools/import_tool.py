@@ -183,9 +183,16 @@ def cmd_create(args, spark) -> None:
     style_fn, _ = load_style(args.style)
     tables = style_fn(spark, nodes, ways, rels)
     counts = _write_tables(tables, args.out_dir)
+    if args.drop:
+        # --create --slim --drop: middle only existed to build the
+        # output; an appendless import reclaims it (reference --drop)
+        import shutil
+
+        shutil.rmtree(os.path.join(args.out_dir, "middle"), ignore_errors=True)
     props = Properties(os.path.join(args.out_dir, "properties.json"))
     props.set("db_format", "parquet-v1")
     props.set("style", args.style or "generic")
+    props.set("updatable", "false" if args.drop else "true")
     props.set("attributes", "false")
     props.set("import_timestamp", datetime.datetime.utcnow().isoformat() + "Z")
     props.save()
@@ -199,7 +206,7 @@ def cmd_append(args, spark) -> None:
 
     props = Properties(os.path.join(args.out_dir, "properties.json"))
     problems = props.check_compatible(
-        db_format="parquet-v1", style=args.style or "generic"
+        db_format="parquet-v1", style=args.style or "generic", updatable="true"
     )
     if problems:
         raise SystemExit("append incompatible with import: " + "; ".join(problems))
@@ -336,6 +343,11 @@ def main() -> None:
     ap.add_argument("input")
     ap.add_argument("out_dir")
     ap.add_argument("--append", action="store_true")
+    ap.add_argument(
+        "--drop", action="store_true",
+        help="drop the middle after create (reference --slim --drop); "
+        "the result cannot be appended to",
+    )
     ap.add_argument("--style", default=None, help="python style module path")
     ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
