@@ -2347,6 +2347,63 @@ def _epsg_oracle(chk: str) -> str:
     )
 
 
+def q_geom_epsg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All EPSG graticule branches in ONE scan + ONE Arrow kernel.
+
+    q_geom_epsg pays a separate pandas-UDF stage per projection (6
+    Arrow round-trips over WKB points); this fused path computes every
+    graticule's lon/lat as JVM columns and runs all forward transforms
+    in a single mapInPandas that emits the long-form suite rows
+    (id, chk, e, n) directly — emitting long-form inside the kernel
+    avoids the fan-out-from-one-frame subplan re-execution a 6-branch
+    union would risk.  Values are identical to the per-branch path
+    (same kernels, same params objects)."""
+    import pandas as pd
+
+    specs = dict(_EPSG_GRATICULES)
+    cols = [F.col("p_partkey").alias("id")]
+    for chk, (_code, lon_sql, lat_sql) in specs.items():
+        cols.append(F.expr(lon_sql).alias(f"lon_{chk}"))
+        cols.append(F.expr(lat_sql).alias(f"lat_{chk}"))
+    base = load_table(spark, sf_dir, "part").select(*cols)
+
+    def kern(it):
+        from osm2pgsql_spark.functions import projection as PJ
+
+        params = {chk: PJ.epsg_params(spec[0]) for chk, spec in specs.items()}
+
+        def forward(p, lon, lat):
+            if isinstance(p, PJ.TmercParams):
+                return PJ.tmerc_forward(lon, lat, p)
+            if isinstance(p, PJ.LccParams):
+                return PJ.lcc_forward(lon, lat, p)
+            if isinstance(p, PJ.AlbersParams):
+                return PJ.albers_forward(lon, lat, p)
+            if isinstance(p, PJ.StereaParams):
+                return PJ.sterea_forward(lon, lat, p)
+            return PJ.laea_forward(lon, lat, p)
+
+        for pdf in it:
+            frames = []
+            for chk, p in params.items():
+                e, n = forward(
+                    p,
+                    pdf[f"lon_{chk}"].to_numpy(),
+                    pdf[f"lat_{chk}"].to_numpy(),
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {"id": pdf["id"], "chk": chk, "e": e, "n": n}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    out = base.mapInPandas(kern, "id bigint, chk string, e double, n double")
+    return out.select(
+        "id", "chk", roundn(F.col("e"), 0).alias("e"), roundn(F.col("n"), 0).alias("n")
+    )
+
+
 def q_geom_epsg(spark: SparkSession, sf_dir: str, chk: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
 
@@ -2768,8 +2825,18 @@ def q_geom_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(
         _suite_rows(q_spherical_polygon_area(spark, sf_dir), "sph_area", "sph_area")
     )
-    for chk in _EPSG_GRATICULES:
-        out = out.unionByName(_suite_rows(q_geom_epsg(spark, sf_dir, chk), chk, "e", "n"))
+    # all 6 projection branches fused into one scan + one Arrow kernel
+    # (q_geom_epsg_all emits the long form with chk labels built in)
+    epsg = q_geom_epsg_all(spark, sf_dir)
+    out = out.unionByName(
+        epsg.select(
+            "id", "chk",
+            F.col("e").alias("v1"), F.col("n").alias("v2"),
+            F.lit(None).cast("double").alias("v3"),
+            F.lit(None).cast("double").alias("v4"),
+            F.lit(None).cast("string").alias("txt"),
+        )
+    )
     return out
 
 
