@@ -136,3 +136,23 @@ def test_sample_frames_real_avi(spark):
     )
     feats = image_features(feat_in, fake=False).collect()
     assert len(feats) == 6 and all(f["mean_val"] > 0 for f in feats)
+
+
+def test_multimodal_pipeline_example(spark, tmp_path):
+    """The end-to-end media curation example: real decodes across all
+    six formats, video frames through the shared image kernel,
+    near-dup pruning narrows, output lands."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from examples.multimodal_pipeline import curate_media
+
+    counts = curate_media(spark, str(tmp_path / "out"))
+    assert counts["input"] == 56  # 8 of each of 7 kinds
+    assert counts["formats"] == 7
+    assert counts["sampled_frames"] > 0
+    assert counts["image_features"] == 40 + counts["sampled_frames"]
+    assert counts["audio_rows"] == 8
+    assert 0 < counts["after_near_dup"] <= counts["image_features"]
+    assert counts["written"] == counts["after_near_dup"]
