@@ -228,6 +228,63 @@ def relation_multipolygons(
     return grouped.select("rel_id", udf(F.col("member_wkbs")).alias("geom"))
 
 
+def _ring_area(ring: np.ndarray) -> float:
+    """Planar shoelace |area| of one ring (closed or open form)."""
+    x, y = ring[:, 0], ring[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
+
+
+def relation_polygon_parts(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    enable_multi: bool = False,
+) -> DataFrame:
+    """(rel_id, part_pos, wkb, area) — assembled multipolygon split
+    into one row per constituent polygon, each with planar area (holes
+    subtracted): the reference's split_multi + per-part way_area
+    (split default, /root/reference/src/output-pgsql.cpp:301-317).
+    With enable_multi (-G) each relation yields ONE multipolygon row
+    whose area is the sum over parts.  Relations whose members
+    assemble to nothing (broken rings, deleted members) drop out —
+    the reference's tolerance for broken multipolygon data (osmium
+    area-assembler failure skips the object).  Grouped-map kernel:
+    each relation is a few member rows, hash-partitioned by rel_id."""
+    as_multi = bool(enable_multi)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = int(pdf["rel_id"].iloc[0])
+        lines = _decode_lines([w for w in pdf["line_wkb"] if w is not None])
+        mp = assemble_multipolygon(lines) if lines else None
+        empty = pd.DataFrame(
+            {"rel_id": [], "part_pos": [], "wkb": [], "area": []}
+        )
+        if mp is None:
+            return empty
+        rows = []
+        for rings in mp[1]:
+            area = _ring_area(rings[0]) - sum(_ring_area(r) for r in rings[1:])
+            rows.append((G.to_wkb(("polygon", rings)), float(area)))
+        # with -G a single-outer assembly stays a POLYGON, only true
+        # multi-part areas collapse to one MULTIPOLYGON row
+        # (reference create_multipolygon, geom-from-osm.cpp:230-243)
+        if as_multi and len(rows) > 1:
+            rows = [(G.to_wkb(mp), float(sum(a for _, a in rows)))]
+        return pd.DataFrame(
+            {
+                "rel_id": [rel_id] * len(rows),
+                "part_pos": list(range(len(rows))),
+                "wkb": [w for w, _ in rows],
+                "area": [a for _, a in rows],
+            }
+        )
+
+    mw = member_way_points(relations, ways, nodes).select("rel_id", "line_wkb")
+    return mw.groupBy("rel_id").applyInPandas(
+        fn, "rel_id long, part_pos int, wkb binary, area double"
+    )
+
+
 def relation_multilinestrings(
     relations: DataFrame, ways: DataFrame, nodes: DataFrame, merge: bool = True
 ) -> DataFrame:

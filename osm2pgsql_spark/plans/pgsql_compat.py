@@ -68,14 +68,127 @@ def _is_polygon(tags: Column, refs: Column) -> Column:
     return closed & ~blocked & (has_area_key | forced)
 
 
+MERC_R = 6378137.0  # EPSG:3857 sphere radius (reference src/reprojection.cpp:36)
+
+
+def mercator_nodes(nodes: DataFrame) -> DataFrame:
+    """Project node lon/lat to EPSG:3857 meters IN PLACE (same column
+    names), so every downstream assembly/area/length step is
+    projection-agnostic.  This is the reference's default output
+    projection (src/reprojection.cpp:17-102); projecting the node
+    table once up front is the Spark-shaped equivalent of the
+    reference projecting each geometry at output time — pure column
+    expressions, no shuffle."""
+    import math
+
+    x = F.radians(F.col("lon")) * F.lit(MERC_R)
+    y = F.lit(MERC_R) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.radians(F.col("lat")) / F.lit(2.0))
+    )
+    return nodes.withColumn("lon", x).withColumn("lat", y)
+
+
+def relation_rows(
+    relations: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    enable_multi: bool = False,
+) -> dict[str, DataFrame]:
+    """polygon/line/roads rows from type=multipolygon/boundary/route
+    relations — the reference's pgsql_process_relation
+    (src/output-pgsql.cpp:239-321) + filter_rel_member_tags
+    (src/tagtransform-c.cpp:223-343):
+
+    - only type in (multipolygon, boundary, route) is processed;
+    - out-tags = the relation's style-filtered tags (minus `type`);
+      relations with no style tag left are skipped entirely — which is
+      why a type-only relation contributes nothing while its tagged
+      member ways still render independently;
+    - type=multipolygon without a boundary tag -> polygon rows only;
+      type=boundary (or multipolygon WITH a boundary tag) -> boundary:
+      merged-line rows AND polygon rows; type=route -> line rows;
+    - polygon geometry is the assembled multipolygon split into one
+      row per polygon (`split_multi`, osm_id = -rel_id, per-part
+      way_area) unless enable_multi (-G) keeps one multipolygon row;
+    - relations whose rings don't assemble (broken member data) are
+      dropped, matching the osmium area-assembler failure path.
+    """
+    from osm2pgsql_spark.operators import relations as R
+
+    tags = F.col("tags")
+    typ = tags["type"]
+    style_keys = [*STYLE_COLUMNS, "area"]
+    rels = (
+        relations.where(typ.isin("multipolygon", "boundary", "route"))
+        .withColumn("out_tags", F.map_filter(tags, lambda k, _: k.isin(style_keys)))
+        .where(F.size("out_tags") > 0)
+    )
+    is_boundary = (typ == "boundary") | (
+        (typ == "multipolygon") & tags["boundary"].isNotNull()
+    )
+    is_route = typ == "route"
+
+    ot = F.col("out_tags")
+    z, roads = _z_and_roads(ot)
+
+    # polygon side: multipolygon + boundary
+    poly_rels = rels.where(~is_route)
+    parts = R.relation_polygon_parts(
+        poly_rels.select(F.col("id"), F.col("members")),
+        ways,
+        nodes,
+        enable_multi=enable_multi,
+    )
+    poly_tagged = poly_rels.select(
+        F.col("id").alias("rel_id"), "out_tags"
+    ).join(parts, "rel_id")
+    polygon = poly_tagged.select(
+        (-F.col("rel_id")).alias("osm_id"),
+        *_style_cols(ot),
+        z,
+        F.col("area").alias("way_area"),
+        F.col("wkb").alias("way"),
+    )
+
+    # line side: routes + boundaries (merged member lines)
+    line_rels = rels.where(is_route | is_boundary)
+    merged = R.relation_multilinestrings(
+        line_rels.select(F.col("id"), F.col("members")), ways, nodes
+    ).where(F.col("geom").isNotNull())
+    line_tagged = line_rels.select(
+        F.col("id").alias("rel_id"), "out_tags"
+    ).join(merged, "rel_id")
+    line = line_tagged.select(
+        (-F.col("rel_id")).alias("osm_id"),
+        *_style_cols(ot),
+        z,
+        F.col("geom").alias("way"),
+        roads.alias("__roads"),
+    )
+    roads_df = line.where(F.col("__roads")).drop("__roads")
+    line = line.drop("__roads")
+    return {"polygon": polygon, "line": line, "roads": roads_df}
+
+
 def planet_osm_tables(
-    nodes: DataFrame, ways: DataFrame
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame | None = None,
+    srid: int = 4326,
+    enable_multi: bool = False,
 ) -> dict[str, DataFrame]:
     """Build planet_osm_{point,line,polygon,roads} DataFrames.
 
     Geometry is kept as assembled point arrays + WKB; way_area is the
-    planar shoelace area like the reference's default (4326 unless
-    --reproject-area)."""
+    planar shoelace area over the working projection: srid=4326 keeps
+    degrees (the repo's historical default), srid=3857 projects node
+    coordinates to web-mercator meters first — the reference's
+    default, making way_area/ST_Area come out in m² like the BDD
+    regression expectations.  Pass `relations` to add the relation
+    rows (osm_id = -rel_id) the reference emits for
+    multipolygon/boundary/route relations."""
+    if srid == 3857:
+        nodes = mercator_nodes(nodes)
     tags = F.col("tags")
 
     tagged_nodes = nodes.where(F.size("tags") > 0)
@@ -122,6 +235,12 @@ def planet_osm_tables(
         )
         .where(F.col("way").isNotNull())
     )
+
+    if relations is not None:
+        r = relation_rows(relations, ways, nodes, enable_multi=enable_multi)
+        polygon = polygon.unionByName(r["polygon"])
+        line = line.unionByName(r["line"])
+        roads_df = roads_df.unionByName(r["roads"])
 
     return {
         "planet_osm_point": point,

@@ -40,10 +40,15 @@ def _parse(root, op: str | None):
     for el in root:
         tag = el.tag
         if tag == "node":
+            # libosmium stores locations fixed-point at 1e-7 degrees
+            # (reference src/osmtypes.hpp:31 via osmium::Location);
+            # quantizing here reproduces its coordinates bit-for-bit,
+            # which matters when tests pin areas to the square meter.
+            lat, lon = el.get("lat"), el.get("lon")
             row = (
                 int(el.get("id")),
-                float(el.get("lat")) if el.get("lat") else None,
-                float(el.get("lon")) if el.get("lon") else None,
+                round(float(lat) * 1e7) / 1e7 if lat else None,
+                round(float(lon) * 1e7) / 1e7 if lon else None,
                 _tags(el),
                 *_attrs(el),
             )
