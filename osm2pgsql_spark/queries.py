@@ -1564,27 +1564,50 @@ def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "relation_multipolygon_rings",
+    # n_parts/parts_area exercise the split-polygon kernel
+    # (operators/relations.relation_polygon_parts — the pgsql output's
+    # split_multi + per-part way_area with holes subtracted,
+    # reference src/output-pgsql.cpp:301-317) against the same closed
+    # form: each square relation splits to exactly one polygon whose
+    # hole-subtracted area matches the multipolygon's.
     oracle=f"""
     SELECT p_partkey AS rel_id,
            cast(1 AS bigint) AS n_polys,
            cast(CASE WHEN {osm_synth.SQUARE_HOLE_SQL} THEN 10 ELSE 5 END AS bigint) AS n_points,
            {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
                        f'THEN 3 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) '
-                       f'ELSE 4 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS area
+                       f'ELSE 4 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS area,
+           cast(1 AS bigint) AS n_parts,
+           {roundn_sql(f'CASE WHEN {osm_synth.SQUARE_HOLE_SQL} '
+                       f'THEN 3 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) '
+                       f'ELSE 4 * ({osm_synth.SQUARE_S_SQL}) * ({osm_synth.SQUARE_S_SQL}) END', 4)} AS parts_area
     FROM part WHERE {osm_synth.SQUARE_FILTER_SQL}
     """,
 )
 def q_relation_multipolygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
-    from osm2pgsql_spark.operators.relations import relation_multipolygons
+    from osm2pgsql_spark.operators.relations import (
+        relation_multipolygons,
+        relation_polygon_parts,
+    )
 
     nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
     mp = relation_multipolygons(rels, ways_df, nodes)
-    return mp.select(
+    parts = (
+        relation_polygon_parts(rels, ways_df, nodes)
+        .groupBy("rel_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("area").alias("parts_area"),
+        )
+    )
+    return mp.join(parts, "rel_id").select(
         "rel_id",
         geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_polys"),
         geom_udfs.wkb_num_points(F.col("geom")).alias("n_points"),
         round4(geom_udfs.wkb_area(F.col("geom"))).alias("area"),
+        F.col("n_parts"),
+        round4(F.col("parts_area")).alias("parts_area"),
     )
 
 
