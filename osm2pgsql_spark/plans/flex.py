@@ -160,6 +160,13 @@ def _callback_mapper(kind: str, fn, valid_tables: frozenset):
                         obj[attr] = None if v is None or (v != v) else (
                             v if attr in ("user", "visible") else int(v)
                         )
+                # object.timestamp (reference src/output-flex.cpp
+                # :140-155 pushes it with -x): ISO string form so a
+                # timestamp column round-trips it; None when absent
+                ts = rec.get("ts")
+                obj["timestamp"] = (
+                    None if ts is None or pd.isna(ts) else str(ts)
+                )
                 if kind == "node":
                     # visible=False / deleted nodes carry no location
                     # (NULL lon/lat -> NaN after Arrow) — hand the
@@ -482,11 +489,19 @@ class FlexConfig:
         if t in ("real", "double", "double_precision"):
             return TG.cast_double(col.cast("string")).cast(_SCALAR_TYPES[t])
         if t in ("timestamp", "timestamptz"):
-            # epoch int or ISO string (flex-write.cpp:362-381)
+            # epoch int or ISO string (flex-write.cpp:362-381 passes
+            # strings straight to Postgres, whose parser also accepts
+            # the compact 'YYYYMMDDTHHMMSSZ' basic form — normalize it
+            # before the cast so both spellings land identically)
             s = col.cast("string")
+            compact = F.regexp_replace(
+                s,
+                r"^(\d{4})(\d{2})(\d{2})T(\d{2})(\d{2})(\d{2})Z?$",
+                r"$1-$2-$3 $4:$5:$6",
+            )
             return F.when(
                 s.rlike(r"^\d+$"), F.timestamp_seconds(s.cast("bigint"))
-            ).otherwise(s.cast("timestamp"))
+            ).otherwise(compact.cast("timestamp"))
         if t == "hstore":
             return col  # expect MapType already
         if t in ("json", "jsonb"):
@@ -727,7 +742,7 @@ class FlexConfig:
             src = sources.get(kind)
             if src is None:
                 continue
-            attrs = [c for c in ("version", "changeset", "uid", "user", "visible")
+            attrs = [c for c in ("version", "ts", "changeset", "uid", "user", "visible")
                      if c in src.columns]
             if kind == "node":
                 prep = src.select("id", "tags", "lon", "lat", *attrs)
