@@ -20,15 +20,24 @@ line-delimited, hence trivially splittable — unlike XML).
 
 from __future__ import annotations
 
-import urllib.parse
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 from osm2pgsql_spark.model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
 
 
+# OPL escapes one character as %<hex Unicode codepoint>% (variable
+# width, e.g. %20% space, %0a% newline, %e4%/%10348% beyond ASCII) —
+# the libosmium OPL format, NOT URL percent-encoding; '%' itself is
+# %25%.  tests/bdd/flex/tags.feature pins the control-char cases.
+_OPL_ESC = re.compile(r"%([0-9a-fA-F]{1,6})%")
+
+
 def _unescape(s: str) -> str:
-    return urllib.parse.unquote(s)
+    if "%" not in s:
+        return s
+    return _OPL_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
 def parse_opl_line(line: str) -> tuple[str, dict] | None:

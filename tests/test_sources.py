@@ -7,7 +7,8 @@ from osm2pgsql_spark.sources.osm_xml import read_osc_xml, read_osm_xml
 
 
 def test_parse_opl_node():
-    kind, o = parse_opl_line("n17 v3 c1234 i42 utest%20user Tamenity=cafe,name=X x9.1 y50.2")
+    # OPL escapes are %<hex codepoint>% (libosmium), not URL-style
+    kind, o = parse_opl_line("n17 v3 c1234 i42 utest%20%user Tamenity=cafe,name=X x9.1 y50.2")
     assert kind == "n" and o["id"] == 17
     assert o["version"] == 3 and o["uid"] == 42 and o["user"] == "test user"
     assert o["tags"] == {"amenity": "cafe", "name": "X"}
