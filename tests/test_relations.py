@@ -231,3 +231,25 @@ def test_relation_multipoint_and_collection_spark(spark):
     assert G.geometry_type(g32) == "GEOMETRYCOLLECTION"
     assert G.num_geometries(g32) == 2
     assert G.n_points(g32) == 3
+
+
+def test_relation_polygon_parts_split_and_empty(spark, rel_fixture):
+    """relation_polygon_parts: split rows carry hole-subtracted areas;
+    a relation whose members don't close drops out entirely (the
+    osmium area-assembler failure path, incl. the empty grouped-map
+    frame)."""
+    from osm2pgsql_spark.operators.relations import relation_polygon_parts
+
+    nodes, ways, relations = rel_fixture
+    broken = spark.createDataFrame(
+        [(3000, [("w", 200, "outer")], {"type": "multipolygon"},
+          None, None, None, None, None, None)],
+        RELATION_SCHEMA,
+    )
+    rels = relations.where(F.col("tags")["type"] == "multipolygon").union(broken)
+    rows = relation_polygon_parts(rels, ways, nodes).collect()
+    assert {r["rel_id"] for r in rows} == {1000}
+    assert len(rows) == 1
+    assert rows[0]["area"] == pytest.approx(0.16 - 0.01, rel=1e-6)
+    g = G.from_wkb(bytes(rows[0]["wkb"]))
+    assert g[0] == "polygon" and len(g[1]) == 2  # outer + 1 hole
