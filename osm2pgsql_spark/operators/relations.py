@@ -215,15 +215,32 @@ def _get_udf(name: str, kernel) -> object:
     return _UDF_CACHE[name]
 
 
-def relation_multipolygons(
+def grouped_member_wkbs(
     relations: DataFrame, ways: DataFrame, nodes: DataFrame
 ) -> DataFrame:
-    """(rel_id, geom WKB multipolygon) for every relation, from its
-    member ways.  Null geom where assembly fails."""
+    """(rel_id, member_wkbs ARRAY<BINARY>) — the assembled member-way
+    lines per relation.  The shared input of every ring-assembly
+    operator; callers running several of them over the same relations
+    should build this once (and localCheckpoint it) instead of paying
+    the member->way->node join per operator."""
     mw = member_way_points(relations, ways, nodes)
-    grouped = mw.groupBy("rel_id").agg(
+    return mw.groupBy("rel_id").agg(
         F.collect_list("line_wkb").alias("member_wkbs")
     )
+
+
+def relation_multipolygons(
+    relations: DataFrame | None,
+    ways: DataFrame | None = None,
+    nodes: DataFrame | None = None,
+    grouped: DataFrame | None = None,
+) -> DataFrame:
+    """(rel_id, geom WKB multipolygon) for every relation, from its
+    member ways.  Null geom where assembly fails.  Pass `grouped`
+    (from grouped_member_wkbs) to reuse an already-built member
+    assembly."""
+    if grouped is None:
+        grouped = grouped_member_wkbs(relations, ways, nodes)
     udf = _get_udf("mp", _mp_kernel)
     return grouped.select("rel_id", udf(F.col("member_wkbs")).alias("geom"))
 
@@ -234,11 +251,45 @@ def _ring_area(ring: np.ndarray) -> float:
     return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
 
 
+def _mp_parts(parts, as_multi: bool):
+    """One relation's member WKBs -> [polygon_or_multi_wkb] or None
+    when nothing assembles."""
+    lines = _decode_lines(parts) if parts is not None and len(parts) else []
+    mp = assemble_multipolygon(lines) if lines else None
+    if mp is None:
+        return None
+    rows = [G.to_wkb(("polygon", rings)) for rings in mp[1]]
+    # with -G a single-outer assembly stays a POLYGON, only true
+    # multi-part areas collapse to one MULTIPOLYGON row
+    # (reference create_multipolygon, geom-from-osm.cpp:230-243)
+    if as_multi and len(rows) > 1:
+        rows = [G.to_wkb(mp)]
+    return rows
+
+
+def _parts_kernel(as_multi: bool):
+    """Scalar Arrow kernel: collect_list of member WKBs ->
+    array<binary> of split polygon WKBs.  Scalar pandas UDFs batch
+    thousands of relations per Arrow transfer; the grouped-map
+    (applyInPandas) alternative paid per-group pandas frame overhead
+    that dominated at bench scale (15s for ~5k relations vs ~1s
+    here)."""
+
+    def wkbs(wkb_list: pd.Series) -> pd.Series:
+        out = []
+        for parts in wkb_list:
+            out.append(_mp_parts(parts, as_multi))
+        return pd.Series(out, dtype=object)
+
+    return wkbs
+
+
 def relation_polygon_parts(
-    relations: DataFrame,
-    ways: DataFrame,
-    nodes: DataFrame,
+    relations: DataFrame | None,
+    ways: DataFrame | None = None,
+    nodes: DataFrame | None = None,
     enable_multi: bool = False,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """(rel_id, part_pos, wkb, area) — assembled multipolygon split
     into one row per constituent polygon, each with planar area (holes
@@ -248,40 +299,29 @@ def relation_polygon_parts(
     whose area is the sum over parts.  Relations whose members
     assemble to nothing (broken rings, deleted members) drop out —
     the reference's tolerance for broken multipolygon data (osmium
-    area-assembler failure skips the object).  Grouped-map kernel:
-    each relation is a few member rows, hash-partitioned by rel_id."""
-    as_multi = bool(enable_multi)
+    area-assembler failure skips the object).  One ring-assembly
+    kernel pass; per-part area comes from the shared wkb_area kernel
+    on the exploded (small) part rows."""
+    from pyspark.sql.functions import pandas_udf
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        rel_id = int(pdf["rel_id"].iloc[0])
-        lines = _decode_lines([w for w in pdf["line_wkb"] if w is not None])
-        mp = assemble_multipolygon(lines) if lines else None
-        empty = pd.DataFrame(
-            {"rel_id": [], "part_pos": [], "wkb": [], "area": []}
-        )
-        if mp is None:
-            return empty
-        rows = []
-        for rings in mp[1]:
-            area = _ring_area(rings[0]) - sum(_ring_area(r) for r in rings[1:])
-            rows.append((G.to_wkb(("polygon", rings)), float(area)))
-        # with -G a single-outer assembly stays a POLYGON, only true
-        # multi-part areas collapse to one MULTIPOLYGON row
-        # (reference create_multipolygon, geom-from-osm.cpp:230-243)
-        if as_multi and len(rows) > 1:
-            rows = [(G.to_wkb(mp), float(sum(a for _, a in rows)))]
-        return pd.DataFrame(
-            {
-                "rel_id": [rel_id] * len(rows),
-                "part_pos": list(range(len(rows))),
-                "wkb": [w for w, _ in rows],
-                "area": [a for _, a in rows],
-            }
-        )
+    from osm2pgsql_spark.operators.geom_udfs import wkb_area
 
-    mw = member_way_points(relations, ways, nodes).select("rel_id", "line_wkb")
-    return mw.groupBy("rel_id").applyInPandas(
-        fn, "rel_id long, part_pos int, wkb binary, area double"
+    key = f"mp_parts_{bool(enable_multi)}"
+    if key not in _UDF_CACHE:
+        _UDF_CACHE[key] = pandas_udf(
+            _parts_kernel(bool(enable_multi)), "array<binary>"
+        )
+    wkb_udf = _UDF_CACHE[key]
+
+    if grouped is None:
+        grouped = grouped_member_wkbs(relations, ways, nodes)
+    packed = grouped.select(
+        "rel_id", wkb_udf(F.col("member_wkbs")).alias("parts")
+    ).where(F.col("parts").isNotNull())
+    return packed.select(
+        "rel_id", F.posexplode("parts").alias("part_pos", "wkb")
+    ).select(
+        "rel_id", "part_pos", "wkb", wkb_area(F.col("wkb")).alias("area")
     )
 
 

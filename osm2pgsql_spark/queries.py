@@ -1586,15 +1586,21 @@ def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_relation_multipolygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import geom_udfs
+    from osm2pgsql_spark.operators.iterate import checkpoint
     from osm2pgsql_spark.operators.relations import (
+        grouped_member_wkbs,
         relation_multipolygons,
         relation_polygon_parts,
     )
 
     nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
-    mp = relation_multipolygons(rels, ways_df, nodes)
+    # both assembly paths consume the same member lines: build (and
+    # materialize) them once — the join would otherwise recompute the
+    # member->way->node assembly per branch
+    grouped = checkpoint(grouped_member_wkbs(rels, ways_df, nodes))
+    mp = relation_multipolygons(None, grouped=grouped)
     parts = (
-        relation_polygon_parts(rels, ways_df, nodes)
+        relation_polygon_parts(None, grouped=grouped)
         .groupBy("rel_id")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
