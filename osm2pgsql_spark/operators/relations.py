@@ -245,12 +245,6 @@ def relation_multipolygons(
     return grouped.select("rel_id", udf(F.col("member_wkbs")).alias("geom"))
 
 
-def _ring_area(ring: np.ndarray) -> float:
-    """Planar shoelace |area| of one ring (closed or open form)."""
-    x, y = ring[:, 0], ring[:, 1]
-    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))) / 2.0
-
-
 def _mp_parts(parts, as_multi: bool):
     """One relation's member WKBs -> [polygon_or_multi_wkb] or None
     when nothing assembles."""
