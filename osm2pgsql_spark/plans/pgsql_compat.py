@@ -150,7 +150,10 @@ def relation_rows(
         F.col("wkb").alias("way"),
     )
 
-    # line side: routes + boundaries (merged member lines)
+    # line side: routes + boundaries — merged member lines, then one
+    # row per merged part (split_multi, output-pgsql.cpp:283-298)
+    from osm2pgsql_spark.operators.geom_udfs import wkb_split_parts
+
     line_rels = rels.where(is_route | is_boundary)
     merged = R.relation_multilinestrings(
         line_rels.select(F.col("id"), F.col("members")), ways, nodes
@@ -162,7 +165,7 @@ def relation_rows(
         (-F.col("rel_id")).alias("osm_id"),
         *_style_cols(ot),
         z,
-        F.col("geom").alias("way"),
+        F.explode(wkb_split_parts(F.col("geom"))).alias("way"),
         roads.alias("__roads"),
     )
     roads_df = line.where(F.col("__roads")).drop("__roads")

@@ -74,9 +74,10 @@ def test_boundary_route_relation_rows(spark, world):
     lines = {r["osm_id"]: r for r in t["planet_osm_line"].collect()}
     assert set(lines) == {-100, -101, -102}
     assert lines[-102]["name"] == "R"
-    # boundary line geometry is the merged member multilinestring
-    kind, parts = G.from_wkb(bytes(lines[-100]["way"]))
-    assert kind == "multilinestring" and len(parts) == 1
+    # boundary line rows are the merged member lines, one row per
+    # split part (here: a single closed ring -> one LINESTRING row)
+    kind, pts = G.from_wkb(bytes(lines[-100]["way"]))
+    assert kind == "linestring" and pts.shape[0] == 5
 
     roads = {r["osm_id"] for r in t["planet_osm_roads"].collect()}
     assert roads == {-100}  # administrative only
