@@ -180,3 +180,34 @@ def test_width_from_areas_grid_plan_has_no_cross_join(spark):
     plan = _physical_plan(out)
     for op in _FORBIDDEN:
         assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_relation_polygon_parts_plan_is_scalar_arrow(spark):
+    """The split-parts kernel must stay a SCALAR Arrow eval
+    (ArrowEvalPython/BatchEvalPython over collect_list), never a
+    grouped-map FlatMapGroupsInPandas: per-group pandas frame overhead
+    turned 5k tiny relations into 15s at sf0.1 (PERF_NOTES round-5
+    note), and no cross join may appear in the assembly either."""
+    from osm2pgsql_spark.model import NODE_SCHEMA, RELATION_SCHEMA, WAY_SCHEMA
+    from osm2pgsql_spark.operators.relations import relation_polygon_parts
+
+    nodes = spark.createDataFrame(
+        [(i, 50.0 + 0.1 * (i % 2), 9.0 + 0.1 * (i // 2), {},
+          None, None, None, None, None, None) for i in range(1, 5)],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 4, 3, 1], {}, None, None, None, None, None, None)],
+        WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame(
+        [(100, [("w", 10, "outer")], {"type": "multipolygon"},
+          None, None, None, None, None, None)],
+        RELATION_SCHEMA,
+    )
+    df = relation_polygon_parts(rels, ways, nodes)
+    plan = _physical_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert ("ArrowEvalPython" in plan) or ("BatchEvalPython" in plan)
+    for op in _FORBIDDEN:
+        assert op not in plan
