@@ -2725,7 +2725,60 @@ def q_vector_tile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("kind", F.lit("line"))
     )
-    return pc.unionByName(lc).select("id", "kind", "n_tiles", "measure")
+
+    # union branch: the gen vector-union dissolve (exact overlay kernel,
+    # gen-tile-vector.cpp:52-58) over analytically-unionable rectangle
+    # scenarios -- overlap / disjoint / nested / edge-adjacent / frame
+    # (hole) by id%5; each scenario fits one z12 tile so the per-tile
+    # group IS the per-id group and the closed-form union area is the
+    # oracle.  n_tiles doubles as the dumped-polygon count.
+    from osm2pgsql_spark.operators.vector_union import tile_vector_union
+
+    r2 = F.col("r") / 8
+    sc = F.col("id") % 5
+
+    def rect(x0, y0, x1, y1):
+        return F.array(_xy(x0, y0), _xy(x1, y0), _xy(x1, y1), _xy(x0, y1), _xy(x0, y0))
+
+    rects = (
+        F.when(sc == 0, F.array(
+            rect(cx - r2, cy - r2, cx + r2, cy + r2),
+            rect(cx, cy, cx + 2 * r2, cy + 2 * r2)))
+        .when(sc == 1, F.array(
+            rect(cx - r2, cy - r2, cx + r2, cy + r2),
+            rect(cx + 2 * r2, cy, cx + 4 * r2, cy + 2 * r2)))
+        .when(sc == 2, F.array(
+            rect(cx - r2, cy - r2, cx + r2, cy + r2),
+            rect(cx - r2 / 2, cy - r2 / 2, cx + r2 / 2, cy + r2 / 2)))
+        .when(sc == 3, F.array(
+            rect(cx - r2, cy - r2, cx + r2, cy + r2),
+            rect(cx + r2, cy - r2, cx + 3 * r2, cy + r2)))
+        .otherwise(F.array(
+            rect(cx - 2 * r2, cy + r2, cx + 2 * r2, cy + 2 * r2),
+            rect(cx - 2 * r2, cy - 2 * r2, cx + 2 * r2, cy - r2),
+            rect(cx - 2 * r2, cy - r2, cx - r2, cy + r2),
+            rect(cx + r2, cy - r2, cx + 2 * r2, cy + r2)))
+    )
+    upolys = (
+        base.select(F.col("id").cast("string").alias("gid"), F.explode(rects).alias("pts"))
+        .select("gid", geom_udfs.pts_polygon_wkb(F.col("pts")).alias("geom"))
+    )
+    uc = (
+        tile_vector_union(upolys, zoom=_VT_ZOOM, buffer_size=0.0, group_by="gid")
+        .withColumn("m", geom_udfs.wkb_area(F.col("geom")))
+        .groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            roundn(F.sum("m"), -3).alias("measure"),
+        )
+        .select(
+            F.col("gid").cast("bigint").alias("id"),
+            F.lit("union").alias("kind"),
+            "n_tiles",
+            "measure",
+        )
+    )
+    return pc.unionByName(lc).unionByName(uc).select("id", "kind", "n_tiles", "measure")
 
 
 def _vector_tile_cut_oracle() -> str:
@@ -2742,6 +2795,14 @@ def _vector_tile_cut_oracle() -> str:
     UNION ALL
     SELECT id, 'line' AS kind, cast(3 AS bigint) AS n_tiles,
            {roundn_sql('2.0e0 * r', 2)} AS measure
+    FROM base
+    UNION ALL
+    SELECT id, 'union' AS kind,
+           cast(CASE WHEN id % 5 = 1 THEN 2 ELSE 1 END AS bigint) AS n_tiles,
+           {roundn_sql(
+               '''(r / 8.0e0) * (r / 8.0e0) * CASE id % 5
+                   WHEN 0 THEN 7.0e0 WHEN 1 THEN 8.0e0 WHEN 2 THEN 4.0e0
+                   WHEN 3 THEN 8.0e0 ELSE 12.0e0 END''', -3)} AS measure
     FROM base
     """
 

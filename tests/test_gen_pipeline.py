@@ -104,3 +104,76 @@ def test_tile_sql_vectorized_equals_loop(spark):
     )
     assert sorted(map(tuple, vec.collect())) == sorted(map(tuple, loop.collect()))
     assert {tuple(r) for r in vec.collect()} == {(10, 20, 12.0), (11, 20, 1.0)}
+
+
+# ------------------------------------------------- gen_tool CLI parity
+# create_generalizer exposes 6 strategies
+# (/root/reference/src/gen/gen-create.cpp:22-52); each must be drivable
+# end-to-end from the CLI twin.
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_gen(args):
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_tool.py"), *args],
+        capture_output=True, text=True, cwd=REPO, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+
+
+def test_gen_tool_vector_union_cli(tmp_path, spark):
+    from osm2pgsql_spark.operators.expire import EARTH_CIRCUMFERENCE
+
+    zoom = 10
+    extent = EARTH_CIRCUMFERENCE / (1 << zoom)
+    half = EARTH_CIRCUMFERENCE / 2.0
+    cx = -half + 512.5 * extent
+    cy = half - 512.5 * extent
+    s = extent / 10
+
+    def wkb(x0, y0, x1, y1):
+        return G.to_wkb(("polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype="f8")]))
+
+    rows = [
+        (1, wkb(cx, cy, cx + 2 * s, cy + 2 * s)),
+        (2, wkb(cx + s, cy + s, cx + 3 * s, cy + 3 * s)),
+    ]
+    inp = str(tmp_path / "polys.parquet")
+    out = str(tmp_path / "union.parquet")
+    spark.createDataFrame(rows, "id bigint, geom binary").write.parquet(inp)
+    r = _run_gen(["vector-union", "--input", inp, "--output", out,
+                  "--zoom", str(zoom), "--buffer-size", "0"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    merged = G.from_wkb(bytes(got[0].geom))
+    assert abs(G.area(merged) - 7 * s * s) / (7 * s * s) < 1e-9
+
+
+def test_gen_tool_rivers_cli(tmp_path, spark):
+    # Y-shaped network: two wide headwaters joining into a narrow
+    # outlet -- downstream propagation must widen the outlet chain
+    def line(*pts):
+        return G.to_wkb(G.make_linestring(pts))
+
+    rows = [
+        (line((0.0, 0.0), (10.0, 0.0), (20.0, 0.0)), 9.0, "left"),
+        (line((0.0, 20.0), (10.0, 10.0), (20.0, 0.0)), 5.0, "right"),
+        (line((20.0, 0.0), (30.0, 0.0), (40.0, 0.0)), 1.0, "out"),
+    ]
+    inp = str(tmp_path / "rivers.parquet")
+    out = str(tmp_path / "chains.parquet")
+    spark.createDataFrame(rows, "geom binary, width double, name string").write.parquet(inp)
+    r = _run_gen(["rivers", "--input", inp, "--output", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(out).collect()
+    widths = {row.name: row.width for row in got}
+    assert widths["out"] == 9.0  # max of upstream widths propagated
+    assert widths["left"] == 9.0
+    assert widths["right"] == 5.0

@@ -65,7 +65,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "strategy",
-        choices=["raster-union", "builtup", "discrete-isolation", "tile-sql"],
+        choices=[
+            "raster-union", "builtup", "discrete-isolation", "tile-sql",
+            "vector-union", "rivers",
+        ],
     )
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -82,6 +85,16 @@ def main() -> None:
     ap.add_argument("--cell", type=float, default=3.0)
     ap.add_argument("--view", help="tile-sql: view name for the input table")
     ap.add_argument("--sql", help="tile-sql: query over __tiles__ + views")
+    ap.add_argument("--buffer-size", type=float, default=10.0,
+                    help="vector-union: ST_Buffer distance (meters)")
+    ap.add_argument("--quad-segs", type=int, default=4,
+                    help="vector-union: circle approximation segments/quadrant")
+    ap.add_argument("--group-by", help="vector-union: per-tile group column")
+    ap.add_argument("--areas", help="rivers: waterway areas parquet "
+                    "(area_geom WKB, width) for width-from-areas")
+    ap.add_argument("--grid-cell", type=float, default=None,
+                    help="rivers: spatial grid cell (m) for the "
+                    "line/area pairing join (default: broadcast areas)")
     args = ap.parse_args()
 
     from osm2pgsql_spark.operators import gen, isolation, raster_union, tile_sql
@@ -96,6 +109,88 @@ def main() -> None:
         print(f"wrote {out.count()} isolation rows to {args.output}")
         return
 
+    if args.strategy == "rivers":
+        # reference gen-rivers (src/gen/gen-rivers.cpp:180-260): width
+        # from areas onto segments, downstream max-width propagation,
+        # degree-2 chain contraction.  Input: either a ready edge table
+        # (edge_id, x1, y1, x2, y2, width[, length, name]) or
+        # (geom WKB linestring, width[, name]) which is exploded into
+        # segment edges here.
+        from pyspark.sql import functions as F
+
+        from osm2pgsql_spark.operators.line_in_polygon import width_from_areas
+        from osm2pgsql_spark.operators.rivers import (
+            contract_chains, merge_chains, propagate_width,
+        )
+
+        if "x1" not in feats.columns:
+            import pandas as pd
+
+            from osm2pgsql_spark.functions import geometry as G
+
+            has_name = "name" in feats.columns
+            lines = feats.select(
+                F.monotonically_increasing_id().alias("line_id"),
+                "geom",
+                F.col("width").cast("double").alias("width"),
+                (F.col("name") if has_name else F.lit(None).cast("string")).alias("name"),
+            )
+
+            def explode_segments(it):
+                for pdf in it:
+                    rows = []
+                    for _, row in pdf.iterrows():
+                        g = G.from_wkb(bytes(row["geom"])) if row["geom"] is not None else None
+                        if g is None or g[0] != "linestring":
+                            continue
+                        pts = g[1]
+                        for i in range(len(pts) - 1):
+                            rows.append({
+                                "edge_id": int(row["line_id"]) * 100000 + i,
+                                "x1": float(pts[i][0]), "y1": float(pts[i][1]),
+                                "x2": float(pts[i + 1][0]), "y2": float(pts[i + 1][1]),
+                                "width": float(row["width"]) if pd.notna(row["width"]) else 0.0,
+                                "name": row["name"],
+                            })
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["edge_id", "x1", "y1", "x2", "y2", "width", "name"],
+                    )
+
+            feats = lines.mapInPandas(
+                explode_segments,
+                "edge_id bigint, x1 double, y1 double, x2 double, y2 double, "
+                "width double, name string",
+            )
+        if "length" not in feats.columns:
+            feats = feats.withColumn(
+                "length",
+                F.sqrt((F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2),
+            )
+        if "name" not in feats.columns:
+            feats = feats.withColumn("name", F.lit(None).cast("string"))
+        if args.areas:
+            from osm2pgsql_spark.operators.geom_udfs import pts_linestring_wkb
+            areas = spark.read.parquet(args.areas)
+            lines = feats.select(
+                "edge_id",
+                pts_linestring_wkb(F.array(
+                    F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
+                    F.struct(F.col("x2").alias("x"), F.col("y2").alias("y")),
+                )).alias("geom"),
+            )
+            w = width_from_areas(lines, areas, grid_cell=args.grid_cell)
+            feats = feats.drop("width").join(w, "edge_id", "left").withColumn(
+                "width", F.coalesce(F.col("width"), F.lit(0.0))
+            )
+        out = merge_chains(contract_chains(propagate_width(feats))).select(
+            "chain_id", "edge_id", "name", "length", "width",
+            F.size("member_edges").alias("n_segments"),
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} river chains to {args.output}")
+        return
+
     if args.dirty:
         dirty, dz = load_dirty(spark, args.dirty, args.zoom)
         tiles = gen.tiles_to_process(
@@ -106,6 +201,19 @@ def main() -> None:
         tiles = gen.tiles_to_process(args.zoom, features=feats, wkb_col="geom")
     else:
         tiles = None
+
+    if args.strategy == "vector-union":
+        from osm2pgsql_spark.operators.vector_union import tile_vector_union
+
+        out = tile_vector_union(
+            feats, args.zoom, buffer_size=args.buffer_size,
+            margin=args.margin, group_by=args.group_by,
+            quad_segs=args.quad_segs,
+            tiles=tiles if args.dirty else None,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {spark.read.parquet(args.output).count()} dissolved polygons to {args.output}")
+        return
 
     if args.strategy == "tile-sql":
         if not (args.view and args.sql):
