@@ -1,51 +1,207 @@
-"""Replication driver — Spark port of scripts/osm2pgsql-replication.
+"""Replication driver — Spark twin of scripts/osm2pgsql-replication.
 
-Reference: the ~1000-line Python script polls an OSM diff server,
-tracks the sequence number in the osm2pgsql_properties table and
-invokes append mode per diff.  Here the state lives in a Properties
-JSON, diffs are .osc(.gz) files in a directory (a download step can
-be added where network is available), and each diff is applied with
+Reference: the 750-line script initialises replication from the import
+file's PBF header or the database, tracks (base_url, sequence,
+timestamp) in the osm2pgsql_properties table, and per update run
+downloads diffs in --max-diff-size batches, applying each batch with
+`osm2pgsql --append` (scripts/osm2pgsql-replication:406-476 init,
+:478-600 update).  Here the state lives in a Properties JSON, the
+server protocol is osm2pgsql_spark.streaming.replication (pluggable
+fetch — file:// trees work offline), and each batch is applied with
 the batch-incremental machinery in streaming.append.
 
 Usage:
-  python tools/replication.py init  STATE.json --seq N
+  # init from an explicit sequence, a server, or a PBF's replication header
+  python tools/replication.py init STATE.json --seq N [--server URL]
+  python tools/replication.py init STATE.json --osm-file file.osm.pbf
+
+  # catch up against the configured server (file:// or http(s))
+  python tools/replication.py update STATE.json BASE_DIR
+      [--server URL] [--max-diff-size MB] [--once]
+
+  # legacy: replay a flat directory of NNN.osc(.gz) files
   python tools/replication.py apply STATE.json BASE_DIR DIFF_DIR
-      # BASE_DIR holds nodes/ways/relations parquet snapshots;
-      # DIFF_DIR holds NNN.osc(.gz) files named by sequence number.
+
+  python tools/replication.py status STATE.json [--json]
+
+BASE_DIR holds nodes/ways/relations parquet snapshots.
 """
 
 from __future__ import annotations
 
 import argparse
+import gzip
+import json
 import os
 import re
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_SERVER = "https://planet.openstreetmap.org/replication/minute"
 
 
 def cmd_init(args) -> None:
     from osm2pgsql_spark.streaming.properties import Properties
+    from osm2pgsql_spark.streaming.replication import (
+        ReplicationServer, osm_date, replication_header_from_pbf,
+    )
 
     p = Properties(args.state)
     p.set("output", "flex")
+
+    if args.osm_file:
+        base_url, seq, ts = replication_header_from_pbf(args.osm_file)
+        if base_url is None or (seq is None and ts is None):
+            raise SystemExit(
+                f"File '{args.osm_file}' has no usable replication headers. "
+                "Use '--server' instead."
+            )
+        if args.server:
+            base_url = args.server
+        if seq is None:
+            # date-only header: resolve the sequence on the server
+            seq = ReplicationServer(base_url).timestamp_to_sequence(ts)
+            if seq is None:
+                raise SystemExit(
+                    f"Cannot resolve a sequence for {osm_date(ts)} on '{base_url}'."
+                )
+        p.set("replication_base_url", base_url)
+        p.update_replication_state(seq, osm_date(ts) if ts else "")
+        print(f"initialized {args.state} from PBF header: "
+              f"server {base_url}, sequence {seq}")
+        return
+
+    if args.seq is None:
+        raise SystemExit("init needs --seq or --osm-file")
+    if args.server:
+        p.set("replication_base_url", args.server)
     p.update_replication_state(args.seq, args.timestamp or "")
     print(f"initialized {args.state} at sequence {args.seq}")
 
 
-def cmd_apply(args) -> None:
-    from pyspark.sql import functions as F
+def _load_tables(spark, base_dir):
+    def load(name):
+        return spark.read.parquet(os.path.join(base_dir, f"{name}.parquet"))
 
-    from osm2pgsql_spark.session import get_spark
+    return load("nodes"), load("ways"), load("relations")
+
+
+def _snapshot(spark, base_dir, nodes, ways, rels) -> None:
+    # write-to-temp + read-back + overwrite: crash between the two
+    # re-applies idempotent diffs (apply_diff is a keyed MERGE)
+    for name, df in (("nodes", nodes), ("ways", ways), ("relations", rels)):
+        tmp = os.path.join(base_dir, f"{name}.parquet.new")
+        df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(base_dir, f"{name}.parquet")
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+
+
+def _apply_osc_files(spark, base_dir, paths) -> int:
+    """Apply .osc(.gz) files in order onto the BASE_DIR snapshots;
+    returns the number of ways flagged for recompute by the last diff."""
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
-    from osm2pgsql_spark.streaming.append import affected_ids, apply_diff, ways_to_recompute
+    from osm2pgsql_spark.streaming.append import (
+        affected_ids, apply_diff, ways_to_recompute,
+    )
+
+    nodes, ways, rels = _load_tables(spark, base_dir)
+    n_pending = 0
+    for path in paths:
+        node_diff, way_diff, rel_diff = read_osc_xml(spark, path)
+        nodes = apply_diff(nodes, node_diff)
+        ways = apply_diff(ways, way_diff)
+        rels = apply_diff(rels, rel_diff)
+        sets = affected_ids(node_diff, way_diff, rel_diff, ways, rels)
+        n_pending = ways_to_recompute(sets).count()
+    _snapshot(spark, base_dir, nodes, ways, rels)
+    return n_pending
+
+
+def cmd_update(args) -> None:
+    from osm2pgsql_spark.session import get_spark
+    from osm2pgsql_spark.streaming.properties import Properties
+    from osm2pgsql_spark.streaming.replication import ReplicationServer, osm_date
+
+    props = Properties(args.state)
+    base_url = args.server or props.get("replication_base_url")
+    if not base_url:
+        raise SystemExit("no replication_base_url in state; "
+                         "run init --server or pass --server")
+    seq = int(props.get("replication_sequence_number", "0"))
+    repl = ReplicationServer(base_url)
+    current = repl.get_state_info()
+    if current is None:
+        raise SystemExit(f"Cannot reach the replication service '{base_url}'.")
+    if seq >= current.sequence:
+        print(f"Database already up-to-date at sequence {seq}.")
+        return
+
+    spark = get_spark("osm2pgsql-replication")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    while seq < current.sequence:
+        batch = repl.collect_diffs(seq + 1, max_size_kb=args.max_diff_size * 1024)
+        if batch is None:
+            print(f"sequence {seq + 1} not available on the server; stopping")
+            break
+        endseq, diffs = batch
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            for dseq, blob in diffs:
+                p = os.path.join(td, f"{dseq}.osc.gz")
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+                paths.append(p)
+            n_pending = _apply_osc_files(spark, args.base_dir, paths)
+        # state advances once per BATCH, like one osm2pgsql run per
+        # downloaded chunk in the reference update loop
+        st = repl.get_state_info(endseq)
+        ts = osm_date(st.timestamp) if st and st.timestamp else ""
+        props.update_replication_state(endseq, ts)
+        print(f"applied sequences {seq + 1}..{endseq} "
+              f"({len(diffs)} diffs, {n_pending} ways to recompute)")
+        seq = endseq
+        if args.once:
+            break
+    print(f"state now at sequence {seq}")
+
+
+def cmd_status(args) -> None:
+    from osm2pgsql_spark.streaming.properties import Properties
+    from osm2pgsql_spark.streaming.replication import ReplicationServer
+
+    props = Properties(args.state)
+    base_url = props.get("replication_base_url")
+    seq = int(props.get("replication_sequence_number", "0"))
+    results = {"status": 0, "local": {"sequence": seq},
+               "server": {"base_url": base_url}}
+    if base_url:
+        st = ReplicationServer(base_url).get_state_info()
+        if st is None:
+            results["status"] = 3
+            results["error"] = f"Unable to download the state information from {base_url}"
+        else:
+            results["server"]["sequence"] = st.sequence
+    if args.json:
+        print(json.dumps(results))
+    else:
+        print(f"local sequence: {seq}")
+        if "sequence" in results["server"]:
+            behind = results["server"]["sequence"] - seq
+            print(f"server sequence: {results['server']['sequence']} "
+                  f"({'up to date' if behind <= 0 else f'{behind} behind'})")
+    sys.exit(results["status"])
+
+
+def cmd_apply(args) -> None:
+    from osm2pgsql_spark.session import get_spark
     from osm2pgsql_spark.streaming.properties import Properties
 
     props = Properties(args.state)
     seq = int(props.get("replication_sequence_number", "0"))
 
-    # pending diffs: files named <seq>.osc or <seq>.osc.gz with seq
-    # greater than the stored state, in order
     pending = []
     for fn in os.listdir(args.diff_dir):
         m = re.match(r"^(\d+)\.osc(\.gz)?$", fn)
@@ -58,30 +214,9 @@ def cmd_apply(args) -> None:
 
     spark = get_spark("osm2pgsql-replication")
     spark.sparkContext.setLogLevel("ERROR")
-
-    def load(name):
-        return spark.read.parquet(os.path.join(args.base_dir, f"{name}.parquet"))
-
-    nodes, ways, rels = load("nodes"), load("ways"), load("relations")
-
-    for new_seq, path in pending:
-        node_diff, way_diff, rel_diff = read_osc_xml(spark, path)
-        nodes = apply_diff(nodes, node_diff)
-        ways = apply_diff(ways, way_diff)
-        rels = apply_diff(rels, rel_diff)
-        sets = affected_ids(node_diff, way_diff, rel_diff, ways, rels)
-        n_pending = ways_to_recompute(sets).count()
-        print(f"applied seq {new_seq}: {n_pending} ways to recompute")
-        seq = new_seq
-
-    # atomic-ish snapshot swap, then state update (crash between the
-    # two re-applies idempotent diffs: apply_diff is a keyed MERGE)
-    for name, df in (("nodes", nodes), ("ways", ways), ("relations", rels)):
-        tmp = os.path.join(args.base_dir, f"{name}.parquet.new")
-        df.write.mode("overwrite").parquet(tmp)
-        final = os.path.join(args.base_dir, f"{name}.parquet")
-        back = spark.read.parquet(tmp)
-        back.write.mode("overwrite").parquet(final)
+    n = _apply_osc_files(spark, args.base_dir, [p for _, p in pending])
+    seq = pending[-1][0]
+    print(f"applied {len(pending)} diffs ({n} ways to recompute)")
     props.update_replication_state(seq, "")
     print(f"state now at sequence {seq}")
 
@@ -91,9 +226,24 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     p_init = sub.add_parser("init")
     p_init.add_argument("state")
-    p_init.add_argument("--seq", type=int, required=True)
+    p_init.add_argument("--seq", type=int)
     p_init.add_argument("--timestamp", default="")
+    p_init.add_argument("--server")
+    p_init.add_argument("--osm-file")
     p_init.set_defaults(fn=cmd_init)
+    p_upd = sub.add_parser("update")
+    p_upd.add_argument("state")
+    p_upd.add_argument("base_dir")
+    p_upd.add_argument("--server")
+    p_upd.add_argument("--max-diff-size", type=int, default=500,
+                       help="max size in MB for diffs per batch (default 500)")
+    p_upd.add_argument("--once", action="store_true",
+                       help="apply at most one batch")
+    p_upd.set_defaults(fn=cmd_update)
+    p_stat = sub.add_parser("status")
+    p_stat.add_argument("state")
+    p_stat.add_argument("--json", action="store_true")
+    p_stat.set_defaults(fn=cmd_status)
     p_apply = sub.add_parser("apply")
     p_apply.add_argument("state")
     p_apply.add_argument("base_dir")
