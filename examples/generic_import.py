@@ -51,15 +51,29 @@ ID_SPACES = {
 }
 
 
+# generic.lua's has_area_tags() key list: a closed way with any of
+# these (or area=yes) becomes a polygon, otherwise it stays a line
+AREA_KEYS = [
+    "aeroway", "amenity", "building", "harbour", "historic", "landuse",
+    "leisure", "man_made", "military", "natural", "office", "place",
+    "power", "public_transport", "shop", "sport", "tourism", "water",
+    "waterway", "wetland", "abandoned:aeroway", "abandoned:amenity",
+    "abandoned:building", "abandoned:landuse", "abandoned:power",
+    "area:highway", "building:part",
+]
+
+
 def generic_import(
     spark: SparkSession,
     nodes: DataFrame,
     ways: DataFrame,
     rels: DataFrame,
 ) -> dict[str, DataFrame]:
-    """Build the five generic tables: points, lines, polygons, routes,
-    boundaries — tags cleaned and serialized to JSON, geometry in
-    EPSG:3857 WKB."""
+    """Build the five generic tables exactly like
+    flex-config/generic.lua: points, lines, polygons (closed ways with
+    area tags + relation multipolygons), routes, boundaries (merged
+    multilinestrings) — tags cleaned and serialized to JSON, geometry
+    in EPSG:3857 WKB."""
     clean = filter_tags(F.col("tags"), delete_patterns=DELETE_KEYS)
 
     cfg = FlexConfig()
@@ -73,32 +87,58 @@ def generic_import(
     )
     cfg.define_table(
         "polygons", ids="area",
-        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "polygon", srid=3857, not_null=True)],
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "geometry", srid=3857, not_null=True)],
+    )
+    cfg.define_table(
+        "routes", ids="relation",
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "multilinestring", srid=3857, not_null=True)],
+    )
+    cfg.define_table(
+        "boundaries", ids="relation",
+        columns=[ColumnDef("tags", "jsonb"), ColumnDef("geom", "multilinestring", srid=3857, not_null=True)],
     )
 
     has_tags = F.size(clean) > 0
     closed = (F.size("refs") >= 4) & (F.element_at("refs", 1) == F.element_at("refs", -1))
+    # has_area_tags(): area=yes forces polygon, area=no forces line,
+    # else any area-ish key present
+    area_keys_pred = F.lit(False)
+    for k in AREA_KEYS:
+        area_keys_pred = area_keys_pred | clean[k].isNotNull()
+    area_tags = (
+        F.when(clean["area"] == "yes", F.lit(True))
+        .when(clean["area"] == "no", F.lit(False))
+        .otherwise(area_keys_pred)
+    )
+    is_area_way = F.coalesce(closed & area_tags, F.lit(False))
 
     cfg.insert("points", "node", when=has_tags, tags=clean)
-    cfg.insert("lines", "way", when=has_tags & ~closed, tags=clean)
-    cfg.insert("polygons", "way", when=has_tags & closed, tags=clean)
+    cfg.insert("polygons", "way", when=has_tags & is_area_way,
+               way_geometry="polygon", tags=clean)
+    cfg.insert("lines", "way", when=has_tags & ~is_area_way, tags=clean)
 
-    out = cfg.run(nodes=nodes, ways=ways)
+    # relations: grab_tag('type') removes the key from the stored tags
+    rel_type = clean["type"]
+    rel_tags = F.map_filter(clean, lambda k, _v: k != "type")
+    has_rtags = F.size(rel_tags) > 0
+    is_route = F.coalesce(rel_type == "route", F.lit(False))
+    is_boundary = F.coalesce(
+        (rel_type == "boundary")
+        | ((rel_type == "multipolygon") & clean["boundary"].isNotNull()),
+        F.lit(False),
+    )
+    cfg.insert("routes", "relation", when=has_rtags & is_route,
+               relation_geometry="multilinestring", tags=rel_tags)
+    cfg.insert("boundaries", "relation",
+               when=has_rtags & ~is_route & is_boundary,
+               relation_geometry="multilinestring", geom_transform="line_merge",
+               tags=rel_tags)
+    cfg.insert("polygons", "relation",
+               when=has_rtags & ~is_route & ~is_boundary
+               & F.coalesce(rel_type == "multipolygon", F.lit(False)),
+               relation_geometry="multipolygon", tags=rel_tags)
 
-    # routes/boundaries: relation tables with merged multilinestrings
-    rel_tags = rels.select(
-        F.col("id").alias("rel_id"), F.to_json(clean).alias("tags"),
-        F.col("tags")["type"].alias("rel_type"),
-    )
-    ml = relations.relation_multilinestrings(rels, ways, nodes)
-    rel_geo = rel_tags.join(ml, "rel_id", "left").where(F.col("geom").isNotNull())
-    out["routes"] = rel_geo.where(F.col("rel_type") == "route").select(
-        F.col("rel_id").alias("osm_id"), "tags", "geom"
-    )
-    out["boundaries"] = rel_geo.where(F.col("rel_type") == "boundary").select(
-        F.col("rel_id").alias("osm_id"), "tags", "geom"
-    )
-    return out
+    return cfg.run(nodes=nodes, ways=ways, relations=rels)
 
 
 def waterway_generalization(

@@ -142,6 +142,64 @@ def simhash32_sql(col: str = "text") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def hash32_hi(s: Column) -> Column:
+    """Hex chars 9-16 of md5 as int64 in [0, 2^32) — the high half of
+    the 64-bit token hash (see simhash64)."""
+    return F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint")
+
+
+def hash32_hi_sql(expr: str) -> str:
+    return f"cast(cast(concat('0x', substr(md5({expr}), 9, 8)) as ubigint) as bigint)"
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens — the at-scale default:
+    with hash_bits=32 the pigeonhole bands of simhash_hamming_pairs
+    hold only 2^4..2^5 distinct values per band at max_hamming=6, so
+    band buckets saturate (quadratic candidates per bucket) past
+    ~10^8 docs; 64-bit bands are 2^9+ wide and stay selective at
+    planet scale (PERF_NOTES: simhash band cardinality).
+
+    Bit j's vote reads bit j of the token's 64-bit hash, assembled
+    from two md5 32-bit halves so neither engine ever parses an
+    unsigned 64-bit literal; bit 63 lands as the bigint sign bit.
+    Pure integer expression -> bit-exact oracle."""
+    toks = tokens(text)
+    los = F.transform(toks, lambda t: hash32(t))
+    his = F.transform(toks, lambda t: hash32_hi(t))
+
+    def voter(jj: int):
+        # Spark introspects lambda arity, so the bit index must be a
+        # closure, not a defaulted third parameter
+        return lambda acc, h: acc + F.shiftright(h, jj).bitwiseAND(F.lit(1)) * 2 - 1
+
+    out = None
+    for j in range(64):
+        src = los if j < 32 else his
+        jj = j % 32
+        vote = F.aggregate(src, F.lit(0).cast("bigint"), voter(jj))
+        term = F.lit(-9223372036854775808) if j == 63 else F.lit(1 << j).cast("bigint")
+        bit = F.when(vote > 0, term).otherwise(F.lit(0).cast("bigint"))
+        out = bit if out is None else out + bit
+    return out
+
+
+def simhash64_sql(col: str = "text") -> str:
+    lo = hash32_sql("t")
+    hi = hash32_hi_sql("t")
+    terms = []
+    for j in range(64):
+        h = lo if j < 32 else hi
+        jj = j % 32
+        vote = (
+            f"list_sum(list_transform({tokens_sql(col)}, "
+            f"t -> ((({h}) >> {jj}) & 1) * 2 - 1))"
+        )
+        term = "cast(-9223372036854775808 as bigint)" if j == 63 else f"cast({1 << j} as bigint)"
+        terms.append(f"(case when ({vote}) > 0 then {term} else cast(0 as bigint) end)")
+    return "(" + " + ".join(terms) + ")"
+
+
 # -------------------------------------------------------------- cosine
 
 def cosine_similarity(a: Column, b: Column) -> Column:

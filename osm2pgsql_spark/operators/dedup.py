@@ -151,12 +151,20 @@ def verified_near_dups(
     return j.where(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash BIGINT) — 32-bit SimHash, integer-exact."""
-    return docs.select(F.col(id_col), S.simhash32(F.col(text_col)).alias("simhash"))
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 64,
+) -> DataFrame:
+    """(id, simhash BIGINT) — SimHash, integer-exact.  64-bit is the
+    default: 32-bit pigeonhole bands saturate past ~10^8 docs (see
+    simhash64 docstring / PERF_NOTES)."""
+    fn = S.simhash64 if hash_bits == 64 else S.simhash32
+    return docs.select(F.col(id_col), fn(F.col(text_col)).alias("simhash"))
 
 
-def simhash_band_bounds(max_hamming: int, hash_bits: int = 32) -> list[tuple[int, int]]:
+def simhash_band_bounds(max_hamming: int, hash_bits: int = 64) -> list[tuple[int, int]]:
     """(lo, hi) bit ranges of the max_hamming+1 pigeonhole bands."""
     n_bands = max_hamming + 1
     cuts = [hash_bits * i // n_bands for i in range(n_bands + 1)]
@@ -166,7 +174,7 @@ def simhash_band_bounds(max_hamming: int, hash_bits: int = 32) -> list[tuple[int
 def simhash_hamming_pairs(
     sh: DataFrame,
     max_hamming: int,
-    hash_bits: int = 32,
+    hash_bits: int = 64,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
 ) -> DataFrame:

@@ -118,6 +118,13 @@ class Rule:
     when: Column | None
     values: dict[str, Column]
     relation_geometry: str = "multipolygon"  # or "multilinestring"
+    # how a WAY fills a column declared as generic 'geometry': the Lua
+    # callback's as_polygon()/as_linestring() choice (generic.lua's
+    # polygons table declares 'geometry' but inserts as_polygon())
+    way_geometry: str | None = None  # linestring | polygon
+    # post-assembly transform: the as_multilinestring():line_merge()
+    # chain of boundary-style callbacks (geom-functions line_merge)
+    geom_transform: str | None = None  # line_merge
 
 
 @dataclass
@@ -456,6 +463,8 @@ class FlexConfig:
         kind: str,
         when: Column | None = None,
         relation_geometry: str = "multipolygon",
+        way_geometry: str | None = None,
+        geom_transform: str | None = None,
         **values: Column,
     ) -> None:
         """Declare: for every <kind> object matching <when>, insert a
@@ -468,10 +477,15 @@ class FlexConfig:
             "multipolygon", "multilinestring", "multipoint", "geometrycollection"
         ):
             raise ValueError(f"unknown relation_geometry {relation_geometry!r}")
+        if way_geometry not in (None, "linestring", "polygon"):
+            raise ValueError(f"unknown way_geometry {way_geometry!r}")
+        if geom_transform not in (None, "line_merge"):
+            raise ValueError(f"unknown geom_transform {geom_transform!r}")
         self.rules.append(
             Rule(
                 table=table, kind=kind, when=when, values=values,
                 relation_geometry=relation_geometry,
+                way_geometry=way_geometry, geom_transform=geom_transform,
             )
         )
 
@@ -854,11 +868,16 @@ class FlexConfig:
                 return point_wkb(F.col("lon"), F.col("lat"), 3857)
             return point_wkb(F.col("lon"), F.col("lat"), 4326)
         if rule.kind == "way":
-            if cd.type in ("linestring", "geometry"):
+            eff = cd.type
+            if eff == "geometry":
+                # generic 'geometry' column: the rule's way_geometry
+                # hint is the Lua as_polygon()/as_linestring() choice
+                eff = rule.way_geometry or "linestring"
+            if eff == "linestring":
                 if cd.srid == 3857:
                     return pts_linestring_wkb_3857(F.col("pts"))
                 return assembly.pts_to_linestring_wkb(F.col("pts"))
-            if cd.type == "polygon":
+            if eff == "polygon":
                 if cd.srid == 3857:
                     return pts_polygon_wkb_3857(F.col("pts"))
                 return assembly.pts_to_polygon_wkb(F.col("pts"))
@@ -878,6 +897,10 @@ class FlexConfig:
             )
             if ok:
                 g = F.col("__rel_geom")
+                if rule.geom_transform == "line_merge":
+                    from osm2pgsql_spark.operators.geom_udfs import wkb_line_merge
+
+                    g = wkb_line_merge(g)
                 if cd.srid == 3857:
                     return wkb_transform_3857(g)
                 return g

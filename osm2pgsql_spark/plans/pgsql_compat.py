@@ -88,11 +88,39 @@ def mercator_nodes(nodes: DataFrame) -> DataFrame:
     return nodes.withColumn("lon", x).withColumn("lat", y)
 
 
+def mercator_shoelace_area(pts) -> "F.Column":
+    """way_area for --reproject-area (src/output-pgsql.cpp:45-55,
+    src/command-line-parser.cpp:447-448): the geometry column stays in
+    the working projection (4326) but the area is computed in
+    spherical mercator.  Projects the point array, translates by the
+    first vertex (mercator magnitudes are ~1e7 m — without the
+    translation the shoelace loses ~6 digits to cancellation), then
+    shoelaces.  Pure column expressions, JVM-side."""
+    import math
+
+    first = F.element_at(pts, 1)
+    fx = F.radians(first["x"]) * F.lit(MERC_R)
+    fy = F.lit(MERC_R) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.radians(first["y"]) / F.lit(2.0))
+    )
+    merc = F.transform(
+        pts,
+        lambda p: F.struct(
+            (F.radians(p["x"]) * F.lit(MERC_R) - fx).alias("x"),
+            (F.lit(MERC_R) * F.log(
+                F.tan(F.lit(math.pi / 4.0) + F.radians(p["y"]) / F.lit(2.0))
+            ) - fy).alias("y"),
+        ),
+    )
+    return assembly.shoelace_area(merc)
+
+
 def relation_rows(
     relations: DataFrame,
     ways: DataFrame,
     nodes: DataFrame,
     enable_multi: bool = False,
+    reproject_area: bool = False,
 ) -> dict[str, DataFrame]:
     """polygon/line/roads rows from type=multipolygon/boundary/route
     relations — the reference's pgsql_process_relation
@@ -142,11 +170,21 @@ def relation_rows(
     poly_tagged = poly_rels.select(
         F.col("id").alias("rel_id"), "out_tags"
     ).join(parts, "rel_id")
+    if reproject_area:
+        # --reproject-area for relation polygons: area over the
+        # 3857-transformed geometry; the stored column stays as-is
+        from osm2pgsql_spark.operators.geom_udfs import (
+            wkb_area, wkb_transform_3857,
+        )
+
+        rel_area = wkb_area(wkb_transform_3857(F.col("wkb")))
+    else:
+        rel_area = F.col("area")
     polygon = poly_tagged.select(
         (-F.col("rel_id")).alias("osm_id"),
         *_style_cols(ot),
         z,
-        F.col("area").alias("way_area"),
+        rel_area.alias("way_area"),
         F.col("wkb").alias("way"),
     )
 
@@ -179,6 +217,7 @@ def planet_osm_tables(
     relations: DataFrame | None = None,
     srid: int = 4326,
     enable_multi: bool = False,
+    reproject_area: bool = False,
 ) -> dict[str, DataFrame]:
     """Build planet_osm_{point,line,polygon,roads} DataFrames.
 
@@ -227,20 +266,30 @@ def planet_osm_tables(
         assembly.pts_to_linestring_wkb(F.col("pts")).alias("way"),
     ).where(F.col("way").isNotNull())
 
+    # --reproject-area: way_area in mercator m^2 while the geometry
+    # column stays 4326 (output-pgsql.cpp:45-55); a no-op at srid 3857
+    # where the working projection already IS mercator
+    if reproject_area and srid != 3857:
+        area_expr = mercator_shoelace_area(F.col("pts"))
+    else:
+        area_expr = assembly.shoelace_area(F.col("pts"))
     polygon = (
         w.where(is_poly)
         .select(
             F.col("id").alias("osm_id"),
             *_style_cols(tags),
             z,
-            assembly.shoelace_area(F.col("pts")).alias("way_area"),
+            area_expr.alias("way_area"),
             assembly.pts_to_polygon_wkb(F.col("pts")).alias("way"),
         )
         .where(F.col("way").isNotNull())
     )
 
     if relations is not None:
-        r = relation_rows(relations, ways, nodes, enable_multi=enable_multi)
+        r = relation_rows(
+            relations, ways, nodes, enable_multi=enable_multi,
+            reproject_area=reproject_area and srid != 3857,
+        )
         polygon = polygon.unionByName(r["polygon"])
         line = line.unionByName(r["line"])
         roads_df = roads_df.unionByName(r["roads"])

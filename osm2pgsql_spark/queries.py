@@ -1104,9 +1104,9 @@ def q_wildcard_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-join on (band, value), hamming verified on candidates only.
 # LOSSLESS for the threshold (<= max_hamming differing bits cannot
 # touch all bands), so the all-pairs SQL below is an exact oracle twin
-# while the physical plan has no cross join.  Selectivity requires
-# max_hamming << hash_bits (bands of 32/(h+1) bits); 6 -> 7 bands of
-# 4-5 bits.
+# while the physical plan has no cross join.  64-bit hashes are the
+# at-scale default (6 -> 7 bands of 9-10 bits, 2^9+ values per band;
+# 32-bit bands saturate past ~10^8 docs — see simhash64 docstring).
 # ---------------------------------------------------------------------------
 
 _SH_MAX_HAMMING = 6
@@ -1115,7 +1115,7 @@ _SH_MAX_HAMMING = 6
 @register(
     "simhash_hamming_pairs",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {S.simhash32_sql('text')} AS simhash FROM documents)
+    WITH sh AS (SELECT doc_id, {S.simhash64_sql('text')} AS simhash FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -2048,7 +2048,13 @@ def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT way_id, pos, ref, lon, lat,
                    lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
                    lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat,
-                   first_value(lon) OVER w AS flon, first_value(lat) OVER w AS flat
+                   first_value(lon) OVER w AS flon, first_value(lat) OVER w AS flat,
+                   radians(lon) * 6378137.0e0 AS mx,
+                   6378137.0e0 * ln(tan(pi()/4.0e0 + radians(lat)/2.0e0)) AS my,
+                   lead(radians(lon) * 6378137.0e0) OVER w AS nmx,
+                   lead(6378137.0e0 * ln(tan(pi()/4.0e0 + radians(lat)/2.0e0))) OVER w AS nmy,
+                   first_value(radians(lon) * 6378137.0e0) OVER w AS fmx,
+                   first_value(6378137.0e0 * ln(tan(pi()/4.0e0 + radians(lat)/2.0e0))) OVER w AS fmy
             FROM refs JOIN nodes ON ref = node_id
             WINDOW w AS (PARTITION BY way_id ORDER BY pos, ref)),
          agg AS (
@@ -2060,7 +2066,13 @@ def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  AND (lon <> flon OR lat <> flat)
                            THEN 1 ELSE 0 END) AS ring_len,
                    sum(CASE WHEN nlon IS NULL THEN lon * flat - flon * lat
-                            ELSE lon * nlat - nlon * lat END) AS t2
+                            ELSE lon * nlat - nlon * lat END) AS t2,
+                   -- --reproject-area twin: shoelace over mercator
+                   -- coordinates TRANSLATED by the ring's first vertex
+                   -- (the wrap term of a translated ring is 0)
+                   sum(CASE WHEN nlon IS NULL THEN 0.0e0
+                            ELSE (mx - fmx) * (nmy - fmy) - (nmx - fmx) * (my - fmy)
+                       END) AS t2m
             FROM pts GROUP BY way_id),
          ring AS (
             SELECT way_id, lon AS x, lat AS y,
@@ -2099,7 +2111,8 @@ def q_pgsql_line_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (t.x2-s.x1)*(s.x2-s.x1) + (t.y2-s.y1)*(s.y2-s.y1))
                   < (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1)
             ))
-    SELECT way_id AS osm_id, {roundn_sql('abs(t2) / 2.0e0', 4)} AS way_area
+    SELECT way_id AS osm_id, {roundn_sql('abs(t2) / 2.0e0', 4)} AS way_area,
+           {roundn_sql('abs(t2m) / 2.0e0', -2)} AS way_area_merc
     FROM agg WHERE way_id % 2 = 0 AND n >= 3 AND ring_len >= 4
       AND way_id NOT IN (SELECT way_id FROM bad)
     """,
@@ -2113,8 +2126,17 @@ def q_pgsql_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("tags"),
     )
     t = planet_osm_tables(nodes_df, ways_df)
-    return t["planet_osm_polygon"].select(
-        "osm_id", round4(F.col("way_area")).alias("way_area")
+    # --reproject-area branch (output-pgsql.cpp:45-55): same tables,
+    # way_area in mercator m^2 while the geometry stays 4326
+    t_rep = planet_osm_tables(nodes_df, ways_df, reproject_area=True)
+    merc = t_rep["planet_osm_polygon"].select(
+        "osm_id", roundn(F.col("way_area"), -2).alias("way_area_merc")
+    )
+    return (
+        t["planet_osm_polygon"]
+        .select("osm_id", round4(F.col("way_area")).alias("way_area"))
+        .join(merc, "osm_id")
+        .select("osm_id", "way_area", "way_area_merc")
     )
 
 

@@ -1,0 +1,153 @@
+"""Lua flex-config reader (plans/lua_config.py): the declarative
+compatibility subset over the reference's own flex-config examples
+(/root/reference/flex-config/*.lua) — parse fidelity, honest rejection
+of procedural configs, and end-to-end table equality between
+generic.lua and the Python-DSL twin (examples/generic_import.py)."""
+
+import os
+import tempfile
+
+import pytest
+
+from osm2pgsql_spark.plans.lua_config import (
+    LuaConfigError,
+    load_lua_config,
+    parse_lua_config,
+)
+
+FLEX = "/root/reference/flex-config"
+
+
+class TestDeclarativeParse:
+    def test_generic_tables(self):
+        m = parse_lua_config(open(f"{FLEX}/generic.lua").read())
+        names = [(t.name, t.kind) for t in m.tables]
+        assert names == [
+            ("points", "node"), ("lines", "way"), ("polygons", "area"),
+            ("routes", "relation"), ("boundaries", "relation"),
+        ]
+        # local srid = 3857 substituted into every geom column
+        for t in m.tables:
+            geoms = [c for c in t.columns if c.column == "geom"]
+            assert geoms and geoms[0].projection == 3857
+            assert geoms[0].not_null
+        assert len(m.delete_keys) == 66 and "note:*" in m.delete_keys
+        assert m.clean_guard
+        assert "building:part" in m.area_keys and len(m.area_keys) == 27
+
+    def test_generic_callbacks(self):
+        m = parse_lua_config(open(f"{FLEX}/generic.lua").read())
+        assert [(i.table_var, i.geometry) for i in m.node_inserts] == [
+            ("tables.points", "as_point")]
+        assert [(i.table_var, i.geometry) for i in m.way_inserts] == [
+            ("tables.polygons", "as_polygon"), ("tables.lines", "as_linestring")]
+        assert [(i.table_var, i.geometry, i.line_merge)
+                for i in m.relation_inserts] == [
+            ("tables.routes", "as_multilinestring", False),
+            ("tables.boundaries", "as_multilinestring", True),
+            ("tables.polygons", "as_multipolygon", False),
+        ]
+
+    def test_simple_lua_parses(self):
+        m = parse_lua_config(open(f"{FLEX}/simple.lua").read())
+        assert {t.name for t in m.tables} == {
+            "pois", "restaurants", "ways", "polygons"}
+        # restaurant branch: condition + scalar tag values
+        rest = [i for i in m.node_inserts if i.table_var == "tables.restaurants"]
+        assert rest and rest[0].values["name"] == ("tag", "name")
+        assert rest[0].values["cuisine"] == ("tag", "cuisine")
+
+    def test_expire_lua_parses_expire_outputs(self):
+        m = parse_lua_config(open(f"{FLEX}/expire.lua").read())
+        eos = {e.var: e for e in m.expire_outputs}
+        assert eos["expire_outputs.pois"].maxzoom == 14
+        assert eos["expire_outputs.pois"].filename == "pois.tiles"
+        assert eos["expire_outputs.polygons"].minzoom == 10
+        # the column carries the expire wiring
+        pois = next(t for t in m.tables if t.name == "pois")
+        geom = next(c for c in pois.columns if c.column == "geom")
+        assert geom.expire == "expire_outputs.pois"
+
+    def test_declarative_sweep(self):
+        """Every config that is declarative-shape parses; procedural
+        ones fail with a clear LuaConfigError (honest boundary)."""
+        ok, err = [], []
+        for fn in sorted(os.listdir(FLEX)):
+            if not fn.endswith(".lua"):
+                continue
+            try:
+                parse_lua_config(open(os.path.join(FLEX, fn)).read())
+                ok.append(fn)
+            except LuaConfigError:
+                err.append(fn)
+        assert set(ok) >= {
+            "generic.lua", "simple.lua", "expire.lua", "untagged.lua",
+            "unitable.lua", "track-changes.lua", "with-schema.lua",
+            "labelpoint.lua",
+        }
+        # procedural configs are rejected, not silently misread
+        assert "bbox.lua" in err and "places.lua" in err
+
+    def test_unknown_config_raises(self):
+        with pytest.raises(LuaConfigError):
+            load_lua_config("function f() while true do end end")
+
+
+OPL = """n1 Tamenity=pub,name=A x9.0 y50.0
+n2 x9.001 y50.0
+n3 x9.001 y50.001
+n4 x9.0 y50.001
+n5 Tcreated_by=JOSM x9.1 y50.1
+n10 Thighway=bus_stop x9.2 y50.2
+w100 Thighway=residential Nn1,n2
+w101 Tnatural=water Nn1,n2,n3,n4,n1
+w102 Thighway=pedestrian Nn1,n2,n3,n4,n1
+w103 Thighway=pedestrian,area=yes Nn1,n2,n3,n4,n1
+w104 Tbuilding=yes,area=no Nn1,n2,n3,n4,n1
+w105 Tsource=bing Nn1,n2
+r200 Ttype=route,route=bus Mw100@
+r201 Ttype=boundary,admin_level=2 Mw100@,w105@
+r202 Ttype=multipolygon,boundary=administrative Mw101@outer
+r203 Ttype=multipolygon,landuse=forest Mw101@outer
+r204 Ttype=multipolygon Mw101@outer
+"""
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    from examples.generic_import import generic_import
+    from osm2pgsql_spark.sources.opl import read_opl
+
+    with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+        fh.write(OPL)
+        path = fh.name
+    nodes, ways, rels = read_opl(spark, path)
+    twin = generic_import(spark, nodes, ways, rels)
+    cfg, model = load_lua_config(f"{FLEX}/generic.lua")
+    lua = cfg.run(nodes=nodes, ways=ways, relations=rels)
+    return twin, lua
+
+
+class TestGenericLuaEndToEnd:
+    @pytest.mark.parametrize(
+        "table", ["points", "lines", "polygons", "routes", "boundaries"])
+    def test_lua_matches_python_twin(self, fixture_tables, table):
+        """flex-config/generic.lua drives the import and lands exactly
+        the Python-DSL twin's rows (full contents incl. WKB)."""
+        twin, lua = fixture_tables
+        a = sorted(tuple(r) for r in twin[table].collect())
+        b = sorted(tuple(r) for r in lua[table].collect())
+        assert a == b
+
+    def test_branch_routing(self, fixture_tables):
+        """The generic.lua branch semantics land the right objects."""
+        _, lua = fixture_tables
+        ids = {t: sorted(r.osm_id for r in lua[t].collect())
+               for t in ("points", "lines", "polygons", "routes", "boundaries")}
+        assert ids["points"] == [1, 10]          # junk-only n5 cleaned away
+        assert ids["lines"] == [100, 102, 104]   # open / closed-no-area / area=no
+        # closed+area ways positive, multipolygon relation negative;
+        # type-only r204 skipped (grab_tag empties it)
+        assert ids["polygons"] == [-203, 101, 103]
+        assert ids["routes"] == [200]
+        assert ids["boundaries"] == [201, 202]   # boundary + mp-with-boundary

@@ -56,3 +56,75 @@ def test_planet_osm_tables(spark, osm):
 
     roads = {r["osm_id"]: r for r in t["planet_osm_roads"].collect()}
     assert set(roads) == {11, 13}  # motorway + primary are roads; footway not
+
+
+class TestReprojectArea:
+    """--reproject-area (src/output-pgsql.cpp:45-55,
+    src/command-line-parser.cpp:447-448): way_area computed in
+    spherical mercator while the geometry column stays 4326."""
+
+    def _tables(self, spark, reproject):
+        from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+
+        # 0.01-degree square at lat 50: mercator area is analytic
+        nodes = spark.createDataFrame(
+            [(1, 9.0, 50.0, {}), (2, 9.01, 50.0, {}),
+             (3, 9.01, 50.01, {}), (4, 9.0, 50.01, {})],
+            "id bigint, lon double, lat double, tags map<string,string>",
+        )
+        ways = spark.createDataFrame(
+            [(100, {"building": "yes"}, [1, 2, 3, 4, 1])],
+            "id bigint, tags map<string,string>, refs array<bigint>",
+        )
+        return planet_osm_tables(nodes, ways, reproject_area=reproject)
+
+    def test_area_in_mercator_m2_geometry_stays_4326(self, spark):
+        import math
+
+        from osm2pgsql_spark.functions import geometry as G
+
+        row = self._tables(spark, True)["planet_osm_polygon"].collect()[0]
+        R = 6378137.0
+        # mercator rectangle: width from lon span, height from y(lat)
+        w = math.radians(0.01) * R
+        y0 = R * math.log(math.tan(math.pi / 4 + math.radians(50.0) / 2))
+        y1 = R * math.log(math.tan(math.pi / 4 + math.radians(50.01) / 2))
+        assert row.way_area == pytest.approx(w * (y1 - y0), rel=1e-9)
+        # geometry column still in degrees
+        g = G.from_wkb(bytes(row.way))
+        xs = g[1][0][:, 0]
+        assert 8.9 < xs.min() < xs.max() < 9.1
+
+    def test_default_area_stays_in_working_projection(self, spark):
+        row = self._tables(spark, False)["planet_osm_polygon"].collect()[0]
+        assert row.way_area == pytest.approx(0.01 * 0.01, rel=1e-9)
+
+    def test_relation_rows_reproject(self, spark):
+        import math
+
+        from osm2pgsql_spark.plans.pgsql_compat import relation_rows
+
+        nodes = spark.createDataFrame(
+            [(1, 9.0, 50.0, {}), (2, 9.01, 50.0, {}),
+             (3, 9.01, 50.01, {}), (4, 9.0, 50.01, {})],
+            "id bigint, lon double, lat double, tags map<string,string>",
+        )
+        ways = spark.createDataFrame(
+            [(100, {}, [1, 2, 3, 4, 1])],
+            "id bigint, tags map<string,string>, refs array<bigint>",
+        )
+        rels = spark.createDataFrame(
+            [(200, {"type": "multipolygon", "landuse": "forest"},
+              [("w", 100, "outer")])],
+            "id bigint, tags map<string,string>, "
+            "members array<struct<type:string,ref:bigint,role:string>>",
+        )
+        out = relation_rows(rels, ways, nodes, reproject_area=True)
+        row = out["polygon"].collect()[0]
+        R = 6378137.0
+        w = math.radians(0.01) * R
+        y0 = R * math.log(math.tan(math.pi / 4 + math.radians(50.0) / 2))
+        y1 = R * math.log(math.tan(math.pi / 4 + math.radians(50.01) / 2))
+        # wkb_transform_3857 + area (vs the exact mercator rectangle)
+        assert row.way_area == pytest.approx(w * (y1 - y0), rel=1e-9)
+        assert row.osm_id == -200

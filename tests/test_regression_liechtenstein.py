@@ -100,9 +100,13 @@ def test_import_cli_on_liechtenstein(tmp_path):
         if line.startswith("table "):
             name, n = line[6:].split(":")
             got[name] = int(n.replace("rows", "").strip())
+    # generic.lua-faithful routing (has_area_tags + relation
+    # multipolygons + boundary line_merge), pinned from the round-6
+    # fidelity upgrade; the lua-config reader produces identical tables
+    # (test_lua_config.py)
     assert got == {
-        "points": 1360, "lines": 2990, "polygons": 4113,
-        "routes": 35, "boundaries": 20,
+        "points": 1360, "lines": 3013, "polygons": 4098,
+        "routes": 35, "boundaries": 36,
     }
 
 
@@ -138,8 +142,8 @@ def test_append_cli_swiss_diff(tmp_path):
             name, n = line[6:].split(":")
             got[name] = int(n.replace("rows", "").strip())
     assert got == {
-        "points": 1513, "lines": 3053, "polygons": 4197,
-        "routes": 36, "boundaries": 20,
+        "points": 1513, "lines": 3076, "polygons": 4182,
+        "routes": 36, "boundaries": 38,
     }
     tiles = expire.read_text().strip().splitlines()
-    assert len(tiles) == 29 and all(t.startswith("12/") for t in tiles)
+    assert len(tiles) == 25 and all(t.startswith("12/") for t in tiles)

@@ -76,6 +76,22 @@ def load_style(path: str | None):
         from examples import generic_import as g
 
         return g.generic_import, g.ID_SPACES
+    if path.endswith(".lua"):
+        # real osm2pgsql flex configs (the declarative subset) drive
+        # the import directly: osm2pgsql -O flex -S config.lua twin
+        from osm2pgsql_spark.plans.lua_config import load_lua_config
+
+        cfg, model = load_lua_config(path)
+
+        def lua_tables(spark, nodes, ways, rels):
+            return cfg.run(nodes=nodes, ways=ways, relations=rels)
+
+        id_spaces = {
+            t.name: {"node": "node", "way": "way", "area": "area",
+                     "relation": "relation"}.get(t.kind)
+            for t in model.tables
+        }
+        return lua_tables, id_spaces
     spec = importlib.util.spec_from_file_location("osm2pgsql_style", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
