@@ -65,10 +65,18 @@ def polygon_all_intersecting(
     """(point_id, regions STRING) against *polygon* regions: the small
     region list (name, polygon WKB) rides into an Arrow-batched kernel
     as a closure (the pandas-UDF analog of the reference's broadcast
-    R-tree probe; bbox prefilter first, exact point-in-polygon then).
+    R-tree probe).
 
-    For thousands of regions, swap the linear bbox scan for a grid
-    index keyed by region bbox — the kernel shape stays the same."""
+    The probe is a uniform GRID index over region bboxes (the
+    stand-in for the reference's R*-tree, locator.hpp:36-151): cell
+    size tracks the median region bbox, a point probes one cell, and
+    only that cell's regions get the bbox + exact point-in-polygon
+    check — per-point cost stays O(local density) instead of
+    O(n_regions), so 10^4-region workloads remain kernel-bound
+    (PERF_NOTES: locator grid scaling)."""
+    import math
+    from collections import defaultdict
+
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -81,15 +89,38 @@ def polygon_all_intersecting(
         if g is not None and bb is not None:
             parsed.append((name, g, bb))
 
+    if parsed:
+        x0s = [bb[0] for _, _, bb in parsed]
+        y0s = [bb[1] for _, _, bb in parsed]
+        wxs = sorted(bb[2] - bb[0] for _, _, bb in parsed)
+        wys = sorted(bb[3] - bb[1] for _, _, bb in parsed)
+        gx0, gy0 = min(x0s), min(y0s)
+        cw = max(wxs[len(wxs) // 2], 1e-12)
+        ch = max(wys[len(wys) // 2], 1e-12)
+        grid: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i, (_, _, (bx0, by0, bx1, by1)) in enumerate(parsed):
+            for cx in range(int(math.floor((bx0 - gx0) / cw)),
+                            int(math.floor((bx1 - gx0) / cw)) + 1):
+                for cy in range(int(math.floor((by0 - gy0) / ch)),
+                                int(math.floor((by1 - gy0) / ch)) + 1):
+                    grid[(cx, cy)].append(i)
+        grid = dict(grid)
+    else:
+        grid = {}
+
     # no type annotations: pandas_udf resolves hints via module globals,
     # and pd is imported locally here
     def kernel(xs, ys):
         out = []
         for px, py in zip(xs, ys):
+            cell = (int(math.floor((px - gx0) / cw)),
+                    int(math.floor((py - gy0) / ch))) if parsed else None
             hits = [
-                name
-                for name, g, (minx, miny, maxx, maxy) in parsed
-                if minx <= px <= maxx and miny <= py <= maxy and G.contains_point(g, px, py)
+                parsed[i][0]
+                for i in grid.get(cell, ())
+                if parsed[i][2][0] <= px <= parsed[i][2][2]
+                and parsed[i][2][1] <= py <= parsed[i][2][3]
+                and G.contains_point(parsed[i][1], px, py)
             ]
             out.append(",".join(hits) if hits else None)
         return pd.Series(out, dtype=object)

@@ -225,3 +225,34 @@ class TestVectorUnionOperator:
         tiles = spark.createDataFrame([(512, 512)], "x bigint, y bigint")
         out = tile_vector_union(df, zoom, buffer_size=0.0, tiles=tiles).collect()
         assert {(r.x, r.y) for r in out} == {(512, 512)}
+
+
+class TestLocatorGrid:
+    def test_grid_index_matches_dense_region_set(self, spark):
+        """10^2 overlapping polygon regions: the grid-indexed kernel
+        must agree with a brute-force reference on every point."""
+        import numpy as np
+
+        from osm2pgsql_spark.functions import geometry as G
+        from osm2pgsql_spark.operators.locator import polygon_all_intersecting
+
+        rng = np.random.RandomState(11)
+        regions = []
+        for i in range(100):
+            x, y = rng.uniform(0, 10, 2)
+            s = rng.uniform(0.3, 1.5)
+            regions.append((f"r{i:03d}", G.to_wkb(rect(x, y, x + s, y + s))))
+        pts = [(int(i), float(x), float(y))
+               for i, (x, y) in enumerate(rng.uniform(0, 11, (500, 2)))]
+        df = spark.createDataFrame(pts, "node_id bigint, lon double, lat double")
+        got = {
+            r.node_id: r.regions
+            for r in polygon_all_intersecting(df, regions).collect()
+        }
+        parsed = [(n, G.from_wkb(w)) for n, w in regions]
+        for pid, px, py in pts:
+            want = [n for n, g in parsed if G.contains_point(g, px, py)]
+            if want:
+                assert got[pid] == ",".join(sorted(want))
+            else:
+                assert pid not in got
