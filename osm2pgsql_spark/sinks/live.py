@@ -323,3 +323,108 @@ def upsert_expire_tiles(
         else tiles
     )
     parted.foreachPartition(ExpireTileUpserter(connect, table, update_last))
+
+
+# ------------------------------------------------------- SQL transcript
+
+class TranscriptCon:
+    """A 'connection' that records every statement with parameters
+    inlined — the reviewable stand-in for a live PostgreSQL session.
+    Drive the REAL writers (SqlBatchWriter, create_indexes) with it
+    and the transcript shows exactly the SQL a server would receive,
+    batching and ordering included."""
+
+    def __init__(self) -> None:
+        self.lines: list[str] = []
+
+    @staticmethod
+    def _lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return str(v)
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return "'\\x" + bytes(v).hex() + "'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _substitute(self, sql: str, params: list) -> str:
+        parts = sql.split("?")
+        if len(parts) - 1 != len(params):
+            raise ValueError("placeholder/param count mismatch")
+        out = [parts[0]]
+        for part, p in zip(parts[1:], params):
+            out.append(self._lit(p))
+            out.append(part)
+        return "".join(out)
+
+    def execute(self, sql: str, params=None) -> None:
+        self.lines.append(self._substitute(sql, list(params or [])) + ";")
+
+    def executemany(self, sql: str, rows) -> None:
+        for r in rows:
+            self.lines.append(self._substitute(sql, list(r)) + ";")
+
+    def commit(self) -> None:
+        self.lines.append("COMMIT;")
+
+    def close(self) -> None:
+        pass
+
+
+def pg_import_transcript(
+    tables: dict[str, tuple[list[tuple[str, str]], list[dict]]],
+    indexes: dict[str, Sequence[FlexIndex]] | None = None,
+) -> str:
+    """The full SQL conversation of a small CREATE-mode import against
+    live PostgreSQL: per-table DDL, COPY FROM STDIN with the typed
+    encoder's exact text lines, post-load index DDL, ANALYZE — the
+    reference's table.cpp:118-240 flow, reviewable without a server.
+
+    tables: name -> ([(column, pg_type)...], rows as dicts).  Rows are
+    emitted in the given order (sort upstream for a stable golden)."""
+    from osm2pgsql_spark.sinks.writers import encode_copy_rows
+
+    out: list[str] = []
+    for name, (cols, _rows) in tables.items():
+        col_sql = ", ".join(f'"{c}" {t}' for c, t in cols)
+        out.append("BEGIN;")
+        out.append(f'CREATE TABLE "{name}" ({col_sql});')
+        out.append("COMMIT;")
+    for name, (cols, rows) in tables.items():
+        names = [c for c, _t in cols]
+        quoted = ", ".join(f'"{c}"' for c in names)
+        out.append(f'COPY "{name}" ({quoted}) FROM STDIN;')
+        buf = encode_copy_rows(rows, names)
+        if buf:
+            out.append(buf.rstrip("\n"))
+        out.append("\\.")
+    for name, (cols, _rows) in tables.items():
+        for ix in (indexes or {}).get(name, []):
+            out.append(ix.create_index_sql(f'"{name}"') + ";")
+        out.append(f'ANALYZE "{name}";')
+    return "\n".join(out) + "\n"
+
+
+def pg_append_transcript(
+    table: str,
+    columns: Sequence[str],
+    op_rows: list[dict],
+    id_col: str = "id",
+    type_col: str | None = None,
+    delete_batch_max: int = DELETE_BATCH_MAX,
+    insert_batch_rows: int = INSERT_BATCH_ROWS,
+) -> str:
+    """The SQL conversation of one append batch: the REAL
+    SqlBatchWriter runs against a TranscriptCon, so delete batching,
+    delete-before-insert ordering, and (type, id) deleter shape are
+    the production code paths, just recorded instead of executed
+    (db_deleter batching, reference db-copy.hpp:82-108)."""
+    con = TranscriptCon()
+    writer = SqlBatchWriter(
+        lambda: con, table, list(columns), id_col=id_col, type_col=type_col,
+        delete_batch_max=delete_batch_max, insert_batch_rows=insert_batch_rows,
+    )
+    writer(op_rows)
+    return "\n".join(con.lines) + "\n"

@@ -232,3 +232,58 @@ def test_expire_upsert_update_last(tmp_path):
     rows = con.execute("SELECT first < last, count(*) OVER () FROM expire").fetchall()
     con.close()
     assert rows == [(True, 1)]
+
+
+def test_pg_transcript_golden():
+    """The full SQL conversation of a small import + append batch,
+    pinned as a golden file (tests/data/pg_transcript_golden.sql) so
+    live-PostgreSQL fidelity — DDL shape, typed COPY encoding, index
+    DDL, delete batching and delete-before-insert ordering — is
+    reviewable without a server.  The append section is produced by
+    the REAL SqlBatchWriter recorded through TranscriptCon."""
+    import os
+
+    from osm2pgsql_spark.sinks.live import (
+        FlexIndex, pg_append_transcript, pg_import_transcript,
+    )
+
+    tables = {
+        "planet_osm_point": (
+            [("osm_id", "int8"), ("name", "text"), ("tags", "jsonb"),
+             ("way", "geometry(Point,3857)")],
+            [
+                {"osm_id": 1, "name": "A pub", "tags": '{"amenity":"pub"}', "way": None},
+                {"osm_id": 10, "name": "stop\twith\ttabs", "tags": None, "way": None},
+                {"osm_id": 11, "name": "line\nbreak", "tags": '{"k":"v"}', "way": None},
+            ],
+        ),
+        "planet_osm_line": (
+            [("osm_id", "int8"), ("highway", "text"), ("z_order", "int4"),
+             ("way", "geometry(LineString,3857)")],
+            [
+                {"osm_id": 100, "highway": "residential", "z_order": 330, "way": None},
+                {"osm_id": 101, "highway": None, "z_order": 0, "way": None},
+            ],
+        ),
+    }
+    indexes = {
+        "planet_osm_point": [FlexIndex(method="gist", columns=["way"])],
+        "planet_osm_line": [
+            FlexIndex(method="gist", columns=["way"]),
+            FlexIndex(method="btree", columns=["osm_id"], fillfactor=90),
+        ],
+    }
+    got = pg_import_transcript(tables, indexes)
+    ops = [
+        {"id": 1, "name": "A pub renamed", "op": "modify"},
+        {"id": 2, "name": "new", "op": "create"},
+        {"id": 3, "name": None, "op": "delete"},
+        {"id": 4, "name": "it's quoted", "op": "create"},
+        {"id": 5, "name": "five", "op": "create"},
+    ]
+    got += "-- append batch (delete_batch_max=2 forces mid-stream delete flushes)\n"
+    got += pg_append_transcript(
+        "planet_osm_point", ["id", "name"], ops, delete_batch_max=2,
+    )
+    golden = os.path.join(os.path.dirname(__file__), "data", "pg_transcript_golden.sql")
+    assert got == open(golden).read()
