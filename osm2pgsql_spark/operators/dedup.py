@@ -151,6 +151,58 @@ def verified_near_dups(
     return j.where(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
 
 
+def _simhash_kernel(hash_bits: int):
+    """Arrow SimHash kernel, integer-exact twin of the
+    similarity.simhash32/64 Catalyst expressions (and their DuckDB
+    list_sum oracles): votes are INTEGER sums of +-1 per bit, so any
+    evaluation order gives identical values — unlike the fp-sensitive
+    RP signatures there is no fold-order subtlety here.
+
+    Why a kernel: the expression form re-evaluates the md5 token
+    transform inside EVERY per-bit aggregate lambda (Catalyst does no
+    CSE inside lambda functions — the shingles_from_tokens lesson), so
+    64-bit simhash cost 64 md5 passes per token; this computes each
+    token's md5 once (PERF_NOTES round 6)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+    jlo = np.arange(32, dtype=np.uint32)
+
+    def kernel(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                t = ""
+            # exact twin of split(lower(trim(text)), '\\s+'): trim is
+            # SPACE-only in Spark and DuckDB, not python strip()
+            toks = ws.split(t.strip(" ").lower())
+            los = np.empty(len(toks), dtype=np.uint32)
+            his = np.empty(len(toks), dtype=np.uint32)
+            for k, tok in enumerate(toks):
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                los[k] = int(h[:8], 16)
+                his[k] = int(h[8:16], 16)
+            vlo = (((los[:, None] >> jlo[None, :]) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(32):
+                if vlo[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            if hash_bits == 64:
+                vhi = (((his[:, None] >> jlo[None, :]) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+                for j in range(32):
+                    if vhi[j] > 0:
+                        sig |= np.uint64(1) << np.uint64(32 + j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return pandas_udf(kernel, "bigint")
+
+
 def simhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -160,7 +212,7 @@ def simhash_table(
     """(id, simhash BIGINT) — SimHash, integer-exact.  64-bit is the
     default: 32-bit pigeonhole bands saturate past ~10^8 docs (see
     simhash64 docstring / PERF_NOTES)."""
-    fn = S.simhash64 if hash_bits == 64 else S.simhash32
+    fn = _simhash_kernel(hash_bits)
     return docs.select(F.col(id_col), fn(F.col(text_col)).alias("simhash"))
 
 
