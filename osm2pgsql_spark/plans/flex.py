@@ -701,17 +701,27 @@ class FlexConfig:
                                 f"provide an {axis!r} value"
                             )
                         cols.append(rule.values[axis].cast("int").alias(axis))
-                not_null_conds: list[Column] = []
+                not_null_names: list[str] = []
                 for cd in tdef.columns:
                     if cd.type in ID_TYPES:
                         continue
                     if cd.name in ("x", "y") and tdef.ids == "tile":
                         continue  # emitted by the id scheme above
                     if cd.type in GEOM_TYPES:
-                        geom = self._geometry_for(rule, cd)
+                        if cd.name in rule.values:
+                            # explicit geometry value (the reference's
+                            # insert{geom = <expression>} general case,
+                            # e.g. a Lua method chain): inserted AS-IS
+                            # — the expression owns its projection, and
+                            # it may be a generator (explode of split
+                            # parts), which is why not_null filtering
+                            # happens on the aliased output column below
+                            geom = rule.values[cd.name]
+                        else:
+                            geom = self._geometry_for(rule, cd)
                         cols.append(geom.alias(cd.name))
                         if cd.not_null:
-                            not_null_conds.append(geom.isNotNull())
+                            not_null_names.append(cd.name)
                         continue
                     if cd.name in rule.values:
                         conv = self._convert(rule.values[cd.name], cd)
@@ -719,15 +729,15 @@ class FlexConfig:
                         conv = F.lit(None).cast(_SCALAR_TYPES[cd.type])
                     cols.append(conv.alias(cd.name))
                     if cd.not_null:
-                        not_null_conds.append(conv.isNotNull())
+                        not_null_names.append(cd.name)
                 proj = df.select(*cols)
                 # reference: not-null violation -> row error, object
                 # skipped (flex-write.cpp:40-50); we drop the row.
-                if not_null_conds:
-                    pred = not_null_conds[0]
-                    for c in not_null_conds[1:]:
-                        pred = pred & c
-                    proj = proj.where(pred)
+                # Filtering on the ALIASED columns (not the raw
+                # expressions) keeps each expression single-evaluated
+                # and generator-safe.
+                for nm in not_null_names:
+                    proj = proj.where(F.col(nm).isNotNull())
                 parts.append(proj)
             if cb_df is not None:
                 cbp = self._callback_rows_for_table(cb_df, tdef)

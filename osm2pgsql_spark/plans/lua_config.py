@@ -206,13 +206,26 @@ class LuaExpireOutput:
 
 
 @dataclass
+class LuaGeom:
+    """A geometry expression: object:as_X() [fallback if is_null()]
+    followed by a method chain, optionally split per part by a
+    `for g in X:geometries()` loop."""
+
+    base: str  # as_point / as_linestring / as_polygon / as_multi...
+    methods: list = field(default_factory=list)  # [(name, [args])...]
+    fallback: "LuaGeom | None" = None
+    split_parts: bool = False
+
+
+@dataclass
 class LuaInsert:
     table_var: str
     condition: "object | None"  # _Expr tree or None
     values: dict  # column -> value expr descriptor
-    geometry: str | None  # as_point / as_linestring / ...
+    geometry: str | None  # base constructor of the geometry column
     line_merge: bool = False
     grabs: list = field(default_factory=list)  # grab_tag'd keys
+    geom_specs: dict = field(default_factory=dict)  # column -> LuaGeom
 
 
 @dataclass
@@ -563,26 +576,24 @@ def _find_function_body(text: str, name: str) -> str | None:
 _INSERT_RE = re.compile(r"([A-Za-z_][\w.\[\]'\"]*)\s*:\s*insert\s*[({]")
 
 
-def _parse_insert(text: str, start: int, env) -> tuple[LuaInsert, int]:
+def _parse_insert(text: str, start: int, env, bindings=None) -> tuple[LuaInsert, int]:
     m = _INSERT_RE.match(text, start)
     var = m.group(1)
     # normalize tables['x'] -> tables.x
     var = re.sub(r"\[\s*'([^']+)'\s*\]", r".\1", var)
     open_ch = text[m.end() - 1]
-    tok = _tokenize(text[m.end() - 1:])
-    p = _Parser(tok, 0, env)
     if open_ch == "(":
-        p.expect("(")
         raw = _raw_insert_table(text, text.index("{", m.end() - 1))
     else:
         raw = _raw_insert_table(text, m.end() - 1)
-    values, geometry, lm = _parse_insert_values(raw, env)
+    values, geometry, lm, geom_specs = _parse_insert_values(raw, env, bindings)
     # compute end offset: past the raw table (+ closing paren if any)
-    end = text.index(raw) + len(raw)
+    end = text.index(raw, start) + len(raw)
     if open_ch == "(":
         end = text.index(")", end) + 1
     return LuaInsert(table_var=var, condition=None, values=values,
-                     geometry=geometry, line_merge=lm), end
+                     geometry=geometry, line_merge=lm,
+                     geom_specs=geom_specs), end
 
 
 def _raw_insert_table(text: str, brace_pos: int) -> str:
@@ -598,13 +609,68 @@ def _raw_insert_table(text: str, brace_pos: int) -> str:
     raise LuaConfigError("unbalanced insert table")
 
 
-def _parse_insert_values(raw: str, env) -> tuple[dict, str | None, bool]:
+# geometry method chains: transforms keep the value a geometry;
+# scalars terminate the chain with a number
+_GEOM_METHODS = {"transform", "segmentize", "simplify", "line_merge", "centroid"}
+_GEOM_SCALARS = {"area", "spherical_area", "length", "num_geometries"}
+
+_CHAIN_RE = re.compile(r":\s*(\w+)\s*\(([^()]*)\)")
+
+
+def _parse_geom_chain(expr: str, bindings: dict) -> tuple[LuaGeom, str | None] | None:
+    """`object:as_X()` / a bound geometry NAME, followed by a method
+    chain -> (LuaGeom, terminal scalar method or None); None when the
+    expression is not geometry-shaped."""
+    m = re.match(r"object\s*:\s*as_(\w+)\s*\(\s*\)", expr)
+    if m:
+        spec = LuaGeom(base="as_" + m.group(1))
+        rest = expr[m.end():]
+    else:
+        nm = re.match(r"([A-Za-z_]\w*)\b", expr)
+        if not nm or nm.group(1) not in bindings:
+            return None
+        src = bindings[nm.group(1)]
+        spec = LuaGeom(base=src.base, methods=list(src.methods),
+                       fallback=src.fallback, split_parts=src.split_parts)
+        rest = expr[nm.end():]
+    scalar = None
+    pos = 0
+    for cm in _CHAIN_RE.finditer(rest):
+        if cm.start() != pos and rest[pos:cm.start()].strip():
+            return None
+        pos = cm.end()
+        name = cm.group(1)
+        raw_args = [a.strip() for a in cm.group(2).split(",") if a.strip()]
+        args = []
+        for a in raw_args:
+            if re.match(r"-?\d+(\.\d+)?$", a):
+                args.append(float(a) if "." in a else int(a))
+            else:
+                return None
+        if scalar is not None:
+            return None  # nothing may follow a scalar method
+        if name in _GEOM_METHODS:
+            spec.methods.append((name, args))
+        elif name in _GEOM_SCALARS:
+            scalar = name
+        else:
+            return None
+    if rest[pos:].strip():
+        return None
+    return spec, scalar
+
+
+def _parse_insert_values(raw: str, env, bindings: dict | None = None):
     """The insert{...} body: `col = <expr>` pairs where expr is
-    object.tags / object.tags.KEY / literal / object:as_*(...) chain."""
+    object.tags / object.tags.KEY / literal / a geometry chain
+    (object:as_*() or a bound local, with methods) / a scalar
+    geometry-method chain (… :area())."""
+    bindings = bindings or {}
     inner = raw[1:-1]
     values: dict = {}
     geometry = None
     line_merge = False
+    geom_specs: dict = {}
     for part in _split_top_level(inner):
         part = part.strip()
         if not part:
@@ -613,10 +679,16 @@ def _parse_insert_values(raw: str, env) -> tuple[dict, str | None, bool]:
         if pm is None:
             raise LuaConfigError(f"unsupported insert entry {part!r}")
         col, expr = pm.group(1), pm.group(2).strip()
-        gm = re.match(r"object\s*:\s*as_(\w+)\s*\(\s*\)\s*(:\s*line_merge\s*\(\s*\))?$", expr)
-        if gm:
-            geometry = "as_" + gm.group(1)
-            line_merge = gm.group(2) is not None
+        chain = _parse_geom_chain(expr, bindings)
+        if chain is not None:
+            spec, scalar = chain
+            if scalar is None:
+                geom_specs[col] = spec
+                if geometry is None:
+                    geometry = spec.base
+                    line_merge = any(m == "line_merge" for m, _a in spec.methods)
+            else:
+                values[col] = ("geomscalar", spec, scalar)
             continue
         gm2 = re.match(r"object\s*:\s*grab_tag\s*\(\s*'([^']+)'\s*\)$", expr)
         if gm2:
@@ -639,7 +711,7 @@ def _parse_insert_values(raw: str, env) -> tuple[dict, str | None, bool]:
         else:
             raise LuaConfigError(f"unsupported insert value {expr!r}; "
                                  "use the Python DSL for computed values")
-    return values, geometry, line_merge
+    return values, geometry, line_merge, geom_specs
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -687,6 +759,8 @@ def _extract_branches(body: str, kind: str, env) -> list[LuaInsert]:
     if guard:
         body = body[:guard.start()] + body[guard.end():]
 
+    body, bindings = _extract_geom_bindings(body)
+
     out: list[LuaInsert] = []
     prior_negations: list[_BoolExpr] = []
     pos = 0
@@ -706,33 +780,104 @@ def _extract_branches(body: str, kind: str, env) -> list[LuaInsert]:
             blk_end, else_start = _find_block_end(body, blk_start)
             then_blk = body[blk_start:(else_start if else_start is not None else blk_end)]
             has_return = re.search(r"\breturn\b", then_blk) is not None
-            for ins in _inserts_in(then_blk, env):
+            for ins in _inserts_in(then_blk, env, bindings):
                 ins.condition = _and_all([*prior_negations, cond])
                 out.append(ins)
             if else_start is not None:
                 else_blk = body[else_start + len("else"):blk_end]
                 neg = _BoolExpr("not", args=[cond])
-                for ins in _inserts_in(else_blk, env):
+                for ins in _inserts_in(else_blk, env, bindings):
                     ins.condition = _and_all([*prior_negations, neg])
                     out.append(ins)
             elif has_return:
                 prior_negations.append(_BoolExpr("not", args=[cond]))
             pos = blk_end + len("end")
         else:
-            ins, pos = _parse_insert(body, im.start(), env)
+            ins, pos = _parse_insert(body, im.start(), env, bindings)
             ins.condition = _and_all(prior_negations) if prior_negations else None
             out.append(ins)
     return out
 
 
-def _inserts_in(block: str, env) -> list[LuaInsert]:
+def _blank_span(body: str, start: int, end: int) -> str:
+    return body[:start] + re.sub(r"\S", " ", body[start:end]) + body[end:]
+
+
+def _extract_geom_bindings(body: str) -> tuple[str, dict]:
+    """Recognize and blank (offset-preserving) the local-geometry
+    idioms, leaving a straight-line body plus a NAME -> LuaGeom map:
+
+      local g = object:as_X():m(...)...      (binding)
+      if g:is_null() then g = object:as_Y() end   (fallback, hstore.lua)
+      for p in g:geometries() do ... end     (per-part split,
+                                              geometries.lua /
+                                              labelpoint.lua — the
+                                              loop header+end blank,
+                                              the body stays in place)
+    """
+    bindings: dict[str, LuaGeom] = {}
+
+    while True:
+        m = re.search(
+            r"local\s+(\w+)\s*=\s*(object\s*:\s*as_\w+\s*\(\s*\)(?:\s*:\s*\w+\([^()]*\))*)",
+            body,
+        )
+        if m is None:
+            break
+        chain = _parse_geom_chain(re.sub(r"\s+", "", m.group(2)), bindings)
+        if chain is None or chain[1] is not None:
+            raise LuaConfigError(
+                f"unsupported geometry binding {m.group(2)!r}")
+        if m.group(1) in bindings:
+            raise LuaConfigError(
+                f"geometry variable {m.group(1)!r} bound twice; "
+                "use distinct names per branch")
+        bindings[m.group(1)] = chain[0]
+        body = _blank_span(body, m.start(), m.end())
+
+    for name in list(bindings):
+        fm = re.search(
+            r"if\s+" + re.escape(name)
+            + r"\s*:\s*is_null\s*\(\s*\)\s*then\s+" + re.escape(name)
+            + r"\s*=\s*(object\s*:\s*as_\w+\s*\(\s*\)(?:\s*:\s*\w+\([^()]*\))*)\s+end",
+            body,
+        )
+        if fm:
+            chain = _parse_geom_chain(re.sub(r"\s+", "", fm.group(1)), bindings)
+            if chain is None or chain[1] is not None:
+                raise LuaConfigError("unsupported is_null fallback")
+            bindings[name].fallback = chain[0]
+            body = _blank_span(body, fm.start(), fm.end())
+
+    while True:
+        lm = re.search(
+            r"for\s+(\w+)\s+in\s+(\w+)\s*:\s*geometries\s*\(\s*\)\s*do\b", body)
+        if lm is None:
+            break
+        src = lm.group(2)
+        if src not in bindings:
+            raise LuaConfigError(f"geometries() loop over unknown {src!r}")
+        part = bindings[src]
+        bindings[lm.group(1)] = LuaGeom(
+            base=part.base, methods=list(part.methods),
+            fallback=part.fallback, split_parts=True,
+        )
+        end_at, _ = _find_block_end(body, lm.end())
+        # blank header and its matching `end`; the loop body stays
+        body = _blank_span(body, lm.start(), lm.end())
+        body = _blank_span(body, end_at, end_at + len("end"))
+
+    return body, bindings
+
+
+def _inserts_in(block: str, env, bindings=None) -> list[LuaInsert]:
     out = []
     pos = 0
     while True:
         m = _INSERT_RE.search(block, pos)
         if m is None:
             return out
-        ins, pos = _parse_insert(block, m.start(), env)
+        ins, pos = _parse_insert(block, m.start(), env, bindings)
         out.append(ins)
 
 
@@ -900,6 +1045,59 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
         "as_geometrycollection": "geometrycollection",
     }
 
+    def geom_value(kind: str, spec: LuaGeom):
+        """Compile a LuaGeom chain to a 4326 WKB Column (the Lua
+        geometry method API onto geom_udfs); returns (expr,
+        has_explicit_transform)."""
+        from osm2pgsql_spark.operators import assembly, geom_udfs
+
+        def base_expr(sp: LuaGeom):
+            if kind == "node":
+                return geom_udfs.point_wkb(F.col("lon"), F.col("lat"), 4326)
+            if kind == "way":
+                if sp.base == "as_polygon":
+                    return assembly.pts_to_polygon_wkb(F.col("pts"))
+                # as_linestring / as_multilinestring (a single way's
+                # multilinestring carries one member line)
+                return assembly.pts_to_linestring_wkb(F.col("pts"))
+            return F.col("__rel_geom")
+
+        g = base_expr(spec)
+        if spec.fallback is not None:
+            # the is_null() fallback idiom (hstore.lua): polygon if
+            # the ring closes, else linestring
+            g = F.coalesce(g, base_expr(spec.fallback))
+        has_transform = False
+        for name, args in spec.methods:
+            if name == "transform":
+                code = int(args[0])
+                has_transform = True
+                g = (geom_udfs.wkb_transform_3857(g) if code == 3857
+                     else geom_udfs.wkb_transform_epsg(g, code))
+            elif name == "segmentize":
+                g = geom_udfs.wkb_segmentize(g, float(args[0]))
+            elif name == "simplify":
+                g = geom_udfs.wkb_simplify(g, float(args[0]))
+            elif name == "line_merge":
+                g = geom_udfs.wkb_line_merge(g)
+            elif name == "centroid":
+                g = geom_udfs.wkb_centroid(g)
+            else:
+                raise LuaConfigError(f"unsupported geometry method {name!r}")
+        return g, has_transform
+
+    _SCALAR_UDFS = {}
+
+    def scalar_udf(name: str):
+        from osm2pgsql_spark.operators import geom_udfs
+
+        return {
+            "area": geom_udfs.wkb_area,
+            "spherical_area": geom_udfs.wkb_spherical_area,
+            "length": geom_udfs.wkb_length,
+            "num_geometries": geom_udfs.wkb_num_geometries,
+        }[name]
+
     grab_type = _uses_grab_type(model)
     rel_clean = F.map_filter(clean, lambda k, _v: k != "type")
 
@@ -909,12 +1107,17 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
         for ins in inserts:
             t = by_var.get(ins.table_var) or model.table_by_var(ins.table_var)
             when = compile_cond(ins.condition, kind)
+            # untagged objects never reach process_node/way/relation in
+            # the reference (they go to process_untagged_*), so every
+            # lua-derived rule carries the implicit tagged guard
+            tagged = F.size(F.col("tags")) > 0
+            when = tagged if when is None else (tagged & when)
             if model.clean_guard:
                 # grab_tag('type') happens BEFORE clean_tags, so the
                 # emptiness check for relations excludes the type key
                 base = rel_clean if (kind == "relation" and grab_type) else clean
                 nonempty = F.size(base) > 0
-                when = nonempty if when is None else (nonempty & when)
+                when = nonempty & when
             # per-insert grab_tag values also disappear from the
             # stored tags (grab = read + remove)
             grabbed = [d[1] for d in ins.values.values() if d[0] == "grab"]
@@ -923,7 +1126,12 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
                 if desc[0] == "tags":
                     v = rel_clean if (kind == "relation" and grab_type) else clean
                     for gk in grabbed:
-                        v = F.map_filter(v, lambda k, _v, _gk=gk: k != _gk)
+                        # closure factory: Spark introspects lambda
+                        # arity, so no defaulted extra params
+                        def drop_key(_gk):
+                            return lambda k, _v: k != F.lit(_gk)
+
+                        v = F.map_filter(v, drop_key(gk))
                     values[col] = v
                 elif desc[0] in ("tag", "grab"):
                     values[col] = tag_col(desc[1])
@@ -935,15 +1143,56 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
                         values[col] = F.col("ts")
                     else:
                         values[col] = F.col(a)
+                elif desc[0] == "geomscalar":
+                    g, _ht = geom_value(kind, desc[1])
+                    values[col] = scalar_udf(desc[2])(g)
                 else:
                     values[col] = F.lit(desc[1])
             kw: dict = {}
-            if kind == "way" and ins.geometry in ("as_polygon", "as_linestring"):
-                kw["way_geometry"] = ins.geometry[3:]
-            if kind == "relation":
-                kw["relation_geometry"] = _REL_GEOMS.get(ins.geometry, "multipolygon")
-                if ins.line_merge:
-                    kw["geom_transform"] = "line_merge"
+            cdefs = {c.name: c for c in cfg.tables[t.name].columns}
+            plain_base = None
+            for col, spec in ins.geom_specs.items():
+                plain = (
+                    spec.fallback is None
+                    and not (spec.split_parts and kind != "relation")
+                    and (not spec.methods
+                         or (kind == "relation"
+                             and spec.methods == [("line_merge", [])]))
+                )
+                if plain:
+                    # the runner's well-tested geometry path handles
+                    # projection / multi-splitting for simple specs
+                    plain_base = spec
+                    continue
+                cd = cdefs.get(col)
+                g, ht = geom_value(kind, spec)
+                if cd is not None and cd.srid == 3857 and not ht:
+                    from osm2pgsql_spark.operators import geom_udfs
+
+                    g = geom_udfs.wkb_transform_3857(g)
+                if spec.split_parts:
+                    from osm2pgsql_spark.operators import geom_udfs
+
+                    g = F.explode(geom_udfs.wkb_split_parts(g))
+                values[col] = g
+                if kind == "relation":
+                    kw["relation_geometry"] = _REL_GEOMS.get(
+                        spec.base, "multipolygon")
+            if plain_base is not None or not ins.geom_specs:
+                base_name = plain_base.base if plain_base else ins.geometry
+                if kind == "way" and base_name in ("as_polygon", "as_linestring"):
+                    kw["way_geometry"] = base_name[3:]
+                if kind == "relation":
+                    kw.setdefault(
+                        "relation_geometry",
+                        _REL_GEOMS.get(base_name, "multipolygon"),
+                    )
+                    if plain_base is not None and any(
+                        m == "line_merge" for m, _a in plain_base.methods
+                    ):
+                        kw["geom_transform"] = "line_merge"
+            elif kind == "relation":
+                kw.setdefault("relation_geometry", "multipolygon")
             cfg.insert(t.name, kind, when=when, **kw, **values)
     return cfg, model
 

@@ -151,3 +151,93 @@ class TestGenericLuaEndToEnd:
         assert ids["polygons"] == [-203, 101, 103]
         assert ids["routes"] == [200]
         assert ids["boundaries"] == [201, 202]   # boundary + mp-with-boundary
+
+
+GEOM_OPL = """n1 Tamenity=pub,name=A x9.0 y50.0
+n2 x9.001 y50.0
+n3 x9.001 y50.001
+n4 x9.0 y50.001
+n5 x9.0 y52.5
+w100 Thighway=residential Nn1,n2
+w101 Tnatural=water Nn1,n2,n3,n4,n1
+w102 Thighway=track Nn1,n5
+r200 Ttype=multipolygon,landuse=forest Mw101@outer
+r201 Ttype=boundary,boundary=administrative Mw100@
+"""
+
+
+@pytest.fixture(scope="module")
+def geom_fixture(spark):
+    from osm2pgsql_spark.sources.opl import read_opl
+
+    with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+        fh.write(GEOM_OPL)
+        path = fh.name
+    return read_opl(spark, path)
+
+
+class TestGeometryChains:
+    """Round-6 extension: local geometry variables, is_null()
+    fallbacks, method chains, and geometries() loops — hstore.lua and
+    geometries.lua drive imports end-to-end."""
+
+    def test_hstore_polygon_fallback(self, spark, geom_fixture):
+        from osm2pgsql_spark.functions import geometry as G
+
+        nodes, ways, rels = geom_fixture
+        cfg, _m = load_lua_config(f"{FLEX}/hstore.lua")
+        out = cfg.run(nodes=nodes, ways=ways, relations=rels)
+        kinds = {r.osm_id: G.from_wkb(bytes(r.geom))[0]
+                 for r in out["ways"].collect()}
+        # closed way -> polygon; open ways fall back to linestring
+        assert kinds[101] == "polygon"
+        assert kinds[100] == "linestring" and kinds[102] == "linestring"
+        # untagged nodes never reach process_node (implicit guard)
+        assert {r.osm_id for r in out["nodes"].collect()} == {1}
+
+    def test_geometries_lua_scalar_chains(self, spark, geom_fixture):
+        import math
+
+        nodes, ways, rels = geom_fixture
+        cfg, _m = load_lua_config(f"{FLEX}/geometries.lua")
+        out = cfg.run(nodes=nodes, ways=ways, relations=rels)
+        rows = {r.osm_id: r for r in out["polygons"].collect()}
+        # way polygon: area = geom:transform(3857):area() in mercator
+        # m^2; spherical_area = real-world m^2; at lat 50 the mercator
+        # inflation factor is 1/cos^2(50 deg)
+        w = rows[101]
+        assert w.spherical_area == pytest.approx(8050, rel=0.05)
+        assert w.area / w.spherical_area == pytest.approx(
+            1 / math.cos(math.radians(50.0)) ** 2, rel=0.01)
+        # relation multipolygon lands with osm_id = -id and same areas
+        assert rows[-200].area == pytest.approx(w.area, rel=1e-6)
+
+    def test_geometries_lua_boundary_grab(self, spark, geom_fixture):
+        nodes, ways, rels = geom_fixture
+        cfg, _m = load_lua_config(f"{FLEX}/geometries.lua")
+        out = cfg.run(nodes=nodes, ways=ways, relations=rels)
+        b = {r.osm_id: r for r in out["boundaries"].collect()}
+        # type = object:grab_tag('boundary'): value surfaced AND
+        # removed from the stored tags
+        assert b[201].type == "administrative"
+        assert "boundary" not in b[201].tags
+
+    def test_geometries_lua_segmentize_loop(self, spark, geom_fixture):
+        from osm2pgsql_spark.functions import geometry as G
+
+        nodes, ways, rels = geom_fixture
+        cfg, _m = load_lua_config(f"{FLEX}/geometries.lua")
+        out = cfg.run(nodes=nodes, ways=ways, relations=rels)
+        # w102 spans 2.5 deg; segmentize(1) splits it into 3 parts and
+        # the `for g in multi:geometries()` loop inserts one row each
+        parts = [r for r in out["ways"].collect() if r.osm_id == 102]
+        assert len(parts) == 3
+        for r in parts:
+            assert G.from_wkb(bytes(r.geom))[0] == "linestring"
+        # short ways stay single-row
+        assert len([r for r in out["ways"].collect() if r.osm_id == 100]) == 1
+
+    def test_parse_sweep_includes_chain_configs(self):
+        for fn in ("geometries.lua", "hstore.lua", "indexes.lua"):
+            m = parse_lua_config(open(os.path.join(FLEX, fn)).read())
+            assert m.tables
