@@ -230,42 +230,90 @@ def _unique_edges(P: np.ndarray, Q: np.ndarray, cuts) -> list[tuple[tuple[int, i
 
 # --------------------------------------------------- side classification
 
+def _batch_in_polygon(pts: np.ndarray, payload) -> np.ndarray:
+    """Even-odd containment of a point batch in one polygon."""
+    inside = np.zeros(len(pts), bool)
+    px, py = pts[:, 0], pts[:, 1]
+    for ring in payload:
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+        if len(x0) == 0:
+            continue
+        yy = py[:, None]
+        xx = px[:, None]
+        crossed = (y0[None, :] > yy) != (y1[None, :] > yy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0[None, :] + (yy - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
+                x1[None, :] - x0[None, :]
+            )
+        hits = (crossed & (xx < xin)).sum(axis=1)
+        inside ^= (hits % 2).astype(bool)
+    return inside
+
+
 def _points_in_polys(points: np.ndarray, polys) -> np.ndarray:
     """Coverage count: for each point, how many polygons (even-odd over
-    each polygon's rings) contain it.  Chunked numpy broadcast."""
+    each polygon's rings) contain it.
+
+    Dense tiles (many small features — the vector-union workload) get
+    a bbox grid over the polygons so each sample point only tests the
+    polygons whose bbox cell it falls in: O(points * local density)
+    instead of O(points * polygons)."""
     M = len(points)
     cov = np.zeros(M, dtype=np.int64)
-    if M == 0:
+    if M == 0 or not polys:
         return cov
-    px, py = points[:, 0], points[:, 1]
-    for payload in polys:
-        inside = np.zeros(M, bool)
-        for ring in payload:
-            x0, y0 = ring[:-1, 0], ring[:-1, 1]
-            x1, y1 = ring[1:, 0], ring[1:, 1]
-            k = len(x0)
-            if k == 0:
-                continue
-            step = max(1, int(4_000_000 / max(k, 1)))
-            for lo in range(0, M, step):
-                hi = min(M, lo + step)
-                yy = py[lo:hi, None]
-                xx = px[lo:hi, None]
-                crossed = (y0[None, :] > yy) != (y1[None, :] > yy)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xin = x0[None, :] + (yy - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
-                        x1[None, :] - x0[None, :]
-                    )
-                hits = (crossed & (xx < xin)).sum(axis=1)
-                inside[lo:hi] ^= (hits % 2).astype(bool)
-        cov += inside
+
+    if len(polys) <= 8:
+        for payload in polys:
+            cov += _batch_in_polygon(points, payload)
+        return cov
+
+    boxes = np.array([
+        [
+            min(r[:, 0].min() for r in payload),
+            min(r[:, 1].min() for r in payload),
+            max(r[:, 0].max() for r in payload),
+            max(r[:, 1].max() for r in payload),
+        ]
+        for payload in polys
+    ])
+    spans = np.concatenate([boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]])
+    cell = max(float(np.median(spans)), GRID * 16)
+    inv = 1.0 / cell
+    grid: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(len(polys)):
+        x0 = int(math.floor(boxes[i, 0] * inv))
+        x1 = int(math.floor(boxes[i, 2] * inv))
+        y0 = int(math.floor(boxes[i, 1] * inv))
+        y1 = int(math.floor(boxes[i, 3] * inv))
+        for cx in range(x0, x1 + 1):
+            for cy in range(y0, y1 + 1):
+                grid[(cx, cy)].append(i)
+
+    by_poly: dict[int, list[int]] = defaultdict(list)
+    for m in range(M):
+        key = (int(math.floor(points[m, 0] * inv)),
+               int(math.floor(points[m, 1] * inv)))
+        for i in grid.get(key, ()):
+            b = boxes[i]
+            if b[0] <= points[m, 0] <= b[2] and b[1] <= points[m, 1] <= b[3]:
+                by_poly[i].append(m)
+    for i, idxs in by_poly.items():
+        arr = np.asarray(idxs, dtype=int)
+        cov[arr] += _batch_in_polygon(points[arr], polys[i])
     return cov
 
 
 def _midpoint_eps(mid: np.ndarray, E0: np.ndarray, E1: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Per-edge safe sampling offset: half the distance from the edge
     midpoint to the nearest OTHER edge (capped at len/4).  After
-    subdivision no edge crosses another's interior, so this is > 0."""
+    subdivision no edge crosses another's interior, so this is > 0.
+
+    Dense inputs use a grid: only segments whose bbox touches the
+    midpoint's 3x3 cell neighborhood can be closer than one cell, so
+    eps = min(local minimum, cell)/2 is a correct bound without the
+    O(E^2) sweep."""
     n = len(mid)
     eps = lens / 4.0
     if n < 2:
@@ -273,17 +321,57 @@ def _midpoint_eps(mid: np.ndarray, E0: np.ndarray, E1: np.ndarray, lens: np.ndar
     d = E1 - E0
     seg2 = (d * d).sum(axis=1)
     seg2safe = np.where(seg2 > 0, seg2, 1.0)
-    step = max(1, int(2_000_000 / n))
-    for lo in range(0, n, step):
-        hi = min(n, lo + step)
-        w = mid[lo:hi, None, :] - E0[None, :, :]
-        t = np.clip((w * d[None, :, :]).sum(axis=2) / seg2safe[None, :], 0.0, 1.0)
-        proj = E0[None, :, :] + t[:, :, None] * d[None, :, :]
-        dist2 = ((mid[lo:hi, None, :] - proj) ** 2).sum(axis=2)
-        idx = np.arange(lo, hi)
-        dist2[idx - lo, idx] = np.inf  # self
-        dmin = np.sqrt(dist2.min(axis=1))
-        eps[lo:hi] = np.minimum(eps[lo:hi], dmin / 2.0)
+
+    if n <= 1024:
+        step = max(1, int(2_000_000 / n))
+        for lo in range(0, n, step):
+            hi = min(n, lo + step)
+            w = mid[lo:hi, None, :] - E0[None, :, :]
+            t = np.clip((w * d[None, :, :]).sum(axis=2) / seg2safe[None, :], 0.0, 1.0)
+            proj = E0[None, :, :] + t[:, :, None] * d[None, :, :]
+            dist2 = ((mid[lo:hi, None, :] - proj) ** 2).sum(axis=2)
+            idx = np.arange(lo, hi)
+            dist2[idx - lo, idx] = np.inf  # self
+            dmin = np.sqrt(dist2.min(axis=1))
+            eps[lo:hi] = np.minimum(eps[lo:hi], dmin / 2.0)
+        return np.maximum(eps, GRID * 1e-3)
+
+    lo_b = np.minimum(E0, E1)
+    hi_b = np.maximum(E0, E1)
+    # coarse cells so the per-cell batches are worth their python
+    # overhead; the bound still holds: a segment whose bbox misses the
+    # midpoint's 3x3 neighborhood is >= one cell away
+    cell = max(4.0 * float(np.median(lens)), GRID * 64)
+    inv = 1.0 / cell
+    grid: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(n):
+        for cx in range(int(math.floor(lo_b[i, 0] * inv)),
+                        int(math.floor(hi_b[i, 0] * inv)) + 1):
+            for cy in range(int(math.floor(lo_b[i, 1] * inv)),
+                            int(math.floor(hi_b[i, 1] * inv)) + 1):
+                grid[(cx, cy)].append(i)
+    mk_x = np.floor(mid[:, 0] * inv).astype(np.int64)
+    mk_y = np.floor(mid[:, 1] * inv).astype(np.int64)
+    by_cell: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(n):
+        by_cell[(int(mk_x[i]), int(mk_y[i]))].append(i)
+    for (cx, cy), mids in by_cell.items():
+        cand: set[int] = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.update(grid.get((cx + dx, cy + dy), ()))
+        m_idx = np.asarray(mids, dtype=int)
+        if not cand:
+            eps[m_idx] = np.minimum(eps[m_idx], cell / 2.0)
+            continue
+        c = np.fromiter(cand, dtype=int)
+        w = mid[m_idx][:, None, :] - E0[c][None, :, :]
+        t = np.clip((w * d[c][None, :, :]).sum(axis=2) / seg2safe[c][None, :], 0.0, 1.0)
+        proj = E0[c][None, :, :] + t[:, :, None] * d[c][None, :, :]
+        dist2 = ((mid[m_idx][:, None, :] - proj) ** 2).sum(axis=2)
+        dist2[m_idx[:, None] == c[None, :]] = np.inf  # self
+        dmin = np.minimum(np.sqrt(dist2.min(axis=1)), cell)
+        eps[m_idx] = np.minimum(eps[m_idx], dmin / 2.0)
     return np.maximum(eps, GRID * 1e-3)
 
 
