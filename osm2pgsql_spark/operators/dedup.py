@@ -170,14 +170,20 @@ def _simhash_kernel(hash_bits: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java/RE2 \s is ASCII-only while Python's default \s is
+    # Unicode (NBSP U+00A0 etc., common in OSM names) — without the flag
+    # the kernel's tokenization diverges from the Catalyst split()
+    # expression and the DuckDB oracle on such text (ADVICE r6).
+    ws = re.compile(r"\s+", re.ASCII)
     jlo = np.arange(32, dtype=np.uint32)
 
     def kernel(texts):
-        out = np.zeros(len(texts), dtype=np.int64)
+        # nullable Int64: NULL text -> NULL simhash, matching the
+        # expression form (aggregate over split(NULL) is NULL), not 0
+        out = [None] * len(texts)
         for i, t in enumerate(texts):
             if t is None:
-                t = ""
+                continue
             # exact twin of split(lower(trim(text)), '\\s+'): trim is
             # SPACE-only in Spark and DuckDB, not python strip()
             toks = ws.split(t.strip(" ").lower())
@@ -197,8 +203,8 @@ def _simhash_kernel(hash_bits: int):
                 for j in range(32):
                     if vhi[j] > 0:
                         sig |= np.uint64(1) << np.uint64(32 + j)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
+            out[i] = int(np.int64(sig.astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
 
     return pandas_udf(kernel, "bigint")
 

@@ -553,6 +553,10 @@ def _find_function_body(text: str, name: str) -> str | None:
     depth = 1
     block_open = re.compile(r"\b(function|if|for|while|do|end)\b")
     body_end = None
+    # 'for'/'while' already count their block; the next 'do' is the
+    # header's, not a bare block — pair it via this flag rather than a
+    # fixed-width lookbehind, which misread headers >40 chars (ADVICE r6)
+    pending_loop_do = False
     for bm in block_open.finditer(text, pos):
         w = bm.group(1)
         if w == "end":
@@ -560,13 +564,15 @@ def _find_function_body(text: str, name: str) -> str | None:
             if depth == 0:
                 body_end = bm.start()
                 break
-        elif w in ("function", "if", "for", "while"):
+        elif w in ("for", "while"):
+            depth += 1
+            pending_loop_do = True
+        elif w in ("function", "if"):
             depth += 1
         elif w == "do":
-            # 'for'/'while' headers already counted their block; a bare
-            # 'do' opens one
-            prev = text[max(0, bm.start() - 40):bm.start()]
-            if not re.search(r"\b(for|while)\b[^\n]*$", prev):
+            if pending_loop_do:
+                pending_loop_do = False
+            else:
                 depth += 1
     if body_end is None:
         raise LuaConfigError(f"unbalanced function {name}")
@@ -770,28 +776,74 @@ def _extract_branches(body: str, kind: str, env) -> list[LuaInsert]:
         if im is None and ifm is None:
             break
         if ifm is not None and (im is None or ifm.start() < im.start()):
-            # parse `if COND then ... [else ...] end`
+            # parse `if COND then ... {elseif COND then ...} [else ...]
+            # end` as a branch chain with accumulated negations —
+            # elseif used to be invisible to the block scanner, so an
+            # elseif-branch insert silently inherited the first if's
+            # condition (ADVICE r6 high, verified on indexes.lua)
             then_m = re.compile(r"\bthen\b").search(body, ifm.end())
             if then_m is None:
                 raise LuaConfigError("if without then")
             cond_src = body[ifm.end():then_m.start()]
-            cond = _CondParser(cond_src, type_var).parse()
-            blk_start = then_m.end()
-            blk_end, else_start = _find_block_end(body, blk_start)
-            then_blk = body[blk_start:(else_start if else_start is not None else blk_end)]
-            has_return = re.search(r"\breturn\b", then_blk) is not None
-            for ins in _inserts_in(then_blk, env, bindings):
-                ins.condition = _and_all([*prior_negations, cond])
-                out.append(ins)
-            if else_start is not None:
-                else_blk = body[else_start + len("else"):blk_end]
-                neg = _BoolExpr("not", args=[cond])
-                for ins in _inserts_in(else_blk, env, bindings):
-                    ins.condition = _and_all([*prior_negations, neg])
+            blk_end, markers = _find_block_end(body, then_m.end())
+            # branch list: (cond_src | None for else, block_start, block_end)
+            branches: list[tuple[str | None, int, int]] = []
+            cur_start = then_m.end()
+            cur_cond: str | None = cond_src
+            for moff, mkind in markers:
+                branches.append((cur_cond, cur_start, moff))
+                if mkind == "elseif":
+                    bt = re.compile(r"\bthen\b").search(body, moff + 6)
+                    if bt is None or bt.start() > blk_end:
+                        raise LuaConfigError("elseif without then")
+                    cur_cond = body[moff + 6:bt.start()]
+                    cur_start = bt.end()
+                else:  # else
+                    cur_cond = None
+                    cur_start = moff + 4
+            branches.append((cur_cond, cur_start, blk_end))
+            chain_negs: list[_BoolExpr] = []
+            returning_negs: list[_BoolExpr] = []
+            else_returned = False
+            for csrc, bs, be in branches:
+                blk = body[bs:be]
+                # a nested `if` inside a branch means its inserts carry
+                # an inner condition this straight-line model would
+                # drop (ADVICE r6 high: the inner object.tags.name
+                # guard was silently lost) — reject so the interpreter
+                # path takes over
+                if re.search(r"\bif\b", blk):
+                    raise LuaConfigError(
+                        "nested if inside branch; procedural configs "
+                        "run via the Lua interpreter path")
+                cond = (
+                    _CondParser(csrc, type_var).parse()
+                    if csrc is not None else None
+                )
+                full = _and_all(
+                    [*prior_negations, *chain_negs,
+                     *([cond] if cond is not None else [])])
+                for ins in _inserts_in(blk, env, bindings):
+                    ins.condition = full
                     out.append(ins)
-            elif has_return:
-                prior_negations.append(_BoolExpr("not", args=[cond]))
+                if re.search(r"\breturn\b", blk):
+                    if cond is not None:
+                        returning_negs.append(_BoolExpr("not", args=[cond]))
+                    else:
+                        else_returned = True
+                if cond is not None:
+                    chain_negs.append(_BoolExpr("not", args=[cond]))
+            prior_negations.extend(returning_negs)
             pos = blk_end + len("end")
+            if else_returned:
+                rest = body[pos:]
+                if _INSERT_RE.search(rest) or re.search(r"\bif\b", rest):
+                    # fall-through after a returning else is only taken
+                    # when some positive branch matched — not an AND of
+                    # negations; the interpreter path handles it
+                    raise LuaConfigError(
+                        "insert after returning else branch; procedural "
+                        "configs run via the Lua interpreter path")
         else:
             ins, pos = _parse_insert(body, im.start(), env, bindings)
             ins.condition = _and_all(prior_negations) if prior_negations else None
@@ -881,26 +933,35 @@ def _inserts_in(block: str, env, bindings=None) -> list[LuaInsert]:
         out.append(ins)
 
 
-def _find_block_end(body: str, start: int) -> tuple[int, int | None]:
-    """From after `then`: offset of the matching `end` and of a
-    top-level `else` if present."""
+def _find_block_end(body: str, start: int) -> tuple[int, list[tuple[int, str]]]:
+    """From after `then`: offset of the matching `end` plus the ordered
+    depth-1 `elseif`/`else` markers (offset, kind).  elseif is matched
+    as its own token — it neither opens nor closes a block (one `end`
+    terminates the whole chain), it just starts a new branch."""
     depth = 1
-    else_at = None
-    for m in re.finditer(r"\b(if|function|for|while|do|else|end)\b", body[start:]):
+    markers: list[tuple[int, str]] = []
+    pending_loop_do = False  # pair each for/while with its `do` (ADVICE r6)
+    for m in re.finditer(
+        r"\b(elseif|if|function|for|while|do|else|end)\b", body[start:]
+    ):
         w = m.group(1)
-        if w in ("if", "function", "for", "while"):
+        if w in ("for", "while"):
+            depth += 1
+            pending_loop_do = True
+        elif w in ("if", "function"):
             depth += 1
         elif w == "do":
-            prev = body[start:start + m.start()][-40:]
-            if not re.search(r"\b(for|while)\b[^\n]*$", prev):
+            if pending_loop_do:
+                pending_loop_do = False
+            else:
                 depth += 1
-        elif w == "else":
-            if depth == 1 and else_at is None:
-                else_at = start + m.start()
+        elif w in ("else", "elseif"):
+            if depth == 1:
+                markers.append((start + m.start(), w))
         elif w == "end":
             depth -= 1
             if depth == 0:
-                return start + m.start(), else_at
+                return start + m.start(), markers
     raise LuaConfigError("unbalanced if block")
 
 

@@ -19,10 +19,10 @@ CREATE INDEX ON "planet_osm_line" USING gist ("way");
 CREATE INDEX ON "planet_osm_line" USING btree ("osm_id") WITH (fillfactor = 90);
 ANALYZE "planet_osm_line";
 -- append batch (delete_batch_max=2 forces mid-stream delete flushes)
-DELETE FROM planet_osm_point WHERE id IN (1,2,3);
-DELETE FROM planet_osm_point WHERE id IN (4,5);
-INSERT INTO planet_osm_point (id, name) VALUES (1,'A pub renamed');
-INSERT INTO planet_osm_point (id, name) VALUES (2,'new');
-INSERT INTO planet_osm_point (id, name) VALUES (4,'it''s quoted');
-INSERT INTO planet_osm_point (id, name) VALUES (5,'five');
+DELETE FROM planet_osm_point WHERE osm_id IN (1,2,3);
+DELETE FROM planet_osm_point WHERE osm_id IN (4,5);
+INSERT INTO planet_osm_point (osm_id, name) VALUES (1,'A pub renamed');
+INSERT INTO planet_osm_point (osm_id, name) VALUES (2,'new');
+INSERT INTO planet_osm_point (osm_id, name) VALUES (4,'it''s quoted');
+INSERT INTO planet_osm_point (osm_id, name) VALUES (5,'five');
 COMMIT;

@@ -275,15 +275,16 @@ def test_pg_transcript_golden():
     }
     got = pg_import_transcript(tables, indexes)
     ops = [
-        {"id": 1, "name": "A pub renamed", "op": "modify"},
-        {"id": 2, "name": "new", "op": "create"},
-        {"id": 3, "name": None, "op": "delete"},
-        {"id": 4, "name": "it's quoted", "op": "create"},
-        {"id": 5, "name": "five", "op": "create"},
+        {"osm_id": 1, "name": "A pub renamed", "op": "modify"},
+        {"osm_id": 2, "name": "new", "op": "create"},
+        {"osm_id": 3, "name": None, "op": "delete"},
+        {"osm_id": 4, "name": "it's quoted", "op": "create"},
+        {"osm_id": 5, "name": "five", "op": "create"},
     ]
     got += "-- append batch (delete_batch_max=2 forces mid-stream delete flushes)\n"
     got += pg_append_transcript(
-        "planet_osm_point", ["id", "name"], ops, delete_batch_max=2,
+        "planet_osm_point", ["osm_id", "name"], ops, id_col="osm_id",
+        delete_batch_max=2,
     )
     golden = os.path.join(os.path.dirname(__file__), "data", "pg_transcript_golden.sql")
     assert got == open(golden).read()

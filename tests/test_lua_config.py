@@ -92,6 +92,56 @@ class TestDeclarativeParse:
         with pytest.raises(LuaConfigError):
             load_lua_config("function f() while true do end end")
 
+    def test_elseif_branch_conditions(self):
+        """ADVICE r6 (high): elseif branches must carry their own
+        condition AND the negation of earlier branches — indexes.lua's
+        post_box insert used to inherit the pub condition."""
+        m = parse_lua_config(open(f"{FLEX}/indexes.lua").read())
+        conds = {i.table_var: i.condition for i in m.node_inserts}
+        assert conds["tables.pois"] is None
+        pub = conds["tables.pubs"]
+        assert pub.op == "atom" and pub.atom.value == "pub"
+        pb = conds["tables.postboxes"]
+        assert pb.op == "and"
+        assert pb.args[0].op == "not"
+        assert pb.args[0].args[0].atom.value == "pub"
+        assert pb.args[1].atom.value == "post_box"
+
+    def test_nested_if_rejected_not_misread(self):
+        """ADVICE r6 (high): an insert under a nested if must not be
+        compiled with only the outer condition."""
+        src = """
+local t = osm2pgsql.define_node_table('t', {
+    { column = 'name', type = 'text' },
+})
+function osm2pgsql.process_node(object)
+    if object.tags.amenity then
+        if object.tags.name then
+            t:insert({ name = object.tags.name })
+        end
+    end
+end
+"""
+        with pytest.raises(LuaConfigError, match="nested if"):
+            parse_lua_config(src)
+
+    def test_long_loop_header_do(self):
+        """ADVICE r6 (low): a for-header longer than the old 40-char
+        lookbehind must still pair with its `do`."""
+        src = """
+local t = osm2pgsql.define_node_table('t', {
+    { column = 'name', type = 'text' },
+})
+function osm2pgsql.process_node(object)
+    for extremely_long_variable_name_way_past_forty in some_extremely_long_iterator_expression_name(object) do
+        x = 1
+    end
+    t:insert({ name = object.tags.name })
+end
+"""
+        m = parse_lua_config(src)
+        assert len(m.node_inserts) == 1
+
 
 OPL = """n1 Tamenity=pub,name=A x9.0 y50.0
 n2 x9.001 y50.0

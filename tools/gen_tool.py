@@ -130,13 +130,19 @@ def main() -> None:
 
             has_name = "name" in feats.columns
             lines = feats.select(
-                F.monotonically_increasing_id().alias("line_id"),
+                # edge ids are (partition_id << 40) | per-partition
+                # counter: unique at any row count up to 2^23 partitions
+                # x 2^40 segments each, with no overflow — the previous
+                # monotonically_increasing_id()*100000 scheme went
+                # negative past ~10,700 partitions (ADVICE r6).
+                F.spark_partition_id().cast("long").alias("pid"),
                 "geom",
                 F.col("width").cast("double").alias("width"),
                 (F.col("name") if has_name else F.lit(None).cast("string")).alias("name"),
             )
 
             def explode_segments(it):
+                seg_counter = 0
                 for pdf in it:
                     rows = []
                     for _, row in pdf.iterrows():
@@ -145,8 +151,9 @@ def main() -> None:
                             continue
                         pts = g[1]
                         for i in range(len(pts) - 1):
+                            seg_counter += 1
                             rows.append({
-                                "edge_id": int(row["line_id"]) * 100000 + i,
+                                "edge_id": (int(row["pid"]) << 40) | seg_counter,
                                 "x1": float(pts[i][0]), "y1": float(pts[i][1]),
                                 "x2": float(pts[i + 1][0]), "y2": float(pts[i + 1][1]),
                                 "width": float(row["width"]) if pd.notna(row["width"]) else 0.0,
