@@ -844,6 +844,7 @@ class Interpreter:
 
     def __init__(self):
         self.globals = LuaTable()
+        self.chunk_scope: _Scope | None = None
         self._install_stdlib()
 
     # ---- public API
@@ -851,6 +852,10 @@ class Interpreter:
     def run(self, src: str, chunkname: str = "config"):
         ast = parse(src)
         scope = _Scope()
+        # keep the chunk's top-level scope: file-local state (the w2r
+        # idiom in route-relations.lua) lives here, and the flex bridge
+        # snapshots/injects it across processing phases
+        self.chunk_scope = scope
         self.exec_block(ast, scope)
 
     def call(self, fn, args: list):
@@ -1200,6 +1205,11 @@ class Interpreter:
             if isinstance(v, str):
                 return len(v)
             if isinstance(v, LuaTable):
+                if v.metatable is not None:
+                    ln = v.metatable.get("__len")
+                    if ln is not None:
+                        r = self._call(ln, [v])
+                        return r[0] if r else None
                 return v.length()
             raise LuaRuntimeError(
                 f"attempt to get length of a {lua_type(v)} value")

@@ -94,7 +94,8 @@ class TableDef:
     cluster_by_geom: bool = True
 
     def __post_init__(self) -> None:
-        if self.ids not in {"node", "way", "relation", "area", "any_object", "tile", "none"}:
+        if self.ids not in {"node", "way", "relation", "area", "any_object",
+                            "any_single", "tile", "none"}:
             raise ValueError(f"unknown id scheme {self.ids!r}")
 
     def geom_columns(self) -> list[ColumnDef]:
@@ -809,8 +810,28 @@ class FlexConfig:
 
         cbt = cb_df.where(F.col("tbl") == tdef.name)
         cols: list[Column] = []
-        if tdef.ids in ("node", "way", "relation"):
+        if tdef.ids == "way":
+            # relations written into way-id tables store -id (the old
+            # C-transform convention, flex-table.cpp:95-130)
+            cols.append(
+                F.when(F.col("osm_kind") == "r", -F.col("osm_id"))
+                .otherwise(F.col("osm_id"))
+                .alias("osm_id")
+            )
+        elif tdef.ids in ("node", "relation"):
             cols.append(F.col("osm_id"))
+        elif tdef.ids == "any_single":
+            # single-column any-object ids: node id, way -id, relation
+            # -id - 10^17 (flex-table.cpp:107-122)
+            cols.append(
+                F.when(F.col("osm_kind") == "w", -F.col("osm_id"))
+                .when(
+                    F.col("osm_kind") == "r",
+                    -F.col("osm_id") - F.lit(100000000000000000).cast("long"),
+                )
+                .otherwise(F.col("osm_id"))
+                .alias("osm_id")
+            )
         elif tdef.ids == "area":
             cols.append(
                 F.when(F.col("osm_kind") == "r", -F.col("osm_id"))
@@ -831,7 +852,32 @@ class FlexConfig:
                 continue
             if cd.type in GEOM_TYPES:
                 g = F.col("geom")
-                if cd.srid == 3857:
+                if "geom_srid" in cb_df.columns:
+                    # Lua callbacks may hand over already-transformed
+                    # geometry (object:as_X():transform(srid)); only
+                    # reproject rows still in 4326 (reference: per-row
+                    # srid check on insert, flex-write.cpp:433-462)
+                    if cd.srid == 3857:
+                        g = F.when(
+                            F.col("geom_srid") == 4326, wkb_transform_3857(g)
+                        ).otherwise(g)
+                    elif cd.srid == 4326:
+                        # a geometry already projected away from 4326
+                        # cannot be written to a 4326 column (reference
+                        # raises; we null it and let not_null filter)
+                        g = F.when(F.col("geom_srid") == 4326, g)
+                    else:
+                        from osm2pgsql_spark.operators.geom_udfs import (
+                            wkb_transform_epsg,
+                        )
+
+                        g = F.when(F.col("geom_srid") == cd.srid, g).otherwise(
+                            F.when(
+                                F.col("geom_srid") == 4326,
+                                wkb_transform_epsg(g, cd.srid),
+                            )
+                        )
+                elif cd.srid == 3857:
                     g = wkb_transform_3857(g)
                 cols.append(g.alias(cd.name))
                 if cd.not_null:

@@ -1024,7 +1024,13 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
     """Parse a flex .lua config and compile it into a FlexConfig.
 
     Returns (flex_config, model).  Use flex_config.run(nodes, ways,
-    relations) exactly like a hand-written Python-DSL config."""
+    relations) exactly like a hand-written Python-DSL config.
+
+    Configs the declarative subset rejects (procedural callbacks,
+    helper functions, mutable state) automatically fall back to the
+    Lua-interpreter execution path (plans/lua_flex.LuaFlexAdapter) —
+    same (runner, model) contract, so callers don't care which engine
+    compiled the config."""
     import os
 
     from osm2pgsql_spark.functions.tags import filter_tags
@@ -1034,7 +1040,17 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
     if "\n" not in path_or_text and os.path.exists(path_or_text):
         with open(path_or_text) as fh:
             text = fh.read()
-    model = parse_lua_config(text)
+    try:
+        model = parse_lua_config(text)
+        return _compile_declarative(text, model)
+    except LuaConfigError:
+        return _load_procedural(text)
+
+
+def _compile_declarative(text: str, model: LuaConfigModel):
+    from osm2pgsql_spark.functions.tags import filter_tags
+    from osm2pgsql_spark.plans.flex import ColumnDef, FlexConfig
+
     if not model.tables:
         raise LuaConfigError("no osm2pgsql.define_*_table calls found")
 
@@ -1287,3 +1303,28 @@ _GEOM_LUA_TYPES = {
     "point", "linestring", "polygon", "multipoint", "multilinestring",
     "multipolygon", "geometry", "geometrycollection",
 }
+
+
+def _load_procedural(text: str) -> tuple["object", LuaConfigModel]:
+    """Interpreter fallback: run the config's real Lua through
+    plans/lua_flex.  Builds a synthetic LuaConfigModel so callers that
+    only need table names/kinds (import_tool's ID_SPACES) work
+    unchanged."""
+    from osm2pgsql_spark.plans.lua_flex import LuaFlexAdapter
+
+    adapter = LuaFlexAdapter(text)
+    model = LuaConfigModel()
+    _KINDS = {"node": "node", "way": "way", "relation": "relation",
+              "area": "area", "any_object": "any", "any_single": "any",
+              "none": "any"}
+    for spec in adapter.specs.values():
+        model.tables.append(LuaTable(
+            var=spec.name, name=spec.name,
+            kind=_KINDS.get(spec.ids_type, "any"),
+            columns=[LuaColumn(
+                column=c.name, type=c.type,
+                projection=c.srid, not_null=c.not_null,
+                create_only=c.create_only, expire=c.expire,
+            ) for c in spec.columns],
+        ))
+    return adapter, model

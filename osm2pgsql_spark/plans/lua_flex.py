@@ -1,0 +1,1299 @@
+"""Procedural flex-config execution: real Lua callbacks on Spark.
+
+The declarative reader (plans/lua_config.py) compiles simple configs
+straight to Catalyst expressions — the fast path.  Configs it rejects
+(arbitrary control flow, helper functions, mutable cross-object state)
+run HERE: the pure-Python Lua interpreter (osm2pgsql_spark/lua)
+executes the config's process_*() callbacks inside the flex DSL's
+mapInPandas route, per Arrow batch, embarrassingly parallel.
+
+Reference semantics being reproduced (src/output-flex.cpp):
+- the osm2pgsql Lua API table: define_*_table (:1420-1480), the
+  init.lua helpers (src/init.lua:16-177, re-implemented in Python —
+  has_prefix/has_suffix/clamp/make_check_values_func/
+  make_clean_tags_func/trim/split_unit/split_string/*_member_ids),
+  define_expire_output, osm2pgsql.stage/mode/version
+- the OSM object pushed to callbacks (:128-160): id, tags, version,
+  timestamp (seconds since epoch), changeset, uid, user, is_closed,
+  nodes, members, grab_tag, get_bbox, as_point [way form takes a
+  1-based node index, negative from the back, :453-497],
+  as_linestring, as_polygon, as_multipoint, as_multilinestring,
+  as_multipolygon, as_geometrycollection
+- geometry userdata methods (src/flex-lua-geom.cpp:348-369)
+- table:insert and table:in_id_cache (:845-884; in_id_cache returns
+  the 1-based INDICES of input ids found in the cache)
+- processing order and two-stage state: nodes, then ways (stage 1),
+  then relations, then marked ways again (stage 2) —
+  select_relation_members marks, w2r-style Lua state built in
+  process_relation is visible to stage-2 process_way (:1506-1613)
+
+Distribution model (the Spark-first part): each phase is ONE
+mapInPandas over the entity DataFrame.  Every partition runs its own
+interpreter (the chunk re-executes once per partition — cheap), and
+mutable Lua state (chunk-local and global plain-data tables, table id
+caches) is captured per partition as a pickled delta row, deep-merged
+on the driver (the config contract is explicitly idempotent/mergeable
+accumulation — see route-relations.lua's own comments), and
+re-injected into the next phase.  Geometry ASSEMBLY stays in
+distributed DataFrame land: way points come pre-joined, relation
+multi-geometries come from the same relation assembly operators the
+declarative path uses; the Lua code only formats/transforms them
+per-row."""
+
+from __future__ import annotations
+
+import json
+import pickle
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from osm2pgsql_spark.lua.interp import (
+    Interpreter,
+    LuaRuntimeError,
+    LuaTable,
+    lua_tostring,
+)
+
+_OUT_SCHEMA = (
+    "tbl string, osm_kind string, osm_id long, "
+    "vals map<string,string>, geom binary, geom_srid int"
+)
+
+_STATE_TBL = "__state__"
+_MARK_TBL = "__mark__"
+
+
+# ------------------------------------------------------------ geometry
+
+_GEOM_KEY = "__geom__"
+_SRID_KEY = "__srid__"
+
+
+def _mk_geom(geom, srid, meta):
+    t = LuaTable()
+    t.hash[_GEOM_KEY] = geom  # tuple-geometry or None (null geometry)
+    t.hash[_SRID_KEY] = srid
+    t.metatable = meta
+    return t
+
+
+def _is_geom(v) -> bool:
+    return isinstance(v, LuaTable) and _GEOM_KEY in v.hash
+
+
+def _build_geom_meta() -> LuaTable:
+    """Shared metatable for geometry values: __index = methods,
+    __len = num_geometries (reference flex-lua-geom.cpp:348-369)."""
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.functions import projection as P
+
+    meta = LuaTable()
+    methods = LuaTable()
+
+    def g_of(self):
+        return self.hash.get(_GEOM_KEY)
+
+    def srid_of(self):
+        return self.hash.get(_SRID_KEY)
+
+    def wrap(self, geom):
+        # new geometry value in the SAME srid as self
+        return _mk_geom(geom, srid_of(self), meta)
+
+    def m_is_null(self):
+        return g_of(self) is None
+
+    def m_area(self):
+        g = g_of(self)
+        if g is None or g[0] not in ("polygon", "multipolygon"):
+            return 0.0
+        return float(G.area(g))
+
+    def m_spherical_area(self):
+        g = g_of(self)
+        if g is None or g[0] not in ("polygon", "multipolygon"):
+            return 0.0
+        if srid_of(self) != 4326:
+            raise LuaRuntimeError(
+                "Can only calculate spherical area for geometries in WGS84 coordinates.")
+        return float(G.spherical_area(g))
+
+    def m_length(self):
+        g = g_of(self)
+        if g is None or g[0] not in ("linestring", "multilinestring"):
+            return 0.0
+        return float(G.length(g))
+
+    def m_spherical_length(self):
+        g = g_of(self)
+        if g is None or g[0] not in ("linestring", "multilinestring"):
+            return 0.0
+        if srid_of(self) != 4326:
+            raise LuaRuntimeError(
+                "Can only calculate spherical length for geometries in WGS84 coordinates.")
+        return float(G.spherical_length(g))
+
+    def m_centroid(self):
+        g = g_of(self)
+        return wrap(self, None if g is None else G.centroid(g))
+
+    def m_get_bbox(self):
+        g = g_of(self)
+        if g is None:
+            return ()
+        bb = G.get_bbox(g)
+        if bb is None:
+            return ()
+        return tuple(float(v) for v in bb)
+
+    def m_geometry_n(self, n=1):
+        g = g_of(self)
+        if g is None:
+            return wrap(self, None)
+        return wrap(self, G.geometry_n(g, int(n)))
+
+    def m_geometry_type(self):
+        g = g_of(self)
+        if g is None:
+            return "NULL"
+        return G.geometry_type(g).upper()
+
+    def m_line_merge(self):
+        g = g_of(self)
+        return wrap(self, None if g is None else G.line_merge(g))
+
+    def m_n_points(self):
+        g = g_of(self)
+        return 0 if g is None else int(G.n_points(g))
+
+    def m_reverse(self):
+        g = g_of(self)
+        return wrap(self, None if g is None else G.reverse(g))
+
+    def m_num_geometries(self):
+        g = g_of(self)
+        return 0 if g is None else int(G.num_geometries(g))
+
+    def m_segmentize(self, max_len=None):
+        g = g_of(self)
+        if g is None:
+            return wrap(self, None)
+        return wrap(self, G.segmentize(g, float(max_len)))
+
+    def m_simplify(self, tol=None):
+        g = g_of(self)
+        if g is None:
+            return wrap(self, None)
+        return wrap(self, G.simplify(g, float(tol)))
+
+    def m_srid(self):
+        return srid_of(self)
+
+    def m_transform(self, code=None):
+        g = g_of(self)
+        code = int(code)
+        cur = srid_of(self)
+        if g is None:
+            return _mk_geom(None, code, meta)
+        if cur == code:
+            return self
+        if cur != 4326:
+            raise LuaRuntimeError("Can not transform already transformed geometry.")
+        if code == 3857:
+            return _mk_geom(G.transform_4326_to_3857(g), 3857, meta)
+        return _mk_geom(P.transform_epsg(g, code), code, meta)
+
+    def m_pole_of_inaccessibility(self, opts=None):
+        g = g_of(self)
+        if g is None or g[0] not in ("polygon", "multipolygon"):
+            return wrap(self, None)
+        from osm2pgsql_spark.functions.polylabel import pole_of_inaccessibility
+
+        stretch = 1.0
+        if isinstance(opts, LuaTable):
+            s = opts.get("stretch")
+            if s is not None:
+                stretch = float(s)
+        return wrap(self, pole_of_inaccessibility(g, stretch=stretch))
+
+    def m_geometries(self):
+        # iterator over the parts of a multi-geometry (init.lua:190-198)
+        n = m_num_geometries(self)
+        i = [0]
+
+        def it(*_ignored):
+            i[0] += 1
+            if i[0] <= n:
+                return m_geometry_n(self, i[0])
+            return None
+
+        return it
+
+    for name, fn in [
+        ("is_null", m_is_null), ("area", m_area),
+        ("spherical_area", m_spherical_area), ("length", m_length),
+        ("spherical_length", m_spherical_length), ("centroid", m_centroid),
+        ("get_bbox", m_get_bbox), ("geometry_n", m_geometry_n),
+        ("geometry_type", m_geometry_type), ("line_merge", m_line_merge),
+        ("n_points", m_n_points), ("reverse", m_reverse),
+        ("num_geometries", m_num_geometries), ("segmentize", m_segmentize),
+        ("simplify", m_simplify), ("srid", m_srid),
+        ("transform", m_transform), ("geometries", m_geometries),
+        ("pole_of_inaccessibility", m_pole_of_inaccessibility),
+    ]:
+        methods.set(name, fn)
+
+    meta.set("__index", methods)
+    meta.set("__len", lambda self: m_num_geometries(self))
+    return meta
+
+
+# --------------------------------------------------------- value bridge
+
+
+def lua_to_py(v):
+    """LuaTable -> dict/list (pure arrays become lists), scalars pass
+    through.  Used for state capture and JSON column encoding."""
+    if isinstance(v, LuaTable):
+        n = v.length()
+        if n and len(v.hash) == n and all(isinstance(k, int) for k in v.hash):
+            return [lua_to_py(v.get(i)) for i in range(1, n + 1)]
+        return {k: lua_to_py(x) for k, x in v.hash.items()}
+    return v
+
+
+def py_to_lua(v):
+    if isinstance(v, dict):
+        t = LuaTable()
+        for k, x in v.items():
+            t.set(k, py_to_lua(x))
+        return t
+    if isinstance(v, list):
+        t = LuaTable()
+        for i, x in enumerate(v, start=1):
+            t.set(i, py_to_lua(x))
+        return t
+    return v
+
+
+def _is_plain_data(v, depth=0) -> bool:
+    if depth > 16:
+        return False
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return True
+    if isinstance(v, LuaTable):
+        if _GEOM_KEY in v.hash or "__handle__" in v.hash:
+            return False
+        return all(
+            _is_plain_data(x, depth + 1) and isinstance(k, (bool, int, float, str))
+            for k, x in v.hash.items()
+        )
+    return False
+
+
+def merge_state(a, b):
+    """Deep merge two captured-state dicts (dict-of-dict union; later
+    scalar wins).  The flex-config contract is idempotent accumulation
+    (route-relations.lua documents its w2r exactly so), which makes
+    per-partition deltas order-independently mergeable."""
+    for k, v in b.items():
+        if k in a and isinstance(a[k], dict) and isinstance(v, dict):
+            merge_state(a[k], v)
+        else:
+            a[k] = v
+    return a
+
+
+# ------------------------------------------------------------- runtime
+
+
+@dataclass
+class LuaTableSpec:
+    name: str
+    ids_type: str  # node|way|relation|area|any_object|none
+    id_column: str
+    cache: bool = False
+    schema: str = "public"
+    columns: list = field(default_factory=list)  # ColumnDef list
+
+
+_LUA_SCALAR_ALIASES = {
+    "bool": "boolean", "smallint": "int2", "int": "int4",
+    "integer": "int4", "bigint": "int8",
+}
+
+_SQL_TYPE_FALLBACKS = {
+    # sql_type-only columns (box2d, int8[], ...) travel as text; the
+    # COPY encoder emits them verbatim.  Timestamps keep their typed
+    # conversion (attributes.lua's 'created' column).
+    "box2d": "text",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamptz",
+}
+
+
+def _spec_columns(cols_lua) -> list:
+    from osm2pgsql_spark.plans.flex import ColumnDef, GEOM_TYPES
+
+    out = []
+    n = cols_lua.length()
+    for i in range(1, n + 1):
+        c = cols_lua.get(i)
+        name = c.get("column")
+        ctype = c.get("type")
+        sql_type = c.get("sql_type")
+        if ctype is None:
+            ctype = _SQL_TYPE_FALLBACKS.get(str(sql_type or "").lower(), "text")
+        ctype = _LUA_SCALAR_ALIASES.get(ctype, ctype)
+        proj = c.get("projection")
+        srid = int(proj) if proj is not None else (
+            3857 if ctype in GEOM_TYPES else 4326)
+        expire = c.get("expire")
+        if isinstance(expire, LuaTable) and "__name__" not in expire.hash:
+            # `expire = { output = <handle> }` form
+            expire = expire.get("output") or (
+                expire.get(1).get("output") if isinstance(expire.get(1), LuaTable)
+                else None)
+        if isinstance(expire, LuaTable):
+            expire = expire.hash.get("__name__")
+        out.append(ColumnDef(
+            str(name), str(ctype), srid=srid,
+            not_null=bool(c.get("not_null")),
+            create_only=bool(c.get("create_only")),
+            expire=str(expire) if expire is not None else None,
+        ))
+    return out
+
+
+class LuaFlexRuntime:
+    """One interpreter + the osm2pgsql API, ready to process objects.
+    Created once per executor partition (and once on the driver for
+    table discovery)."""
+
+    def __init__(self, source: str, mode: str = "create", stage: int = 1):
+        self.interp = Interpreter()
+        self.specs: dict[str, LuaTableSpec] = {}
+        self.expire_specs: list[dict] = []
+        self.inserts: list = []
+        self.id_cache: dict[str, set] = {}
+        self.marks: list[int] = []
+        self.mode = mode
+        self.stage = stage
+        self._handles: dict[str, LuaTable] = {}
+        self._geom_meta = _build_geom_meta()
+        self._osm_table = self._install_api()
+        self.interp.run(source)
+        self._baseline = None
+
+    # -- the osm2pgsql.* API
+
+    def _install_api(self) -> LuaTable:
+        interp = self.interp
+        osm = LuaTable()
+        rt = self
+
+        def define_table(options=None):
+            if not isinstance(options, LuaTable):
+                raise LuaRuntimeError("define_table: argument must be a table")
+            name = options.get("name")
+            ids = options.get("ids")
+            ids_type, id_col, cache = "none", "id", False
+            if isinstance(ids, LuaTable):
+                ids_type = str(ids.get("type") or "none")
+                if ids_type == "any":
+                    # with a type_column the id passes through and the
+                    # type goes in its own column; without one the id is
+                    # sign/offset-mapped (flex-table.cpp:107-122)
+                    ids_type = (
+                        "any_object" if ids.get("type_column") is not None
+                        else "any_single")
+                id_col = str(ids.get("id_column") or ids_type + "_id")
+                cache = bool(ids.get("cache"))
+            spec = LuaTableSpec(
+                name=str(name), ids_type=ids_type, id_column=id_col,
+                cache=cache, schema=str(options.get("schema") or "public"),
+                columns=_spec_columns(options.get("columns")),
+            )
+            if spec.name in rt.specs:
+                raise LuaRuntimeError(f"table '{spec.name}' already defined")
+            rt.specs[spec.name] = spec
+            if cache:
+                rt.id_cache.setdefault(spec.name, set())
+            handle = LuaTable()
+            handle.hash["__handle__"] = spec.name
+
+            def h_insert(self_h, row=None):
+                if not isinstance(row, LuaTable):
+                    raise LuaRuntimeError("insert: argument must be a table")
+                rt._do_insert(spec, row)
+                return True
+
+            def h_in_id_cache(self_h, ids_arr=None):
+                # returns 1-based INDICES of ids found in the cache
+                # (reference output-flex.cpp:845-884); nodes-phase use
+                # is rejected there, enforced by phase order here
+                if not spec.cache:
+                    raise LuaRuntimeError(f"No ID cache on table '{spec.name}'.")
+                cache_set = rt.id_cache.get(spec.name, set())
+                out = LuaTable()
+                nn = 0
+                if isinstance(ids_arr, LuaTable):
+                    for idx in range(1, ids_arr.length() + 1):
+                        if int(ids_arr.get(idx)) in cache_set:
+                            nn += 1
+                            out.set(nn, idx)
+                return out
+
+            handle.set("insert", h_insert)
+            handle.set("in_id_cache", h_in_id_cache)
+            handle.set("name", lambda self_h: spec.name)
+            handle.set("schema", lambda self_h: spec.schema)
+            rt._handles[spec.name] = handle
+            return handle
+
+        def _define_kind_table(kind):
+            def f(name=None, columns=None, options=None):
+                opts = options if isinstance(options, LuaTable) else LuaTable()
+                opts.set("name", name)
+                ids = LuaTable()
+                ids.set("type", kind)
+                ids.set("id_column", kind + "_id")
+                prev = opts.get("ids")
+                if isinstance(prev, LuaTable):
+                    if prev.get("cache") is not None:
+                        ids.set("cache", prev.get("cache"))
+                opts.set("ids", ids)
+                opts.set("columns", columns)
+                return define_table(opts)
+
+            return f
+
+        def define_expire_output(options=None):
+            if not isinstance(options, LuaTable):
+                raise LuaRuntimeError("define_expire_output: table expected")
+            spec = {
+                "maxzoom": int(options.get("maxzoom") or 12),
+                "filename": options.get("filename"),
+                "table": options.get("table"),
+            }
+            if options.get("minzoom") is not None:
+                spec["minzoom"] = int(options.get("minzoom"))
+            rt.expire_specs.append(spec)
+            h = LuaTable()
+            nm = str(spec["filename"] or spec["table"] or f"expire{len(rt.expire_specs)}")
+            spec["name"] = nm
+            h.hash["__name__"] = nm
+            h.set("name", lambda s: nm)
+            h.set("minzoom", lambda s: spec.get("minzoom", spec["maxzoom"]))
+            h.set("maxzoom", lambda s: spec["maxzoom"])
+            h.set("filename", lambda s: spec["filename"] or "")
+            h.set("table", lambda s: spec["table"] or "")
+            h.set("schema", lambda s: str(options.get("schema") or "public")
+                  if spec["table"] else "")
+            return h
+
+        # --- init.lua helpers, re-implemented (src/init.lua:16-177)
+
+        def has_prefix(s=None, prefix=None):
+            if s is None:
+                return None
+            return str(s).startswith(str(prefix))
+
+        def has_suffix(s=None, suffix=None):
+            if s is None:
+                return None
+            if suffix == "":
+                return True
+            return str(s).endswith(str(suffix))
+
+        def clamp(value=None, low=None, high=None):
+            if value is None:
+                return None
+            return max(min(value, high), low)
+
+        def make_check_values_func(list_t=None, default=None):
+            valid = {}
+            for i in range(1, list_t.length() + 1):
+                v = list_t.get(i)
+                valid[v] = v
+
+            def check(value=None):
+                if value in valid:
+                    return valid[value]
+                return default
+
+            return check
+
+        def make_clean_tags_func(keys=None):
+            exact, prefixes, suffixes = [], [], []
+            for i in range(1, keys.length() + 1):
+                k = str(keys.get(i))
+                if k.endswith("*"):
+                    prefixes.append(k[:-1])
+                elif k.startswith("*"):
+                    suffixes.append(k[1:])
+                else:
+                    exact.append(k)
+
+            def clean(tags=None):
+                for k in exact:
+                    tags.set(k, None)
+                for k in list(tags.hash.keys()):
+                    ks = str(k)
+                    if any(ks.startswith(p) for p in prefixes) or any(
+                        ks.endswith(sf) for sf in suffixes
+                    ):
+                        tags.set(k, None)
+                return len(tags.hash) == 0
+
+            return clean
+
+        def trim(s=None):
+            if s is None:
+                return None
+            # Lua %s: ASCII whitespace only
+            return str(s).strip(" \t\n\r\f\v")
+
+        def split_unit(s=None, default_unit=None):
+            import re as _re2
+
+            if s is None:
+                return None
+            m = _re2.fullmatch(r"(-?[0-9.]+) ?([a-zA-Z]*)", str(s))
+            if m is None:
+                return None
+            from osm2pgsql_spark.lua.interp import lua_tonumber
+
+            val = lua_tonumber(m.group(1))
+            if val is None:
+                return None
+            unit = m.group(2) or default_unit
+            return (val, unit)
+
+        def split_string(s=None, separator=None):
+            out = LuaTable()
+            if s is not None:
+                sep = separator or ";"
+                i = 0
+                for part in str(s).split(sep):
+                    p = trim(part)
+                    if p:
+                        i += 1
+                        out.set(i, p)
+            return out
+
+        def _member_ids(mtype):
+            def f(relation=None):
+                ids = LuaTable()
+                members = relation.get("members") if isinstance(relation, LuaTable) else None
+                n = 0
+                if isinstance(members, LuaTable):
+                    for i in range(1, members.length() + 1):
+                        m = members.get(i)
+                        if m.get("type") == mtype:
+                            n += 1
+                            ids.set(n, m.get("ref"))
+                return ids
+
+            return f
+
+        osm.set("define_table", lambda options=None: define_table(options))
+        osm.set("define_node_table", _define_kind_table("node"))
+        osm.set("define_way_table", _define_kind_table("way"))
+        osm.set("define_relation_table", _define_kind_table("relation"))
+        osm.set("define_area_table", _define_kind_table("area"))
+        osm.set("define_expire_output", lambda options=None: define_expire_output(options))
+        osm.set("has_prefix", has_prefix)
+        osm.set("has_suffix", has_suffix)
+        osm.set("clamp", clamp)
+        osm.set("make_check_values_func", make_check_values_func)
+        osm.set("make_clean_tags_func", make_clean_tags_func)
+        osm.set("trim", trim)
+        osm.set("split_unit", split_unit)
+        osm.set("split_string", split_string)
+        osm.set("node_member_ids", _member_ids("n"))
+        osm.set("way_member_ids", _member_ids("w"))
+        osm.set("relation_member_ids", _member_ids("r"))
+        osm.set("stage", self.stage)
+        osm.set("mode", self.mode)
+        osm.set("version", "2.0.0-spark")
+        interp.globals.set("osm2pgsql", osm)
+        return osm
+
+    # -- inserts
+
+    _KIND_OK = {
+        # reference matches_type (flex-table.cpp:76-103): way tables
+        # also take relations (stored as -id); area tables take ways
+        # and relations; node/way/relation tables are otherwise strict
+        "node": {"node"},
+        "way": {"way", "relation"},
+        "relation": {"relation"},
+        "area": {"way", "relation"},
+        "any_object": {"node", "way", "relation"},
+        "any_single": {"node", "way", "relation"},
+        "none": {"node", "way", "relation"},
+    }
+
+    _current_kind: str | None = None
+
+    def _do_insert(self, spec: LuaTableSpec, row: LuaTable):
+        k = self._current_kind
+        if k is not None and k not in self._KIND_OK[spec.ids_type]:
+            raise LuaRuntimeError(
+                f"Trying to add {k} to table '{spec.name}' (id type "
+                f"'{spec.ids_type}').")
+        self.inserts.append((spec.name, row))
+        if spec.cache and self._current_id is not None:
+            self.id_cache.setdefault(spec.name, set()).add(self._current_id)
+
+    _current_id: int | None = None
+
+    # -- state capture / injection
+
+    _SKIP_GLOBALS = frozenset({
+        "osm2pgsql", "string", "table", "math", "os", "_G", "_VERSION",
+        "print", "type", "tostring", "tonumber", "pairs", "ipairs",
+        "next", "select", "error", "assert", "pcall", "rawget", "rawset",
+        "rawequal", "setmetatable", "getmetatable", "require", "unpack",
+    })
+
+    def _state_slots(self):
+        """(container, name, value) triples for every captureable
+        variable: chunk file-locals and user globals holding plain-data
+        tables."""
+        slots = []
+        cs = self.interp.chunk_scope
+        if cs is not None:
+            for name, v in cs.vars.items():
+                if isinstance(v, LuaTable) and _is_plain_data(v):
+                    slots.append(("local", name, v))
+        for name, v in self.interp.globals.hash.items():
+            if name in self._SKIP_GLOBALS or not isinstance(name, str):
+                continue
+            if isinstance(v, LuaTable) and _is_plain_data(v):
+                slots.append(("global", name, v))
+        return slots
+
+    def snapshot_baseline(self):
+        """Record post-injection values; extract_state emits only
+        variables that changed since."""
+        self._baseline = {
+            (kind, name): json.dumps(lua_to_py(v), sort_keys=True, default=str)
+            for kind, name, v in self._state_slots()
+        }
+
+    def extract_state(self) -> dict:
+        out_vars = {}
+        base = self._baseline or {}
+        for kind, name, v in self._state_slots():
+            enc = lua_to_py(v)
+            if base.get((kind, name)) == json.dumps(enc, sort_keys=True, default=str):
+                continue
+            out_vars[f"{kind}:{name}"] = enc
+        state = {}
+        if out_vars:
+            state["vars"] = out_vars
+        # dict-of-ids (not a list): merge_state's dict-merge then
+        # UNIONS per-partition caches instead of replacing them
+        idc = {t: {i: True for i in s} for t, s in self.id_cache.items() if s}
+        if idc:
+            state["idcache"] = idc
+        return state
+
+    def inject_state(self, state: dict):
+        for slot, v in (state.get("vars") or {}).items():
+            kind, name = slot.split(":", 1)
+            lv = py_to_lua(v)
+            if kind == "local" and self.interp.chunk_scope is not None \
+                    and name in self.interp.chunk_scope.vars:
+                self.interp.chunk_scope.vars[name] = lv
+            else:
+                self.interp.globals.set(name, lv)
+        for t, ids in (state.get("idcache") or {}).items():
+            self.id_cache.setdefault(t, set()).update(
+                ids.keys() if isinstance(ids, dict) else ids)
+        self.snapshot_baseline()
+
+    # -- object construction
+
+    def make_object(self, kind: str, rec: dict) -> LuaTable:
+        import pandas as pd
+
+        from osm2pgsql_spark.functions import geometry as G
+
+        meta = self._geom_meta
+        obj = LuaTable()
+        obj.set("id", int(rec["id"]))
+        obj.set("type", kind)  # 'node'|'way'|'relation' (track-changes.lua)
+        tags = LuaTable()
+        for k, v in (rec.get("tags") or {}).items():
+            tags.set(str(k), str(v))
+        obj.set("tags", tags)
+        for attr in ("version", "changeset", "uid"):
+            v = rec.get(attr)
+            if v is not None and v == v:
+                obj.set(attr, int(v))
+        u = rec.get("user")
+        if u is not None and not (isinstance(u, float) and u != u):
+            obj.set("user", str(u))
+        vis = rec.get("visible")
+        if vis is not None and vis == vis:
+            obj.set("visible", bool(vis))
+        ts = rec.get("ts")
+        if ts is not None and not pd.isna(ts):
+            # seconds since epoch (output-flex.cpp:143-145)
+            tsv = pd.Timestamp(ts)
+            if tsv.tzinfo is None:
+                tsv = tsv.tz_localize("UTC")
+            obj.set("timestamp", int(tsv.timestamp()))
+
+        def grab_tag(self_o, key=None):
+            if key is None:
+                raise LuaRuntimeError("Missing tag key")
+            t = self_o.get("tags")
+            v = t.get(key)
+            t.set(key, None)
+            return v
+
+        obj.set("grab_tag", grab_tag)
+
+        def null_geom():
+            return _mk_geom(None, 4326, meta)
+
+        if kind == "node":
+            lon, lat = rec.get("lon"), rec.get("lat")
+            has_loc = (
+                lon is not None and lat is not None
+                and lon == lon and lat == lat
+            )
+
+            def as_point(self_o, *a):
+                if a:
+                    raise LuaRuntimeError("No parameter(s) needed for as_point().")
+                if not has_loc:
+                    return null_geom()
+                return _mk_geom(G.make_point(float(lon), float(lat)), 4326, meta)
+
+            obj.set("as_point", as_point)
+            # node as_multipoint == its point (output-flex.cpp:525-540)
+            obj.set("as_multipoint", as_point)
+
+            def get_bbox(self_o):
+                if not has_loc:
+                    return ()
+                return (float(lon), float(lat), float(lon), float(lat))
+
+            obj.set("get_bbox", get_bbox)
+        elif kind == "way":
+            refs = rec.get("refs")
+            refs = [] if refs is None else [int(r) for r in refs]
+            nodes_t = LuaTable()
+            for i, r in enumerate(refs, start=1):
+                nodes_t.set(i, r)
+            obj.set("nodes", nodes_t)
+            obj.set("is_closed", len(refs) >= 2 and refs[0] == refs[-1])
+            pts = rec.get("pts")
+            coords = (
+                [(p["x"], p["y"]) for p in pts]
+                if pts is not None and len(pts) else None
+            )
+
+            def as_linestring(self_o):
+                if coords is None or len(coords) < 2:
+                    return null_geom()
+                return _mk_geom(G.make_linestring(coords), 4326, meta)
+
+            def as_polygon(self_o):
+                if coords is None:
+                    return null_geom()
+                return _mk_geom(G.make_polygon_from_way(coords), 4326, meta)
+
+            def as_point(self_o, n=None):
+                # 1-based node index; negative counts from the back;
+                # out of range -> null geometry (output-flex.cpp:453-497)
+                if coords is None:
+                    return null_geom()
+                i = 1 if n is None else int(n)
+                if i < 0:
+                    i += len(coords) + 1
+                if i < 1 or i > len(coords):
+                    return null_geom()
+                x, y = coords[i - 1]
+                return _mk_geom(G.make_point(float(x), float(y)), 4326, meta)
+
+            def get_bbox(self_o):
+                if coords is None:
+                    return ()
+                xs = [c[0] for c in coords]
+                ys = [c[1] for c in coords]
+                return (float(min(xs)), float(min(ys)),
+                        float(max(xs)), float(max(ys)))
+
+            obj.set("as_linestring", as_linestring)
+            obj.set("as_polygon", as_polygon)
+            obj.set("as_point", as_point)
+            # way as_multilinestring/as_multipolygon return the way's
+            # own linestring/polygon (output-flex.cpp:544-583)
+            obj.set("as_multilinestring", as_linestring)
+            obj.set("as_multipolygon", as_polygon)
+            obj.set("get_bbox", get_bbox)
+        else:
+            members = rec.get("members")
+            mt = LuaTable()
+            if members is not None:
+                for i, m in enumerate(members, start=1):
+                    e = LuaTable()
+                    e.set("type", m["type"])
+                    e.set("ref", int(m["ref"]))
+                    e.set("role", m["role"])
+                    mt.set(i, e)
+            obj.set("members", mt)
+
+            def geom_from_col(col):
+                def f(self_o):
+                    wkb = rec.get(col)
+                    if wkb is None:
+                        return null_geom()
+                    return _mk_geom(G.from_wkb(bytes(wkb)), 4326, meta)
+
+                return f
+
+            obj.set("as_multipolygon", geom_from_col("__mpoly"))
+            obj.set("as_multilinestring", geom_from_col("__mline"))
+            obj.set("as_multipoint", geom_from_col("__mpoint"))
+            obj.set("as_geometrycollection", geom_from_col("__mcoll"))
+
+            def get_bbox(self_o):
+                best = None
+                for col in ("__mline", "__mpoint", "__mpoly"):
+                    wkb = rec.get(col)
+                    if wkb is None:
+                        continue
+                    bb = G.get_bbox(G.from_wkb(bytes(wkb)))
+                    if bb is None:
+                        continue
+                    best = bb if best is None else (
+                        min(best[0], bb[0]), min(best[1], bb[1]),
+                        max(best[2], bb[2]), max(best[3], bb[3]))
+                if best is None:
+                    return ()
+                return tuple(float(v) for v in best)
+
+            obj.set("get_bbox", get_bbox)
+        return obj
+
+    # -- processing
+
+    def callback(self, kind: str, tagged: bool):
+        name = f"process_{kind}" if tagged else f"process_untagged_{kind}"
+        return self._osm_table.get(name)
+
+    def run_after_callbacks(self, upto_kind: str, stage: int = 1):
+        """Emulate file-order lifecycle callbacks: before processing
+        <upto_kind>, the after_<k> of every earlier kind has fired
+        (objects are ordered node/way/relation in OSM files; reference
+        calls after_nodes/after_ways/after_relations at the
+        boundaries).  Stage 2 runs after the whole file."""
+        order = ("node", "way", "relation")
+        n = 3 if stage >= 2 else order.index(upto_kind)
+        for k in order[:n]:
+            fn = self._osm_table.get(f"after_{k}s")
+            if fn is not None:
+                self.interp.call(fn, [])
+
+    def has_any_callback(self, kind: str) -> bool:
+        return (self._osm_table.get(f"process_{kind}") is not None
+                or self._osm_table.get(f"process_untagged_{kind}") is not None)
+
+    def has_select_members(self) -> bool:
+        return self._osm_table.get("select_relation_members") is not None
+
+    def process(self, kind: str, rec: dict) -> list[tuple]:
+        """-> list of unified-frame rows for this object."""
+        tagged = bool(rec.get("tags"))
+        fn = self.callback(kind, tagged)
+        rows = []
+        oid = int(rec["id"])
+        if fn is not None:
+            obj = self.make_object(kind, rec)
+            self.inserts = []
+            self._current_id = oid
+            self._current_kind = kind
+            try:
+                self.interp.call(fn, [obj])
+            finally:
+                self._current_id = None
+                self._current_kind = None
+            for tname, row in self.inserts:
+                rows.append(self._encode_insert(tname, kind, oid, row))
+            self.inserts = []
+        if kind == "relation" and self.has_select_members():
+            sel = self._osm_table.get("select_relation_members")
+            res = self.interp.call(sel, [self.make_object(kind, rec)])
+            res = res[0] if res else None
+            if isinstance(res, LuaTable):
+                ways = res.get("ways")
+                if isinstance(ways, LuaTable):
+                    for i in range(1, ways.length() + 1):
+                        rows.append((
+                            _MARK_TBL, "w", int(ways.get(i)), None, None, None))
+        return rows
+
+    def _encode_insert(self, tname: str, kind: str, oid: int, row: LuaTable):
+        spec = self.specs[tname]
+        vals: dict[str, str] = {}
+        geom = None
+        geom_srid = None
+        primary_geom_col = next(
+            (c.name for c in spec.columns if _is_geom_type(c.type)), None)
+        for c in spec.columns:
+            v = row.get(c.name)
+            if v is None:
+                continue
+            if _is_geom(v):
+                g = v.hash.get(_GEOM_KEY)
+                wkb = None
+                if g is not None:
+                    from osm2pgsql_spark.functions import geometry as G
+
+                    wkb = G.to_wkb(g)
+                if c.name == primary_geom_col:
+                    geom = wkb
+                    geom_srid = int(v.hash.get(_SRID_KEY) or 4326)
+                elif wkb is not None:
+                    # secondary geometry columns travel hex-encoded in
+                    # vals (the unified frame has one binary slot)
+                    vals["__geomhex__:" + c.name] = wkb.hex()
+                    vals["__geomsrid__:" + c.name] = str(
+                        int(v.hash.get(_SRID_KEY) or 4326))
+                continue
+            if isinstance(v, LuaTable):
+                vals[c.name] = json.dumps(
+                    lua_to_py(v), sort_keys=True, separators=(",", ":"))
+            elif isinstance(v, bool):
+                vals[c.name] = "true" if v else "false"
+            else:
+                vals[c.name] = lua_tostring(v)
+        return (tname, kind[0], oid, vals, geom, geom_srid)
+
+
+def _is_geom_type(t: str) -> bool:
+    from osm2pgsql_spark.plans.flex import GEOM_TYPES
+
+    return t in GEOM_TYPES
+
+
+# --------------------------------------------------------- phase mapper
+
+
+def _phase_mapper(source: str, kind: str, state_blob: bytes | None,
+                  stage: int, mode: str):
+    """mapInPandas factory for one processing phase.  Emits insert rows
+    + per-partition state-delta rows."""
+
+    def mapper(batches):
+        import pandas as pd
+
+        rt = LuaFlexRuntime(source, mode=mode, stage=stage)
+        rt.inject_state(pickle.loads(state_blob) if state_blob else {})
+        rt.run_after_callbacks(kind, stage)
+        cols = ["tbl", "osm_kind", "osm_id", "vals", "geom", "geom_srid"]
+        any_cb = rt.has_any_callback(kind) or (
+            kind == "relation" and rt.has_select_members())
+        for pdf in batches:
+            rows = []
+            if any_cb:
+                for rec in pdf.to_dict("records"):
+                    rows.extend(rt.process(kind, rec))
+            yield pd.DataFrame(rows, columns=cols)
+        state = rt.extract_state()
+        if state:
+            yield pd.DataFrame(
+                [(_STATE_TBL, kind[0], 0, None, pickle.dumps(state), None)],
+                columns=cols,
+            )
+
+    return mapper
+
+
+# -------------------------------------------------------------- adapter
+
+
+class LuaFlexAdapter:
+    """Drives a procedural Lua config end-to-end: phased distributed
+    callback execution + typed table projection through the flex DSL.
+
+    API mirrors FlexConfig.run so import_tool's --style path can use
+    either interchangeably."""
+
+    def __init__(self, source: str, mode: str = "create"):
+        self.source = source
+        self.mode = mode
+        # driver-side discovery run: table specs, callbacks present
+        probe = LuaFlexRuntime(source, mode=mode)
+        if not probe.specs:
+            from osm2pgsql_spark.plans.lua_config import LuaConfigError
+
+            raise LuaConfigError("config defines no tables")
+        self.specs = probe.specs
+        self._kinds = [k for k in ("node", "way", "relation")
+                       if probe.has_any_callback(k)]
+        # with no process_untagged_<kind>, untagged objects are never
+        # passed to Lua (output-flex.cpp:1135,1151,1163) — filter them
+        # OUT in the DataFrame plan, so the planet's billions of
+        # location-only nodes never reach the Python interpreter
+        self._wants_untagged = {
+            k: probe.callback(k, tagged=False) is not None
+            for k in ("node", "way", "relation")
+        }
+        self._select_members = probe.has_select_members()
+        self.expire_specs = probe.expire_specs
+        self._flex = self._build_flex(probe)
+
+    def _build_flex(self, probe: LuaFlexRuntime):
+        from osm2pgsql_spark.plans.flex import FlexConfig
+
+        fc = FlexConfig()
+        for spec in probe.specs.values():
+            fc.define_table(spec.name, ids=spec.ids_type, columns=spec.columns)
+        for eo in probe.expire_specs:
+            kw = {"maxzoom": eo["maxzoom"]}
+            if "minzoom" in eo:
+                kw["minzoom"] = eo["minzoom"]
+            fc.define_expire_output(eo["name"], **kw)
+        return fc
+
+    @property
+    def tables(self):
+        return self._flex.tables
+
+    def run(
+        self,
+        nodes: DataFrame | None = None,
+        ways: DataFrame | None = None,
+        relations: DataFrame | None = None,
+        way_geoms: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        from osm2pgsql_spark.operators import assembly
+
+        src_text = self.source
+
+        if way_geoms is None and ways is not None and nodes is not None:
+            refs = ways.select(
+                F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref")
+            )
+            nloc = nodes.select(F.col("id").alias("node_id"), "lon", "lat")
+            way_geoms = assembly.assemble_points(
+                refs, nloc, way_id="way_id", pos="pos", ref="ref",
+                node_id="node_id", x="lon", y="lat",
+            )
+
+        preps = {
+            "node": self._prep_nodes(nodes),
+            "way": self._prep_ways(ways, way_geoms),
+            "relation": self._prep_relations(relations, ways, nodes),
+        }
+
+        state: dict = {}
+        frames: list[DataFrame] = []
+        way_frame = None
+        mark_frame = None
+
+        def run_phase(kind: str, prep, stage: int, state_in: dict):
+            blob = pickle.dumps(state_in) if state_in else None
+            df = prep.mapInPandas(
+                _phase_mapper(src_text, kind, blob, stage, self.mode),
+                _OUT_SCHEMA,
+            ).localCheckpoint()
+            deltas = df.where(F.col("tbl") == _STATE_TBL).select("geom").collect()
+            for r in deltas:
+                merge_state(state_in, pickle.loads(bytes(r["geom"])))
+            return df
+
+        # reference processing order: nodes -> ways (stage 1) ->
+        # relations -> marked ways (stage 2), with Lua state flowing
+        # forward (output-flex.cpp:1506-1613)
+        if "node" in self._kinds and preps["node"] is not None:
+            df = run_phase("node", preps["node"], 1, state)
+            frames.append(df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+        if "way" in self._kinds and preps["way"] is not None:
+            way_frame = run_phase("way", preps["way"], 1, state)
+        if (("relation" in self._kinds) or self._select_members) \
+                and preps["relation"] is not None:
+            df = run_phase("relation", preps["relation"], 1, state)
+            frames.append(
+                df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+            mark_frame = df.where(F.col("tbl") == _MARK_TBL) \
+                .select(F.col("osm_id").alias("__mark_id")).distinct()
+        if way_frame is not None:
+            w1 = way_frame.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL))
+            if mark_frame is not None and self._select_members:
+                # stage 2: marked ways are REPROCESSED with the full
+                # relation state; their stage-1 rows are dropped
+                # (delete-then-reprocess, output-flex.cpp:1506-1613)
+                w1 = w1.join(
+                    mark_frame, w1["osm_id"] == F.col("__mark_id"), "left_anti")
+                marked_ways = preps["way"].join(
+                    mark_frame,
+                    preps["way"]["id"] == F.col("__mark_id"),
+                    "left_semi",
+                )
+                w2 = run_phase("way", marked_ways, 2, state)
+                frames.append(
+                    w2.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+            frames.append(w1)
+
+        if not frames:
+            return {}
+        cb = frames[0]
+        for f in frames[1:]:
+            cb = cb.unionByName(f)
+        cb = cb.localCheckpoint()
+
+        out: dict[str, DataFrame] = {}
+        for tname, tdef in self._flex.tables.items():
+            df = self._flex._callback_rows_for_table(cb, tdef)
+            if df is not None:
+                df = self._fixup_secondary_geoms(df, cb, tdef)
+                out[tname] = df
+        return out
+
+    def _fixup_secondary_geoms(self, df, cb, tdef):
+        """Tables with MORE than one geometry column (indexes.lua's
+        polygons has geom + center): the unified frame's binary slot
+        carries the first; later ones travel hex-encoded in vals and
+        the whole projection is redone here with them decoded."""
+        from osm2pgsql_spark.plans.flex import GEOM_TYPES
+
+        geom_cols = [c for c in tdef.columns if c.type in GEOM_TYPES]
+        if len(geom_cols) <= 1:
+            return df
+        secondary = {c.name for c in geom_cols[1:]}
+        cbt = cb.where(F.col("tbl") == tdef.name)
+        return self._project_with_secondary(cbt, tdef, secondary)
+
+    def _project_with_secondary(self, cbt, tdef, secondary):
+        from osm2pgsql_spark.operators.geom_udfs import (
+            wkb_transform_3857,
+        )
+        from osm2pgsql_spark.plans.flex import GEOM_TYPES, ID_TYPES, FlexConfig
+
+        cols = []
+        if tdef.ids in ("way", "area"):
+            cols.append(
+                F.when(F.col("osm_kind") == "r", -F.col("osm_id"))
+                .otherwise(F.col("osm_id")).alias("osm_id"))
+        elif tdef.ids in ("node", "relation"):
+            cols.append(F.col("osm_id"))
+        elif tdef.ids == "any_single":
+            cols.append(
+                F.when(F.col("osm_kind") == "w", -F.col("osm_id"))
+                .when(F.col("osm_kind") == "r",
+                      -F.col("osm_id") - F.lit(100000000000000000).cast("long"))
+                .otherwise(F.col("osm_id")).alias("osm_id"))
+        elif tdef.ids == "any_object":
+            cols.append(F.col("osm_kind").alias("osm_type"))
+            cols.append(F.col("osm_id"))
+        not_null_conds = []
+        for cd in tdef.columns:
+            if cd.type in ID_TYPES:
+                continue
+            if cd.type in GEOM_TYPES:
+                if cd.name in secondary:
+                    g = F.unhex(F.col("vals")["__geomhex__:" + cd.name])
+                    srid_c = F.col("vals")["__geomsrid__:" + cd.name].cast("int")
+                else:
+                    g = F.col("geom")
+                    srid_c = F.col("geom_srid")
+                if cd.srid == 3857:
+                    g = F.when(srid_c == 4326, wkb_transform_3857(g)).otherwise(g)
+                elif cd.srid == 4326:
+                    g = F.when(srid_c == 4326, g)
+                cols.append(g.alias(cd.name))
+                if cd.not_null:
+                    not_null_conds.append(g.isNotNull())
+                continue
+            if cd.type == "hstore":
+                conv = F.from_json(F.col("vals")[cd.name], "map<string,string>")
+            elif cd.type in ("json", "jsonb"):
+                conv = F.col("vals")[cd.name]
+            else:
+                conv = FlexConfig._convert(F.col("vals")[cd.name], cd)
+            cols.append(conv.alias(cd.name))
+            if cd.not_null:
+                not_null_conds.append(conv.isNotNull())
+        proj = cbt.select(*cols)
+        if not_null_conds:
+            pred = not_null_conds[0]
+            for c in not_null_conds[1:]:
+                pred = pred & c
+            proj = proj.where(pred)
+        return proj
+
+    # -- per-kind prep frames (the same joins _run_callbacks does,
+    #    plus relation member geometry)
+
+    def _tag_filter(self, df, kind):
+        if not self._wants_untagged.get(kind):
+            return df.where(F.size(F.col("tags")) > 0)
+        return df
+
+    def _prep_nodes(self, nodes):
+        if nodes is None:
+            return None
+        attrs = [c for c in ("version", "ts", "changeset", "uid", "user", "visible")
+                 if c in nodes.columns]
+        return self._tag_filter(
+            nodes.select("id", "tags", "lon", "lat", *attrs), "node")
+
+    def _prep_ways(self, ways, way_geoms):
+        if ways is None:
+            return None
+        attrs = [c for c in ("version", "ts", "changeset", "uid", "user", "visible")
+                 if c in ways.columns]
+        prep = self._tag_filter(ways.select("id", "tags", "refs", *attrs), "way")
+        if way_geoms is not None and self._uses(("as_linestring", "as_polygon",
+                                                 "as_point", "get_bbox")):
+            prep = prep.join(
+                way_geoms.withColumnRenamed("way_id", "__gid"),
+                prep["id"] == F.col("__gid"),
+                "left",
+            ).drop("__gid")
+        return prep
+
+    def _prep_relations(self, relations, ways, nodes):
+        if relations is None:
+            return None
+        attrs = [c for c in ("version", "ts", "changeset", "uid", "user", "visible")
+                 if c in relations.columns]
+        prep = self._tag_filter(
+            relations.select("id", "tags", "members", *attrs), "relation")
+        if ways is None or nodes is None:
+            return prep
+        from osm2pgsql_spark.operators.relations import (
+            relation_collections,
+            relation_multilinestrings,
+            relation_multipoints,
+            relation_multipolygons,
+        )
+
+        need = []
+        if self._uses(("as_multipolygon",)):
+            need.append(("__mpoly", lambda: relation_multipolygons(relations, ways, nodes)))
+        if self._uses(("as_multilinestring", "get_bbox")):
+            need.append(("__mline", lambda: relation_multilinestrings(relations, ways, nodes)))
+        if self._uses(("as_multipoint", "get_bbox")):
+            need.append(("__mpoint", lambda: relation_multipoints(relations, nodes)))
+        if self._uses(("as_geometrycollection",)):
+            need.append(("__mcoll", lambda: relation_collections(relations, ways, nodes)))
+        for colname, builder in need:
+            built = builder().select(
+                F.col("rel_id").alias("__gid"), F.col("geom").alias(colname))
+            prep = prep.join(
+                built, prep["id"] == built["__gid"], "left").drop("__gid")
+        return prep
+
+    def _uses(self, names: tuple) -> bool:
+        return any(n in self.source for n in names)
