@@ -313,33 +313,38 @@ class FlexConfig:
             if tname not in tables:
                 continue
             for cd in tdef.geom_columns():
-                if cd.expire is None or cd.expire not in self.expire_outputs:
+                if cd.expire is None:
                     continue
                 if cd.srid != 3857:
                     continue  # reference: only 3857 geometries expire
-                eo = self.expire_outputs[cd.expire]
-                cfg = ExpireConfig(
-                    maxzoom=eo.maxzoom,
-                    buffer=eo.buffer,
-                    mode=eo.mode,
-                    full_area_limit=eo.full_area_limit,
-                    max_tiles_geometry=eo.max_tiles_geometry,
-                    max_tiles_overall=eo.max_tiles_overall,
-                )
-                tiles = dirty_tiles(tables[tname], cfg, wkb_col=cd.name)
-                if eo.minzoom is not None and eo.minzoom < eo.maxzoom:
-                    tiles_z = rollup_zoom(tiles, eo.minzoom, eo.maxzoom)
-                else:
-                    from pyspark.sql import functions as FF
-
-                    tiles_z = tiles.select(
-                        FF.lit(eo.maxzoom).alias("zoom"), "x", "y"
+                # a column may feed SEVERAL outputs (comma-joined
+                # names — forests.lua wires one geometry to three)
+                for expire_name in cd.expire.split(","):
+                    if expire_name not in self.expire_outputs:
+                        continue
+                    eo = self.expire_outputs[expire_name]
+                    cfg = ExpireConfig(
+                        maxzoom=eo.maxzoom,
+                        buffer=eo.buffer,
+                        mode=eo.mode,
+                        full_area_limit=eo.full_area_limit,
+                        max_tiles_geometry=eo.max_tiles_geometry,
+                        max_tiles_overall=eo.max_tiles_overall,
                     )
-                out[eo.name] = (
-                    tiles_z
-                    if eo.name not in out
-                    else out[eo.name].unionByName(tiles_z).distinct()
-                )
+                    tiles = dirty_tiles(tables[tname], cfg, wkb_col=cd.name)
+                    if eo.minzoom is not None and eo.minzoom < eo.maxzoom:
+                        tiles_z = rollup_zoom(tiles, eo.minzoom, eo.maxzoom)
+                    else:
+                        from pyspark.sql import functions as FF
+
+                        tiles_z = tiles.select(
+                            FF.lit(eo.maxzoom).alias("zoom"), "x", "y"
+                        )
+                    out[eo.name] = (
+                        tiles_z
+                        if eo.name not in out
+                        else out[eo.name].unionByName(tiles_z).distinct()
+                    )
         return out
 
     def compute_expire_diff(

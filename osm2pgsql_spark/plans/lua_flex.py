@@ -350,13 +350,29 @@ def _spec_columns(cols_lua) -> list:
         srid = int(proj) if proj is not None else (
             3857 if ctype in GEOM_TYPES else 4326)
         expire = c.get("expire")
-        if isinstance(expire, LuaTable) and "__name__" not in expire.hash:
-            # `expire = { output = <handle> }` form
-            expire = expire.get("output") or (
-                expire.get(1).get("output") if isinstance(expire.get(1), LuaTable)
-                else None)
-        if isinstance(expire, LuaTable):
-            expire = expire.hash.get("__name__")
+        # forms: a handle, 'name', { output = h }, or a LIST of
+        # { output = h } entries (forests.lua wires one geometry column
+        # to three expire outputs) — collect ALL, comma-joined
+        names = []
+
+        def _expire_name(v):
+            if isinstance(v, LuaTable):
+                if "__name__" in v.hash:
+                    return str(v.hash["__name__"])
+                return _expire_name(v.get("output"))
+            return None if v is None else str(v)
+
+        if isinstance(expire, LuaTable) and "__name__" not in expire.hash \
+                and expire.get("output") is None and expire.length():
+            for i in range(1, expire.length() + 1):
+                nm2 = _expire_name(expire.get(i))
+                if nm2:
+                    names.append(nm2)
+        else:
+            nm2 = _expire_name(expire)
+            if nm2:
+                names.append(nm2)
+        expire = ",".join(names) if names else None
         out.append(ColumnDef(
             str(name), str(ctype), srid=srid,
             not_null=bool(c.get("not_null")),
@@ -371,7 +387,8 @@ class LuaFlexRuntime:
     Created once per executor partition (and once on the driver for
     table discovery)."""
 
-    def __init__(self, source: str, mode: str = "create", stage: int = 1):
+    def __init__(self, source: str, mode: str = "create", stage: int = 1,
+                 region_db: str | None = None):
         self.interp = Interpreter()
         self.specs: dict[str, LuaTableSpec] = {}
         self.expire_specs: list[dict] = []
@@ -380,6 +397,9 @@ class LuaFlexRuntime:
         self.marks: list[int] = []
         self.mode = mode
         self.stage = stage
+        self.region_db = region_db
+        self.locators: dict[str, object] = {}
+        self.gen_runs: list[tuple[str, dict]] = []
         self._handles: dict[str, LuaTable] = {}
         self._geom_meta = _build_geom_meta()
         self._osm_table = self._install_api()
@@ -603,6 +623,92 @@ class LuaFlexRuntime:
         osm.set("define_way_table", _define_kind_table("way"))
         osm.set("define_relation_table", _define_kind_table("relation"))
         osm.set("define_area_table", _define_kind_table("area"))
+        def define_locator(options=None):
+            """Locator regions probed per object with exact
+            intersection tests (flex-lua-locator.cpp:73-80; regions
+            are config-scoped and rebuilt per partition when the chunk
+            re-runs, so nothing ships).  add_from_db runs its SQL
+            against the adapter's region database (DuckDB stand-in for
+            the live-PG source, which this sandbox cannot reach) and
+            expects (name, geometry WKB) rows."""
+            from osm2pgsql_spark.operators.locator import LocatorIndex
+
+            nm = "locator"
+            if isinstance(options, LuaTable) and options.get("name") is not None:
+                nm = str(options.get("name"))
+            ix = LocatorIndex()
+            rt.locators[nm] = ix
+            h = LuaTable()
+            h.hash["__locator__"] = nm
+
+            def l_add_bbox(self_h, name=None, min_x=None, min_y=None,
+                           max_x=None, max_y=None):
+                if max_y is None:
+                    raise LuaRuntimeError(
+                        "Need locator, name and 4 coordinates as arguments")
+                ix.add_bbox(name, min_x, min_y, max_x, max_y)
+
+            def l_add_from_db(self_h, query=None):
+                if query is None:
+                    raise LuaRuntimeError("Need locator and SQL query arguments")
+                if rt.region_db is None:
+                    raise LuaRuntimeError(
+                        "add_from_db needs a region database: pass "
+                        "region_db=<duckdb path> to LuaFlexAdapter / "
+                        "--region-db to import_tool (live PostgreSQL is "
+                        "not reachable in this environment)")
+                import duckdb
+
+                from osm2pgsql_spark.functions import geometry as G
+
+                con = duckdb.connect(rt.region_db, read_only=True)
+                try:
+                    for name, wkb in con.execute(str(query)).fetchall():
+                        g = G.from_wkb(bytes(wkb))
+                        if g is not None:
+                            ix.add_polygon(str(name), g)
+                finally:
+                    con.close()
+
+            def l_all_intersecting(self_h, geom=None):
+                if not _is_geom(geom):
+                    raise LuaRuntimeError("Second argument must be a geometry")
+                out = LuaTable()
+                for i, name in enumerate(
+                        ix.all_intersecting(geom.hash.get(_GEOM_KEY)), start=1):
+                    out.set(i, name)
+                return out
+
+            def l_first_intersecting(self_h, geom=None):
+                if not _is_geom(geom):
+                    raise LuaRuntimeError("Second argument must be a geometry")
+                return ix.first_intersecting(geom.hash.get(_GEOM_KEY))
+
+            h.set("name", lambda s: nm)
+            h.set("add_bbox", l_add_bbox)
+            h.set("add_from_db", l_add_from_db)
+            h.set("all_intersecting", l_all_intersecting)
+            h.set("first_intersecting", l_first_intersecting)
+            return h
+
+        def run_gen(strategy=None, options=None):
+            # osm2pgsql-gen's Lua surface (src/gen/osm2pgsql-gen.cpp:
+            # 304-360): record the (strategy, params) invocation; the
+            # gen tool executes them after process_gen() returns
+            if not isinstance(strategy, str):
+                raise LuaRuntimeError(
+                    "Argument #1 to 'run_gen' must be a string naming "
+                    "the strategy.")
+            opts = lua_to_py(options) if isinstance(options, LuaTable) else {}
+            rt.gen_runs.append((strategy, opts))
+
+        def run_sql(options=None):
+            opts = lua_to_py(options) if isinstance(options, LuaTable) else {}
+            rt.gen_runs.append(("sql", opts))
+
+        osm.set("run_gen", run_gen)
+        osm.set("run_sql", run_sql)
+        osm.set("define_locator", lambda options=None: define_locator(options))
         osm.set("define_expire_output", lambda options=None: define_expire_output(options))
         osm.set("has_prefix", has_prefix)
         osm.set("has_suffix", has_suffix)
@@ -910,6 +1016,15 @@ class LuaFlexRuntime:
     def has_select_members(self) -> bool:
         return self._osm_table.get("select_relation_members") is not None
 
+    def collect_gen_runs(self) -> list[tuple[str, dict]]:
+        """Call the config's process_gen() (if any) and return the
+        recorded run_gen/run_sql invocations in order."""
+        self.gen_runs = []
+        fn = self._osm_table.get("process_gen")
+        if fn is not None:
+            self.interp.call(fn, [])
+        return list(self.gen_runs)
+
     def process(self, kind: str, rec: dict) -> list[tuple]:
         """-> list of unified-frame rows for this object."""
         tagged = bool(rec.get("tags"))
@@ -989,14 +1104,15 @@ def _is_geom_type(t: str) -> bool:
 
 
 def _phase_mapper(source: str, kind: str, state_blob: bytes | None,
-                  stage: int, mode: str):
+                  stage: int, mode: str, region_db: str | None = None):
     """mapInPandas factory for one processing phase.  Emits insert rows
     + per-partition state-delta rows."""
 
     def mapper(batches):
         import pandas as pd
 
-        rt = LuaFlexRuntime(source, mode=mode, stage=stage)
+        rt = LuaFlexRuntime(source, mode=mode, stage=stage,
+                            region_db=region_db)
         rt.inject_state(pickle.loads(state_blob) if state_blob else {})
         rt.run_after_callbacks(kind, stage)
         cols = ["tbl", "osm_kind", "osm_id", "vals", "geom", "geom_srid"]
@@ -1028,11 +1144,13 @@ class LuaFlexAdapter:
     API mirrors FlexConfig.run so import_tool's --style path can use
     either interchangeably."""
 
-    def __init__(self, source: str, mode: str = "create"):
+    def __init__(self, source: str, mode: str = "create",
+                 region_db: str | None = None):
         self.source = source
         self.mode = mode
+        self.region_db = region_db
         # driver-side discovery run: table specs, callbacks present
-        probe = LuaFlexRuntime(source, mode=mode)
+        probe = LuaFlexRuntime(source, mode=mode, region_db=region_db)
         if not probe.specs:
             from osm2pgsql_spark.plans.lua_config import LuaConfigError
 
@@ -1104,7 +1222,8 @@ class LuaFlexAdapter:
         def run_phase(kind: str, prep, stage: int, state_in: dict):
             blob = pickle.dumps(state_in) if state_in else None
             df = prep.mapInPandas(
-                _phase_mapper(src_text, kind, blob, stage, self.mode),
+                _phase_mapper(src_text, kind, blob, stage, self.mode,
+                              self.region_db),
                 _OUT_SCHEMA,
             ).localCheckpoint()
             deltas = df.where(F.col("tbl") == _STATE_TBL).select("geom").collect()

@@ -177,3 +177,51 @@ def test_gen_tool_rivers_cli(tmp_path, spark):
     assert widths["out"] == 9.0  # max of upstream widths propagated
     assert widths["left"] == 9.0
     assert widths["right"] == 5.0
+
+
+def test_gen_tool_style_forests_lua(tmp_path, spark):
+    """forests.lua drives the gen step (reference osm2pgsql-gen -S,
+    src/gen/osm2pgsql-gen.cpp:289-360): its process_gen() records
+    three raster-union runs (zoom 7/8/10) over the forests table; the
+    zoom-10 output must equal the flag-driven invocation byte-for-byte
+    on the tile keys."""
+    from osm2pgsql_spark.operators.expire import EARTH_CIRCUMFERENCE
+
+    zoom = 10
+    extent = EARTH_CIRCUMFERENCE / (1 << zoom)
+    half = EARTH_CIRCUMFERENCE / 2.0
+    cx = -half + 512.5 * extent
+    cy = half - 512.5 * extent
+    s = extent / 4
+
+    def wkb(x0, y0, x1, y1):
+        return G.to_wkb(("polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype="f8")]))
+
+    rows = [
+        (1, wkb(cx, cy, cx + 2 * s, cy + 2 * s)),
+        (2, wkb(cx + s, cy + s, cx + 3 * s, cy + 3 * s)),
+    ]
+    tdir = tmp_path / "tables"
+    tdir.mkdir()
+    spark.createDataFrame(rows, "id bigint, geom binary").write.parquet(
+        str(tdir / "forests"))
+
+    r = _run_gen(["style", "--style",
+                  "/root/reference/flex-config/gen/forests.lua",
+                  "--tables-dir", str(tdir), "--resolution", "256"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    for level in ("forests_s", "forests_m", "forests_l"):
+        assert (tdir / level).exists(), level
+
+    # flag-driven twin at the same zoom/margin/resolution
+    out = str(tmp_path / "flag.parquet")
+    r2 = _run_gen(["raster-union", "--input", str(tdir / "forests"),
+                   "--output", out, "--zoom", "10", "--margin", "0.1",
+                   "--resolution", "256"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    style_rows = {(r.x, r.y, bytes(r.geom)) for r in
+                  spark.read.parquet(str(tdir / "forests_l")).collect()}
+    flag_rows = {(r.x, r.y, bytes(r.geom)) for r in
+                 spark.read.parquet(out).collect()}
+    assert style_rows and style_rows == flag_rows

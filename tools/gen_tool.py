@@ -61,17 +61,84 @@ def load_dirty(spark, path: str, zoom: int):
     return t.where(F.col("zoom") == dz).select("x", "y"), dz
 
 
+def run_style(args) -> None:
+    """--style config.lua mode: load a gen Lua config (reference
+    osm2pgsql-gen -S config.lua, src/gen/osm2pgsql-gen.cpp:289-360),
+    call its process_gen(), and execute each recorded run_gen
+    invocation against parquet tables in --tables-dir (src_table read,
+    dest_table written)."""
+    from pyspark.sql import functions as F
+
+    from osm2pgsql_spark.operators import gen, raster_union
+    from osm2pgsql_spark.operators.vector_union import tile_vector_union
+    from osm2pgsql_spark.plans.lua_flex import LuaFlexRuntime
+    from osm2pgsql_spark.session import get_spark
+
+    rt = LuaFlexRuntime(open(args.style).read())
+    runs = rt.collect_gen_runs()
+    if not runs:
+        raise SystemExit(f"{args.style} defines no process_gen()/run_gen")
+    spark = get_spark("osm2pgsql-gen")
+    for strategy, opts in runs:
+        name = opts.get("name") or opts.get("dest_table") or strategy
+        if strategy == "sql":
+            # run_sql: execute against temp views of the table dir
+            for t in os.listdir(args.tables_dir):
+                p = os.path.join(args.tables_dir, t)
+                if os.path.isdir(p):
+                    spark.read.parquet(p).createOrReplaceTempView(t)
+            spark.sql(opts["sql"])
+            print(f"ran sql step {opts.get('description', '')!r}")
+            continue
+        src_path = os.path.join(args.tables_dir, str(opts["src_table"]))
+        dest_path = os.path.join(args.tables_dir, str(opts["dest_table"]))
+        feats = spark.read.parquet(src_path)
+        gcol = str(opts.get("geom_column") or "geom")
+        if gcol != "geom":
+            feats = feats.withColumnRenamed(gcol, "geom")
+        zoom = int(opts.get("zoom") or args.zoom)
+        margin = float(opts.get("margin") or 0.0)
+        if args.dirty:
+            dirty, dz = load_dirty(spark, args.dirty, zoom)
+            tiles = gen.tiles_to_process(
+                zoom, dirty_tiles=dirty, dirty_zoom=dz,
+                max_tiles_per_run=args.max_tiles)
+        else:
+            tiles = gen.tiles_to_process(zoom, features=feats, wkb_col="geom")
+        if strategy == "raster-union":
+            cut = gen.cut_to_dirty_tiles(
+                feats, zoom, tiles, margin=margin, wkb_col="geom")
+            out = raster_union.tile_raster_union(
+                cut, zoom, resolution=args.resolution,
+                close_size=args.close_size, margin=margin)
+        elif strategy == "vector-union":
+            out = tile_vector_union(
+                feats, zoom, margin=margin,
+                group_by=opts.get("group_by"),
+                tiles=tiles if args.dirty else None)
+        else:
+            raise SystemExit(
+                f"run_gen strategy {strategy!r} is not supported in "
+                "--style mode (raster-union, vector-union, sql are)")
+        out.write.mode("overwrite").parquet(dest_path)
+        n = spark.read.parquet(dest_path).count()
+        print(f"gen {name}: wrote {n} rows to {dest_path}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "strategy",
         choices=[
             "raster-union", "builtup", "discrete-isolation", "tile-sql",
-            "vector-union", "rivers",
+            "vector-union", "rivers", "style",
         ],
     )
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--style", help="style mode: gen Lua config path")
+    ap.add_argument("--tables-dir",
+                    help="style mode: directory of per-table parquet dirs")
+    ap.add_argument("--input")
+    ap.add_argument("--output")
     ap.add_argument("--zoom", type=int, default=10)
     ap.add_argument("--dirty", help="expire z/x/y list or parquet tile table")
     ap.add_argument("--max-tiles", type=int, default=0)
@@ -96,6 +163,14 @@ def main() -> None:
                     help="rivers: spatial grid cell (m) for the "
                     "line/area pairing join (default: broadcast areas)")
     args = ap.parse_args()
+
+    if args.strategy == "style":
+        if not (args.style and args.tables_dir):
+            raise SystemExit("style mode needs --style and --tables-dir")
+        run_style(args)
+        return
+    if not (args.input and args.output):
+        raise SystemExit("--input and --output are required")
 
     from osm2pgsql_spark.operators import gen, isolation, raster_union, tile_sql
     from osm2pgsql_spark.session import get_spark

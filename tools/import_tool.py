@@ -67,7 +67,7 @@ def read_osm_any(spark, path: str):
     return read_osm_xml(spark, path)
 
 
-def load_style(path: str | None):
+def load_style(path: str | None, region_db: str | None = None):
     """Style module contract: `tables(spark, nodes, ways, rels) ->
     dict[str, DataFrame]`, optionally `ID_SPACES: dict[table ->
     node|way|relation|area]` (enables incremental append).  Default
@@ -77,11 +77,14 @@ def load_style(path: str | None):
 
         return g.generic_import, g.ID_SPACES
     if path.endswith(".lua"):
-        # real osm2pgsql flex configs (the declarative subset) drive
-        # the import directly: osm2pgsql -O flex -S config.lua twin
+        # real osm2pgsql flex configs drive the import directly:
+        # osm2pgsql -O flex -S config.lua twin (declarative subset on
+        # the Catalyst fast path, anything else on the interpreter)
         from osm2pgsql_spark.plans.lua_config import load_lua_config
 
         cfg, model = load_lua_config(path)
+        if region_db is not None and hasattr(cfg, "region_db"):
+            cfg.region_db = region_db
 
         def lua_tables(spark, nodes, ways, rels):
             return cfg.run(nodes=nodes, ways=ways, relations=rels)
@@ -196,7 +199,7 @@ def cmd_create(args, spark) -> None:
     # slim middle (bucketed for append partition pruning)
     for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
         _middle(args.out_dir, name).write_full(df)
-    style_fn, _ = load_style(args.style)
+    style_fn, _ = load_style(args.style, getattr(args, "region_db", None))
     tables = style_fn(spark, nodes, ways, rels)
     counts = _write_tables(tables, args.out_dir)
     if args.drop:
@@ -230,7 +233,7 @@ def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
 
     n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
-    style_fn, id_spaces = load_style(args.style)
+    style_fn, id_spaces = load_style(args.style, getattr(args, "region_db", None))
     incremental = args.refresh == "incremental" or (
         args.refresh == "auto" and id_spaces is not None
     )
@@ -365,6 +368,8 @@ def main() -> None:
         "the result cannot be appended to",
     )
     ap.add_argument("--style", default=None, help="python style module path")
+    ap.add_argument("--region-db", default=None,
+                    help="DuckDB file serving locator add_from_db queries")
     ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
     ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
     ap.add_argument("--expire-output", default=None)
