@@ -239,3 +239,62 @@ class TestUpdateE2E:
         r = _run_repl(["update", state, base_dir])
         assert r.returncode == 0
         assert "up-to-date" in r.stdout
+
+
+class TestHttpServer:
+    """The urllib path end-to-end against a REAL http server on
+    localhost (http.server over the same fixture tree; zero external
+    network): 200 fetch, 404 -> None, state.txt discovery, diff fetch,
+    and batched catch-up all through http:// URLs."""
+
+    @pytest.fixture()
+    def http_server(self, server_dir):
+        import functools
+        import http.server
+        import threading
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=server_dir)
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        finally:
+            httpd.shutdown()
+            t.join(timeout=5)
+
+    def test_state_info_over_http(self, http_server):
+        repl = ReplicationServer(http_server)
+        st = repl.get_state_info()
+        assert st.sequence == 105
+        assert st.timestamp == utc(2024, 1, 1, 5)
+        st100 = repl.get_state_info(100)
+        assert st100.sequence == 100
+
+    def test_404_returns_none(self, http_server):
+        repl = ReplicationServer(http_server)
+        assert repl.get_state_info(99999999) is None
+        assert repl.get_diff(99999999) is None
+
+    def test_diff_fetch_over_http(self, http_server, server_dir):
+        repl = ReplicationServer(http_server)
+        body = repl.get_diff(102)
+        with open(os.path.join(
+                server_dir, sequence_path(102) + ".osc.gz"), "rb") as fh:
+            assert body == fh.read()
+
+    def test_collect_diffs_over_http(self, http_server):
+        repl = ReplicationServer(http_server)
+        last, diffs = repl.collect_diffs(101, max_size_kb=7)
+        # same size-capped batching as the file:// path: ~3 KB diffs,
+        # 7 KB cap -> 2 per batch; a second call continues
+        assert [s for s, _ in diffs] == [101, 102]
+        assert last == 102
+        last2, diffs2 = repl.collect_diffs(last + 1, max_size_kb=7)
+        assert [s for s, _ in diffs2] == [103, 104]
+        assert last2 == 104
+
+    def test_timestamp_to_sequence_over_http(self, http_server):
+        repl = ReplicationServer(http_server)
+        assert repl.timestamp_to_sequence(utc(2024, 1, 1, 2, 30)) in (102, 103)
