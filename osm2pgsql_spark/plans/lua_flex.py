@@ -414,10 +414,25 @@ class LuaFlexRuntime:
         rt = self
 
         def define_table(options=None):
+            # argument validation follows the reference messages
+            # (flex-lua-table.cpp:40-197; pinned by the
+            # lua-table-definitions BDD feature)
             if not isinstance(options, LuaTable):
-                raise LuaRuntimeError("define_table: argument must be a table")
+                raise LuaRuntimeError(
+                    "Argument #1 to 'define_table' must be a table.")
             name = options.get("name")
+            if not isinstance(name, str):
+                raise LuaRuntimeError(
+                    "The table must contain a 'name' string field.")
+            cols_val = options.get("columns")
+            if not isinstance(cols_val, LuaTable) or (
+                    cols_val.hash and not cols_val.length()):
+                raise LuaRuntimeError(
+                    f"No 'columns' field (or not an array) in table "
+                    f"'{name}'.")
             ids = options.get("ids")
+            if not cols_val.length() and not isinstance(ids, LuaTable):
+                raise LuaRuntimeError(f"No columns defined for table '{name}'.")
             ids_type, id_col, cache = "none", "id", False
             if isinstance(ids, LuaTable):
                 ids_type = str(ids.get("type") or "none")
@@ -444,8 +459,15 @@ class LuaFlexRuntime:
             handle.hash["__handle__"] = spec.name
 
             def h_insert(self_h, row=None):
+                if row is None:
+                    # reference: "Need two parameters" (the table object
+                    # and the row table; empty-insert BDD feature)
+                    raise LuaRuntimeError(
+                        "Need two parameters and the first one must "
+                        "be an osm2pgsql.Table.")
                 if not isinstance(row, LuaTable):
-                    raise LuaRuntimeError("insert: argument must be a table")
+                    raise LuaRuntimeError(
+                        "Argument #1 to 'insert' must be a table.")
                 rt._do_insert(spec, row)
                 return True
 
@@ -724,6 +746,16 @@ class LuaFlexRuntime:
         osm.set("stage", self.stage)
         osm.set("mode", self.mode)
         osm.set("version", "2.0.0-spark")
+        # the Table/Geometry class tables and the properties table
+        # (lua-basics BDD feature: type(osm2pgsql.Table) == 'table',
+        # properties values are STRINGS)
+        osm.set("Table", LuaTable())
+        osm.set("Geometry", LuaTable())
+        props = LuaTable()
+        props.set("attributes", "false")
+        props.set("prefix", "planet_osm")
+        props.set("updatable", "false")
+        osm.set("properties", props)
         interp.globals.set("osm2pgsql", osm)
         return osm
 
