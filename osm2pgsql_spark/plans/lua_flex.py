@@ -1057,6 +1057,31 @@ class LuaFlexRuntime:
             self.interp.call(fn, [])
         return list(self.gen_runs)
 
+    def process_deleted(self, kind: str, rec: dict) -> list[tuple]:
+        """process_deleted_<kind> for objects removed by a diff
+        (output-flex.cpp:1212-1245: the callback sees the deleted
+        object's id/attributes before its rows are removed)."""
+        fn = self._osm_table.get(f"process_deleted_{kind}")
+        rows = []
+        if fn is not None:
+            oid = int(rec["id"])
+            obj = self.make_object(kind, rec)
+            self.inserts = []
+            self._current_id = oid
+            self._current_kind = kind
+            try:
+                self.interp.call(fn, [obj])
+            finally:
+                self._current_id = None
+                self._current_kind = None
+            for tname, row in self.inserts:
+                rows.append(self._encode_insert(tname, kind, oid, row))
+            self.inserts = []
+        return rows
+
+    def has_deleted_callback(self, kind: str) -> bool:
+        return self._osm_table.get(f"process_deleted_{kind}") is not None
+
     def process(self, kind: str, rec: dict) -> list[tuple]:
         """-> list of unified-frame rows for this object."""
         tagged = bool(rec.get("tags"))
@@ -1136,9 +1161,11 @@ def _is_geom_type(t: str) -> bool:
 
 
 def _phase_mapper(source: str, kind: str, state_blob: bytes | None,
-                  stage: int, mode: str, region_db: str | None = None):
+                  stage: int, mode: str, region_db: str | None = None,
+                  deleted: bool = False):
     """mapInPandas factory for one processing phase.  Emits insert rows
-    + per-partition state-delta rows."""
+    + per-partition state-delta rows.  deleted=True routes rows through
+    process_deleted_<kind> instead of process_<kind>."""
 
     def mapper(batches):
         import pandas as pd
@@ -1148,13 +1175,16 @@ def _phase_mapper(source: str, kind: str, state_blob: bytes | None,
         rt.inject_state(pickle.loads(state_blob) if state_blob else {})
         rt.run_after_callbacks(kind, stage)
         cols = ["tbl", "osm_kind", "osm_id", "vals", "geom", "geom_srid"]
-        any_cb = rt.has_any_callback(kind) or (
-            kind == "relation" and rt.has_select_members())
+        any_cb = (rt.has_deleted_callback(kind) if deleted
+                  else rt.has_any_callback(kind) or (
+                      kind == "relation" and rt.has_select_members()))
         for pdf in batches:
             rows = []
             if any_cb:
                 for rec in pdf.to_dict("records"):
-                    rows.extend(rt.process(kind, rec))
+                    rows.extend(
+                        rt.process_deleted(kind, rec) if deleted
+                        else rt.process(kind, rec))
             yield pd.DataFrame(rows, columns=cols)
         state = rt.extract_state()
         if state:
@@ -1310,6 +1340,47 @@ class LuaFlexAdapter:
                 df = self._fixup_secondary_geoms(df, cb, tdef)
                 out[tname] = df
         return out
+
+    def run_deleted(
+        self,
+        nodes: DataFrame | None = None,
+        ways: DataFrame | None = None,
+        relations: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        """Run process_deleted_* over objects a diff removes (append
+        mode; output-flex.cpp:1212-1245) and project their inserts into
+        typed tables.  Input frames carry the entity schema (tags and
+        geometry may be absent — the callback sees id + attributes,
+        like the reference's deleted-object view)."""
+        frames = []
+        for kind, df in (("node", nodes), ("way", ways),
+                         ("relation", relations)):
+            if df is None:
+                continue
+            cols = [c for c in
+                    ("id", "tags", "lon", "lat", "refs", "members",
+                     "version", "ts", "changeset", "uid", "user", "visible")
+                    if c in df.columns]
+            prep = df.select(*cols)
+            out = prep.mapInPandas(
+                _phase_mapper(self.source, kind, None, 1, "append",
+                              self.region_db, deleted=True),
+                _OUT_SCHEMA,
+            )
+            frames.append(out.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+        if not frames:
+            return {}
+        cb = frames[0]
+        for f in frames[1:]:
+            cb = cb.unionByName(f)
+        cb = cb.localCheckpoint()
+        out_t: dict[str, DataFrame] = {}
+        for tname, tdef in self._flex.tables.items():
+            df = self._flex._callback_rows_for_table(cb, tdef)
+            if df is not None:
+                df = self._fixup_secondary_geoms(df, cb, tdef)
+                out_t[tname] = df
+        return out_t
 
     def _fixup_secondary_geoms(self, df, cb, tdef):
         """Tables with MORE than one geometry column (indexes.lua's

@@ -212,3 +212,63 @@ class TestLuaCallbacks:
         rt2.run_after_callbacks("way", stage=2)
         got2 = rt2.interp.call(rt2._osm_table.get("get_log"), [])
         assert got2 == ["n,w,r"]
+
+
+class TestDeletedCallbacks:
+    """track-changes.lua in append mode: process_* logs A/M for
+    added/modified objects (file_reading_in_progress true during the
+    diff read), process_deleted_* logs D for deletes
+    (output-flex.cpp:1212-1245)."""
+
+    def test_track_changes_append(self, spark):
+        import tempfile
+
+        from osm2pgsql_spark.plans.lua_flex import LuaFlexAdapter
+        from osm2pgsql_spark.sources.opl import read_opl
+
+        src = open("/root/reference/flex-config/track-changes.lua").read()
+        adapter = LuaFlexAdapter(src, mode="append")
+
+        # the diff's surviving objects (create v1 / modify v2)
+        opl = (
+            "n1 v1 t2024-01-01T00:00:00Z Tamenity=pub x9.0 y50.0\n"
+            "n2 v2 t2024-01-02T00:00:00Z Thighway=bus_stop x9.1 y50.1\n"
+            "w10 v1 t2024-01-03T00:00:00Z Thighway=track Nn1,n2\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write(opl)
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        t = adapter.run(nodes=nodes, ways=ways, relations=rels)
+        log = {(r["osm_type"], r["osm_id"]): (r["action"], r["version"])
+               for r in t["change_log"].collect()}
+        # version 1 -> 'A', higher -> 'M' (track-changes.lua:46)
+        assert log[("node", 1)] == ("A", 1)
+        assert log[("node", 2)] == ("M", 2)
+        assert log[("way", 10)] == ("A", 1)
+
+        # deleted objects route through process_deleted_*
+        del_opl = "n9 v3 t2024-01-04T00:00:00Z x9.9 y50.9\n"
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write(del_opl)
+            dpath = fh.name
+        dn, dw, dr = read_opl(spark, dpath)
+        dt = adapter.run_deleted(nodes=dn)
+        dlog = {(r["osm_type"], r["osm_id"]): (r["action"], r["version"])
+                for r in dt["change_log"].collect()}
+        assert dlog == {("node", 9): ("D", 3)}
+
+    def test_create_mode_logs_nothing(self, spark):
+        import tempfile
+
+        from osm2pgsql_spark.plans.lua_flex import LuaFlexAdapter
+        from osm2pgsql_spark.sources.opl import read_opl
+
+        src = open("/root/reference/flex-config/track-changes.lua").read()
+        adapter = LuaFlexAdapter(src, mode="create")
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write("n1 v1 Tamenity=pub x9.0 y50.0\n")
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        t = adapter.run(nodes=nodes, ways=ways, relations=rels)
+        assert t["change_log"].count() == 0

@@ -67,7 +67,8 @@ def read_osm_any(spark, path: str):
     return read_osm_xml(spark, path)
 
 
-def load_style(path: str | None, region_db: str | None = None):
+def load_style(path: str | None, region_db: str | None = None,
+               mode: str = "create"):
     """Style module contract: `tables(spark, nodes, ways, rels) ->
     dict[str, DataFrame]`, optionally `ID_SPACES: dict[table ->
     node|way|relation|area]` (enables incremental append).  Default
@@ -85,6 +86,10 @@ def load_style(path: str | None, region_db: str | None = None):
         cfg, model = load_lua_config(path)
         if region_db is not None and hasattr(cfg, "region_db"):
             cfg.region_db = region_db
+        if hasattr(cfg, "mode"):
+            # osm2pgsql.mode in the Lua runtime ('create'/'append',
+            # track-changes.lua branches on it)
+            cfg.mode = mode
 
         def lua_tables(spark, nodes, ways, rels):
             return cfg.run(nodes=nodes, ways=ways, relations=rels)
@@ -233,7 +238,8 @@ def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
 
     n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
-    style_fn, id_spaces = load_style(args.style, getattr(args, "region_db", None))
+    style_fn, id_spaces = load_style(
+        args.style, getattr(args, "region_db", None), mode="append")
     incremental = args.refresh == "incremental" or (
         args.refresh == "auto" and id_spaces is not None
     )
