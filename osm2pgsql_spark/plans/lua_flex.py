@@ -316,6 +316,95 @@ class LuaTableSpec:
     cache: bool = False
     schema: str = "public"
     columns: list = field(default_factory=list)  # ColumnDef list
+    indexes: list = field(default_factory=list)  # FlexIndex list
+
+
+# PostgreSQL's built-in index access methods; the reference asks the
+# server's pg_am catalog (pgsql-capabilities.cpp:189), we pin the
+# stock set
+_INDEX_METHODS = {"btree", "gist", "gin", "hash", "brin", "spgist"}
+
+
+def _parse_indexes(options: LuaTable, name: str, columns) -> list:
+    """The `indexes` table option (flex-lua-table.cpp:398-438 +
+    flex-lua-index.cpp:23-110): nil -> default gist on the first
+    geometry column; explicit array -> validated FlexIndex list with
+    the reference's error wording."""
+    from osm2pgsql_spark.plans.flex import GEOM_TYPES
+    from osm2pgsql_spark.sinks.live import FlexIndex
+
+    col_names = {c.name for c in columns}
+    idx_val = options.get("indexes")
+    if idx_val is None:
+        geoms = [c for c in columns if c.type in GEOM_TYPES]
+        if geoms:
+            # non-updatable default: gist on the geometry, ff 100
+            return [FlexIndex(method="gist", columns=[geoms[0].name],
+                              fillfactor=100)]
+        return []
+    if not isinstance(idx_val, LuaTable):
+        raise LuaRuntimeError(
+            f"The 'indexes' field in definition of table '{name}' is "
+            f"not an array.")
+    if idx_val.hash and not idx_val.length():
+        raise LuaRuntimeError("The 'indexes' field must contain an array.")
+    out = []
+    for i in range(1, idx_val.length() + 1):
+        e = idx_val.get(i)
+        if not isinstance(e, LuaTable):
+            raise LuaRuntimeError(
+                "The entries in the 'indexes' array must be Lua tables.")
+        method = e.get("method")
+        if not isinstance(method, str):
+            raise LuaRuntimeError(
+                "Index definition must contain a 'method' string field.")
+        if method not in _INDEX_METHODS:
+            raise LuaRuntimeError(f"Unknown index method '{method}'.")
+        col = e.get("column")
+        expr = e.get("expression")
+        if (col is None) == (expr is None):
+            raise LuaRuntimeError(
+                "You must set either the 'column' or the 'expression' "
+                "field in index definition.")
+
+        def check_col(c):
+            if not isinstance(c, str):
+                raise LuaRuntimeError(
+                    "The entries in the 'column' array must be strings.")
+            if c not in col_names:
+                raise LuaRuntimeError(
+                    f"Unknown column '{c}' in table '{name}'.")
+            return c
+
+        cols = []
+        if isinstance(col, str):
+            cols = [check_col(col)]
+        elif isinstance(col, LuaTable):
+            cols = [check_col(col.get(j)) for j in range(1, col.length() + 1)]
+        elif col is not None:
+            raise LuaRuntimeError(
+                "The 'column' field must contain a string or an array.")
+        inc = e.get("include")
+        incs = []
+        if isinstance(inc, str):
+            incs = [check_col(inc)]
+        elif isinstance(inc, LuaTable):
+            incs = [check_col(inc.get(j)) for j in range(1, inc.length() + 1)]
+        elif inc is not None:
+            raise LuaRuntimeError(
+                "The 'include' field in an index definition must "
+                "contain a string or an array.")
+        out.append(FlexIndex(
+            method=method, columns=cols,
+            expression=str(expr) if expr is not None else "",
+            include_columns=incs,
+            name=str(e.get("name") or ""),
+            tablespace=str(e.get("tablespace") or ""),
+            where=str(e.get("where") or ""),
+            fillfactor=int(e.get("fillfactor") or 0),
+            unique=bool(e.get("unique")),
+        ))
+    return out
 
 
 _LUA_SCALAR_ALIASES = {
@@ -445,10 +534,12 @@ class LuaFlexRuntime:
                         else "any_single")
                 id_col = str(ids.get("id_column") or ids_type + "_id")
                 cache = bool(ids.get("cache"))
+            cols_parsed = _spec_columns(options.get("columns"))
             spec = LuaTableSpec(
                 name=str(name), ids_type=ids_type, id_column=id_col,
                 cache=cache, schema=str(options.get("schema") or "public"),
-                columns=_spec_columns(options.get("columns")),
+                columns=cols_parsed,
+                indexes=_parse_indexes(options, str(name), cols_parsed),
             )
             if spec.name in rt.specs:
                 raise LuaRuntimeError(f"table '{spec.name}' already defined")
@@ -1248,6 +1339,11 @@ class LuaFlexAdapter:
     @property
     def tables(self):
         return self._flex.tables
+
+    def pg_indexes(self) -> dict[str, list]:
+        """{table: [FlexIndex...]} for the PG DDL path
+        (sinks/live.pg_import_transcript)."""
+        return {s.name: list(s.indexes) for s in self.specs.values()}
 
     def run(
         self,

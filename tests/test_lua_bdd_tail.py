@@ -272,3 +272,125 @@ class TestDeletedCallbacks:
         nodes, ways, rels = read_opl(spark, path)
         t = adapter.run(nodes=nodes, ways=ways, relations=rels)
         assert t["change_log"].count() == 0
+
+
+class TestLuaIndexDefinitions:
+    """tests/bdd/flex/lua-index-definitions.feature — the validation
+    and construction scenarios (DDL itself is pinned by the FlexIndex
+    transcript tests in test_live_sink)."""
+
+    BASE = """
+        local t = osm2pgsql.define_table({{
+            name = 'mytable',
+            ids = {{ type = 'node', id_column = 'node_id' }},
+            columns = {{
+                {{ column = 'name', type = 'text' }},
+                {{ column = 'tags', type = 'jsonb' }},
+                {{ column = 'geom', type = 'geometry' }},
+            }},
+            {indexes}
+        }})
+    """
+
+    def rt(self, indexes):
+        return LuaFlexRuntime(self.BASE.format(indexes=indexes))
+
+    def test_indexes_must_be_array(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The 'indexes' field in definition of table "
+                      r"'mytable' is not an array\."):
+            self.rt("indexes = true")
+
+    def test_default_index_is_gist_on_geometry(self):
+        rt = self.rt("")
+        ix = rt.specs["mytable"].indexes
+        assert len(ix) == 1
+        assert ix[0].method == "gist"
+        assert list(ix[0].columns) == ["geom"]
+        assert ix[0].fillfactor == 100  # non-updatable default
+
+    def test_empty_indexes_gets_none(self):
+        rt = self.rt("indexes = {}")
+        assert rt.specs["mytable"].indexes == []
+
+    def test_explicit_column_index(self):
+        rt = self.rt("indexes = { { column = 'name', method = 'btree' } }")
+        ix = rt.specs["mytable"].indexes
+        assert [(i.method, list(i.columns)) for i in ix] == [("btree", ["name"])]
+
+    def test_multiple_indexes(self):
+        rt = self.rt(
+            "indexes = { { column = 'name', method = 'btree' }, "
+            "{ column = 'geom', method = 'gist' } }")
+        assert len(rt.specs["mytable"].indexes) == 2
+
+    def test_method_missing(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Index definition must contain a 'method' string field\."):
+            self.rt("indexes = { { column = 'name' } }")
+
+    def test_method_must_be_valid(self):
+        with pytest.raises(LuaRuntimeError,
+                           match=r"Unknown index method 'ERROR'\."):
+            self.rt("indexes = { { column = 'name', method = 'ERROR' } }")
+
+    def test_column_missing(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"You must set either the 'column' or the "
+                      r"'expression' field in index definition\."):
+            self.rt("indexes = { { method = 'btree' } }")
+
+    def test_column_and_expression_conflict(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"You must set either the 'column' or the "
+                      r"'expression' field"):
+            self.rt("indexes = { { column = 'name', "
+                    "expression = 'lower(name)', method = 'btree' } }")
+
+    def test_column_must_exist(self):
+        with pytest.raises(LuaRuntimeError,
+                           match=r"Unknown column 'foo' in table 'mytable'\."):
+            self.rt("indexes = { { column = 'foo', method = 'btree' } }")
+
+    def test_expression_index_with_name(self):
+        rt = self.rt(
+            "indexes = { { expression = 'lower(name)', method = 'btree', "
+            "name = 'my_idx' } }")
+        ix = rt.specs["mytable"].indexes[0]
+        assert ix.expression == "lower(name)"
+        assert ix.name == "my_idx"
+
+    def test_include_field_validation(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The 'include' field in an index definition must "
+                      r"contain a string or an array\."):
+            self.rt("indexes = { { column = 'name', method = 'btree', "
+                    "include = true } }")
+        with pytest.raises(LuaRuntimeError,
+                           match=r"Unknown column 'zzz' in table 'mytable'\."):
+            self.rt("indexes = { { column = 'name', method = 'btree', "
+                    "include = 'zzz' } }")
+        rt = self.rt("indexes = { { column = 'name', method = 'btree', "
+                     "include = 'tags' } }")
+        assert list(rt.specs["mytable"].indexes[0].include_columns) == ["tags"]
+
+    def test_indexes_feed_pg_ddl(self):
+        """indexes.lua specs flow into the real CREATE INDEX DDL
+        through the transcript writer."""
+        from osm2pgsql_spark.plans.lua_flex import LuaFlexAdapter
+        from osm2pgsql_spark.sinks.live import pg_import_transcript
+
+        a = LuaFlexAdapter(
+            open("/root/reference/flex-config/indexes.lua").read())
+        tables = {
+            "roads": ([("name", "text"), ("type", "text"), ("ref", "text"),
+                       ("geom", "geometry(LineString,3857)")], []),
+        }
+        sql = pg_import_transcript(tables, a.pg_indexes())
+        assert 'CREATE INDEX ON "roads" USING btree ("name","ref")' in sql
+        assert "WHERE type='primary'" in sql
