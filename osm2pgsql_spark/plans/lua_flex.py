@@ -603,8 +603,38 @@ class LuaFlexRuntime:
             return f
 
         def define_expire_output(options=None):
+            # validation follows the reference wording
+            # (flex-lua-expire-output.cpp:26-54; pinned by the
+            # lua-expire-output-definitions BDD feature)
             if not isinstance(options, LuaTable):
-                raise LuaRuntimeError("define_expire_output: table expected")
+                raise LuaRuntimeError(
+                    "Argument #1 to 'define_expire_output' must be a "
+                    "Lua table.")
+            for fld, dflt in (("filename", "''"), ("schema", "'public'"),
+                              ("table", "''")):
+                v = options.get(fld)
+                if v is not None and not isinstance(v, str):
+                    raise LuaRuntimeError(
+                        f"The expire output field must contain a "
+                        f"'{fld}' string field (or nil for default: "
+                        f"{dflt}).")
+            for fld in ("maxzoom", "minzoom"):
+                v = options.get(fld)
+                if v is not None and (isinstance(v, bool)
+                                      or not isinstance(v, int)):
+                    raise LuaRuntimeError(
+                        f"The '{fld}' field in a expire output must "
+                        f"contain an integer.")
+            mz = options.get("maxzoom")
+            if mz is not None and not 1 <= mz <= 20:
+                raise LuaRuntimeError(
+                    "The 'maxzoom' field in a expire output must be "
+                    "between 1 and 20.")
+            nz = options.get("minzoom")
+            if nz is not None and not 1 <= nz <= (mz if mz is not None else 20):
+                raise LuaRuntimeError(
+                    "The 'minzoom' field in a expire output must be "
+                    "between 1 and 'maxzoom'.")
             spec = {
                 "maxzoom": int(options.get("maxzoom") or 12),
                 "filename": options.get("filename"),
@@ -746,6 +776,9 @@ class LuaFlexRuntime:
             expects (name, geometry WKB) rows."""
             from osm2pgsql_spark.operators.locator import LocatorIndex
 
+            if options is not None and not isinstance(options, LuaTable):
+                raise LuaRuntimeError(
+                    "Argument #1 to 'define_locator' must be a Lua table.")
             nm = "locator"
             if isinstance(options, LuaTable) and options.get("name") is not None:
                 nm = str(options.get("name"))
@@ -754,8 +787,16 @@ class LuaFlexRuntime:
             h = LuaTable()
             h.hash["__locator__"] = nm
 
-            def l_add_bbox(self_h, name=None, min_x=None, min_y=None,
+            def _check_self(s):
+                # dot-call instead of colon-call passes no (or a wrong)
+                # self (locator.feature: 'name() with . instead of :')
+                if not (isinstance(s, LuaTable) and "__locator__" in s.hash):
+                    raise LuaRuntimeError(
+                        "Argument #1 has to be of type osm2pgsql.Locator.")
+
+            def l_add_bbox(self_h=None, name=None, min_x=None, min_y=None,
                            max_x=None, max_y=None):
+                _check_self(self_h)
                 if max_y is None:
                     raise LuaRuntimeError(
                         "Need locator, name and 4 coordinates as arguments")
@@ -783,7 +824,12 @@ class LuaFlexRuntime:
                 finally:
                     con.close()
 
-            def l_all_intersecting(self_h, geom=None):
+            def l_all_intersecting(self_h=None, geom=None):
+                _check_self(self_h)
+                if geom is None:
+                    raise LuaRuntimeError(
+                        "Error in 'all_intersecting': Need locator and "
+                        "geometry arguments")
                 if not _is_geom(geom):
                     raise LuaRuntimeError("Second argument must be a geometry")
                 out = LuaTable()
@@ -792,12 +838,21 @@ class LuaFlexRuntime:
                     out.set(i, name)
                 return out
 
-            def l_first_intersecting(self_h, geom=None):
+            def l_first_intersecting(self_h=None, geom=None):
+                _check_self(self_h)
+                if geom is None:
+                    raise LuaRuntimeError(
+                        "Error in 'first_intersecting': Need locator and "
+                        "geometry arguments")
                 if not _is_geom(geom):
                     raise LuaRuntimeError("Second argument must be a geometry")
                 return ix.first_intersecting(geom.hash.get(_GEOM_KEY))
 
-            h.set("name", lambda s: nm)
+            def l_name(s=None):
+                _check_self(s)
+                return nm
+
+            h.set("name", l_name)
             h.set("add_bbox", l_add_bbox)
             h.set("add_from_db", l_add_from_db)
             h.set("all_intersecting", l_all_intersecting)

@@ -394,3 +394,124 @@ class TestLuaIndexDefinitions:
         sql = pg_import_transcript(tables, a.pg_indexes())
         assert 'CREATE INDEX ON "roads" USING btree ("name","ref")' in sql
         assert "WHERE type='primary'" in sql
+
+
+class TestLocatorApiErrors:
+    """tests/bdd/flex/locator.feature — the 7 Lua-API error/definition
+    scenarios (the 3 functional ones run e2e in test_lua_locator)."""
+
+    def wrap(self, body):
+        return LuaFlexRuntime(
+            body + "\nlocal t = osm2pgsql.define_node_table('t', "
+            "{{column='a'}})\nfunction osm2pgsql.process_node(object) end")
+
+    def test_define_without_parameter_ok_and_nonables(self):
+        # no parameter and no name are both okay
+        self.wrap("local l = osm2pgsql.define_locator()")
+        self.wrap("local l = osm2pgsql.define_locator({})")
+        rt = self.wrap("local l = osm2pgsql.define_locator({ name = 'x' })\n"
+                       "print('name=' .. l:name())")
+        assert "x" in rt.locators
+
+    def test_define_with_non_table_fails(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Argument #1 to 'define_locator' must be a Lua table\."):
+            self.wrap("local l = osm2pgsql.define_locator('nope')")
+
+    def test_dot_call_instead_of_colon(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Argument #1 has to be of type osm2pgsql\.Locator\."):
+            self.wrap("local l = osm2pgsql.define_locator({ name = 'x' })\n"
+                      "print(l.name())")
+
+    def test_first_intersecting_without_geometry(self):
+        rt = LuaFlexRuntime("""
+            local l = osm2pgsql.define_locator({ name = 'x' })
+            local t = osm2pgsql.define_node_table('t', {{column='a'}})
+            function osm2pgsql.process_node(object)
+                l:first_intersecting()
+            end
+        """)
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Error in 'first_intersecting': Need locator and "
+                      r"geometry arguments"):
+            rt.process("node", {"id": 1, "tags": {"x": "y"},
+                                "lon": 1.0, "lat": 2.0})
+
+    def test_all_intersecting_without_geometry(self):
+        rt = LuaFlexRuntime("""
+            local l = osm2pgsql.define_locator({ name = 'x' })
+            local t = osm2pgsql.define_node_table('t', {{column='a'}})
+            function osm2pgsql.process_node(object)
+                l:all_intersecting()
+            end
+        """)
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Error in 'all_intersecting': Need locator and "
+                      r"geometry arguments"):
+            rt.process("node", {"id": 1, "tags": {"x": "y"},
+                                "lon": 1.0, "lat": 2.0})
+
+
+class TestExpireOutputDefinitions:
+    """tests/bdd/flex/lua-expire-output-definitions.feature — the
+    validation scenarios."""
+
+    def test_non_table_argument(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Argument #1 to 'define_expire_output' must be a "
+                      r"Lua table\."):
+            LuaFlexRuntime("local e = osm2pgsql.define_expire_output(7)")
+
+    @pytest.mark.parametrize("fld,dflt", [
+        ("filename", "''"), ("schema", "'public'"), ("table", "''"),
+    ])
+    def test_string_fields(self, fld, dflt):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=rf"The expire output field must contain a '{fld}' "
+                      rf"string field \(or nil for default: {dflt}\)\."):
+            LuaFlexRuntime(
+                f"local e = osm2pgsql.define_expire_output({{ {fld} = 1 }})")
+
+    @pytest.mark.parametrize("fld", ["maxzoom", "minzoom"])
+    def test_zoom_must_be_integer(self, fld):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=rf"The '{fld}' field in a expire output must contain "
+                      rf"an integer\."):
+            LuaFlexRuntime(
+                f"local e = osm2pgsql.define_expire_output("
+                f"{{ {fld} = 'high', table = 'x' }})")
+
+    def test_maxzoom_range(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The 'maxzoom' field in a expire output must be "
+                      r"between 1 and 20\."):
+            LuaFlexRuntime(
+                "local e = osm2pgsql.define_expire_output("
+                "{ maxzoom = 99, table = 'x' })")
+
+    def test_minzoom_range(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The 'minzoom' field in a expire output must be "
+                      r"between 1 and 'maxzoom'\."):
+            LuaFlexRuntime(
+                "local e = osm2pgsql.define_expire_output("
+                "{ maxzoom = 10, minzoom = 12, table = 'x' })")
+
+    def test_valid_definition_ok(self):
+        rt = LuaFlexRuntime("""
+            local e = osm2pgsql.define_expire_output({
+                maxzoom = 14, minzoom = 10, table = 'tiles' })
+            local t = osm2pgsql.define_node_table('t', {{column='a'}})
+        """)
+        assert rt.expire_specs[0]["maxzoom"] == 14
+        assert rt.expire_specs[0]["minzoom"] == 10
