@@ -524,7 +524,20 @@ class LuaFlexRuntime:
                 raise LuaRuntimeError(f"No columns defined for table '{name}'.")
             ids_type, id_col, cache = "none", "id", False
             if isinstance(ids, LuaTable):
-                ids_type = str(ids.get("type") or "none")
+                # ids validation wording follows flex-lua-table.cpp
+                # (pinned by the lua-table-ids BDD feature)
+                tval = ids.get("type")
+                if not isinstance(tval, str):
+                    if tval is None:
+                        raise LuaRuntimeError(
+                            "The ids field must contain a 'type' string "
+                            "field.")
+                    raise LuaRuntimeError(
+                        f"Unknown ids type: {lua_tostring(tval)}.")
+                if tval not in ("node", "way", "relation", "area", "any",
+                                "tile"):
+                    raise LuaRuntimeError(f"Unknown ids type: {tval}.")
+                ids_type = tval
                 if ids_type == "any":
                     # with a type_column the id passes through and the
                     # type goes in its own column; without one the id is
@@ -532,8 +545,25 @@ class LuaFlexRuntime:
                     ids_type = (
                         "any_object" if ids.get("type_column") is not None
                         else "any_single")
-                id_col = str(ids.get("id_column") or ids_type + "_id")
-                cache = bool(ids.get("cache"))
+                idc = ids.get("id_column")
+                if ids_type != "tile":
+                    if not isinstance(idc, str):
+                        raise LuaRuntimeError(
+                            "The ids field must contain a 'id_column' "
+                            "string field.")
+                    if any(c in "\"',.;$%&/()<>{}=?^*#" for c in idc):
+                        raise LuaRuntimeError(
+                            f"Special characters are not allowed in "
+                            f"column names: '{idc}'.")
+                id_col = str(idc) if isinstance(idc, str) else ids_type + "_id"
+                cval = ids.get("cache")
+                if cval is not None and not isinstance(cval, bool):
+                    raise LuaRuntimeError(
+                        "The ids field 'cache' must be a boolean field.")
+                if cval and tval != "node":
+                    raise LuaRuntimeError(
+                        "ID cache only available for node ids.")
+                cache = bool(cval)
             cols_parsed = _spec_columns(options.get("columns"))
             spec = LuaTableSpec(
                 name=str(name), ids_type=ids_type, id_column=id_col,
@@ -562,7 +592,11 @@ class LuaFlexRuntime:
                 rt._do_insert(spec, row)
                 return True
 
-            def h_in_id_cache(self_h, ids_arr=None):
+            def h_in_id_cache(self_h=None, ids_arr=None):
+                if not (isinstance(self_h, LuaTable)
+                        and "__handle__" in self_h.hash):
+                    raise LuaRuntimeError(
+                        "First parameter must be of type osm2pgsql.Table.")
                 # returns 1-based INDICES of ids found in the cache
                 # (reference output-flex.cpp:845-884); nodes-phase use
                 # is rejected there, enforced by phase order here

@@ -515,3 +515,112 @@ class TestExpireOutputDefinitions:
         """)
         assert rt.expire_specs[0]["maxzoom"] == 14
         assert rt.expire_specs[0]["minzoom"] == 10
+
+
+class TestLuaTableIds:
+    """tests/bdd/flex/lua-table-ids.feature — all 16 scenarios."""
+
+    def define(self, ids):
+        return LuaFlexRuntime(
+            "local t = osm2pgsql.define_table({ name = 'foo', "
+            + ids +
+            " columns = {{ column = 'bar', type = 'text' }} })")
+
+    def test_without_ids_okay(self):
+        rt = self.define("")
+        assert rt.specs["foo"].ids_type == "none"
+
+    def test_empty_ids_not_allowed(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The ids field must contain a 'type' string field\."):
+            self.define("ids = {},")
+
+    def test_type_must_be_string(self):
+        with pytest.raises(LuaRuntimeError, match=r"Unknown ids type: 123\."):
+            self.define("ids = { type = 123 },")
+
+    def test_unknown_type(self):
+        with pytest.raises(LuaRuntimeError, match=r"Unknown ids type: nodes\."):
+            self.define("ids = { type = 'nodes', id_column = 'x' },")
+
+    def test_id_column_required(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The ids field must contain a 'id_column' string field\."):
+            self.define("ids = { type = 'node' },")
+
+    def test_id_column_must_be_string(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The ids field must contain a 'id_column' string field\."):
+            self.define("ids = { type = 'node', id_column = 7 },")
+
+    @pytest.mark.parametrize(
+        "idtype", ["node", "way", "relation", "area", "any", "tile"])
+    def test_all_id_types_accepted(self, idtype):
+        if idtype == "tile":
+            rt = self.define("ids = { type = 'tile' },")
+        else:
+            rt = self.define(
+                f"ids = {{ type = '{idtype}', id_column = 'abc' }},")
+        assert "foo" in rt.specs
+
+    def test_special_characters_rejected(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"Special characters are not allowed in column names"):
+            self.define("ids = { type = 'node', id_column = 'a\"b\"c' },")
+
+    def test_cache_must_be_boolean(self):
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"The ids field 'cache' must be a boolean field\."):
+            self.define(
+                "ids = { type = 'node', id_column = 'x', cache = 'yes' },")
+
+    def test_cache_false_ok_anywhere(self):
+        rt = self.define(
+            "ids = { type = 'way', id_column = 'x', cache = false },")
+        assert not rt.specs["foo"].cache
+
+    def test_cache_true_only_for_nodes(self):
+        rt = self.define(
+            "ids = { type = 'node', id_column = 'x', cache = true },")
+        assert rt.specs["foo"].cache
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"ID cache only available for node ids\."):
+            self.define(
+                "ids = { type = 'way', id_column = 'x', cache = true },")
+
+    def test_in_id_cache_needs_cache(self):
+        rt = LuaFlexRuntime("""
+            local t = osm2pgsql.define_table({
+                name = 'foo',
+                ids = { type = 'node', id_column = 'node_id' },
+                columns = {{ column = 'bar', type = 'text' }}
+            })
+            function osm2pgsql.process_way(object)
+                t:in_id_cache({ 1, 2 })
+            end
+        """)
+        with pytest.raises(LuaRuntimeError,
+                           match=r"No ID cache on table 'foo'\."):
+            rt.process("way", {"id": 1, "tags": {"x": "y"}, "refs": [1, 2]})
+
+    def test_in_id_cache_dot_call(self):
+        rt = LuaFlexRuntime("""
+            local t = osm2pgsql.define_table({
+                name = 'foo',
+                ids = { type = 'node', id_column = 'node_id', cache = true },
+                columns = {{ column = 'bar', type = 'text' }}
+            })
+            function osm2pgsql.process_way(object)
+                t.in_id_cache("error", {})
+            end
+        """)
+        with pytest.raises(
+                LuaRuntimeError,
+                match=r"First parameter must be of type osm2pgsql\.Table\."):
+            rt.process("way", {"id": 1, "tags": {"x": "y"}, "refs": [1, 2]})
