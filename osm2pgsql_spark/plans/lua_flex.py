@@ -1286,11 +1286,16 @@ class LuaFlexRuntime:
             res = self.interp.call(sel, [self.make_object(kind, rec)])
             res = res[0] if res else None
             if isinstance(res, LuaTable):
-                ways = res.get("ways")
-                if isinstance(ways, LuaTable):
-                    for i in range(1, ways.length() + 1):
-                        rows.append((
-                            _MARK_TBL, "w", int(ways.get(i)), None, None, None))
+                # {ways = {...}, nodes = {...}} — both member kinds can
+                # be marked for stage 2 (output-flex.cpp:944-973;
+                # public-transport.lua marks stop NODES)
+                for key, kchar in (("ways", "w"), ("nodes", "n")):
+                    lst = res.get(key)
+                    if isinstance(lst, LuaTable):
+                        for i in range(1, lst.length() + 1):
+                            rows.append((
+                                _MARK_TBL, kchar, int(lst.get(i)),
+                                None, None, None))
         return rows
 
     def _encode_insert(self, tname: str, kind: str, oid: int, row: LuaTable):
@@ -1340,19 +1345,25 @@ def _is_geom_type(t: str) -> bool:
 # --------------------------------------------------------- phase mapper
 
 
-def _phase_mapper(source: str, kind: str, state_blob: bytes | None,
+def _phase_mapper(source: str, kind: str, state_blob,
                   stage: int, mode: str, region_db: str | None = None,
                   deleted: bool = False):
     """mapInPandas factory for one processing phase.  Emits insert rows
     + per-partition state-delta rows.  deleted=True routes rows through
-    process_deleted_<kind> instead of process_<kind>."""
+    process_deleted_<kind> instead of process_<kind>.
+
+    state_blob is either raw pickle bytes or a Spark Broadcast of them
+    — two-stage state (w2r maps over every route way on the planet)
+    can be large, and a broadcast ships it ONCE per executor via the
+    torrent protocol instead of once per task inside the closure."""
 
     def mapper(batches):
         import pandas as pd
 
         rt = LuaFlexRuntime(source, mode=mode, stage=stage,
                             region_db=region_db)
-        rt.inject_state(pickle.loads(state_blob) if state_blob else {})
+        blob = state_blob.value if hasattr(state_blob, "value") else state_blob
+        rt.inject_state(pickle.loads(blob) if blob else {})
         rt.run_after_callbacks(kind, stage)
         cols = ["tbl", "osm_kind", "osm_id", "vals", "geom", "geom_srid"]
         any_cb = (rt.has_deleted_callback(kind) if deleted
@@ -1463,11 +1474,18 @@ class LuaFlexAdapter:
 
         state: dict = {}
         frames: list[DataFrame] = []
+        node_frame = None
         way_frame = None
         mark_frame = None
 
         def run_phase(kind: str, prep, stage: int, state_in: dict):
-            blob = pickle.dumps(state_in) if state_in else None
+            blob = None
+            if state_in:
+                # broadcast, not closure-capture: stage-2 state scales
+                # with the route-relation count, and a broadcast ships
+                # per executor instead of per task
+                blob = prep.sparkSession.sparkContext.broadcast(
+                    pickle.dumps(state_in))
             df = prep.mapInPandas(
                 _phase_mapper(src_text, kind, blob, stage, self.mode,
                               self.region_db),
@@ -1482,34 +1500,37 @@ class LuaFlexAdapter:
         # relations -> marked ways (stage 2), with Lua state flowing
         # forward (output-flex.cpp:1506-1613)
         if "node" in self._kinds and preps["node"] is not None:
-            df = run_phase("node", preps["node"], 1, state)
-            frames.append(df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+            node_frame = run_phase("node", preps["node"], 1, state)
         if "way" in self._kinds and preps["way"] is not None:
             way_frame = run_phase("way", preps["way"], 1, state)
+        marks = {"n": None, "w": None}
         if (("relation" in self._kinds) or self._select_members) \
                 and preps["relation"] is not None:
             df = run_phase("relation", preps["relation"], 1, state)
             frames.append(
                 df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
-            mark_frame = df.where(F.col("tbl") == _MARK_TBL) \
-                .select(F.col("osm_id").alias("__mark_id")).distinct()
-        if way_frame is not None:
-            w1 = way_frame.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL))
-            if mark_frame is not None and self._select_members:
-                # stage 2: marked ways are REPROCESSED with the full
-                # relation state; their stage-1 rows are dropped
-                # (delete-then-reprocess, output-flex.cpp:1506-1613)
-                w1 = w1.join(
-                    mark_frame, w1["osm_id"] == F.col("__mark_id"), "left_anti")
-                marked_ways = preps["way"].join(
-                    mark_frame,
-                    preps["way"]["id"] == F.col("__mark_id"),
-                    "left_semi",
-                )
-                w2 = run_phase("way", marked_ways, 2, state)
+            mark_frame = df.where(F.col("tbl") == _MARK_TBL).localCheckpoint()
+            for kchar in ("n", "w"):
+                m = mark_frame.where(F.col("osm_kind") == kchar) \
+                    .select(F.col("osm_id").alias("__mark_id")).distinct()
+                marks[kchar] = m
+        # stage 2: marked nodes/ways are REPROCESSED with the full
+        # relation state; their stage-1 rows are dropped
+        # (delete-then-reprocess, output-flex.cpp:1506-1613)
+        for kchar, kind, s1_frame in (("n", "node", node_frame),
+                                      ("w", "way", way_frame)):
+            if s1_frame is None:
+                continue
+            s1 = s1_frame.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL))
+            m = marks[kchar]
+            if m is not None and self._select_members:
+                s1 = s1.join(m, s1["osm_id"] == F.col("__mark_id"), "left_anti")
+                marked = preps[kind].join(
+                    m, preps[kind]["id"] == F.col("__mark_id"), "left_semi")
+                s2 = run_phase(kind, marked, 2, state)
                 frames.append(
-                    w2.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
-            frames.append(w1)
+                    s2.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
+            frames.append(s1)
 
         if not frames:
             return {}

@@ -303,3 +303,65 @@ class TestLiechtenstein:
         assert hw == expect
         # and at least some ways actually carry relation data
         assert sum(1 for v in hw.values() if v[0] is not None) > 5
+
+
+class TestPublicTransport:
+    """public-transport.lua: two-stage with NODE marks — stops insert
+    only at stage 2 (osm2pgsql.stage check in the callback), rel data
+    flows from route relations into member stops and ways, stop areas
+    get a centroid + bbox-diagonal radius."""
+
+    def test_public_transport_two_stage(self, spark):
+        opl = (
+            "n1 Tpublic_transport=stop_position,name=Central x9.0 y50.0\n"
+            "n2 Tpublic_transport=stop_position,name=Mall x9.01 y50.0\n"
+            "n3 Tpublic_transport=stop_position,name=Nowhere x9.5 y50.5\n"
+            "n4 x9.0 y50.001\n"
+            "n5 x9.01 y50.001\n"
+            "w10 Thighway=residential Nn4,n5\n"
+            "w11 Trailway=tram Nn4,n5\n"
+            "w12 Tbuilding=yes Nn4,n5\n"
+            "r100 Ttype=route,route=bus,ref=42,from=A,to=B "
+            "Mn1@stop,n2@stop,w10@\n"
+            "r101 Ttype=route,route=tram,ref=7 Mn2@stop,w11@\n"
+            "r102 Ttype=route,route=road,ref=X1 Mw10@\n"
+            "r103 Ttype=public_transport,public_transport=stop_area "
+            "Mn1@,n2@\n"
+        )
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write(opl)
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        adapter = LuaFlexAdapter(
+            open(os.path.join(FLEX, "public-transport.lua")).read())
+        t = adapter.run(nodes=nodes, ways=ways, relations=rels)
+
+        # stops: ONLY marked stop nodes (stage-2 processing); n3 is
+        # tagged but in no route -> absent
+        stops = {r["osm_id"]: (r["rel_refs"], r["rel_ids"])
+                 for r in t["stops"].collect()}
+        assert set(stops) == {1, 2}
+        assert stops[1] == ("42", "{100}")
+        assert stops[2] == ("42·7", "{100,101}")  # middle-dot join
+
+        # lines: all highway/railway ways; marked ones carry rel data
+        lines = {r["osm_id"]: (r["rel_refs"], r["rel_ids"])
+                 for r in t["lines"].collect()}
+        assert set(lines) == {10, 11}
+        assert lines[10] == ("42", "{100}")   # road route r102 not a PT route
+        assert lines[11] == ("7", "{101}")
+
+        routes = {r["osm_id"]: (r["type"], r["ref"], r["from"], r["to"])
+                  for r in t["routes"].collect()}
+        assert routes == {
+            100: ("bus", "42", "A", "B"),
+            101: ("tram", "7", None, None),
+        }
+
+        areas = t["stop_areas"].collect()
+        assert len(areas) == 1
+        assert areas[0]["osm_id"] == 103
+        assert areas[0]["radius"] > 0
+        assert areas[0]["geom"] is not None
