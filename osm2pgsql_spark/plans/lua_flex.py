@@ -1329,6 +1329,15 @@ class LuaFlexRuntime:
             if isinstance(v, LuaTable):
                 vals[c.name] = json.dumps(
                     lua_to_py(v), sort_keys=True, separators=(",", ":"))
+            elif c.type == "direction" and isinstance(v, (bool, int, float)):
+                # the reference distinguishes Lua TYPES for direction
+                # columns: boolean -> 0/1, number -> sgn
+                # (flex-write.cpp:417-427); the string forms go through
+                # the shared cast
+                if isinstance(v, bool):
+                    vals[c.name] = "1" if v else "0"
+                else:
+                    vals[c.name] = "1" if v > 0 else ("-1" if v < 0 else "0")
             elif isinstance(v, bool):
                 vals[c.name] = "true" if v else "false"
             else:

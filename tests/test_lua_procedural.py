@@ -365,3 +365,90 @@ class TestPublicTransport:
         assert areas[0]["osm_id"] == 103
         assert areas[0]["radius"] > 0
         assert areas[0]["geom"] is not None
+
+
+class TestDataTypes:
+    """data-types.lua: direction/bool column conversions, serial
+    create_only, int8[] via table.concat, mph maxspeed parsing, the
+    whitelist lookup table built in a chunk-level for loop."""
+
+    def test_typed_columns(self, spark):
+        import tempfile
+
+        opl = (
+            "n1 x9.0 y50.0\nn2 x9.01 y50.0\n"
+            "w10 Thighway=residential,name=A,maxspeed=30,oneway=yes,"
+            "lit=yes Nn1,n2\n"
+            "w11 Thighway=motorway,maxspeed=55%20%mph,oneway=-1,lit=no "
+            "Nn1,n2\n"
+            "w12 Thighway=footway Nn1,n2\n"          # not in whitelist
+            "w13 Tcreated_by=JOSM Nn1,n2\n"          # cleaned to empty
+            "w14 Thighway=track,oneway=maybe Nn1,n2\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write(opl)
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        adapter = LuaFlexAdapter(
+            open(os.path.join(FLEX, "data-types.lua")).read())
+        t = adapter.run(nodes=nodes, ways=ways, relations=rels)
+        rows = {r["osm_id"]: r for r in t["highways"].collect()}
+        assert set(rows) == {10, 11, 14}
+        r10 = rows[10]
+        assert (r10["name"], r10["type"]) == ("A", "residential")
+        assert r10["oneway"] == 1          # direction: yes -> 1
+        assert r10["maxspeed"] == 30
+        assert r10["lit"] is True
+        assert r10["nodes"] == "{1,2}"     # int8[] text form
+        r11 = rows[11]
+        assert r11["oneway"] == -1
+        assert r11["maxspeed"] == 88       # floor(55 * 1.60934)
+        assert r11["lit"] is False
+        # unknown direction STRINGS are NULL (flex-write.cpp:71-90
+        # write_null — the config's own comment says 0, the code says
+        # otherwise); absent oneway goes through `or 0` as a Lua
+        # NUMBER -> sgn -> 0
+        assert rows[14]["oneway"] is None
+        # grab_tag removed highway+name from the jsonb tags
+        assert "highway" not in json.loads(r10["tags"])
+
+
+class TestAddresses:
+    """addresses.lua: multiple-return helper (any, addr), addr:* key
+    extraction, centroid geometries for closed ways and
+    multipolygons."""
+
+    def test_addresses(self, spark):
+        import tempfile
+
+        opl = (
+            "n1 Taddr:housenumber=1,addr:street=Main,name=One x9.0 y50.0\n"
+            "n2 Taddr:housenumber=2 x9.1 y50.1\n"     # count==1 -> skipped
+            "n3 x9.0 y50.0\nn4 x9.02 y50.0\nn5 x9.02 y50.02\nn6 x9.0 y50.02\n"
+            "w10 Taddr:housenumber=3,addr:city=Town,building=yes "
+            "Nn3,n4,n5,n6,n3\n"
+            "r100 Ttype=multipolygon,addr:housenumber=4,addr:postcode=999 "
+            "Mw10@outer\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".opl", delete=False) as fh:
+            fh.write(opl)
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        adapter = LuaFlexAdapter(
+            open(os.path.join(FLEX, "addresses.lua")).read())
+        t = adapter.run(nodes=nodes, ways=ways, relations=rels)
+        rows = {(r["osm_type"], r["osm_id"]): r for r in t["addrs"].collect()}
+        assert set(rows) == {("n", 1), ("w", 10), ("r", 100)}
+        assert rows[("n", 1)]["housenumber"] == "1"
+        assert rows[("n", 1)]["street"] == "Main"
+        assert rows[("n", 1)]["name"] == "One"
+        assert rows[("w", 10)]["city"] == "Town"
+        assert rows[("r", 100)]["postcode"] == "999"
+        # way/relation geometries are centroids of the square; the
+        # geom column declares projection = 4326, so values stay lon/lat
+        from osm2pgsql_spark.functions import geometry as G
+
+        for key in (("w", 10), ("r", 100)):
+            g = G.from_wkb(bytes(rows[key]["geom"]))
+            assert abs(g[1][0] - 9.01) < 1e-6
+            assert abs(g[1][1] - 50.01) < 1e-6
