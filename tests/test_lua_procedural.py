@@ -222,17 +222,18 @@ class TestLoadFallback:
 PBF = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
 
 
+@pytest.fixture(scope="module")
+def osm_li(spark):
+    from osm2pgsql_spark.sources.pbf import read_pbf
+
+    nodes, ways, rels = read_pbf(spark, PBF)
+    return nodes.cache(), ways.cache(), rels.cache()
+
+
 @pytest.mark.skipif(not os.path.exists(PBF), reason="fixture missing")
 class TestLiechtenstein:
     """places.lua and route-relations.lua on the real country extract,
     checked against hand-written Python twins of the same logic."""
-
-    @pytest.fixture(scope="class")
-    def osm_li(self, spark):
-        from osm2pgsql_spark.sources.pbf import read_pbf
-
-        nodes, ways, rels = read_pbf(spark, PBF)
-        return nodes.cache(), ways.cache(), rels.cache()
 
     def test_places_vs_python_twin(self, spark, osm_li):
         nodes, ways, rels = osm_li
@@ -452,3 +453,48 @@ class TestAddresses:
             g = G.from_wkb(bytes(rows[key]["geom"]))
             assert abs(g[1][0] - 9.01) < 1e-6
             assert abs(g[1][1] - 50.01) < 1e-6
+
+
+@pytest.mark.skipif(not os.path.exists(PBF), reason="fixture missing")
+class TestCompatibleCrossEngine:
+    """compatible.lua (the 766-line C-transform emulation, interpreted)
+    vs plans/pgsql_compat (the Catalyst C-transform twin) on the real
+    Liechtenstein extract: every way both engines render agrees on
+    z_order exactly; row counts pinned as regression values.  Count
+    differences between the engines are config policy (compatible.lua
+    renders only its column list, adds relation rows, multi_geometry
+    =false), not bugs — the shared-way z_order check is the
+    cross-engine invariant."""
+
+    def test_z_order_parity_and_counts(self, spark, osm_li):
+        from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+
+        nodes, ways, rels = osm_li
+        adapter = LuaFlexAdapter(
+            open(os.path.join(FLEX, "compatible.lua")).read())
+        lua = adapter.run(nodes=nodes, ways=ways, relations=rels)
+        cat = planet_osm_tables(nodes, ways)
+
+        counts = {t: lua[t].count() for t in lua}
+        assert counts == {
+            "planet_osm_point": 1342,
+            "planet_osm_line": 3297,
+            "planet_osm_polygon": 4131,
+            "planet_osm_roads": 374,
+        }
+
+        lz = lua["planet_osm_line"].where(F.col("osm_id") > 0).select(
+            "osm_id", F.col("z_order").alias("lz"))
+        cz = cat["planet_osm_line"].select(
+            "osm_id", F.col("z_order").alias("cz"))
+        shared = lz.join(cz, "osm_id")
+        n_shared = shared.count()
+        assert n_shared > 2900
+        assert shared.where(F.col("lz") != F.col("cz")).count() == 0
+
+        # roads is a subset of line in both engines
+        roads_ids = {r["osm_id"] for r in
+                     lua["planet_osm_roads"].select("osm_id").collect()}
+        line_ids = {r["osm_id"] for r in
+                    lua["planet_osm_line"].select("osm_id").collect()}
+        assert roads_ids <= line_ids
