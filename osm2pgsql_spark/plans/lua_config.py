@@ -1040,11 +1040,28 @@ def load_lua_config(path_or_text: str) -> tuple["object", LuaConfigModel]:
     if "\n" not in path_or_text and os.path.exists(path_or_text):
         with open(path_or_text) as fh:
             text = fh.read()
+    if _needs_interpreter(text):
+        return _load_procedural(text)
     try:
         model = parse_lua_config(text)
         return _compile_declarative(text, model)
     except LuaConfigError:
         return _load_procedural(text)
+
+
+def _needs_interpreter(text: str) -> bool:
+    """Mode/lifecycle-sensitive configs can't be a single declarative
+    snapshot: `osm2pgsql.mode` branches change behavior between create
+    and append runs, `process_deleted_*` only exists in append, and
+    `after_*` callbacks mutate state at file boundaries
+    (track-changes.lua uses all three).  Those always run on the
+    interpreter; everything else tries the Catalyst fast path first."""
+    import re
+
+    stripped = re.sub(r"--\[\[.*?\]\]|--[^\n]*", "", text, flags=re.S)
+    return bool(re.search(
+        r"osm2pgsql\s*\.\s*(mode\b|process_deleted_|after_(nodes|ways|relations)\b)",
+        stripped))
 
 
 def _compile_declarative(text: str, model: LuaConfigModel):

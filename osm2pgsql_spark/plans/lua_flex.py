@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import pickle
+import re as _re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -292,13 +293,61 @@ def _is_plain_data(v, depth=0) -> bool:
     return False
 
 
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _is_nd(v) -> bool:
+    """Numeric-delta marker: a partition's captured INCREMENT of a
+    counter variable, mergeable by addition."""
+    return isinstance(v, dict) and set(v) == {"__nd__"}
+
+
+_ASSIGN_RE = _re.compile(r"(?<![\w.:\[\]])([A-Za-z_]\w*)\s*=(?![=>])")
+
+
+def _counter_names(source: str) -> frozenset:
+    """Names whose every mutation in the chunk is self-additive
+    (`x = x + e` / `x = x - e`), apart from a constant `local x = <n>`
+    initializer.  Their per-partition state deltas merge by SUMMING
+    increments — the only order-independent semantics a distributed
+    run can give a scalar counter (matches the sequential reference
+    for the pure-increment pattern; anything else stays last-write
+    and is classified out here)."""
+    stats: dict[str, dict] = {}
+    for m in _ASSIGN_RE.finditer(source):
+        name = m.group(1)
+        tail = source[m.end():]
+        e = stats.setdefault(name, {"self": 0, "other": 0})
+        if _re.match(r"\s*" + _re.escape(name) + r"\s*[+\-]", tail):
+            e["self"] += 1
+        elif (source[: m.start()].rstrip().endswith("local")
+              and _re.match(r"\s*-?\d+(\.\d+)?\s*(\r?\n|--|$|;)", tail)):
+            pass  # constant declaration = the counter's base value
+        else:
+            e["other"] += 1
+    return frozenset(
+        n for n, e in stats.items() if e["self"] >= 1 and e["other"] == 0)
+
+
 def merge_state(a, b):
     """Deep merge two captured-state dicts (dict-of-dict union; later
-    scalar wins).  The flex-config contract is idempotent accumulation
-    (route-relations.lua documents its w2r exactly so), which makes
-    per-partition deltas order-independently mergeable."""
+    scalar wins; numeric-delta markers SUM).  The flex-config contract
+    is idempotent accumulation (route-relations.lua documents its w2r
+    exactly so), which makes per-partition deltas order-independently
+    mergeable; pure-increment counters additionally merge exactly via
+    the delta markers."""
     for k, v in b.items():
-        if k in a and isinstance(a[k], dict) and isinstance(v, dict):
+        if _is_nd(v):
+            cur = a.get(k)
+            if _is_nd(cur):
+                a[k] = {"__nd__": cur["__nd__"] + v["__nd__"]}
+            elif _is_num(cur):
+                a[k] = cur + v["__nd__"]
+            else:
+                a[k] = dict(v)
+        elif (k in a and isinstance(a[k], dict) and isinstance(v, dict)
+                and not _is_nd(a[k])):
             merge_state(a[k], v)
         else:
             a[k] = v
@@ -494,6 +543,10 @@ class LuaFlexRuntime:
         self._osm_table = self._install_api()
         self.interp.run(source)
         self._baseline = None
+        self._baseline_vals: dict | None = None
+        # pure-increment scalars merge across partitions by summing
+        # deltas; everything else is last-write
+        self._counters = _counter_names(source)
 
     # -- the osm2pgsql.* API
 
@@ -958,6 +1011,13 @@ class LuaFlexRuntime:
 
     def _do_insert(self, spec: LuaTableSpec, row: LuaTable):
         k = self._current_kind
+        if k is None and spec.ids_type != "none":
+            # insert from an after_* callback: the reference writes id
+            # columns from the context object and errors without one
+            # (output-flex.cpp:766-826 "No context object for column");
+            # ids=nil log tables are the sanctioned use
+            raise LuaRuntimeError(
+                f"No context object for column '{spec.id_column}'.")
         if k is not None and k not in self._KIND_OK[spec.ids_type]:
             raise LuaRuntimeError(
                 f"Trying to add {k} to table '{spec.name}' (id type "
@@ -977,37 +1037,57 @@ class LuaFlexRuntime:
         "rawequal", "setmetatable", "getmetatable", "require", "unpack",
     })
 
+    @staticmethod
+    def _capturable(v) -> bool:
+        # plain-data tables AND bare scalars: counters and flags like
+        # track-changes.lua's file_reading_in_progress must flow
+        # between phases (reference state is one sequential VM;
+        # ours re-materializes per partition)
+        if isinstance(v, (bool, int, float, str)):
+            return True
+        return isinstance(v, LuaTable) and _is_plain_data(v)
+
     def _state_slots(self):
         """(container, name, value) triples for every captureable
         variable: chunk file-locals and user globals holding plain-data
-        tables."""
+        tables or scalars."""
         slots = []
         cs = self.interp.chunk_scope
         if cs is not None:
             for name, v in cs.vars.items():
-                if isinstance(v, LuaTable) and _is_plain_data(v):
+                if self._capturable(v):
                     slots.append(("local", name, v))
         for name, v in self.interp.globals.hash.items():
             if name in self._SKIP_GLOBALS or not isinstance(name, str):
                 continue
-            if isinstance(v, LuaTable) and _is_plain_data(v):
+            if self._capturable(v):
                 slots.append(("global", name, v))
         return slots
 
     def snapshot_baseline(self):
         """Record post-injection values; extract_state emits only
         variables that changed since."""
-        self._baseline = {
-            (kind, name): json.dumps(lua_to_py(v), sort_keys=True, default=str)
-            for kind, name, v in self._state_slots()
-        }
+        self._baseline = {}
+        self._baseline_vals = {}
+        for kind, name, v in self._state_slots():
+            enc = lua_to_py(v)
+            self._baseline[(kind, name)] = json.dumps(
+                enc, sort_keys=True, default=str)
+            self._baseline_vals[(kind, name)] = enc
 
     def extract_state(self) -> dict:
         out_vars = {}
         base = self._baseline or {}
+        base_vals = self._baseline_vals or {}
         for kind, name, v in self._state_slots():
             enc = lua_to_py(v)
             if base.get((kind, name)) == json.dumps(enc, sort_keys=True, default=str):
+                continue
+            bv = base_vals.get((kind, name))
+            if name in self._counters and _is_num(enc) and _is_num(bv):
+                # counter: ship the increment, not the absolute —
+                # partitions' deltas then sum to the sequential answer
+                out_vars[f"{kind}:{name}"] = {"__nd__": enc - bv}
                 continue
             out_vars[f"{kind}:{name}"] = enc
         state = {}
@@ -1023,6 +1103,16 @@ class LuaFlexRuntime:
     def inject_state(self, state: dict):
         for slot, v in (state.get("vars") or {}).items():
             kind, name = slot.split(":", 1)
+            if _is_nd(v):
+                # counter delta applies on top of this runtime's
+                # chunk-initial value (a fresh runtime just ran the
+                # chunk, so "current" IS the base)
+                if kind == "local" and self.interp.chunk_scope is not None \
+                        and name in self.interp.chunk_scope.vars:
+                    cur = lua_to_py(self.interp.chunk_scope.vars[name])
+                else:
+                    cur = lua_to_py(self.interp.globals.get(name))
+                v = (cur if _is_num(cur) else 0) + v["__nd__"]
             lv = py_to_lua(v)
             if kind == "local" and self.interp.chunk_scope is not None \
                     and name in self.interp.chunk_scope.vars:
@@ -1372,8 +1462,11 @@ def _phase_mapper(source: str, kind: str, state_blob,
         rt = LuaFlexRuntime(source, mode=mode, stage=stage,
                             region_db=region_db)
         blob = state_blob.value if hasattr(state_blob, "value") else state_blob
+        # NOTE: after_* callbacks do NOT fire here — they are global
+        # once-per-file lifecycle events, fired ONCE on the driver at
+        # phase boundaries (LuaFlexAdapter.run), their effects arriving
+        # via the injected state
         rt.inject_state(pickle.loads(blob) if blob else {})
-        rt.run_after_callbacks(kind, stage)
         cols = ["tbl", "osm_kind", "osm_id", "vals", "geom", "geom_srid"]
         any_cb = (rt.has_deleted_callback(kind) if deleted
                   else rt.has_any_callback(kind) or (
@@ -1485,44 +1578,28 @@ class LuaFlexAdapter:
         frames: list[DataFrame] = []
         node_frame = None
         way_frame = None
-        mark_frame = None
-
-        def run_phase(kind: str, prep, stage: int, state_in: dict):
-            blob = None
-            if state_in:
-                # broadcast, not closure-capture: stage-2 state scales
-                # with the route-relation count, and a broadcast ships
-                # per executor instead of per task
-                blob = prep.sparkSession.sparkContext.broadcast(
-                    pickle.dumps(state_in))
-            df = prep.mapInPandas(
-                _phase_mapper(src_text, kind, blob, stage, self.mode,
-                              self.region_db),
-                _OUT_SCHEMA,
-            ).localCheckpoint()
-            deltas = df.where(F.col("tbl") == _STATE_TBL).select("geom").collect()
-            for r in deltas:
-                merge_state(state_in, pickle.loads(bytes(r["geom"])))
-            return df
+        fired: set = set()
+        after_rows: list = []
 
         # reference processing order: nodes -> ways (stage 1) ->
         # relations -> marked ways (stage 2), with Lua state flowing
         # forward (output-flex.cpp:1506-1613)
         if "node" in self._kinds and preps["node"] is not None:
-            node_frame = run_phase("node", preps["node"], 1, state)
+            node_frame = self._exec_phase(preps["node"], "node", 1, state)
+        self._fire_afters(state, fired, after_rows, "way")
         if "way" in self._kinds and preps["way"] is not None:
-            way_frame = run_phase("way", preps["way"], 1, state)
+            way_frame = self._exec_phase(preps["way"], "way", 1, state)
+        self._fire_afters(state, fired, after_rows, "relation")
         marks = {"n": None, "w": None}
         if (("relation" in self._kinds) or self._select_members) \
                 and preps["relation"] is not None:
-            df = run_phase("relation", preps["relation"], 1, state)
+            df = self._exec_phase(preps["relation"], "relation", 1, state)
             frames.append(
                 df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
-            mark_frame = df.where(F.col("tbl") == _MARK_TBL).localCheckpoint()
-            for kchar in ("n", "w"):
-                m = mark_frame.where(F.col("osm_kind") == kchar) \
-                    .select(F.col("osm_id").alias("__mark_id")).distinct()
-                marks[kchar] = m
+            marks = self._collect_marks(df)
+        # input exhausted: the remaining after_* (incl. after_relations)
+        # fire before any stage-2 reprocessing sees the state
+        self._fire_afters(state, fired, after_rows, None)
         # stage 2: marked nodes/ways are REPROCESSED with the full
         # relation state; their stage-1 rows are dropped
         # (delete-then-reprocess, output-flex.cpp:1506-1613)
@@ -1536,10 +1613,92 @@ class LuaFlexAdapter:
                 s1 = s1.join(m, s1["osm_id"] == F.col("__mark_id"), "left_anti")
                 marked = preps[kind].join(
                     m, preps[kind]["id"] == F.col("__mark_id"), "left_semi")
-                s2 = run_phase(kind, marked, 2, state)
+                s2 = self._exec_phase(marked, kind, 2, state)
                 frames.append(
                     s2.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
             frames.append(s1)
+
+        spark = next(
+            (p.sparkSession for p in preps.values() if p is not None), None)
+        return self._project_frames(frames, after_rows, spark, state)
+
+    # --- shared phase machinery (run + run_append)
+
+    def _exec_phase(self, prep, kind: str, stage: int, state: dict,
+                    deleted: bool = False) -> DataFrame:
+        """One distributed callback pass; merges the partitions' state
+        deltas into `state` (mutated in place)."""
+        blob = None
+        if state:
+            # broadcast, not closure-capture: stage-2 state scales
+            # with the route-relation count, and a broadcast ships
+            # per executor instead of per task
+            blob = prep.sparkSession.sparkContext.broadcast(
+                pickle.dumps(state))
+        df = prep.mapInPandas(
+            _phase_mapper(self.source, kind, blob, stage, self.mode,
+                          self.region_db, deleted=deleted),
+            _OUT_SCHEMA,
+        ).localCheckpoint()
+        deltas = df.where(F.col("tbl") == _STATE_TBL).select("geom").collect()
+        for r in deltas:
+            merge_state(state, pickle.loads(bytes(r["geom"])))
+        return df
+
+    def _fire_afters(self, state: dict, fired: set, after_rows: list,
+                     upto: str | None):
+        """after_nodes/after_ways/after_relations are once-per-file
+        lifecycle events (output-flex.cpp: fired at the input's kind
+        boundaries).  They run ONCE, here on the driver, against the
+        merged state; their state mutations ride the next phase's
+        broadcast and their inserts (legal only into ids=nil log
+        tables — the reference errors on id columns without a context
+        object) are appended as literal rows."""
+        order = ("node", "way", "relation")
+        n = 3 if upto is None else order.index(upto)
+        for k in order[:n]:
+            if k in fired:
+                continue
+            fired.add(k)
+            drv = LuaFlexRuntime(self.source, mode=self.mode,
+                                 region_db=self.region_db)
+            fn = drv._osm_table.get(f"after_{k}s")
+            if fn is None:
+                continue
+            drv.inject_state(state)
+            drv.inserts = []
+            drv.interp.call(fn, [])
+            for tname, row in drv.inserts:
+                after_rows.append(drv._encode_insert(tname, "after", 0, row))
+            drv.inserts = []
+            merge_state(state, drv.extract_state())
+
+    def _collect_marks(self, df: DataFrame) -> dict:
+        """Stage-2 mark ids emitted by select_relation_members, per
+        member kind ('n'/'w')."""
+        mark_frame = df.where(F.col("tbl") == _MARK_TBL).localCheckpoint()
+        marks = {}
+        for kchar in ("n", "w"):
+            marks[kchar] = mark_frame.where(F.col("osm_kind") == kchar) \
+                .select(F.col("osm_id").alias("__mark_id")).distinct()
+        return marks
+
+    def _project_frames(self, frames: list, after_rows: list, spark,
+                        state: dict) -> dict:
+        """Union the unified callback frames and project them into the
+        typed flex tables."""
+        if after_rows and spark is not None:
+            from pyspark.sql.types import Row
+
+            frames.append(spark.createDataFrame(
+                [Row(tbl=t, osm_kind=k, osm_id=i, vals=v, geom=g,
+                     geom_srid=s)
+                 for t, k, i, v, g, s in after_rows],
+                _OUT_SCHEMA))
+
+        # final merged Lua state (counters summed, flags settled) —
+        # inspectable by tests and reusable by append drivers
+        self.last_state = state
 
         if not frames:
             return {}
