@@ -211,3 +211,68 @@ def test_create_drop_removes_middle_and_blocks_append(tmp_path):
     r = _run([str(osc), str(out), "--append"])
     assert r.returncode != 0
     assert "incompatible" in (r.stderr + r.stdout)
+
+
+# --- append-only ids=nil log tables (track-changes.lua) -------------
+
+TRACK = "/root/reference/flex-config/track-changes.lua"
+
+OPL_TC = """n1 v1 t2024-01-01T00:00:00Z Tamenity=pub x9.0 y50.0
+n2 v1 t2024-01-01T00:00:00Z x9.001 y50.0
+w100 v1 t2024-01-01T00:00:00Z Thighway=residential Nn1,n2
+"""
+
+# modify n2 (dependency of w100), create n20, delete n1: the change
+# file's objects log M/A/D; the dependency-reprocessed w100 must NOT
+# appear (file_reading_in_progress is false by then)
+OSC_TC = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="2" lat="50.5" lon="9.5" version="2" timestamp="2024-02-01T00:00:00Z"/></modify>
+  <create><node id="20" lat="50.3" lon="9.3" version="1" timestamp="2024-02-01T00:00:00Z"><tag k="amenity" v="bench"/></node></create>
+  <delete><node id="1" version="2" timestamp="2024-02-01T00:00:00Z"/></delete>
+</osmChange>
+"""
+
+
+def test_append_track_changes_log_table(tmp_path, spark):
+    src = tmp_path / "in.opl"
+    src.write_text(OPL_TC)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), "--style", TRACK])
+    assert r.returncode == 0, r.stderr[-2000:]
+    osc = tmp_path / "diff.osc"
+    osc.write_text(OSC_TC)
+    r2 = _run([str(osc), str(out), "--append", "--style", TRACK])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    log = spark.read.parquet(str(out / "tables" / "change_log"))
+    rows = {(row["osm_type"], row["osm_id"]): row["action"]
+            for row in log.collect()}
+    # exactly the file's objects: create v1 -> A, modify -> M,
+    # delete -> D (track-changes.lua:46,65); nothing from create mode,
+    # nothing from dependency reprocessing of w100
+    assert rows == {("node", 20): "A", ("node", 2): "M", ("node", 1): "D"}
+    dates = {row["osm_id"]: str(row["date"]) for row in log.collect()}
+    assert dates[20].startswith("2024-02-01")
+
+
+def test_append_track_changes_accumulates(tmp_path, spark):
+    """A second append keeps the first one's rows (append-only: the
+    reference never deletes from an ids=nil table)."""
+    src = tmp_path / "in.opl"
+    src.write_text(OPL_TC)
+    out = tmp_path / "db"
+    assert _run([str(src), str(out), "--style", TRACK]).returncode == 0
+    osc = tmp_path / "diff.osc"
+    osc.write_text(OSC_TC)
+    assert _run([str(osc), str(out), "--append", "--style", TRACK]).returncode == 0
+    osc2 = tmp_path / "diff2.osc"
+    osc2.write_text("""<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="20" lat="50.31" lon="9.31" version="2" timestamp="2024-03-01T00:00:00Z"/></modify>
+</osmChange>
+""")
+    assert _run([str(osc2), str(out), "--append", "--style", TRACK]).returncode == 0
+    log = spark.read.parquet(str(out / "tables" / "change_log"))
+    actions = sorted((row["osm_id"], row["action"], row["version"])
+                     for row in log.collect())
+    assert actions == [(1, "D", 2), (2, "M", 2), (20, "A", 1), (20, "M", 2)]

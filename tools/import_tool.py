@@ -94,6 +94,10 @@ def load_style(path: str | None, region_db: str | None = None,
         def lua_tables(spark, nodes, ways, rels):
             return cfg.run(nodes=nodes, ways=ways, relations=rels)
 
+        # expose the adapter so cmd_append can drive the file-reading
+        # and process_deleted_* passes for ids=nil log tables
+        lua_tables.cfg = cfg
+
         id_spaces = {
             t.name: {"node": "node", "way": "way", "area": "area",
                      "relation": "relation"}.get(t.kind)
@@ -106,6 +110,73 @@ def load_style(path: str | None, region_db: str | None = None,
     if not hasattr(mod, "tables"):
         raise SystemExit(f"style {path!r} must define tables(spark, nodes, ways, rels)")
     return mod.tables, getattr(mod, "ID_SPACES", None)
+
+
+def _last_op(diff: DataFrame) -> DataFrame:
+    """One row per id: the LAST op in document order (the reference
+    applies diff ops sequentially, src/osmdata.cpp:55-70)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("op_seq").desc())
+    return (diff.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def _log_table_rows(style_fn, log_tables: set,
+                    n_diff, w_diff, r_diff,
+                    new_nodes, new_ways, new_rels) -> dict:
+    """New rows for append-only ids=nil log tables (track-changes.lua).
+
+    The reference's append run has two distinguishable sub-passes the
+    config can observe: file reading (process_* over exactly the
+    objects in the change file, with any file-reading guard flag still
+    set) and dependent reprocessing (after after_relations fired).  An
+    ids=nil table has no id tracking, so its rows can only come from
+    the file pass plus process_deleted_* over the deletes
+    (output-flex.cpp:1212-1245); dependent reprocessing must NOT
+    contribute here — it is covered by the id-tracked refresh."""
+    cfg = getattr(style_fn, "cfg", None)
+    if cfg is None or not hasattr(cfg, "run_deleted"):
+        raise SystemExit(
+            "style defines ids=nil log tables but is not a procedural "
+            "Lua config (no deleted-object callback path)")
+    from osm2pgsql_spark.operators import assembly
+
+    last = {"n": _last_op(n_diff), "w": _last_op(w_diff),
+            "r": _last_op(r_diff)}
+
+    def ids_of(df):
+        return df.select("id").distinct()
+
+    # post-diff snapshots exclude deleted objects, so these semijoins
+    # yield exactly the created/modified objects of the change file
+    live_nodes = new_nodes.join(ids_of(last["n"]), "id", "leftsemi")
+    live_ways = new_ways.join(ids_of(last["w"]), "id", "leftsemi")
+    live_rels = new_rels.join(ids_of(last["r"]), "id", "leftsemi")
+    # way geometry resolves against the FULL updated node snapshot:
+    # closure nodes contribute locations without entering process_node
+    refs = live_ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos", "ref"))
+    nloc = new_nodes.select(F.col("id").alias("node_id"), "lon", "lat")
+    way_geoms = assembly.assemble_points(
+        refs, nloc, way_id="way_id", pos="pos", ref="ref",
+        node_id="node_id", x="lon", y="lat")
+    file_out = cfg.run(nodes=live_nodes, ways=live_ways,
+                       relations=live_rels, way_geoms=way_geoms)
+    deleted = {k: v.where(F.col("op") == "delete") for k, v in last.items()}
+    del_out = cfg.run_deleted(nodes=deleted["n"], ways=deleted["w"],
+                              relations=deleted["r"])
+    out = {}
+    for name in log_tables:
+        parts = [d[name] for d in (file_out, del_out)
+                 if d.get(name) is not None]
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            out[name] = df
+    return out
 
 
 def _middle(out_dir: str, name: str):
@@ -245,12 +316,21 @@ def cmd_append(args, spark) -> None:
     )
     if incremental and id_spaces is None:
         raise SystemExit("--refresh incremental needs the style to define ID_SPACES")
+    # ids=nil log tables (track-changes.lua): append-only — the
+    # reference never deletes their rows; their new rows come from a
+    # dedicated file-reading + process_deleted_* pass, never from the
+    # id-tracked refresh below
+    log_tables = {n for n, s in (id_spaces or {}).items() if s is None}
 
     mids = {name: _middle(args.out_dir, name) for name in ("nodes", "ways", "rels")}
     old_nodes = mids["nodes"].read(spark)
     old_ways = mids["ways"].read(spark)
     old_rels = mids["rels"].read(spark)
-    old_tables = style_fn(spark, old_nodes, old_ways, old_rels)
+    # old-side rows are only needed for the expire list; procedural
+    # styles execute eagerly, so don't run them over the whole old
+    # database for nothing
+    old_tables = (style_fn(spark, old_nodes, old_ways, old_rels)
+                  if args.expire_tiles else {})
 
     new_nodes = apply_diff(old_nodes, n_diff)
     new_ways = apply_diff(old_ways, w_diff)
@@ -264,7 +344,11 @@ def cmd_append(args, spark) -> None:
     way_ids = _ids(sets.changed_ways).unionByName(_ids(sets.pending_ways)).distinct()
     rel_ids = _ids(sets.changed_rels).unionByName(_ids(sets.pending_rels)).distinct()
 
-    if incremental:
+    if incremental and set(id_spaces) == log_tables:
+        # every table is an append-only log: the dedicated log pass
+        # below does all the work, skip the id-tracked refresh
+        new_side = {}
+    elif incremental:
         # feed the style ONLY the touched objects plus their closure
         # (nodes of touched ways, members of touched relations): the
         # append cost scales with the diff, not the database.  The
@@ -309,9 +393,16 @@ def cmd_append(args, spark) -> None:
                 "osm_id", "leftsemi",
             )
             for name, df in sub_tables.items()
+            if name not in log_tables
         }
     else:
-        new_side = style_fn(spark, new_nodes, new_ways, new_rels)
+        new_side = {name: df
+                    for name, df in style_fn(
+                        spark, new_nodes, new_ways, new_rels).items()
+                    if name not in log_tables}
+    log_new = (_log_table_rows(style_fn, log_tables, n_diff, w_diff, r_diff,
+                               new_nodes, new_ways, new_rels)
+               if log_tables else {})
 
     # expire BEFORE swapping: old tables must still be readable.
     # Dirty = old+new tiles of directly-changed and dependency-pending
@@ -349,6 +440,20 @@ def cmd_append(args, spark) -> None:
             refreshed[name] = keep.unionByName(new_rows).localCheckpoint()
     else:
         refreshed = {n: df.localCheckpoint() for n, df in new_side.items()}
+    for name in log_tables:
+        # append-only: old rows always kept, file-pass + deleted rows added
+        path = os.path.join(args.out_dir, "tables", name)
+        old_rows = spark.read.parquet(path) if os.path.exists(path) else None
+        add = log_new.get(name)
+        if old_rows is None and add is None:
+            continue
+        if old_rows is None:
+            refreshed[name] = add.localCheckpoint()
+        elif add is None:
+            refreshed[name] = old_rows.localCheckpoint()
+        else:
+            refreshed[name] = old_rows.unionByName(
+                add, allowMissingColumns=True).localCheckpoint()
 
     # middle MERGE (partition-pruned on the touched id buckets)
     mids["nodes"].merge_diff(spark, n_diff)
