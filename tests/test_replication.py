@@ -298,3 +298,51 @@ class TestHttpServer:
     def test_timestamp_to_sequence_over_http(self, http_server):
         repl = ReplicationServer(http_server)
         assert repl.timestamp_to_sequence(utc(2024, 1, 1, 2, 30)) in (102, 103)
+
+
+class TestUpdateOnce:
+    def test_update_once_applies_one_batch(self, tmp_path, spark):
+        """replication.feature 'Updates can run only once': --once with
+        a tiny --max-diff-size stops after the first batch instead of
+        catching up to the server head."""
+        from osm2pgsql_spark.sources.opl import read_opl
+        from osm2pgsql_spark.streaming.properties import Properties
+
+        base_dir = str(tmp_path / "db")
+        os.makedirs(base_dir)
+        src = tmp_path / "base.opl"
+        src.write_text(OPL)
+        nodes, ways, rels = read_opl(spark, str(src))
+        nodes.write.parquet(os.path.join(base_dir, "nodes.parquet"))
+        ways.write.parquet(os.path.join(base_dir, "ways.parquet"))
+        rels.write.parquet(os.path.join(base_dir, "relations.parquet"))
+
+        server = str(tmp_path / "server")
+        # incompressible padding makes each diff ~peers with the 1 MB
+        # cap measured in whole units -> one diff per batch
+        import base64
+
+        import numpy as np
+
+        def big(osc, i):
+            pad = base64.b64encode(np.random.RandomState(i).bytes(600000))
+            return gzip.compress(osc.encode() + b"<!--" + pad + b"-->")
+
+        write_server_tree(server, [
+            (501, big(OSC1, 1), utc(2024, 1, 1, 1)),
+            (502, big(OSC2, 2), utc(2024, 1, 1, 2)),
+            (503, big(OSC3, 3), utc(2024, 1, 1, 3)),
+        ])
+
+        state = str(tmp_path / "state.json")
+        assert _run_repl(["init", state, "--seq", "500",
+                          "--server", server]).returncode == 0
+        r = _run_repl(["update", state, base_dir, "--once",
+                       "--max-diff-size", "1"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        p = Properties(state)
+        assert p.get("replication_sequence_number") == "501"
+        # a second full update catches up the rest
+        r = _run_repl(["update", state, base_dir, "--max-diff-size", "1"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert Properties(state).get("replication_sequence_number") == "503"

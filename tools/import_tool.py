@@ -247,6 +247,19 @@ def expire_tiles_of(
     ).distinct()
 
 
+def _data_timestamp(frames) -> "datetime.datetime | None":
+    """Newest object timestamp across the input frames (the session
+    runs in UTC, so the naive max is a UTC wall time)."""
+    best = None
+    for df in frames:
+        if "ts" not in df.columns:
+            continue
+        v = df.agg(F.max("ts")).first()[0]
+        if v is not None and (best is None or v > best):
+            best = v
+    return best
+
+
 def cmd_create(args, spark) -> None:
     from osm2pgsql_spark.streaming.properties import Properties
 
@@ -290,6 +303,24 @@ def cmd_create(args, spark) -> None:
     props.set("updatable", "false" if args.drop else "true")
     props.set("attributes", "false")
     props.set("import_timestamp", datetime.datetime.utcnow().isoformat() + "Z")
+    # the reference stores the data's newest object timestamp
+    # ('current_timestamp') and any replication headers from a PBF
+    # input — osm2pgsql-replication init reads both (properties.cpp,
+    # scripts/osm2pgsql-replication:167-193)
+    data_ts = _data_timestamp((nodes, ways, rels))
+    if data_ts is not None:
+        props.set("current_timestamp", data_ts.strftime("%Y-%m-%dT%H:%M:%SZ"))
+    if args.input.endswith((".pbf", ".osm.pbf")):
+        from osm2pgsql_spark.streaming.replication import (
+            osm_date, replication_header_from_pbf)
+
+        base_url, seq, hts = replication_header_from_pbf(args.input)
+        if base_url:
+            props.set("replication_base_url", base_url)
+        if seq is not None:
+            props.set("replication_sequence_number", str(seq))
+        if hts is not None:
+            props.set("replication_timestamp", osm_date(hts))
     props.save()
     for name, n in counts.items():
         print(f"table {name}: {n} rows")
@@ -463,6 +494,12 @@ def cmd_append(args, spark) -> None:
     props.set(
         "append_timestamp", datetime.datetime.utcnow().isoformat() + "Z"
     )
+    diff_ts = _data_timestamp((n_diff, w_diff, r_diff))
+    if diff_ts is not None:
+        cur = props.get("current_timestamp")
+        new = diff_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if cur is None or new > cur:
+            props.set("current_timestamp", new)
     props.save()
     for name, n in counts.items():
         print(f"table {name}: {n} rows")

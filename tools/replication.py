@@ -73,12 +73,101 @@ def cmd_init(args) -> None:
               f"server {base_url}, sequence {seq}")
         return
 
-    if args.seq is None:
-        raise SystemExit("init needs --seq or --osm-file")
-    if args.server:
-        p.set("replication_base_url", args.server)
-    p.update_replication_state(args.seq, args.timestamp or "")
-    print(f"initialized {args.state} at sequence {args.seq}")
+    if args.seq is not None:
+        # extension over the reference CLI: pin an explicit sequence
+        # with no server round-trip (offline staging)
+        if args.server:
+            p.set("replication_base_url", args.server)
+        p.update_replication_state(args.seq, args.timestamp or "")
+        print(f"initialized {args.state} at sequence {args.seq}")
+        return
+
+    # reference init (scripts/osm2pgsql-replication:404-473): derive
+    # (server, seq, date) from stored replication info, the database
+    # date, or --start-at; then verify against the server's state
+    base_url, seq, date = _replication_base(p, args.server, args.start_at)
+    repl = ReplicationServer(base_url)
+    if seq is None:
+        seq = repl.timestamp_to_sequence(date)
+        if seq is None:
+            raise SystemExit(
+                f"Cannot reach the configured replication service '{base_url}'.\n"
+                "Does the URL point to a directory containing OSM update data?")
+    state = repl.get_state_info(seq)
+    if state is None:
+        extra = (
+            f"The server may not have diffs going as far back as "
+            f"{osm_date(date)}." if date is not None else
+            "Does the URL point to a directory containing OSM update data?")
+        raise SystemExit(
+            f"Cannot load state information for {seq} from replication "
+            f"service {base_url}.\n" + extra)
+    if date is None:
+        date = state.timestamp
+    elif state.timestamp is not None and state.timestamp > date:
+        # sanity check: is the sequence in line with the date requested?
+        raise SystemExit(
+            "The replication service does not have diff files for the "
+            f"requested date.\nReplication service used: {base_url}\n"
+            f"Most recent diffs available start at: "
+            f"{osm_date(state.timestamp)}\nDatabase date: {osm_date(date)}")
+    p.set("replication_base_url", base_url)
+    p.update_replication_state(seq, osm_date(date) if date else "")
+    print(f"Initialised updates for service '{base_url}'.")
+    print(f"Starting at sequence {seq} "
+          f"({osm_date(date) if date else 'unknown date'}).")
+
+
+def _replication_base(p, server: str | None, start_at):
+    """(server, seq, date) for init — the reference's
+    get_replication_base (scripts/osm2pgsql-replication:167-193):
+    stored replication info wins unless --server overrides it or
+    --start-at forces the database-date path; an integer --start-at is
+    the rollback in minutes (default 180) applied to the database's
+    newest object timestamp."""
+    import datetime as dt
+
+    from osm2pgsql_spark.streaming.replication import from_osm_date
+
+    seq = date = None
+    if server is None:
+        server = p.get("replication_base_url")
+        if server:
+            seq = p.get("replication_sequence_number")
+            d = p.get("replication_timestamp")
+            date = from_osm_date(d) if d else None
+        else:
+            server = DEFAULT_SERVER
+    if isinstance(start_at, dt.datetime):
+        return server, None, start_at
+    if seq is None or isinstance(start_at, int):
+        d = p.get("current_timestamp")
+        if d is None:
+            raise SystemExit("Cannot get timestamp from database. "
+                             "Use --start-at to set an explicit date.")
+        date = from_osm_date(d) - dt.timedelta(minutes=start_at or 180)
+        seq = None
+    else:
+        seq = int(seq)
+    return server, seq, date
+
+
+def _start_point(param: str):
+    """--start-at: integer = rollback minutes, else an ISO timestamp
+    (the reference's start_point, scripts/osm2pgsql-replication:89-99)."""
+    import datetime as dt
+
+    if param.isdigit():
+        return int(param)
+    try:
+        d = dt.datetime.fromisoformat(param.replace("Z", "+00:00"))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"Invalid timestamp '{param}'. Use ISO format like "
+            "2007-08-20T12:21:53Z or a number of minutes.")
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return d
 
 
 def _load_tables(spark, base_dir):
@@ -126,10 +215,11 @@ def cmd_update(args) -> None:
 
     props = Properties(args.state)
     base_url = args.server or props.get("replication_base_url")
-    if not base_url:
-        raise SystemExit("no replication_base_url in state; "
-                         "run init --server or pass --server")
-    seq = int(props.get("replication_sequence_number", "0"))
+    stored_seq = props.get("replication_sequence_number")
+    if not base_url or stored_seq is None:
+        raise SystemExit("Updates not set up correctly. "
+                         "Run 'osm2pgsql-replication init' first.")
+    seq = int(stored_seq)
     repl = ReplicationServer(base_url)
     current = repl.get_state_info()
     if current is None:
@@ -169,29 +259,58 @@ def cmd_update(args) -> None:
 
 
 def cmd_status(args) -> None:
+    """Reference status semantics (scripts/osm2pgsql-replication:
+    313-402): exit code IS the status — 0 ok, 2 replication not set
+    up, 3 network trouble; --json emits the same object shape."""
+    import datetime as dt
+
     from osm2pgsql_spark.streaming.properties import Properties
-    from osm2pgsql_spark.streaming.replication import ReplicationServer
+    from osm2pgsql_spark.streaming.replication import (
+        ReplicationServer, from_osm_date, osm_date)
 
     props = Properties(args.state)
     base_url = props.get("replication_base_url")
-    seq = int(props.get("replication_sequence_number", "0"))
-    results = {"status": 0, "local": {"sequence": seq},
-               "server": {"base_url": base_url}}
-    if base_url:
+    stored_seq = props.get("replication_sequence_number")
+    ts = props.get("replication_timestamp")
+    if not base_url or stored_seq is None:
+        results = {"status": 2,
+                   "error": "Updates not set up correctly. "
+                            "Run 'osm2pgsql-replication init' first."}
+    else:
+        seq = int(stored_seq)
+        results = {"status": 0, "server": {"base_url": base_url},
+                   "local": {"sequence": seq}}
+        if ts:
+            results["local"]["timestamp"] = ts
         st = ReplicationServer(base_url).get_state_info()
         if st is None:
             results["status"] = 3
-            results["error"] = f"Unable to download the state information from {base_url}"
+            results["error"] = (
+                f"Unable to download the state information from {base_url}")
         else:
+            now = dt.datetime.now(dt.timezone.utc)
             results["server"]["sequence"] = st.sequence
+            if st.timestamp is not None:
+                results["server"]["timestamp"] = osm_date(st.timestamp)
+                results["server"]["age_sec"] = int(
+                    (now - st.timestamp).total_seconds())
+            if ts:
+                results["local"]["age_sec"] = int(
+                    (now - from_osm_date(ts)).total_seconds())
     if args.json:
         print(json.dumps(results))
+    elif results["status"] != 0:
+        print(results["error"], file=sys.stderr)
     else:
-        print(f"local sequence: {seq}")
-        if "sequence" in results["server"]:
-            behind = results["server"]["sequence"] - seq
-            print(f"server sequence: {results['server']['sequence']} "
-                  f"({'up to date' if behind <= 0 else f'{behind} behind'})")
+        srv = results["server"]
+        print(f"Using replication service '{srv['base_url']}', which is "
+              f"at sequence {srv.get('sequence')} "
+              f"( {srv.get('timestamp', '?')} )")
+        behind = srv.get("sequence", 0) - results["local"]["sequence"]
+        if behind <= 0:
+            print("Local database is up to date with server")
+        else:
+            print(f"Local database is {behind} sequences behind the server")
     sys.exit(results["status"])
 
 
@@ -230,6 +349,10 @@ def main() -> None:
     p_init.add_argument("--timestamp", default="")
     p_init.add_argument("--server")
     p_init.add_argument("--osm-file")
+    p_init.add_argument(
+        "--start-at", metavar="TIME", type=_start_point, default=None,
+        help="absolute ISO timestamp to start at, or number of minutes "
+        "to rollback from the database date (default 180)")
     p_init.set_defaults(fn=cmd_init)
     p_upd = sub.add_parser("update")
     p_upd.add_argument("state")
