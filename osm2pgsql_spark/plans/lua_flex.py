@@ -314,6 +314,10 @@ def _counter_names(source: str) -> frozenset:
     run can give a scalar counter (matches the sequential reference
     for the pure-increment pattern; anything else stays last-write
     and is classified out here)."""
+    # comments and string literals must not contribute assignment
+    # sightings (a '-- x = 0' note would wrongly demote a counter)
+    source = _re.sub(r"--\[\[.*?\]\]|--[^\n]*", "", source, flags=_re.S)
+    source = _re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", "''", source)
     stats: dict[str, dict] = {}
     for m in _ASSIGN_RE.finditer(source):
         name = m.group(1)
