@@ -257,16 +257,50 @@ def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
 
 # ------------------------------------------------------------ measures
 
+_SPLIT = 134217729.0  # 2**27 + 1, Dekker's split constant
+
+
+def _shoelace_exact(x: np.ndarray, y: np.ndarray) -> float:
+    """Exactly-rounded shoelace sum over a closed relative-coordinate
+    ring: every cross term is expanded with Dekker's error-free
+    two-product (vectorized), then the products and their exact error
+    terms are summed with math.fsum, which is exactly rounded."""
+    a = np.concatenate([x[:-1], -x[1:]])
+    b = np.concatenate([y[1:], y[:-1]])
+    p = a * b
+    ah = a * _SPLIT
+    ah = ah - (ah - a)
+    al = a - ah
+    bh = b * _SPLIT
+    bh = bh - (bh - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return math.fsum(np.concatenate([p, e]))
+
+
 def _ring_area2(ring: np.ndarray) -> float:
     """Twice the signed shoelace area.
 
     Coordinates are taken relative to the first vertex before the
     shoelace: far-from-origin rings otherwise lose precision to
-    catastrophic cancellation (found by the hypothesis translation-
-    invariance property)."""
+    catastrophic cancellation.  Intrinsically ill-conditioned rings
+    (huge extent, near-zero area: |sum| small vs sum of |terms|) still
+    lose ~extent^2/area digits to the float64 products themselves, so
+    those fall back to an exactly-rounded two-product + fsum kernel
+    (found by the hypothesis translation-invariance property; the
+    reference's naive boost::geometry shoelace,
+    src/geom-functions.cpp:351-364, is strictly less accurate here).
+    Well-conditioned rings keep the plain vectorized dot, whose result
+    is bit-identical to the previous implementation."""
     x = ring[:, 0] - ring[0, 0]
     y = ring[:, 1] - ring[0, 1]
-    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    yr = np.roll(y, -1)
+    xr = np.roll(x, -1)
+    s = float(np.dot(x, yr) - np.dot(xr, y))
+    scale = float(np.dot(np.abs(x), np.abs(yr)) + np.dot(np.abs(xr), np.abs(y)))
+    if abs(s) >= 1e-7 * scale:
+        return s
+    return _shoelace_exact(x, y)
 
 
 def area(geom) -> float:

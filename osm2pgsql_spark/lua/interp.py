@@ -197,6 +197,9 @@ def lua_tostring(v) -> str:
     return "function: 0x%08x" % id(v)
 
 
+_LUA_NUMERAL_RE = _re.compile(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?\Z")
+
+
 def lua_tonumber(v, base=None):
     if base is not None:
         if not isinstance(v, str):
@@ -218,6 +221,10 @@ def lua_tonumber(v, base=None):
             return i
         except ValueError:
             pass
+        # Lua 5.3 numerals only: Python float() also accepts
+        # 'inf'/'infinity'/'nan', which Lua's tonumber rejects
+        if not _LUA_NUMERAL_RE.match(s):
+            return None
         try:
             return float(s)
         except ValueError:
@@ -876,7 +883,16 @@ class Interpreter:
                 return r.values
             return []
         if callable(fn):
-            res = fn(*args)
+            try:
+                res = fn(*args)
+            except (LuaError, _Break, _Return):
+                raise
+            except (TypeError, ValueError, AttributeError, KeyError, IndexError) as ex:
+                # builtins applied to wrong-typed arguments must surface
+                # as Lua errors (catchable by pcall), not kill the task
+                # with a raw Python traceback (Lua 5.3 §2.3)
+                name = getattr(fn, "__name__", "?").lstrip("_")
+                raise LuaRuntimeError(f"bad argument to '{name}' ({ex})") from ex
             # convention: builtins return a tuple for multiple values
             # (empty tuple = none), anything else — including None,
             # which IS Lua nil — is one value

@@ -347,7 +347,9 @@ def _scan_defines(text: str, tokens, env) -> list[LuaTable]:
             p.expect(")")
         name = fields.get("name")
         ids = fields.get("ids")
-        kind = "any"
+        # define_table without ids = ids=nil = append-only log table
+        # ('none'), NOT an any-ids table (flex-lua-table.cpp ids parsing)
+        kind = "none"
         if isinstance(ids, tuple):
             kind = ids[1].get("type", "any")
         out.append(LuaTable(
@@ -1073,7 +1075,9 @@ def _compile_declarative(text: str, model: LuaConfigModel):
 
     cfg = FlexConfig()
     _KIND_IDS = {"node": "node", "way": "way", "area": "area",
-                 "relation": "relation", "any": "any_object"}
+                 "relation": "relation", "any": "any_object",
+                 "any_object": "any_object", "any_single": "any_single",
+                 "none": "none"}
     for t in model.tables:
         cols = []
         for c in t.columns:
@@ -1331,9 +1335,13 @@ def _load_procedural(text: str) -> tuple["object", LuaConfigModel]:
 
     adapter = LuaFlexAdapter(text)
     model = LuaConfigModel()
+    # ids=nil ('none') tables are append-only logs and must stay
+    # distinct from ids={type='any'} tables, which ARE id-tracked
+    # (mapped ids, flex-table.cpp:107-122) and support delete+reinsert
+    # on append
     _KINDS = {"node": "node", "way": "way", "relation": "relation",
-              "area": "area", "any_object": "any", "any_single": "any",
-              "none": "any"}
+              "area": "area", "any_object": "any_object",
+              "any_single": "any_single", "none": "none"}
     for spec in adapter.specs.values():
         model.tables.append(LuaTable(
             var=spec.name, name=spec.name,

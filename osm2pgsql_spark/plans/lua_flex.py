@@ -1614,7 +1614,18 @@ class LuaFlexAdapter:
             s1 = s1_frame.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL))
             m = marks[kchar]
             if m is not None and self._select_members:
-                s1 = s1.join(m, s1["osm_id"] == F.col("__mark_id"), "left_anti")
+                # delete-then-reprocess can only delete from id-tracked
+                # tables; ids=nil log tables have no id to delete by, so
+                # their stage-1 rows survive next to the stage-2 rows
+                # exactly like the reference (flex-table.cpp delete path
+                # requires an id column)
+                id_tracked = [nm for nm, sp in self.specs.items()
+                              if sp.ids_type != "none"]
+                log_rows = s1.where(~F.col("tbl").isin(id_tracked))
+                s1 = (s1.where(F.col("tbl").isin(id_tracked))
+                      .join(m, F.col("osm_id") == F.col("__mark_id"),
+                            "left_anti")
+                      .unionByName(log_rows))
                 marked = preps[kind].join(
                     m, preps[kind]["id"] == F.col("__mark_id"), "left_semi")
                 s2 = self._exec_phase(marked, kind, 2, state)

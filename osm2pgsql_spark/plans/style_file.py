@@ -123,32 +123,57 @@ def _split_multi(s: str, seps: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_C_SPACE = " \t\n\v\f\r"  # C-locale isspace(), NOT Unicode whitespace
+
+
+def _sscanf_fields(line: str, widths: tuple[int, ...]) -> list[str]:
+    """C ``sscanf`` ``%Ns`` field extraction: skip whitespace, then
+    consume up to N non-whitespace characters; a longer run leaves its
+    tail in the stream for the NEXT conversion (so a 30-char first
+    token yields its last 7 chars as the second field)."""
+    out: list[str] = []
+    i, n = 0, len(line)
+    for w in widths:
+        while i < n and line[i] in _C_SPACE:
+            i += 1
+        if i >= n:
+            break
+        j = i
+        while j < n and line[j] not in _C_SPACE and j - i < w:
+            j += 1
+        out.append(line[i:j])
+        i = j
+    return out
+
+
 def parse_style(text: str, filename: str = "<style>") -> tuple[ExportList, bool]:
     """Parse style-file text (reference read_style_file,
     taginfo.cpp:92-199).  Returns (export list, enable_way_area);
     raises StyleError with the reference's wordings on invalid input.
 
-    Field extraction mirrors ``sscanf("%23s %63s %23s %127s")``:
-    whitespace-separated tokens truncated to the C buffer widths, any
-    further tokens ignored."""
+    Field extraction mirrors ``sscanf("%23s %63s %23s %127s")``
+    exactly: each ``%Ns`` consumes at most N characters of a
+    non-whitespace run, and an over-width run SPILLS its remainder
+    into the next conversion (C stream semantics) rather than being
+    truncated to the next whitespace-separated token."""
     exlist = ExportList()
     enable_way_area = True
     read_valid_column = False
 
     for lineno, raw in enumerate(text.splitlines(), start=1):
         line = raw.split("#", 1)[0]
-        tokens = line.split()
-        if not tokens:
+        if not line.split():
             continue
-        fields = min(len(tokens), 4)
+        toks = _sscanf_fields(line, (23, 63, 23, 127))
+        fields = len(toks)
         if fields < 3:
             raise StyleError(
                 f"Error reading style file line {lineno} (fields={fields})."
             )
-        osmtype = tokens[0][:23]
-        name = tokens[1][:63]
-        datatype = tokens[2][:23]
-        flags = parse_tag_flags(tokens[3][:127], lineno) if fields == 4 else 0
+        osmtype = toks[0]
+        name = toks[1]
+        datatype = toks[2]
+        flags = parse_tag_flags(toks[3], lineno) if fields == 4 else 0
 
         # way_area is special: its value is produced by the engine as
         # an already-formatted string, so it never gets a type flag

@@ -4,7 +4,7 @@ invariants rather than examples."""
 import math
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from osm2pgsql_spark.functions import geometry as G
@@ -80,6 +80,14 @@ def test_segmentize_preserves_length(pts, maxlen):
 
 @given(st.lists(pt, min_size=3, max_size=15))
 @settings(max_examples=100, deadline=None)
+@example(
+    pts=[
+        (-4933392.3625424085, 651500.0),
+        (0.0, 0.0),
+        (0.0, 1.1754943508222875e-38),
+        (0.0, -6.103515625e-05),
+    ],
+).via("discovered failure")
 def test_polygon_area_translation_invariant(pts):
     ring = list(pts) + [pts[0]]
     g = G.make_polygon_from_way(ring)

@@ -98,9 +98,14 @@ def load_style(path: str | None, region_db: str | None = None,
         # and process_deleted_* passes for ids=nil log tables
         lua_tables.cfg = cfg
 
+        # None = ids=nil append-only log table; any-ids tables ARE
+        # id-tracked (delete+reinsert by mapped id, flex-table.cpp
+        # map_id) — only 'none' may land in log_tables
         id_spaces = {
             t.name: {"node": "node", "way": "way", "area": "area",
-                     "relation": "relation"}.get(t.kind)
+                     "relation": "relation", "any": "any_object",
+                     "any_object": "any_object",
+                     "any_single": "any_single"}.get(t.kind)
             for t in model.tables
         }
         return lua_tables, id_spaces
@@ -326,6 +331,45 @@ def cmd_create(args, spark) -> None:
         print(f"table {name}: {n} rows")
 
 
+def _touched_keys(space: str, node_ids: DataFrame, way_ids: DataFrame,
+                  rel_ids: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Touched-object keys for one table's id space, in table-column
+    form, plus the join columns.  Mapped-id schemes follow the
+    reference's flex_table_t::map_id (flex-table.cpp:107-130): area
+    tables store ways +id / relations -id; single-column any tables
+    store node id / way -id / relation -id-10^17; multicolumn any
+    tables key on (osm_type, osm_id) raw."""
+    def _as(df: DataFrame, expr) -> DataFrame:
+        return df.select(expr.alias("osm_id"))
+
+    if space == "node":
+        return _as(node_ids, F.col("id")), ["osm_id"]
+    if space == "way":
+        return _as(way_ids, F.col("id")), ["osm_id"]
+    if space == "relation":
+        return _as(rel_ids, F.col("id")), ["osm_id"]
+    if space == "area":  # ways +id, relations -id
+        return (_as(way_ids, F.col("id"))
+                .unionByName(_as(rel_ids, -F.col("id")))
+                .distinct()), ["osm_id"]
+    if space == "any_single":
+        return (_as(node_ids, F.col("id"))
+                .unionByName(_as(way_ids, -F.col("id")))
+                .unionByName(_as(
+                    rel_ids,
+                    -F.col("id") - F.lit(100000000000000000).cast("long")))
+                .distinct()), ["osm_id"]
+    if space == "any_object":
+        def _typed(df: DataFrame, t: str) -> DataFrame:
+            return df.select(F.lit(t).alias("osm_type"),
+                             F.col("id").alias("osm_id"))
+        return (_typed(node_ids, "n")
+                .unionByName(_typed(way_ids, "w"))
+                .unionByName(_typed(rel_ids, "r"))
+                .distinct()), ["osm_type", "osm_id"]
+    raise SystemExit(f"unsupported id space {space!r} for incremental")
+
+
 def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.streaming.append import affected_ids, apply_diff
     from osm2pgsql_spark.streaming.properties import Properties
@@ -405,24 +449,9 @@ def cmd_append(args, spark) -> None:
         nodes_in = new_nodes.join(need_nodes, "id", "leftsemi")
         sub_tables = style_fn(spark, nodes_in, ways_in, rels_in)
 
-        def table_ids(space: str) -> DataFrame:
-            if space == "node":
-                return node_ids
-            if space == "way":
-                return way_ids
-            if space == "relation":
-                return rel_ids
-            if space == "area":  # ways +id, relations -id
-                return way_ids.unionByName(
-                    rel_ids.select((-F.col("id")).alias("id"))
-                ).distinct()
-            raise SystemExit(f"unsupported id space {space!r} for incremental")
-
         new_side = {
-            name: df.join(
-                table_ids(id_spaces[name]).select(F.col("id").alias("osm_id")),
-                "osm_id", "leftsemi",
-            )
+            name: df.join(*_touched_keys(
+                id_spaces[name], node_ids, way_ids, rel_ids), "leftsemi")
             for name, df in sub_tables.items()
             if name not in log_tables
         }
@@ -464,10 +493,8 @@ def cmd_append(args, spark) -> None:
         for name, new_rows in new_side.items():
             path = os.path.join(args.out_dir, "tables", name)
             old_rows = spark.read.parquet(path)
-            keep = old_rows.join(
-                table_ids(id_spaces[name]).select(F.col("id").alias("osm_id")),
-                "osm_id", "left_anti",
-            )
+            keep = old_rows.join(*_touched_keys(
+                id_spaces[name], node_ids, way_ids, rel_ids), "left_anti")
             refreshed[name] = keep.unionByName(new_rows).localCheckpoint()
     else:
         refreshed = {n: df.localCheckpoint() for n, df in new_side.items()}
