@@ -365,6 +365,42 @@ class StylePlan:
         return z, roads
 
 
+ATTR_TAG_KEYS = ("osm_user", "osm_uid", "osm_version", "osm_timestamp",
+                 "osm_changeset")
+
+
+def attr_pseudo_tags() -> Column:
+    """taglist_t::add_attributes (osmtypes.hpp:104-110) as a map
+    expression over the middle's attribute columns; attributes the
+    input didn't carry stay out of the map."""
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in ATTR_TAG_KEYS]),
+            F.array(
+                F.col("user"),
+                F.col("uid").cast("string"),
+                F.col("version").cast("string"),
+                F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                F.col("changeset").cast("string"),
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+
+
+def _with_attrs(out: Column, enabled: bool) -> Column:
+    """--extra-attributes: the C transform appends the attribute
+    pseudo-tags to the OUT tags after filtering
+    (tagtransform-c.cpp:196-199); they are not subject to the style's
+    keep/delete routing."""
+    if not enabled:
+        return out
+    return F.map_concat(
+        F.map_filter(out, lambda k, v: ~k.isin(list(ATTR_TAG_KEYS))),
+        attr_pseudo_tags(),
+    )
+
+
 def planet_tables_styled(
     nodes: DataFrame,
     ways: DataFrame,
@@ -374,6 +410,7 @@ def planet_tables_styled(
     srid: int = 3857,
     enable_multi: bool = False,
     reproject_area: bool = False,
+    extra_attributes: bool = False,
 ) -> dict[str, DataFrame]:
     """planet_osm_{point,line,polygon,roads} driven by a parsed style
     file.  Geometry handling mirrors the fixed pipeline
@@ -396,7 +433,7 @@ def planet_tables_styled(
     # --- points ---
     nf = plan.filter_tags(tags, "node")
     tagged_nodes = nodes.where(F.size("tags") > 0).withColumn(
-        "__out", nf["out_tags"]
+        "__out", _with_attrs(nf["out_tags"], extra_attributes)
     ).where(nf["keep"])
     ot = F.col("__out")
     point = tagged_nodes.select(
@@ -416,7 +453,7 @@ def planet_tables_styled(
     geoms = assembly.assemble_points(refs, nloc)
     w = (
         ways.where(F.size("tags") > 0)
-        .withColumn("__out", wf["out_tags"])
+        .withColumn("__out", _with_attrs(wf["out_tags"], extra_attributes))
         .withColumn("__poly", wf["polygon"])
         .where(wf["keep"])
         .join(
@@ -475,6 +512,7 @@ def planet_tables_styled(
             split_at=split_at,
             enable_multi=enable_multi,
             reproject_area=reproject_area and srid != 3857,
+            extra_attributes=extra_attributes,
         )
         polygon = polygon.unionByName(r["polygon"], allowMissingColumns=True)
         line = line.unionByName(r["line"], allowMissingColumns=True)
@@ -543,6 +581,7 @@ def relation_rows_styled(
     split_at: float,
     enable_multi: bool = False,
     reproject_area: bool = False,
+    extra_attributes: bool = False,
 ) -> dict[str, DataFrame]:
     """Style-driven relation rows (pgsql_process_relation +
     filter_rel_member_tags): type=route -> split merged-line rows;
@@ -563,7 +602,8 @@ def relation_rows_styled(
         relations.where(typ.isin("route", "boundary", "multipolygon"))
         .where(rf["keep"])
         .where(has_way_member)
-        .withColumn("__out", relation_out_tags(rf["out_tags"]))
+        .withColumn("__out", relation_out_tags(
+            _with_attrs(rf["out_tags"], extra_attributes)))
         .where(F.size("__out") > 0)
     )
     ot = F.col("__out")

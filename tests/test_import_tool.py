@@ -276,3 +276,55 @@ def test_append_track_changes_accumulates(tmp_path, spark):
     actions = sorted((row["osm_id"], row["action"], row["version"])
                      for row in log.collect())
     assert actions == [(1, "D", 2), (2, "M", 2), (20, "A", 1), (20, "M", 2)]
+
+
+LI_PBF = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+DEFAULT_STYLE = "/root/reference/default.style"
+
+
+@pytest.mark.skipif(not os.path.exists(LI_PBF), reason="fixture missing")
+def test_pgsql_output_cli_liechtenstein(tmp_path, spark):
+    """The reference's historic front door: `osm2pgsql file.pbf` with
+    the pgsql output + default.style — our `-O pgsql -S` twin end to
+    end, counts pinned, z_order cross-checked against the independent
+    pgsql_compat Catalyst twin (command-line-parser.cpp:338-460,
+    output-pgsql.cpp)."""
+    out = tmp_path / "pg"
+    r = _run([LI_PBF, str(out), "-O", "pgsql", "-S", DEFAULT_STYLE,
+              "--drop"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    counts = {
+        t: spark.read.parquet(str(out / "tables" / t)).count()
+        for t in ("planet_osm_point", "planet_osm_line",
+                  "planet_osm_polygon", "planet_osm_roads")
+    }
+    assert counts == {
+        "planet_osm_point": 1342,
+        "planet_osm_line": 3299,
+        "planet_osm_polygon": 4131,
+        "planet_osm_roads": 375,
+    }
+
+    from pyspark.sql import functions as F
+
+    from osm2pgsql_spark.plans.pgsql_compat import planet_osm_tables
+    from osm2pgsql_spark.sources.pbf import read_pbf
+
+    nodes, ways, _ = read_pbf(spark, LI_PBF)
+    cat = planet_osm_tables(nodes, ways)
+    line = (spark.read.parquet(str(out / "tables" / "planet_osm_line"))
+            .where(F.col("osm_id") > 0)
+            .select("osm_id", F.col("z_order").alias("sz")).distinct())
+    twin = (cat["planet_osm_line"]
+            .select("osm_id", F.col("z_order").alias("cz")).distinct())
+    shared = line.join(twin, "osm_id")
+    assert shared.count() > 2900
+    assert shared.where(F.col("sz") != F.col("cz")).count() == 0
+
+
+def test_pgsql_output_needs_style(tmp_path):
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    r = _run([str(src), str(tmp_path / "db"), "-O", "pgsql"])
+    assert r.returncode != 0
+    assert "needs a style file" in r.stderr

@@ -117,6 +117,71 @@ def load_style(path: str | None, region_db: str | None = None,
     return mod.tables, getattr(mod, "ID_SPACES", None)
 
 
+def load_pgsql_style(args):
+    """-O pgsql: the legacy fixed-schema output driven by a .style
+    file (reference output-pgsql.cpp), optionally with a Lua tag
+    transform script replacing the C transform
+    (--tag-transform-script, src/tagtransform-lua.cpp).  Same
+    (style_fn, id_spaces) contract as load_style, so create and
+    append work unchanged; id spaces follow the pgsql id convention
+    (relations as -id, output-pgsql.cpp:396-399), which is exactly
+    the 'area' mapped space."""
+    from osm2pgsql_spark.plans.pgsql_style import (
+        StylePlan,
+        planet_tables_styled,
+    )
+    from osm2pgsql_spark.plans.style_file import read_style_file
+
+    if args.hstore and args.hstore_all:
+        raise SystemExit("--hstore and --hstore-all can not be used "
+                         "at the same time")
+    if not args.style:
+        raise SystemExit(
+            "the pgsql output needs a style file: -S default.style")
+    exlist, enable_way_area = read_style_file(args.style)
+    hstore_mode = "all" if args.hstore_all else (
+        "norm" if args.hstore else "none")
+    plan = StylePlan(
+        exlist,
+        hstore_mode=hstore_mode,
+        hstore_columns=tuple(args.hstore_column),
+        hstore_match_only=args.hstore_match_only,
+        keep_coastlines=args.keep_coastlines,
+        enable_way_area=enable_way_area,
+    )
+    srid = 4326 if args.latlong else 3857
+    tt = None
+    if args.tag_transform_script:
+        from osm2pgsql_spark.plans.tagtransform import LuaTagTransform
+
+        tt = LuaTagTransform(args.tag_transform_script,
+                             extra_attributes=args.extra_attributes)
+
+    def style_fn(spark, nodes, ways, rels):
+        if tt is not None:
+            from osm2pgsql_spark.plans.tagtransform import planet_tables_lua
+
+            return planet_tables_lua(
+                nodes, ways, rels, transform=tt, plan=plan, srid=srid,
+                enable_multi=args.multi_geometry,
+                reproject_area=args.reproject_area,
+            )
+        return planet_tables_styled(
+            nodes, ways, rels, plan=plan, srid=srid,
+            enable_multi=args.multi_geometry,
+            reproject_area=args.reproject_area,
+            extra_attributes=args.extra_attributes,
+        )
+
+    id_spaces = {
+        "planet_osm_point": "node",
+        "planet_osm_line": "area",
+        "planet_osm_polygon": "area",
+        "planet_osm_roads": "area",
+    }
+    return style_fn, id_spaces
+
+
 def _last_op(diff: DataFrame) -> DataFrame:
     """One row per id: the LAST op in document order (the reference
     applies diff ops sequentially, src/osmdata.cpp:55-70)."""
@@ -293,7 +358,10 @@ def cmd_create(args, spark) -> None:
     # slim middle (bucketed for append partition pruning)
     for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
         _middle(args.out_dir, name).write_full(df)
-    style_fn, _ = load_style(args.style, getattr(args, "region_db", None))
+    if getattr(args, "output", "flex") == "pgsql":
+        style_fn, _ = load_pgsql_style(args)
+    else:
+        style_fn, _ = load_style(args.style, getattr(args, "region_db", None))
     tables = style_fn(spark, nodes, ways, rels)
     counts = _write_tables(tables, args.out_dir)
     if args.drop:
@@ -384,8 +452,11 @@ def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
 
     n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
-    style_fn, id_spaces = load_style(
-        args.style, getattr(args, "region_db", None), mode="append")
+    if getattr(args, "output", "flex") == "pgsql":
+        style_fn, id_spaces = load_pgsql_style(args)
+    else:
+        style_fn, id_spaces = load_style(
+            args.style, getattr(args, "region_db", None), mode="append")
     incremental = args.refresh == "incremental" or (
         args.refresh == "auto" and id_spaces is not None
     )
@@ -542,7 +613,31 @@ def main() -> None:
         help="drop the middle after create (reference --slim --drop); "
         "the result cannot be appended to",
     )
-    ap.add_argument("--style", default=None, help="python style module path")
+    ap.add_argument("-S", "--style", default=None,
+                    help="style: flex .lua config / python style module "
+                    "(-O flex) or a .style file (-O pgsql)")
+    ap.add_argument("-O", "--output", choices=("flex", "pgsql"),
+                    default="flex",
+                    help="output backend (reference -O; its historic "
+                    "default is pgsql, ours stays flex)")
+    # pgsql-output options (command-line-parser.cpp:338-460)
+    ap.add_argument("-k", "--hstore", action="store_true",
+                    help="add tags without column to a tags hstore column")
+    ap.add_argument("-j", "--hstore-all", action="store_true",
+                    help="add ALL tags to a tags hstore column")
+    ap.add_argument("-z", "--hstore-column", action="append", default=[],
+                    metavar="PREFIX", help="add a prefix hstore column")
+    ap.add_argument("--hstore-match-only", action="store_true")
+    ap.add_argument("-G", "--multi-geometry", action="store_true")
+    ap.add_argument("--reproject-area", action="store_true")
+    ap.add_argument("-x", "--extra-attributes", action="store_true",
+                    help="pass osm_user/osm_uid/osm_version/osm_timestamp/"
+                    "osm_changeset pseudo-tags into the transform")
+    ap.add_argument("--keep-coastlines", action="store_true")
+    ap.add_argument("-l", "--latlong", action="store_true",
+                    help="store coordinates in WGS84 instead of web mercator")
+    ap.add_argument("--tag-transform-script", default=None, metavar="LUA",
+                    help="legacy Lua tag transform for the pgsql output")
     ap.add_argument("--region-db", default=None,
                     help="DuckDB file serving locator add_from_db queries")
     ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
