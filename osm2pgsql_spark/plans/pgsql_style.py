@@ -29,10 +29,11 @@ Everything is pure Catalyst column expressions over the tags MAP —
 no UDFs; the only Arrow kernels involved are the shared geometry ones
 (polygon assembly, segmentize) reused from the flex path.
 
-Known honest gaps: FLAG_PHSTORE (unused by the shipped styles) is
-parsed but not acted on, and in hstore mode 'all' the synthetic
-``way_area`` tag is not injected into the tags hstore (the typed
-way_area column itself is exact).
+FLAG_PHSTORE entries behave as nocolumn+polygon (the reference's flag
+aliasing, taginfo-impl.hpp:30-31), and in hstore mode 'all' polygon
+rows carry the synthetic ``way_area`` tag in the tags hstore with the
+reference's ``{:g}`` formatting (output-pgsql.cpp:100-104 +
+table.cpp:305-320).
 """
 
 from __future__ import annotations
@@ -57,6 +58,26 @@ _INT4_MAX = 2147483647
 # %lf would additionally accept inf/nan/hex floats, which never
 # appear as OSM measurement values)
 _FLOAT_RX = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+
+
+_G_FORMAT_UDF = None
+
+
+def g_format(v: Column) -> Column:
+    """C printf ``%g`` of a double (fmt ``{:g}``, the reference's
+    util::double_to_buffer_t): 6 significant digits, trailing zeros
+    stripped, scientific outside [1e-4, 1e6).  Python's %g is the C
+    one, so this Arrow kernel is an exact twin.  (Lazily built: a
+    pandas_udf needs an active session to parse its schema.)"""
+    global _G_FORMAT_UDF
+    if _G_FORMAT_UDF is None:
+        @F.pandas_udf("string")
+        def _g(s):
+            return s.map(
+                lambda x: None if x is None or x != x else "%g" % x)
+
+        _G_FORMAT_UDF = _g
+    return _G_FORMAT_UDF(v)
 
 
 def int4_escape(v: Column) -> Column:
@@ -328,8 +349,16 @@ class StylePlan:
             cols.append(v.alias(dfname))
         return cols
 
-    def hstore_cols(self, ot: Column, kind: str) -> list[Column]:
-        """Prefix hstore columns + the tags column (table.cpp:285-345)."""
+    def hstore_cols(self, ot: Column, kind: str,
+                    way_area: Column | None = None) -> list[Column]:
+        """Prefix hstore columns + the tags column (table.cpp:285-345).
+
+        ``way_area``: the engine sets the synthetic way_area tag on
+        polygon rows BEFORE the row is written
+        (output-pgsql.cpp:100-104), so in hstore mode 'all' — where
+        the ``used`` exclusion never applies — it shows up in the
+        tags hstore, ``{:g}``-formatted like the reference's
+        double_to_buffer_t."""
         cols: list[Column] = []
         for prefix in self.hstore_columns:
             m = F.map_filter(ot, lambda k, v: k.startswith(prefix))
@@ -347,6 +376,13 @@ class StylePlan:
                 )
             else:
                 m = F.map_filter(ot, lambda k, v: k != "z_order")
+                if way_area is not None and self.enable_way_area:
+                    # taglist_t::set replaces any literal way_area tag
+                    m = F.map_concat(
+                        F.map_filter(m, lambda k, v: k != "way_area"),
+                        F.create_map(F.lit("way_area"),
+                                     g_format(way_area)),
+                    )
             cols.append(m.alias("tags"))
         return cols
 
@@ -478,7 +514,7 @@ def planet_tables_styled(
         .select(
             F.col("id").alias("osm_id"),
             *plan.data_columns(ot, "way", z_order=z, way_area=area_expr),
-            *plan.hstore_cols(ot, "way"),
+            *plan.hstore_cols(ot, "way", way_area=area_expr),
             assembly.pts_to_polygon_wkb(F.col("pts")).alias("way"),
         )
         .where(F.col("way").isNotNull())
@@ -636,7 +672,7 @@ def relation_rows_styled(
     polygon = poly_tagged.select(
         (-F.col("rel_id")).alias("osm_id"),
         *plan.data_columns(ot, "way", z_order=z, way_area=rel_area),
-        *plan.hstore_cols(ot, "way"),
+        *plan.hstore_cols(ot, "way", way_area=rel_area),
         F.col("wkb").alias("way"),
     )
 

@@ -23,10 +23,14 @@ FLAG_POLYGON = 1
 FLAG_LINEAR = 2
 FLAG_NOCACHE = 4
 FLAG_DELETE = 8
-FLAG_PHSTORE = 16
-FLAG_NOCOLUMN = 32
-FLAG_INT_TYPE = 64
-FLAG_REAL_TYPE = 128
+FLAG_NOCOLUMN = 16
+FLAG_INT_TYPE = 32
+FLAG_REAL_TYPE = 64
+# phstore is a compatibility alias: nocolumn + polygon in one flag
+# (taginfo-impl.hpp:30-31, "same as FLAG_NOCOLUMN & FLAG_POLYGON") —
+# the entry keeps objects, makes closed ways polygons, and lands in
+# the hstore instead of getting its own column
+FLAG_PHSTORE = FLAG_NOCOLUMN | FLAG_POLYGON
 
 _TAG_FLAGS = {
     "polygon": FLAG_POLYGON,

@@ -365,7 +365,7 @@ def planet_tables_lua(
         .select(
             F.col("id").alias("osm_id"),
             *plan.data_columns(ot, "way", z_order=z, way_area=area_expr),
-            *plan.hstore_cols(ot, "way"),
+            *plan.hstore_cols(ot, "way", way_area=area_expr),
             assembly.pts_to_polygon_wkb(F.col("pts")).alias("way"),
         )
         .where(F.col("way").isNotNull())
@@ -466,7 +466,7 @@ def _relation_rows_lua(
     polygon = poly_tagged.select(
         (-F.col("rel_id")).alias("osm_id"),
         *plan.data_columns(ot, "way", z_order=z, way_area=rel_area),
-        *plan.hstore_cols(ot, "way"),
+        *plan.hstore_cols(ot, "way", way_area=rel_area),
         F.col("wkb").alias("way"),
     )
 

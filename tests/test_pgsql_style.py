@@ -157,3 +157,85 @@ def test_match_only_cleared_without_hstore():
     plan = StylePlan(exlist, hstore_match_only=True)
     # silently cleared, like command-line-parser.cpp:189-192
     assert not plan.hstore_match_only
+
+
+# ---- phstore flag + way_area in hstore-all (table.cpp:285-345) ----
+
+PHSTORE_STYLE = """\
+way   z_order   int4  linear
+way   way_area  real
+node,way  highway   text  linear
+node,way  landuse   text  phstore
+"""
+
+PHSTORE_OSM = """<?xml version='1.0'?>
+<osm version="0.6">
+ <node id="1" lat="50.0" lon="9.0"/>
+ <node id="2" lat="50.0" lon="9.001"/>
+ <node id="3" lat="50.001" lon="9.001"/>
+ <node id="4" lat="50.001" lon="9.0"/>
+ <way id="100"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+   <tag k="landuse" v="forest"/></way>
+ <way id="101"><nd ref="1"/><nd ref="2"/>
+   <tag k="highway" v="residential"/></way>
+</osm>
+"""
+
+
+def _tables_text(spark, osm_text, style_text, tmp_path, **opts):
+    osm = tmp_path / "in.osm"
+    osm.write_text(osm_text)
+    nodes, ways, rels = read_osm_xml(spark, str(osm))
+    exlist, enable_way_area = parse_style(style_text)
+    plan = StylePlan(exlist, enable_way_area=enable_way_area, **opts)
+    return planet_tables_styled(nodes, ways, rels, plan=plan, srid=3857)
+
+
+def test_phstore_is_nocolumn_plus_polygon(spark, tmp_path):
+    """FLAG_PHSTORE aliases nocolumn+polygon (taginfo-impl.hpp:30-31):
+    the entry keeps the object, makes the closed way a polygon, gets
+    no column of its own, and the tag lands in the hstore."""
+    t = _tables_text(spark, PHSTORE_OSM, PHSTORE_STYLE, tmp_path,
+                     hstore_mode="norm")
+    # landuse must NOT be a column anywhere
+    for tbl in t.values():
+        assert "landuse" not in tbl.columns
+    polys = t["planet_osm_polygon"].collect()
+    assert [r["osm_id"] for r in polys] == [100]
+    assert polys[0]["tags"] == {"landuse": "forest"}
+    lines = t["planet_osm_line"].select("osm_id").collect()
+    assert [r["osm_id"] for r in lines] == [101]
+
+
+def test_phstore_without_hstore_keeps_object(spark, tmp_path):
+    """Without hstore output the phstore tag has nowhere to land but
+    still keeps the object and still forces the polygon route."""
+    t = _tables_text(spark, PHSTORE_OSM, PHSTORE_STYLE, tmp_path)
+    polys = t["planet_osm_polygon"].collect()
+    assert [r["osm_id"] for r in polys] == [100]
+    assert "tags" not in t["planet_osm_polygon"].columns
+
+
+def test_way_area_in_hstore_all(spark, tmp_path):
+    """hstore mode 'all': the engine-set synthetic way_area tag rides
+    in the tags hstore with {:g} formatting (output-pgsql.cpp:100-104,
+    table.cpp:305-320: the used[] exclusion only applies in norm
+    mode); norm mode excludes it because the column consumed it."""
+    t_all = _tables_text(spark, PHSTORE_OSM, PHSTORE_STYLE, tmp_path,
+                         hstore_mode="all")
+    row = t_all["planet_osm_polygon"].collect()[0]
+    assert "way_area" in row["tags"]
+    assert math.isclose(float(row["tags"]["way_area"]), row["way_area"],
+                        rel_tol=1e-5)
+    # %g formatting: 6 significant digits, no trailing zeros
+    assert row["tags"]["way_area"] == "%g" % float(row["tags"]["way_area"])
+    # z_order stays excluded even in 'all'
+    assert "z_order" not in row["tags"]
+
+    t_norm = _tables_text(spark, PHSTORE_OSM, PHSTORE_STYLE, tmp_path,
+                          hstore_mode="norm")
+    row_n = t_norm["planet_osm_polygon"].collect()[0]
+    assert "way_area" not in row_n["tags"]
+    # line rows never get the synthetic tag
+    line_all = t_all["planet_osm_line"].collect()[0]
+    assert "way_area" not in (line_all["tags"] or {})
