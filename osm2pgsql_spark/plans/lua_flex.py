@@ -1128,6 +1128,50 @@ class LuaFlexRuntime:
                 ids.keys() if isinstance(ids, dict) else ids)
         self.snapshot_baseline()
 
+    def _resolve_slot_table(self, slot: str) -> LuaTable:
+        """The LuaTable behind a 'local:name' / 'global:name' state
+        slot, created empty if the chunk left it nil."""
+        kind, name = slot.split(":", 1)
+        scope_vars = (self.interp.chunk_scope.vars
+                      if kind == "local" and self.interp.chunk_scope is not None
+                      else None)
+        if scope_vars is not None and name in scope_vars:
+            cur = scope_vars[name]
+            if not isinstance(cur, LuaTable):
+                cur = LuaTable()
+                scope_vars[name] = cur
+            return cur
+        cur = self.interp.globals.get(name)
+        if not isinstance(cur, LuaTable):
+            cur = LuaTable()
+            self.interp.globals.set(name, cur)
+        return cur
+
+    def apply_keyed(self, entries, oid: int) -> list:
+        """Spill-path stage 2: install the joined per-id state entries
+        (slot, pickled sub-value) for the CURRENT object's id, merging
+        with whatever the broadcast state already holds for that key
+        (a small partition may have shipped the same key in its blob).
+        Returns revert handles."""
+        applied = []
+        for e in entries:
+            slot = e["slot"]
+            sub = pickle.loads(bytes(e["blob"]))
+            tbl = self._resolve_slot_table(slot)
+            cur = tbl.get(oid)
+            if cur is not None:
+                sub = merge_state(lua_to_py(cur), sub)
+            tbl.set(oid, py_to_lua(sub))
+            applied.append((tbl, oid, cur))
+        return applied
+
+    def revert_keyed(self, applied: list) -> None:
+        """Remove per-row injected entries so the partition's state
+        delta stays empty (extract_state compares against the
+        post-inject baseline) and memory stays bounded."""
+        for tbl, oid, cur in applied:
+            tbl.set(oid, cur)
+
     # -- object construction
 
     def make_object(self, kind: str, rec: dict) -> LuaTable:
@@ -1450,7 +1494,7 @@ def _is_geom_type(t: str) -> bool:
 
 def _phase_mapper(source: str, kind: str, state_blob,
                   stage: int, mode: str, region_db: str | None = None,
-                  deleted: bool = False):
+                  deleted: bool = False, spill_threshold: int | None = None):
     """mapInPandas factory for one processing phase.  Emits insert rows
     + per-partition state-delta rows.  deleted=True routes rows through
     process_deleted_<kind> instead of process_<kind>.
@@ -1458,7 +1502,16 @@ def _phase_mapper(source: str, kind: str, state_blob,
     state_blob is either raw pickle bytes or a Spark Broadcast of them
     — two-stage state (w2r maps over every route way on the planet)
     can be large, and a broadcast ships it ONCE per executor via the
-    torrent protocol instead of once per task inside the closure."""
+    torrent protocol instead of once per task inside the closure.
+
+    spill_threshold: an id-keyed dict state var whose per-partition
+    delta exceeds this many entries is emitted as per-KEY rows
+    (osm_kind='k', osm_id=key, vals={'slot': var}, geom=pickled
+    sub-value) instead of inside the one pickled blob — the driver
+    never materializes it; stage 2 joins the rows back onto the
+    marked objects by id (LuaFlexAdapter.run).  The input frame may
+    carry a ``__kstate__`` column (the join result): those entries
+    are injected per row for the row's own id and reverted after."""
 
     def mapper(batches):
         import pandas as pd
@@ -1479,11 +1532,35 @@ def _phase_mapper(source: str, kind: str, state_blob,
             rows = []
             if any_cb:
                 for rec in pdf.to_dict("records"):
+                    inj = rec.get("__kstate__")
+                    has_inj = (inj is not None
+                               and not isinstance(inj, float)
+                               and len(inj) > 0)
+                    applied = (rt.apply_keyed(inj, int(rec["id"]))
+                               if has_inj else None)
                     rows.extend(
                         rt.process_deleted(kind, rec) if deleted
                         else rt.process(kind, rec))
+                    if applied:
+                        rt.revert_keyed(applied)
             yield pd.DataFrame(rows, columns=cols)
         state = rt.extract_state()
+        spill = []
+        if spill_threshold is not None and state:
+            vars_d = state.get("vars") or {}
+            for slot, v in list(vars_d.items()):
+                if (isinstance(v, dict) and not _is_nd(v)
+                        and len(v) > spill_threshold
+                        and all(isinstance(k, int) and not isinstance(k, bool)
+                                for k in v)):
+                    for key, sub in v.items():
+                        spill.append((_STATE_TBL, "k", key, {"slot": slot},
+                                      pickle.dumps(sub), None))
+                    del vars_d[slot]
+            if not vars_d:
+                state.pop("vars", None)
+        if spill:
+            yield pd.DataFrame(spill, columns=cols)
         if state:
             yield pd.DataFrame(
                 [(_STATE_TBL, kind[0], 0, None, pickle.dumps(state), None)],
@@ -1505,9 +1582,17 @@ class LuaFlexAdapter:
 
     def __init__(self, source: str, mode: str = "create",
                  region_db: str | None = None):
+        import os
+
         self.source = source
         self.mode = mode
         self.region_db = region_db
+        # per-partition entry count above which an id-keyed state dict
+        # spills to distributed per-key rows instead of the driver
+        # merge + broadcast (override with the env var; 0 forces the
+        # spill path, e.g. for equality tests)
+        self._spill_threshold = int(os.environ.get(
+            "SPARK_GRAFT_LUA_STATE_SPILL", "200000"))
         # driver-side discovery run: table specs, callbacks present
         probe = LuaFlexRuntime(source, mode=mode, region_db=region_db)
         if not probe.specs:
@@ -1557,7 +1642,15 @@ class LuaFlexAdapter:
         ways: DataFrame | None = None,
         relations: DataFrame | None = None,
         way_geoms: DataFrame | None = None,
+        middle_ways: DataFrame | None = None,
+        middle_nodes: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
+        """middle_ways/middle_nodes: member-geometry resolution frames
+        when they differ from the callback-input frames — the append
+        file pass feeds only the diff's objects to Lua but resolves
+        relation members against the FULL updated middle, like the
+        reference's middle-backed buffer (output-flex.cpp:1175-1282).
+        Default: the input frames themselves (create mode)."""
         from osm2pgsql_spark.operators import assembly
 
         src_text = self.source
@@ -1575,11 +1668,16 @@ class LuaFlexAdapter:
         preps = {
             "node": self._prep_nodes(nodes),
             "way": self._prep_ways(ways, way_geoms),
-            "relation": self._prep_relations(relations, ways, nodes),
+            "relation": self._prep_relations(
+                relations,
+                ways if middle_ways is None else middle_ways,
+                nodes if middle_nodes is None else middle_nodes,
+            ),
         }
 
         state: dict = {}
         frames: list[DataFrame] = []
+        keyed: list[DataFrame] = []
         node_frame = None
         way_frame = None
         fired: set = set()
@@ -1589,15 +1687,18 @@ class LuaFlexAdapter:
         # relations -> marked ways (stage 2), with Lua state flowing
         # forward (output-flex.cpp:1506-1613)
         if "node" in self._kinds and preps["node"] is not None:
-            node_frame = self._exec_phase(preps["node"], "node", 1, state)
+            node_frame = self._exec_phase(preps["node"], "node", 1, state,
+                                          keyed_sink=keyed)
         self._fire_afters(state, fired, after_rows, "way")
         if "way" in self._kinds and preps["way"] is not None:
-            way_frame = self._exec_phase(preps["way"], "way", 1, state)
+            way_frame = self._exec_phase(preps["way"], "way", 1, state,
+                                         keyed_sink=keyed)
         self._fire_afters(state, fired, after_rows, "relation")
         marks = {"n": None, "w": None}
         if (("relation" in self._kinds) or self._select_members) \
                 and preps["relation"] is not None:
-            df = self._exec_phase(preps["relation"], "relation", 1, state)
+            df = self._exec_phase(preps["relation"], "relation", 1, state,
+                                  keyed_sink=keyed)
             frames.append(
                 df.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
             marks = self._collect_marks(df)
@@ -1628,6 +1729,7 @@ class LuaFlexAdapter:
                       .unionByName(log_rows))
                 marked = preps[kind].join(
                     m, preps[kind]["id"] == F.col("__mark_id"), "left_semi")
+                marked = self._attach_keyed_state(marked, keyed)
                 s2 = self._exec_phase(marked, kind, 2, state)
                 frames.append(
                     s2.where(~F.col("tbl").isin(_STATE_TBL, _MARK_TBL)))
@@ -1640,9 +1742,16 @@ class LuaFlexAdapter:
     # --- shared phase machinery (run + run_append)
 
     def _exec_phase(self, prep, kind: str, stage: int, state: dict,
-                    deleted: bool = False) -> DataFrame:
+                    deleted: bool = False,
+                    keyed_sink: list | None = None) -> DataFrame:
         """One distributed callback pass; merges the partitions' state
-        deltas into `state` (mutated in place)."""
+        deltas into `state` (mutated in place).
+
+        keyed_sink: when given, oversized id-keyed state vars spill as
+        per-key rows that stay DISTRIBUTED — appended here as a
+        DataFrame instead of being pickled into the driver dict
+        (planet-scale w2r would be 10^7-10^8 entries, driver-memory-
+        bound on the broadcast path)."""
         blob = None
         if state:
             # broadcast, not closure-capture: stage-2 state scales
@@ -1652,13 +1761,45 @@ class LuaFlexAdapter:
                 pickle.dumps(state))
         df = prep.mapInPandas(
             _phase_mapper(self.source, kind, blob, stage, self.mode,
-                          self.region_db, deleted=deleted),
+                          self.region_db, deleted=deleted,
+                          spill_threshold=(self._spill_threshold
+                                           if keyed_sink is not None
+                                           else None)),
             _OUT_SCHEMA,
         ).localCheckpoint()
-        deltas = df.where(F.col("tbl") == _STATE_TBL).select("geom").collect()
+        is_state = F.col("tbl") == _STATE_TBL
+        deltas = df.where(is_state & (F.col("osm_kind") != "k")) \
+            .select("geom").collect()
         for r in deltas:
             merge_state(state, pickle.loads(bytes(r["geom"])))
+        if keyed_sink is not None:
+            keyed_sink.append(
+                df.where(is_state & (F.col("osm_kind") == "k"))
+                .select("osm_id", F.col("vals")["slot"].alias("slot"),
+                        F.col("geom").alias("blob")))
         return df
+
+    def _attach_keyed_state(self, marked: DataFrame,
+                            keyed: list[DataFrame]) -> DataFrame:
+        """Join spilled per-key state rows onto the marked objects by
+        id (the w2r[object.id] access pattern of route-relations.lua /
+        public-transport.lua).  Stays fully distributed: the join
+        shuffles on the id, never through the driver.  Lookups of keys
+        OTHER than the object's own id would return nil on this path —
+        identical to the broadcast path only for self-id reads, which
+        is the flex two-stage contract (COVERAGE.md)."""
+        live = [k for k in keyed if k is not None]
+        if not live:
+            return marked
+        kdf = live[0]
+        for k in live[1:]:
+            kdf = kdf.unionByName(k)
+        k_agg = kdf.groupBy("osm_id").agg(
+            F.collect_list(F.struct("slot", "blob")).alias("__kstate__"))
+        return marked.join(
+            k_agg.withColumnRenamed("osm_id", "__kid"),
+            marked["id"] == F.col("__kid"), "left",
+        ).drop("__kid")
 
     def _fire_afters(self, state: dict, fired: set, after_rows: list,
                      upto: str | None):

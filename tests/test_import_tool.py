@@ -328,3 +328,92 @@ def test_pgsql_output_needs_style(tmp_path):
     r = _run([str(src), str(tmp_path / "db"), "-O", "pgsql"])
     assert r.returncode != 0
     assert "needs a style file" in r.stderr
+
+
+GEOM_LOG_LUA = """
+local log = osm2pgsql.define_table({
+    name = 'rel_log',
+    columns = {
+        { column = 'osm_id', type = 'int8' },
+        { column = 'action', type = 'text' },
+        { column = 'geom', type = 'multilinestring', projection = 4326 },
+    }
+})
+
+function osm2pgsql.process_relation(object)
+    log:insert({ osm_id = object.id, action = 'A',
+                 geom = object:as_multilinestring() })
+end
+
+function osm2pgsql.process_deleted_relation(object)
+    log:insert({ osm_id = object.id, action = 'D' })
+end
+"""
+
+OPL_GEOMLOG = """n1 x9.0 y50.0
+n2 x9.001 y50.0
+n3 x9.001 y50.001
+n4 x9.0 y50.001
+w100 Thighway=path Nn1,n2
+w101 Thighway=path Nn3,n4
+"""
+
+OSC_GEOMLOG = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <create>
+    <relation id="500" version="1">
+      <member type="way" ref="100" role=""/>
+      <member type="way" ref="101" role=""/>
+      <tag k="type" v="route"/><tag k="route" v="hiking"/>
+    </relation>
+  </create>
+</osmChange>
+"""
+
+
+def test_append_log_table_member_geometry_from_middle(tmp_path, spark):
+    """ids=nil log-table file pass: a diff relation whose member ways
+    are NOT in the diff still resolves geometry — against the updated
+    middle snapshot, like the reference's middle-backed buffer
+    (output-flex.cpp:1175-1282).  The result must match a
+    full-recompute twin (create over the merged data)."""
+    style = tmp_path / "geomlog.lua"
+    style.write_text(GEOM_LOG_LUA)
+    src = tmp_path / "in.opl"
+    src.write_text(OPL_GEOMLOG)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), "--style", str(style)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    osc = tmp_path / "diff.osc"
+    osc.write_text(OSC_GEOMLOG)
+    r = _run([str(osc), str(out), "--append", "--style", str(style)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    log = spark.read.parquet(str(out / "tables" / "rel_log")).collect()
+    assert [(row["osm_id"], row["action"]) for row in log] == [(500, "A")]
+    got = log[0]["geom"]
+    assert got is not None
+
+    # full-recompute twin: create over base+diff merged in one file
+    twin_src = tmp_path / "merged.osm"
+    twin_src.write_text("""<?xml version='1.0'?>
+<osm version="0.6">
+ <node id="1" lat="50.0" lon="9.0"/>
+ <node id="2" lat="50.0" lon="9.001"/>
+ <node id="3" lat="50.001" lon="9.001"/>
+ <node id="4" lat="50.001" lon="9.0"/>
+ <way id="100"><nd ref="1"/><nd ref="2"/><tag k="highway" v="path"/></way>
+ <way id="101"><nd ref="3"/><nd ref="4"/><tag k="highway" v="path"/></way>
+ <relation id="500">
+  <member type="way" ref="100" role=""/>
+  <member type="way" ref="101" role=""/>
+  <tag k="type" v="route"/><tag k="route" v="hiking"/>
+ </relation>
+</osm>
+""")
+    twin_out = tmp_path / "twin"
+    r = _run([str(twin_src), str(twin_out), "--style", str(style)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    twin = spark.read.parquet(str(twin_out / "tables" / "rel_log")).collect()
+    assert len(twin) == 1
+    assert bytes(got) == bytes(twin[0]["geom"])

@@ -232,8 +232,12 @@ def _log_table_rows(style_fn, log_tables: set,
     way_geoms = assembly.assemble_points(
         refs, nloc, way_id="way_id", pos="pos", ref="ref",
         node_id="node_id", x="lon", y="lat")
+    # relation member geometry resolves against the FULL updated
+    # middle, not just members present in the same diff (reference
+    # file pass has complete middle access, output-flex.cpp:1175-1282)
     file_out = cfg.run(nodes=live_nodes, ways=live_ways,
-                       relations=live_rels, way_geoms=way_geoms)
+                       relations=live_rels, way_geoms=way_geoms,
+                       middle_ways=new_ways, middle_nodes=new_nodes)
     deleted = {k: v.where(F.col("op") == "delete") for k, v in last.items()}
     del_out = cfg.run_deleted(nodes=deleted["n"], ways=deleted["w"],
                               relations=deleted["r"])
