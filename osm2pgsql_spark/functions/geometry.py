@@ -193,6 +193,38 @@ def create_collection(items: Iterable):
     return ("collection", parts)
 
 
+def _seg_pair_hit(p, q, d, i: int, js: np.ndarray) -> bool:
+    """Exact pair test of anchor segment i against candidate segments
+    js: proper crossing, or collinear overlap beyond a point.  The ONE
+    shared implementation of the pair semantics for both the small-ring
+    all-pairs path and the large-ring sweep path."""
+    c, e = p[js], d[js]
+    # cross(d_i, c-p_i) and cross(d_i, c+e-p_i): sides of segment i
+    r1 = np.cross(d[i], c - p[i])
+    r2 = np.cross(d[i], c + e - p[i])
+    # sides of each candidate segment for segment i's endpoints
+    r3 = np.cross(e, p[i] - c)
+    r4 = np.cross(e, q[i] - c)
+    proper = ((r1 > 0) != (r2 > 0)) & ((r3 > 0) != (r4 > 0))
+    if proper.any():
+        return True
+    # collinear overlap: all four cross products zero and the
+    # segments' projections onto segment i overlap beyond a point
+    col = (r1 == 0) & (r2 == 0) & (r3 == 0) & (r4 == 0)
+    if col.any():
+        t0 = ((c - p[i]) @ d[i])[col]
+        t1 = ((c + e - p[i]) @ d[i])[col]
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        dd = float(d[i] @ d[i])
+        if np.any((hi > 0) & (lo < dd)):
+            return True
+    return False
+
+
+_SWEEP_MIN_SEGMENTS = 1024
+
+
 def ring_self_intersects(a: np.ndarray) -> bool:
     """True when a closed ring (first==last) has a proper
     self-intersection or a collinear segment overlap — the geometries
@@ -201,41 +233,51 @@ def ring_self_intersects(a: np.ndarray) -> bool:
 
     Strict crossing test: segments that merely share their common
     ring vertex (adjacent segments) are skipped, so touching at
-    vertices alone does not flag.  Vectorized per anchor segment —
-    O(n^2) pair tests but numpy-batched; ways are capped at 32767
-    nodes (reference MAX_WAY_NODES) and real rings are far smaller."""
+    vertices alone does not flag.  Small rings (< 1024 segments, the
+    overwhelming majority) take a vectorized all-pairs path; larger
+    rings — up to the 32767-member reference cap — take an x-interval
+    sweep that only pair-tests bbox-overlapping segments, near-linear
+    on real ring shapes where the all-pairs path is quadratic (the
+    osmium assembler the reference wraps is likewise sweep-based)."""
     p = a[:-1]
     m = p.shape[0]
     if m < 4:
         return False
     q = np.roll(p, -1, axis=0)  # segment i = p[i] -> q[i]
     d = q - p
-    for i in range(m - 2):
-        j0 = i + 2
-        j1 = m if i > 0 else m - 1  # wrap: segment m-1 is adjacent to 0
-        if j0 >= j1:
-            continue
-        c, e = p[j0:j1], d[j0:j1]
-        # cross(d_i, c-p_i) and cross(d_i, c+e-p_i): sides of segment i
-        r1 = np.cross(d[i], c - p[i])
-        r2 = np.cross(d[i], c + e - p[i])
-        # sides of each candidate segment for segment i's endpoints
-        r3 = np.cross(e, p[i] - c)
-        r4 = np.cross(e, q[i] - c)
-        proper = ((r1 > 0) != (r2 > 0)) & ((r3 > 0) != (r4 > 0))
-        if proper.any():
-            return True
-        # collinear overlap: all four cross products zero and the
-        # segments' projections onto segment i overlap beyond a point
-        col = (r1 == 0) & (r2 == 0) & (r3 == 0) & (r4 == 0)
-        if col.any():
-            t0 = ((c - p[i]) @ d[i])[col]
-            t1 = ((c + e - p[i]) @ d[i])[col]
-            lo = np.minimum(t0, t1)
-            hi = np.maximum(t0, t1)
-            dd = float(d[i] @ d[i])
-            if np.any((hi > 0) & (lo < dd)):
+    if m < _SWEEP_MIN_SEGMENTS:
+        for i in range(m - 2):
+            j0 = i + 2
+            j1 = m if i > 0 else m - 1  # segment m-1 is adjacent to 0
+            if j0 >= j1:
+                continue
+            if _seg_pair_hit(p, q, d, i, np.arange(j0, j1)):
                 return True
+        return False
+
+    # sweep path: candidates = later-starting segments whose x interval
+    # begins before this one ends, then a y-bbox overlap filter; the
+    # exact pair test is the same _seg_pair_hit
+    lo = np.minimum(p, q)
+    hi = np.maximum(p, q)
+    order = np.argsort(lo[:, 0], kind="stable")
+    sminx = lo[order, 0]
+    for ii in range(m):
+        i = int(order[ii])
+        j_hi = np.searchsorted(sminx, hi[i, 0], side="right")
+        if j_hi <= ii + 1:
+            continue
+        cand = order[ii + 1:j_hi]
+        # drop ring-adjacent segments (shared vertex is not a crossing)
+        cand = cand[(cand != (i + 1) % m) & (cand != (i - 1) % m)]
+        if cand.size == 0:
+            continue
+        # y-bbox overlap filter
+        cand = cand[(lo[cand, 1] <= hi[i, 1]) & (hi[cand, 1] >= lo[i, 1])]
+        if cand.size == 0:
+            continue
+        if _seg_pair_hit(p, q, d, i, cand):
+            return True
     return False
 
 

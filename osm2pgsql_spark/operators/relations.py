@@ -98,23 +98,42 @@ def _stitch_rings(lines: list[np.ndarray]) -> list[np.ndarray]:
     def key(p) -> tuple[float, float]:
         return (float(p[0]), float(p[1]))
 
-    while open_parts:
-        chain = [open_parts.pop(0)]
+    # endpoint index: O(1) next-part lookup instead of a linear scan
+    # per chain extension (the scan was O(parts^2) — 2 minutes for one
+    # 32767-member relation; the osmium assembler indexes endpoints
+    # the same way).  Candidates keep LIST ORDER and front-end-first
+    # matching, so the stitched result is identical to the old scan.
+    from collections import defaultdict
+
+    ends: dict = defaultdict(list)
+    for idx, part in enumerate(open_parts):
+        ends[key(part[0])].append(idx)
+        if key(part[-1]) != key(part[0]):
+            ends[key(part[-1])].append(idx)
+    used = [False] * len(open_parts)
+    for s in range(len(open_parts)):
+        if used[s]:
+            continue
+        used[s] = True
+        chain = [open_parts[s]]
         start = key(chain[0][0])
         cur = key(chain[0][-1])
         progressed = True
         while cur != start and progressed:
             progressed = False
-            for i, part in enumerate(open_parts):
+            for idx in ends.get(cur, ()):
+                if used[idx]:
+                    continue
+                part = open_parts[idx]
                 if key(part[0]) == cur:
-                    chain.append(open_parts.pop(i)[1:])
-                    progressed = True
+                    chain.append(part[1:])
                 elif key(part[-1]) == cur:
-                    chain.append(open_parts.pop(i)[::-1][1:])
-                    progressed = True
+                    chain.append(part[::-1][1:])
                 else:
                     continue
+                used[idx] = True
                 cur = key(chain[-1][-1])
+                progressed = True
                 break
         ring = np.vstack(chain)
         if key(ring[0]) == key(ring[-1]) and ring.shape[0] >= 4 and _ring_ok(ring):

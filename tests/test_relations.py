@@ -253,3 +253,63 @@ def test_relation_polygon_parts_split_and_empty(spark, rel_fixture):
     assert rows[0]["area"] == pytest.approx(0.16 - 0.01, rel=1e-6)
     g = G.from_wkb(bytes(rows[0]["wkb"]))
     assert g[0] == "polygon" and len(g[1]) == 2  # outer + 1 hole
+
+
+def test_mega_relation_at_member_cap(spark):
+    """Skew pin: ONE relation with exactly 32767 members — the
+    reference's hard cap (osmdata.cpp:151) — through both assembly
+    kernels.  The cap is the scale contract: per-relation work in the
+    groupBy(rel_id) kernel is bounded by 32767 members regardless of
+    planet size, and the exploded member join keys on way_id (distinct
+    ids — no hot key), so neither side needs special-casing beyond
+    AQE.  Asserts correctness of the stitched ring + a generous wall
+    bound so an accidental O(n^2) regression in the stitching kernel
+    fails loudly."""
+    import math
+    import time
+
+    from osm2pgsql_spark.model import (
+        MAX_RELATION_MEMBERS,
+        NODE_SCHEMA,
+        RELATION_SCHEMA,
+        WAY_SCHEMA,
+    )
+    from osm2pgsql_spark.operators.relations import (
+        relation_multilinestrings,
+        relation_multipolygons,
+    )
+
+    n = MAX_RELATION_MEMBERS  # 32767 ways -> a closed ring of n nodes
+    assert n == 32767
+    nodes = spark.createDataFrame(
+        [(i, 50.0 + 0.1 * math.sin(2 * math.pi * i / n),
+          9.0 + 0.1 * math.cos(2 * math.pi * i / n),
+          None, None, None, None, None, None, None)
+         for i in range(1, n + 1)],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(1000 + i, [i, i % n + 1], {"highway": "path"},
+          None, None, None, None, None, None) for i in range(1, n + 1)],
+        WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame(
+        [(77, [("w", 1000 + i, "outer") for i in range(1, n + 1)],
+          {"type": "multipolygon"},
+          None, None, None, None, None, None)],
+        RELATION_SCHEMA,
+    )
+    t0 = time.time()
+    polys = relation_multipolygons(rels, ways, nodes).collect()
+    lines = relation_multilinestrings(rels, ways, nodes).collect()
+    elapsed = time.time() - t0
+    assert len(polys) == 1
+    g = G.from_wkb(bytes(polys[0]["geom"]))
+    assert g[0] == "multipolygon"
+    assert sum(len(p) for p in g[1]) == 1          # one stitched ring
+    assert g[1][0][0].shape[0] == n + 1            # all 32767 segments
+    assert len(lines) == 1
+    # bounded: the cap keeps the single hot group near-linear (the
+    # validity check sweeps instead of all-pairs since round 8); a
+    # quadratic regression would blow far past this
+    assert elapsed < 60, elapsed
