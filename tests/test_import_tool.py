@@ -417,3 +417,66 @@ def test_append_log_table_member_geometry_from_middle(tmp_path, spark):
     twin = spark.read.parquet(str(twin_out / "tables" / "rel_log")).collect()
     assert len(twin) == 1
     assert bytes(got) == bytes(twin[0]["geom"])
+
+
+PGSQL_OPL = """n1 Tamenity=pub,name=A x9.0 y50.0
+n2 x9.001 y50.0
+n3 x9.001 y50.001
+n4 x9.0 y50.001
+w100 Thighway=residential,name=Main Nn1,n2
+w101 Tnatural=water Nn1,n2,n3,n4,n1
+"""
+
+PGSQL_OSC = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="2" lat="50.0002" lon="9.0012"/></modify>
+  <create><node id="20" lat="50.3" lon="9.3" version="1">
+    <tag k="amenity" v="cafe"/></node></create>
+</osmChange>
+"""
+
+
+def test_pgsql_output_append_incremental(tmp_path, spark):
+    """-O pgsql append: moving a node refreshes the dependent way rows
+    (dependency propagation through the 'area' mapped id space) and a
+    created tagged node lands in planet_osm_point; the result equals a
+    fresh import of the merged data."""
+    from pyspark.sql import functions as F
+
+    style_args = ["-O", "pgsql", "-S", DEFAULT_STYLE]
+    src = tmp_path / "in.opl"
+    src.write_text(PGSQL_OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), *style_args])
+    assert r.returncode == 0, r.stderr[-2000:]
+    osc = tmp_path / "diff.osc"
+    osc.write_text(PGSQL_OSC)
+    r = _run([str(osc), str(out), "--append", *style_args])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # twin: fresh import over the merged data
+    merged = tmp_path / "merged.opl"
+    merged.write_text(
+        "n1 Tamenity=pub,name=A x9.0 y50.0\n"
+        "n2 x9.0012 y50.0002\n"
+        "n3 x9.001 y50.001\n"
+        "n4 x9.0 y50.001\n"
+        "n20 Tamenity=cafe x9.3 y50.3\n"
+        "w100 Thighway=residential,name=Main Nn1,n2\n"
+        "w101 Tnatural=water Nn1,n2,n3,n4,n1\n"
+    )
+    twin_out = tmp_path / "twin"
+    r = _run([str(merged), str(twin_out), *style_args])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    for t in ("planet_osm_point", "planet_osm_line", "planet_osm_polygon",
+              "planet_osm_roads"):
+        a = spark.read.parquet(str(out / "tables" / t))
+        b = spark.read.parquet(str(twin_out / "tables" / t))
+        assert sorted(a.columns) == sorted(b.columns), t
+        a = a.select(*sorted(a.columns))
+        b = b.select(*sorted(a.columns))
+        assert a.exceptAll(b).count() == 0, t
+        assert b.exceptAll(a).count() == 0, t
+    pts = spark.read.parquet(str(out / "tables" / "planet_osm_point"))
+    assert pts.where(F.col("amenity") == "cafe").count() == 1

@@ -178,3 +178,26 @@ def test_unknown_flag_warns_and_is_ignored():
 def test_extra_tokens_ignored():
     exlist, _ = parse_style("node access text linear trailing garbage\n")
     assert exlist.get("node")[0].flags == FLAG_LINEAR
+
+
+def test_sscanf_field_width_spill():
+    """C sscanf %Ns stream semantics: an over-width token spills its
+    remainder into the NEXT conversion — a 30-char osmtype yields its
+    last 7 chars as the tag (taginfo.cpp:121-123 buffer widths)."""
+    from osm2pgsql_spark.plans.style_file import _sscanf_fields
+
+    # 30 non-space chars: %23s takes 23, the next %63s gets the tail
+    line = "nodenodenodenodenodenodenodeXY name text"
+    f = _sscanf_fields(line, (23, 63, 23, 127))
+    assert f == ["nodenodenodenodenodenod", "enodeXY", "name", "text"]
+    # normal lines are unaffected
+    assert _sscanf_fields("node,way  amenity  text  polygon",
+                          (23, 63, 23, 127)) == [
+        "node,way", "amenity", "text", "polygon"]
+    # C-locale whitespace only: vertical tab separates, unicode doesn't
+    assert _sscanf_fields("a\x0bb", (23, 63)) == ["a", "b"]
+
+    # through parse_style: the spilled tag becomes the entry name
+    exlist, _ = parse_style(line)
+    names = [i.name for i in exlist.get("node")]
+    assert names == ["enodeXY"]
