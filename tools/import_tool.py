@@ -362,7 +362,12 @@ def cmd_create(args, spark) -> None:
     # slim middle (bucketed for append partition pruning)
     for name, df in (("nodes", nodes), ("ways", ways), ("rels", rels)):
         _middle(args.out_dir, name).write_full(df)
-    if getattr(args, "output", "flex") == "pgsql":
+    out_backend = getattr(args, "output", "flex")
+    if out_backend == "null":
+        # reference output-null.cpp: parse the input, keep the middle
+        # (slim mode), produce no tables
+        style_fn = lambda spark, n, w, r: {}  # noqa: E731
+    elif out_backend == "pgsql":
         style_fn, _ = load_pgsql_style(args)
     else:
         style_fn, _ = load_style(args.style, getattr(args, "region_db", None))
@@ -456,7 +461,10 @@ def cmd_append(args, spark) -> None:
     from osm2pgsql_spark.sources.osm_xml import read_osc_xml
 
     n_diff, w_diff, r_diff = read_osc_xml(spark, args.input)
-    if getattr(args, "output", "flex") == "pgsql":
+    out_backend = getattr(args, "output", "flex")
+    if out_backend == "null":
+        style_fn, id_spaces = (lambda spark, n, w, r: {}), {}
+    elif out_backend == "pgsql":
         style_fn, id_spaces = load_pgsql_style(args)
     else:
         style_fn, id_spaces = load_style(
@@ -620,10 +628,11 @@ def main() -> None:
     ap.add_argument("-S", "--style", default=None,
                     help="style: flex .lua config / python style module "
                     "(-O flex) or a .style file (-O pgsql)")
-    ap.add_argument("-O", "--output", choices=("flex", "pgsql"),
+    ap.add_argument("-O", "--output", choices=("flex", "pgsql", "null"),
                     default="flex",
                     help="output backend (reference -O; its historic "
-                    "default is pgsql, ours stays flex)")
+                    "default is pgsql, ours stays flex; null parses "
+                    "the input and lands the middle but no tables)")
     # pgsql-output options (command-line-parser.cpp:338-460)
     ap.add_argument("-k", "--hstore", action="store_true",
                     help="add tags without column to a tags hstore column")
