@@ -594,3 +594,74 @@ def stratified_sample(
         F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(1_000_000)
     )
     return df.where(bucket < thr)
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budget data mixing: per source, keep a deterministic
+    prefix of documents — ordered by (hash-bucket, hash, key) — whose
+    cumulative token count reaches the source's budget (the crossing
+    doc is kept, so a met budget never undershoots).  Sources absent
+    from `budgets` are dropped.
+
+    The naive plan — one window `sum() over (partition by source
+    order by hash)` — funnels EVERY row of a source through one task,
+    which dies at planet scale (a handful of sources, terabytes
+    each).  This runs two-phase instead:
+
+    1. coarse: per (source, hash-bucket) token sums — an ordinary
+       hash agg, map-side combined; sources × n_buckets rows;
+    2. a window over that TINY frame assigns each bucket its
+       preceding-tokens offset, classifying buckets as fully-kept
+       (offset + sum <= budget), fully-dropped (offset >= budget), or
+       THE boundary bucket (at most one per source);
+    3. fine: only boundary-bucket rows (≈ 1/n_buckets of the data)
+       pay a per-bucket ordered window; everything else resolves
+       with a broadcast join + filter.
+
+    The decision is a pure function of (key, salt, corpus), so the
+    same mixture reproduces on any cluster layout, like
+    deterministic_sample."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+    bkt = F.pmod(h, F.lit(n_buckets))
+    d = df.withColumn("__h", h).withColumn("__b", bkt)
+
+    thr = F.lit(0).cast("long")
+    for src, budget in budgets.items():
+        thr = F.when(F.col(source_col) == src,
+                     F.lit(int(budget)).cast("long")).otherwise(thr)
+
+    coarse = d.groupBy(source_col, "__b").agg(
+        F.sum(token_col).alias("__bsum"))
+    wofs = Window.partitionBy(source_col).orderBy("__b")
+    coarse = coarse.withColumn(
+        "__ofs",
+        F.coalesce(F.sum("__bsum").over(
+            wofs.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    ).withColumn("__budget", thr).select(
+        source_col, "__b", "__bsum", "__ofs", "__budget")
+
+    j = d.join(F.broadcast(coarse), [source_col, "__b"])
+    full = j.where((F.col("__budget") > 0)
+                   & (F.col("__ofs") + F.col("__bsum") <= F.col("__budget")))
+    wfine = (Window.partitionBy(source_col, "__b")
+             .orderBy(F.asc("__h"), F.asc(key_col)))
+    boundary = (
+        j.where((F.col("__ofs") < F.col("__budget"))
+                & (F.col("__ofs") + F.col("__bsum") > F.col("__budget")))
+        .withColumn("__cum", F.sum(token_col).over(wfine))
+        .where(F.col("__ofs") + F.col("__cum") - F.col(token_col)
+               < F.col("__budget"))
+        .drop("__cum")
+    )
+    drop_cols = ["__h", "__b", "__bsum", "__ofs", "__budget"]
+    return full.unionByName(boundary).drop(*drop_cols)

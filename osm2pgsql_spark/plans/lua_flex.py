@@ -334,6 +334,99 @@ def _counter_names(source: str) -> frozenset:
         n for n, e in stats.items() if e["self"] >= 1 and e["other"] == 0)
 
 
+_CONST_RHS_RE = _re.compile(
+    r"\s*(-?\d+(?:\.\d+)?|true|false|nil|'[^']*')\s*"
+    r"(?:\r?\n|--|$|;|\}|\b(?:end|else|elseif)\b)")
+
+
+def _scalar_merge_unsafe(source: str, counters: frozenset,
+                         scalar_slots: set, baselines: dict) -> frozenset:
+    """Scalar state variables whose cross-partition merge would be
+    order-DEPENDENT under last-write semantics — running-max/min
+    tracking (`if v > m then m = v end`), last-seen ids
+    (`last = object.id`), string accumulators (`s = s .. e`), global
+    counters the pure-increment classifier rejected, or flags written
+    with more than one distinct constant.
+
+    Safe (distributed merge is exact): pure-increment counters (delta
+    sum), never-reassigned config constants, and idempotent flags that
+    only ever write ONE constant besides their baseline value.
+
+    `scalar_slots`: names holding bare scalars after the chunk ran
+    (chunk locals + globals); globals assigned in callbacks without a
+    `local` declaration anywhere are state too, even when nil at
+    baseline.  Function-body locals never persist, so `local`-declared
+    names outside the slot set are ignored.
+
+    The reference runs ALL user Lua under one mutex in one VM
+    (output-flex.cpp:53-54), so any order-dependent scalar is exact
+    there; LuaFlexAdapter reacts by dropping to one id-ordered
+    partition for the callback phases (see _exec_phase)."""
+    src = _re.sub(r"--\[\[.*?\]\]|--[^\n]*", "", source, flags=_re.S)
+    # keep string-literal IDENTITY (two different constants must not
+    # collapse) but neutralize their contents for the assignment scan
+    lits: list = []
+
+    def _keep(m):
+        lits.append(m.group(0))
+        return f"'§{len(lits) - 1}'"
+
+    src = _re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _keep, src)
+    local_decls = {
+        n for m in _re.finditer(
+            r"\blocal\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)", src)
+        for n in _re.split(r"\s*,\s*", m.group(1))}
+    # brace depth at each offset: Lua braces ONLY build table
+    # constructors, so `column = 'text'` at depth>0 is a field of a
+    # literal, not a variable assignment
+    depth, depths = 0, []
+    for ch in src:
+        depths.append(depth)
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+    stats: dict[str, dict] = {}
+    for m in _ASSIGN_RE.finditer(src):
+        if depths[m.start()]:
+            continue
+        name = m.group(1)
+        tail = src[m.end():]
+        e = stats.setdefault(
+            name, {"self": 0, "nonconst": 0, "consts": set()})
+        cm = _CONST_RHS_RE.match(tail)
+        if _re.match(r"\s*" + _re.escape(name) + r"\s*[+\-]", tail):
+            e["self"] += 1
+        elif cm:
+            e["consts"].add(cm.group(1))
+        elif name not in scalar_slots and _re.match(
+                r"[^\n;]*\{", tail):
+            pass  # table constructor / define_table{...} handle — the
+            # dict-merge contract covers tables, not scalar analysis
+        else:
+            e["nonconst"] += 1
+    out = set()
+    for name, e in stats.items():
+        if name in counters:
+            continue
+        if name not in scalar_slots and name in local_decls:
+            continue  # function-body temp, not persistent state
+        if e["nonconst"] or e["self"]:
+            out.add(name)
+            continue
+        consts = set(e["consts"])
+        bv = baselines.get(name)
+        if isinstance(bv, bool):
+            consts.discard("true" if bv else "false")
+        elif _is_num(bv):
+            consts.discard(_re.sub(r"\.0$", "", repr(bv)))
+        elif bv is None:
+            consts.discard("nil")
+        if len(consts) > 1:
+            out.add(name)
+    return frozenset(out)
+
+
 def merge_state(a, b):
     """Deep merge two captured-state dicts (dict-of-dict union; later
     scalar wins; numeric-delta markers SUM).  The flex-config contract
@@ -1613,6 +1706,30 @@ class LuaFlexAdapter:
         self._select_members = probe.has_select_members()
         self.expire_specs = probe.expire_specs
         self._flex = self._build_flex(probe)
+        # order-dependent scalar state (running max, last-seen id,
+        # string accumulator…) cannot merge exactly across partitions;
+        # the reference's single sequential VM is exact, so such
+        # configs drop to ONE id-ordered partition per phase.
+        # SPARK_GRAFT_LUA_EXACT_STATE: auto (classify) | 1 (force) |
+        # 0 (keep distributed last-write, the pre-round-8 behavior)
+        scalar_slots, baselines = set(), {}
+        for _kind, name, v in probe._state_slots():
+            if isinstance(v, (bool, int, float, str)):
+                scalar_slots.add(name)
+                baselines[name] = v
+        self._unsafe_scalars = _scalar_merge_unsafe(
+            source, probe._counters, scalar_slots, baselines)
+        seq_env = os.environ.get("SPARK_GRAFT_LUA_EXACT_STATE", "auto")
+        self._sequential = seq_env == "1" or (
+            seq_env == "auto" and bool(self._unsafe_scalars))
+        if self._sequential and self._unsafe_scalars:
+            import warnings
+
+            warnings.warn(
+                "config mutates order-dependent scalar state "
+                f"({', '.join(sorted(self._unsafe_scalars))}); running "
+                "callback phases on one id-ordered partition for exact "
+                "sequential semantics", stacklevel=2)
 
     def _build_flex(self, probe: LuaFlexRuntime):
         from osm2pgsql_spark.plans.flex import FlexConfig
@@ -1752,6 +1869,10 @@ class LuaFlexAdapter:
         DataFrame instead of being pickled into the driver dict
         (planet-scale w2r would be 10^7-10^8 entries, driver-memory-
         bound on the broadcast path)."""
+        if self._sequential:
+            # exact sequential semantics: one partition, reference
+            # input order (type-sorted files are id-ordered per kind)
+            prep = prep.orderBy("id").coalesce(1)
         blob = None
         if state:
             # broadcast, not closure-capture: stage-2 state scales

@@ -83,3 +83,77 @@ def test_stratified_sample_rates_per_group(spark):
     assert counts["wiki"] == 3000  # keep all
     assert 450 < counts["web"] < 750  # ~20%
     assert "spam" not in counts  # default_rate=0 drops
+
+
+class TestTokenBudgetMixture:
+    """token_budget_mixture: two-phase bucketed prefix selection vs a
+    single-window Python twin using Spark's own xxhash64 values."""
+
+    N_BUCKETS = 16  # small so several docs share buckets
+
+    def _docs(self, spark):
+        rows = []
+        for i in range(40):
+            rows.append((i, "A", 100 + (i % 7)))
+        for i in range(40, 60):
+            rows.append((i, "B", 50))
+        for i in range(60, 66):
+            rows.append((i, "C", 10))
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tokens bigint")
+
+    def _twin(self, spark, docs, budgets):
+        hashed = docs.withColumn(
+            "h", F.xxhash64(F.col("doc_id").cast("string"), F.lit("")))
+        rows = sorted(
+            hashed.collect(),
+            key=lambda r: (r["source"], r["h"] % self.N_BUCKETS,
+                           r["h"], r["doc_id"]))
+        keep, cum = set(), {}
+        for r in rows:
+            b = budgets.get(r["source"], 0)
+            prev = cum.get(r["source"], 0)
+            if b > 0 and prev < b:
+                keep.add(r["doc_id"])
+            cum[r["source"]] = prev + r["n_tokens"]
+        return keep
+
+    def test_matches_single_window_twin(self, spark):
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        docs = self._docs(spark)
+        budgets = {"A": 2000, "B": 10_000_000}  # C absent -> dropped
+        got = {r["doc_id"] for r in token_budget_mixture(
+            docs, budgets, n_buckets=self.N_BUCKETS).collect()}
+        assert got == self._twin(spark, docs, budgets)
+
+    def test_budget_met_not_undershot(self, spark):
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        docs = self._docs(spark)
+        out = token_budget_mixture(
+            docs, {"A": 2000}, n_buckets=self.N_BUCKETS)
+        tot = out.agg(F.sum("n_tokens")).collect()[0][0]
+        # crossing doc kept: budget reached, overshoot < one max doc
+        assert 2000 <= tot < 2000 + 107
+
+    def test_oversupplied_budget_keeps_everything(self, spark):
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        docs = self._docs(spark)
+        out = token_budget_mixture(
+            docs, {"B": 10_000_000}, n_buckets=self.N_BUCKETS)
+        assert out.where("source = 'B'").count() == 20
+        assert out.where("source <> 'B'").count() == 0
+
+    def test_layout_independent(self, spark):
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        docs = self._docs(spark)
+        budgets = {"A": 1500, "B": 600}
+        a = {r["doc_id"] for r in token_budget_mixture(
+            docs, budgets, n_buckets=self.N_BUCKETS).collect()}
+        b = {r["doc_id"] for r in token_budget_mixture(
+            docs.repartition(13), budgets,
+            n_buckets=self.N_BUCKETS).collect()}
+        assert a == b
