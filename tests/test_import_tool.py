@@ -480,3 +480,42 @@ def test_pgsql_output_append_incremental(tmp_path, spark):
         assert b.exceptAll(a).count() == 0, t
     pts = spark.read.parquet(str(out / "tables" / "planet_osm_point"))
     assert pts.where(F.col("amenity") == "cafe").count() == 1
+
+
+class TestBboxParam:
+    """-b/--bbox validation twins (reference
+    tests/test-options-parse.cpp 'Parsing bbox*' +
+    command-line-parser.cpp:34-80)."""
+
+    def _parse(self, arg):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "import_tool", os.path.join(REPO, "tools", "import_tool.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.parse_bbox_param(arg)
+
+    def test_parses_plain_and_spaced(self):
+        assert self._parse("1.2,3.4,5.6,7.8") == (1.2, 3.4, 5.6, 7.8)
+        # strtod skips leading whitespace (opt3 in the reference test)
+        assert self._parse("1.2, 3.4, 5.6, 7.8") == (1.2, 3.4, 5.6, 7.8)
+
+    def test_wrong_order(self):
+        with pytest.raises(SystemExit, match="failed due to maxlon <= minlon"):
+            self._parse("1.0,2.0,0.0,0.0")
+        with pytest.raises(SystemExit, match="failed due to maxlat <= minlat"):
+            self._parse("0.0,2.0,1.0,0.0")
+
+    def test_wrong_format(self):
+        for bad in ("123", "1,2,3,4x", "1,,3,4", "1,2,3,nan",
+                    "1,2,3,inf", "1,2,3,", "a,b,c,d", "1,2,3,4,5"):
+            with pytest.raises(
+                    SystemExit,
+                    match="Bounding box must be specified like: "
+                          "minlon,minlat,maxlon,maxlat."):
+                self._parse(bad)
+
+    def test_off_planet_rejected(self):
+        with pytest.raises(SystemExit, match="must be specified like"):
+            self._parse("-200,0,10,10")

@@ -34,7 +34,9 @@ from __future__ import annotations
 import argparse
 import datetime
 import importlib.util
+import math
 import os
+import re
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -334,12 +336,54 @@ def _data_timestamp(frames) -> "datetime.datetime | None":
     return best
 
 
+_BBOX_NUM_RE = re.compile(
+    r"[ \t]*[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|[ \t]*[+-]?(?:inf(?:inity)?|nan)", re.IGNORECASE)
+
+
+def parse_bbox_param(arg: str) -> tuple:
+    """-b/--bbox validation with the reference's exact semantics and
+    wordings (command-line-parser.cpp:34-80, pinned by
+    test-options-parse.cpp): empty fields are skipped before the
+    4-field check, each coordinate must consume its whole token
+    (strtod + end check; leading whitespace ok) and be finite, and
+    the order checks have dedicated messages."""
+
+    def _bad():
+        raise SystemExit("Bounding box must be specified like: "
+                         "minlon,minlat,maxlon,maxlat.")
+
+    values = [v for v in arg.split(",") if v != ""]
+    if len(values) != 4:
+        _bad()
+
+    def _coord(s: str) -> float:
+        m = _BBOX_NUM_RE.fullmatch(s)
+        if m is None:
+            _bad()
+        v = float(s)
+        if not math.isfinite(v):
+            _bad()
+        return v
+
+    minx, miny, maxx, maxy = (_coord(v) for v in values)
+    if maxx <= minx:
+        raise SystemExit("Bounding box failed due to maxlon <= minlon.")
+    if maxy <= miny:
+        raise SystemExit("Bounding box failed due to maxlat <= minlat.")
+    # osmium::Box::valid(): corner locations must be on the planet
+    if not (-180 <= minx <= 180 and -180 <= maxx <= 180
+            and -90 <= miny <= 90 and -90 <= maxy <= 90):
+        _bad()
+    return minx, miny, maxx, maxy
+
+
 def cmd_create(args, spark) -> None:
     from osm2pgsql_spark.streaming.properties import Properties
 
     nodes, ways, rels = read_osm_any(spark, args.input)
     if args.bbox:
-        lo_x, lo_y, hi_x, hi_y = (float(v) for v in args.bbox.split(","))
+        lo_x, lo_y, hi_x, hi_y = parse_bbox_param(args.bbox)
         inside = nodes.where(
             (F.col("lon") >= lo_x) & (F.col("lon") <= hi_x)
             & (F.col("lat") >= lo_y) & (F.col("lat") <= hi_y)
