@@ -519,3 +519,43 @@ class TestBboxParam:
     def test_off_planet_rejected(self):
         with pytest.raises(SystemExit, match="must be specified like"):
             self._parse("-200,0,10,10")
+
+
+class TestPrefixParam:
+    """-p/--prefix identifier validation (pgsql.cpp:259-269
+    check_identifier) and table renaming."""
+
+    def _load(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "import_tool", os.path.join(REPO, "tools", "import_tool.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _args(self, mod, **over):
+        import argparse
+
+        base = dict(style=os.path.join(
+            "/root/reference", "default.style"), hstore=False,
+            hstore_all=False, hstore_column=[], hstore_match_only=False,
+            keep_coastlines=False, latlong=False, tag_transform_script=None,
+            multi_geometry=False, reproject_area=False,
+            extra_attributes=False, prefix="planet_osm")
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    def test_special_chars_rejected(self):
+        mod = self._load()
+        with pytest.raises(
+                SystemExit,
+                match="Special characters are not allowed in "
+                      "--prefix parameter: 'bad;drop'."):
+            mod.load_pgsql_style(self._args(mod, prefix="bad;drop"))
+
+    def test_prefix_renames_id_spaces(self):
+        mod = self._load()
+        _fn, spaces = mod.load_pgsql_style(self._args(mod, prefix="osm_uk"))
+        assert set(spaces) == {"osm_uk_point", "osm_uk_line",
+                               "osm_uk_polygon", "osm_uk_roads"}

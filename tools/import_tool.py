@@ -140,6 +140,11 @@ def load_pgsql_style(args):
     if not args.style:
         raise SystemExit(
             "the pgsql output needs a style file: -S default.style")
+    prefix = args.prefix
+    if any(c in "\"',.;$%&/()<>{}=?^*#" for c in prefix):
+        # pgsql.cpp:259-269 check_identifier wording
+        raise SystemExit("Special characters are not allowed in "
+                         f"--prefix parameter: '{prefix}'.")
     exlist, enable_way_area = read_style_file(args.style)
     hstore_mode = "all" if args.hstore_all else (
         "norm" if args.hstore else "none")
@@ -159,27 +164,35 @@ def load_pgsql_style(args):
         tt = LuaTagTransform(args.tag_transform_script,
                              extra_attributes=args.extra_attributes)
 
+    def _renamed(tables: dict) -> dict:
+        # -p/--prefix replaces the planet_osm table-name prefix
+        # (output-pgsql.cpp table construction; default planet_osm)
+        if prefix == "planet_osm":
+            return tables
+        return {prefix + k[len("planet_osm"):]: v
+                for k, v in tables.items()}
+
     def style_fn(spark, nodes, ways, rels):
         if tt is not None:
             from osm2pgsql_spark.plans.tagtransform import planet_tables_lua
 
-            return planet_tables_lua(
+            return _renamed(planet_tables_lua(
                 nodes, ways, rels, transform=tt, plan=plan, srid=srid,
                 enable_multi=args.multi_geometry,
                 reproject_area=args.reproject_area,
-            )
-        return planet_tables_styled(
+            ))
+        return _renamed(planet_tables_styled(
             nodes, ways, rels, plan=plan, srid=srid,
             enable_multi=args.multi_geometry,
             reproject_area=args.reproject_area,
             extra_attributes=args.extra_attributes,
-        )
+        ))
 
     id_spaces = {
-        "planet_osm_point": "node",
-        "planet_osm_line": "area",
-        "planet_osm_polygon": "area",
-        "planet_osm_roads": "area",
+        f"{prefix}_point": "node",
+        f"{prefix}_line": "area",
+        f"{prefix}_polygon": "area",
+        f"{prefix}_roads": "area",
     }
     return style_fn, id_spaces
 
@@ -691,6 +704,8 @@ def main() -> None:
                     help="pass osm_user/osm_uid/osm_version/osm_timestamp/"
                     "osm_changeset pseudo-tags into the transform")
     ap.add_argument("--keep-coastlines", action="store_true")
+    ap.add_argument("-p", "--prefix", default="planet_osm",
+                    help="pgsql output table-name prefix")
     ap.add_argument("-l", "--latlong", action="store_true",
                     help="store coordinates in WGS84 instead of web mercator")
     ap.add_argument("--tag-transform-script", default=None, metavar="LUA",
