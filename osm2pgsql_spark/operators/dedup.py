@@ -549,11 +549,33 @@ def contaminated_spans(
     )
 
 
+def _hex_threshold(rate: float) -> str:
+    """32-char lowercase-hex threshold such that `md5hex < threshold`
+    keeps a `rate` fraction of uniformly-hashed keys.  rate >= 1.0
+    returns 'g' (> every hex digit), keeping everything."""
+    n = int(rate * 16**32)
+    if n >= 16**32:
+        return "g"
+    return format(n, "032x")
+
+
+def _decision_hash(key_col: str, salt: str, portable: bool):
+    """The sampling decision hash.  Default: Spark's JVM xxhash64
+    (fastest).  portable=True: the md5 hex string instead — bit-
+    identical in any engine with md5 (DuckDB, PostgreSQL, Trino), so
+    a sample/mixture decided here can be reproduced or audited
+    outside Spark; compare against _hex_threshold strings."""
+    if portable:
+        return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+
+
 def deterministic_sample(
     df: DataFrame,
     rate: float,
     key_col: str,
     salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """Layout-independent sampling: keep a row iff
     pmod(xxhash64(key, salt), 1e6) < rate*1e6.
@@ -563,9 +585,14 @@ def deterministic_sample(
     the kept set, which silently breaks train/eval splits at scale.
     Hashing the stable key makes the decision a pure function of the
     row, so the same corpus always yields the same sample on any
-    cluster; vary `salt` for independent draws."""
+    cluster; vary `salt` for independent draws.  portable=True swaps
+    xxhash64 for the md5 hex string (engine-portable, see
+    _decision_hash)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
+    if portable:
+        h = _decision_hash(key_col, salt, True)
+        return df.where(h < F.lit(_hex_threshold(rate)))
     bucket = F.pmod(
         F.xxhash64(F.col(key_col).cast("string"), F.lit(salt)), F.lit(1_000_000)
     )
@@ -579,12 +606,20 @@ def stratified_sample(
     key_col: str,
     default_rate: float = 0.0,
     salt: str = "",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-group deterministic sampling (the data-mixing primitive:
     'keep 100% of wiki, 10% of web, drop the rest').  Same
     hash-bucket decision as deterministic_sample, with the threshold
     looked up from the group column via one JVM-side CASE chain —
     no shuffle, no per-group scans."""
+    if portable:
+        thr = F.lit(_hex_threshold(default_rate))
+        for group, rate in rates.items():
+            thr = F.when(
+                F.col(group_col) == group, F.lit(_hex_threshold(rate))
+            ).otherwise(thr)
+        return df.where(_decision_hash(key_col, salt, True) < thr)
     thr = F.lit(int(default_rate * 1_000_000))
     for group, rate in rates.items():
         thr = F.when(
@@ -604,6 +639,7 @@ def token_budget_mixture(
     token_col: str = "n_tokens",
     salt: str = "",
     n_buckets: int = 4096,
+    portable: bool = False,
 ) -> DataFrame:
     """Token-budget data mixing: per source, keep a deterministic
     prefix of documents — ordered by (hash-bucket, hash, key) — whose
@@ -628,11 +664,21 @@ def token_budget_mixture(
 
     The decision is a pure function of (key, salt, corpus), so the
     same mixture reproduces on any cluster layout, like
-    deterministic_sample."""
+    deterministic_sample.
+
+    portable=True orders by the md5 hex string with the bucket as its
+    first two hex chars (256 buckets; n_buckets is ignored), so the
+    global keep-order is (md5, key) — reproducible as ONE window
+    `sum() over (partition by source order by md5, key)` in any
+    engine with md5, which is exactly the audit/oracle twin."""
     from pyspark.sql import Window
 
-    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
-    bkt = F.pmod(h, F.lit(n_buckets))
+    if portable:
+        h = _decision_hash(key_col, salt, True)
+        bkt = F.substring(h, 1, 2)
+    else:
+        h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
+        bkt = F.pmod(h, F.lit(n_buckets))
     d = df.withColumn("__h", h).withColumn("__b", bkt)
 
     thr = F.lit(0).cast("long")

@@ -1587,6 +1587,144 @@ def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data mixing & decontamination (GPT-3 appx C / data-mixture
+# recipes): layout-independent sampling, token-budget prefixes, and
+# benchmark n-gram overlap — all in portable-hash mode (md5) so the
+# DuckDB oracle reproduces every keep decision bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_STRAT_DEFAULT = 0.1
+_STRAT_SALT = "s8"
+
+
+def _strat_oracle() -> str:
+    from osm2pgsql_spark.operators.dedup import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{_hex_threshold(r)}'" for g, r in _STRAT_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR) || '{_STRAT_SALT}')
+          < CASE source {cases} ELSE '{_hex_threshold(_STRAT_DEFAULT)}' END
+    """
+
+
+@register("stratified_sample", oracle=_strat_oracle())
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling (keep 100% of src0, 50% of
+    src1, 25% of src2, 10% default) — the decision is a pure function
+    of (doc_id, salt): one JVM-side CASE over the md5 hex string, no
+    shuffle, reproducible on any cluster layout or engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.stratified_sample(
+        docs, _STRAT_RATES, "source", "doc_id",
+        default_rate=_STRAT_DEFAULT, salt=_STRAT_SALT, portable=True,
+    ).select("doc_id", "source")
+
+
+_MIX_BUDGETS = {"src0": 4000, "src1": 5000, "src2": 3000}
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {b}" for g, b in _MIX_BUDGETS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS hh,
+             CASE source {cases} ELSE 0 END AS budget
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_chars) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_chars FROM c
+    WHERE budget > 0 AND cum - n_chars < budget
+    """
+
+
+@register("token_budget_mix", oracle=_mix_oracle())
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture through the REAL two-phase operator
+    (coarse per-bucket sums + one boundary-bucket fine window — no
+    single task ever funnels a whole source); the oracle is the
+    single-window twin, equal because the portable bucket (first two
+    md5 hex chars) is a prefix of the fine order (full md5, key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.token_budget_mixture(
+        docs, _MIX_BUDGETS, source_col="source", key_col="doc_id",
+        token_col="n_chars", portable=True,
+    ).select("doc_id", "source", "n_chars")
+
+
+_DECON_K = 4
+
+
+def _decontam_oracle() -> str:
+    km1 = _DECON_K - 1
+    return f"""
+    WITH corp AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id % 29 <> 0),
+         bench AS (SELECT string_split(text, ' ') AS t
+                   FROM documents WHERE doc_id % 29 = 0),
+         bg AS (SELECT DISTINCT array_to_string(t[pos:pos+{km1}], ' ') AS gram
+                FROM bench,
+                     UNNEST(generate_series(1, greatest(len(t)-{km1}, 0))) AS u(pos)),
+         cg AS (SELECT doc_id, pos, array_to_string(t[pos:pos+{km1}], ' ') AS gram
+                FROM corp,
+                     UNNEST(generate_series(1, greatest(len(t)-{km1}, 0))) AS u(pos)),
+         hit AS (SELECT doc_id, pos FROM cg WHERE gram IN (SELECT gram FROM bg)),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM hit)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {km1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {km1} - min(pos) + 1 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """
+
+
+@register("decontam_spans", oracle=_decontam_oracle())
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every corpus span whose k-grams all
+    occur in the 'benchmark' slice (doc_id % 29 == 0 stands in for an
+    eval set).  The benchmark gram set broadcasts; the corpus side is
+    one scan + gaps-and-islands — the oracle joins on the gram STRING
+    where the operator semi-joins 64-bit gram hashes (identical sets
+    absent a 2^-64 collision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    corp = docs.where(F.col("doc_id") % 29 != 0)
+    spans = dedup.contaminated_spans(corp, bench, k=_DECON_K)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register("semdedup_decisions")  # non-SQL (iterative k-means): rows-only gate
+def q_semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep-decisions over the embeddings
+    table: seeded distributed k-means -> within-cluster greedy cosine
+    pruning in applyInPandas (the paper's bounded work unit; shuffle
+    keyed only on cluster id).  Deterministic — sorted greedy on
+    seeded centroids — but k-means is iterative, so no ANSI-SQL
+    oracle exists; the driver records the weaker rows-only check and
+    test_semdedup pins exact keep/dup_of equality vs a brute-force
+    Python twin."""
+    from osm2pgsql_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, nlist=8, iters=4, threshold=0.92)
+
+
+# ---------------------------------------------------------------------------
 # §2.5 multipolygon ring assembly through the REAL kernel
 # (geom-area-assembler.cpp:23-56): square relations built from four
 # open member ways each (plus a 4-way inner square every third

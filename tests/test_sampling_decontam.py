@@ -157,3 +157,72 @@ class TestTokenBudgetMixture:
             docs.repartition(13), budgets,
             n_buckets=self.N_BUCKETS).collect()}
         assert a == b
+
+
+class TestPortableHashMode:
+    """portable=True swaps xxhash64 for the md5 hex string so any
+    engine with md5 (the DuckDB oracle, PostgreSQL, Trino) reproduces
+    every keep decision bit-for-bit — gates stratified_sample /
+    token_budget_mix."""
+
+    def test_hex_threshold_edges(self):
+        from osm2pgsql_spark.operators.dedup import _hex_threshold
+
+        assert _hex_threshold(0.0) == "0" * 32
+        assert _hex_threshold(1.0) == "g"  # > every hex digit
+        assert _hex_threshold(0.5) == "8" + "0" * 31
+        # any 32-char md5 compares below the rate-1.0 sentinel
+        assert "f" * 32 < _hex_threshold(1.0)
+
+    def test_md5_matches_duckdb(self, spark):
+        import duckdb
+
+        got = spark.sql(
+            "SELECT md5(concat(cast(42 AS string), 's8')) AS h"
+        ).collect()[0]["h"]
+        want = duckdb.connect().execute("SELECT md5('42s8')").fetchone()[0]
+        assert got == want
+
+    def test_deterministic_sample_rate_monotone(self, spark):
+        from osm2pgsql_spark.operators.dedup import deterministic_sample
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        small = {r["k"] for r in
+                 deterministic_sample(df, 0.2, "k", portable=True).collect()}
+        big = {r["k"] for r in
+               deterministic_sample(df, 0.6, "k", portable=True).collect()}
+        assert small <= big  # threshold-based: samples nest
+        assert len(small) == pytest.approx(100, abs=40)
+        assert len(big) == pytest.approx(300, abs=60)
+        everything = deterministic_sample(df, 1.0, "k", portable=True)
+        assert everything.count() == 500
+
+    def test_token_budget_portable_matches_twin(self, spark):
+        """Portable two-phase result == single-window twin ordered by
+        (md5, key) — the exact DuckDB oracle the driver gate runs."""
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        rows = [(i, "A" if i % 3 else "B", 40 + (i * 7) % 23)
+                for i in range(120)]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tokens bigint")
+        budgets = {"A": 1200, "B": 700}
+
+        hashed = docs.withColumn(
+            "h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(""))))
+        order = sorted(hashed.collect(),
+                       key=lambda r: (r["source"], r["h"], r["doc_id"]))
+        keep, cum = set(), {}
+        for r in order:
+            b = budgets.get(r["source"], 0)
+            prev = cum.get(r["source"], 0)
+            if b > 0 and prev < b:
+                keep.add(r["doc_id"])
+            cum[r["source"]] = prev + r["n_tokens"]
+
+        got = {r["doc_id"] for r in token_budget_mixture(
+            docs, budgets, portable=True).collect()}
+        assert got == keep
+        rep = {r["doc_id"] for r in token_budget_mixture(
+            docs.repartition(11), budgets, portable=True).collect()}
+        assert rep == keep
