@@ -1,0 +1,211 @@
+"""Product-quantization (PQ) approximate nearest-neighbor search.
+
+Public method (Jegou, Douze, Schmid 2011, "Product Quantization for
+Nearest Neighbor Search", IEEE TPAMI 33(1)): split each D-dim vector
+into M subvectors, k-means each subspace into ksub centroids, store a
+vector as M small codes, and answer queries with asymmetric distance
+computation (ADC): a per-query [M, ksub] table of exact
+query-subvector-to-centroid squared distances turns the corpus scan
+into M integer lookups + adds per vector — the original floats are
+never touched at query time.
+
+Scale shape (the third embedding-search path, after brute cosine and
+IVF, operators/ann.py / ivf.py): at D=128 float32 a vector is 512
+bytes; at M=16, ksub=256 its code is 16 bytes — a 32x smaller scan,
+which is the whole point at 100 TB: ADC reads tens of GB where
+brute-force reads TB.  The codebook ([M, ksub, D/M]) is tiny and
+ships in the kernel closure; queries are the small side by definition
+and ship the same way (bounded driver collect, like the IVF probe);
+the corpus-side scan emits only a per-partition top-k, so the global
+merge shuffles O(partitions * nq * k) rows.
+
+Cross-engine determinism (same discipline as ivf.train_kmeans):
+seeds are the ksub lowest-id vectors, assignment ties break to the
+lowest code, centroid means floor-round to a 1e-6 grid each Lloyd
+round, and ADC distances are integerized per subspace
+(floor(d * 1e6 + 0.5) as int64) BEFORE summing — integer sums are
+order-independent, so the DuckDB oracle that unrolls the same
+training reproduces every distance exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _round_grid(v: float, decimals: int | None) -> float:
+    if decimals is None:
+        return float(v)
+    scale = float(10**decimals)
+    return float(np.floor(v * scale + 0.5) / scale)
+
+
+def _encode_kernel(books: np.ndarray):
+    """vec -> M argmin-L2 sub-codes (ties to the lowest code, which is
+    what np.argmin returns)."""
+    m, ksub, dsub = books.shape
+
+    def kernel(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        xs = x.reshape(len(x), m, dsub)
+        codes = np.empty((len(x), m), dtype="i8")
+        for mi in range(m):
+            d = ((xs[:, mi, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+            codes[:, mi] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return pandas_udf(kernel, "array<bigint>")
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = None,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means; returns codebooks [m, ksub, D/m].
+
+    One distributed pass per iteration covers ALL m subspaces: the
+    encode kernel assigns every row its m codes, then one
+    posexplode + groupBy(sub, code, dim) mean updates every
+    sub-centroid — the only driver-side object is the [m*ksub*dsub]
+    means result (tiny).  Empty (sub, code) cells keep their previous
+    centroid.  round_decimals: the cross-engine determinism knob
+    (see module docstring)."""
+    seed_rows = corpus.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    seeds = np.asarray([np.asarray(r[vec_col], dtype="f8") for r in seed_rows])
+    if len(seeds) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed {ksub} sub-centroids")
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.ascontiguousarray(
+        seeds.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )  # [m, ksub, dsub]
+
+    for _ in range(iters):
+        enc = _encode_kernel(books)
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"), enc(F.col(vec_col)).alias("codes")
+        )
+        sub = (F.col("dim") / dsub).cast("int")
+        exploded = assigned.select(
+            F.posexplode("v").alias("dim", "val"), "codes"
+        ).select(
+            sub.alias("s"),
+            F.element_at("codes", sub + 1).alias("code"),
+            (F.col("dim") % dsub).alias("sdim"),
+            "val",
+        )
+        means = (
+            exploded.groupBy("s", "code", "sdim")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        new_books = books.copy()
+        for r in means:
+            new_books[int(r["s"]), int(r["code"]), int(r["sdim"])] = _round_grid(
+                float(r["mval"]), round_decimals
+            )
+        books = new_books
+    return books
+
+
+def encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): the compressed corpus — persist THIS for repeated
+    searches; it is the 32x-smaller scan target."""
+    enc = _encode_kernel(books)
+    return corpus.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def _seq_sq_l2(a: np.ndarray, b: np.ndarray) -> float:
+    """Left-to-right float64 squared L2 — matches the accumulation
+    order of a sequential SQL list_sum so the integerized LUT agrees
+    with the oracle (numpy's pairwise summation may differ in the
+    last ulp on longer subvectors)."""
+    acc = 0.0
+    for i in range(a.shape[0]):
+        d = float(a[i]) - float(b[i])
+        acc += d * d
+    return acc
+
+
+def search_adc(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_e6): ADC top-k over the
+    compressed corpus.  adist_e6 = sum over subspaces of
+    floor(1e6 * ||q_sub - centroid[code]||^2 + 0.5) — an int64, so the
+    sum is exact and order-independent.  Per-partition top-k inside
+    mapInPandas, then one global window over O(partitions*nq*k) rows."""
+    m, ksub, dsub = books.shape
+    qrows = queries.orderBy(id_col).select(id_col, vec_col).collect()
+    qids = np.asarray([r[id_col] for r in qrows], dtype="i8")
+    qvecs = np.asarray([np.asarray(r[vec_col], dtype="f8") for r in qrows])
+    nq = len(qids)
+    # integerized LUT [m, ksub, nq]
+    lut = np.empty((m, ksub, nq), dtype="i8")
+    for mi in range(m):
+        qs = qvecs[:, mi * dsub : (mi + 1) * dsub]
+        for c in range(ksub):
+            for qi in range(nq):
+                d = _seq_sq_l2(qs[qi], books[mi, c])
+                lut[mi, c, qi] = int(np.floor(d * 1e6 + 0.5))
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            codes = np.stack([np.asarray(c, dtype="i8") for c in pdf["codes"]])
+            acc = np.zeros((len(ids), nq), dtype="i8")
+            for mi in range(m):
+                acc += lut[mi][codes[:, mi], :]
+            topn = min(k + 1, len(ids))  # +1 absorbs the self-match
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                col = acc[:, qi]
+                # full (adist, id) order, not argpartition: PQ codes
+                # tie often and the global rank tie-breaks on id, so
+                # the partition cut must use the same total order
+                part = np.lexsort((ids, col))[:topn]
+                out_q.append(np.full(topn, qids[qi], dtype="i8"))
+                out_n.append(ids[part])
+                out_d.append(col[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adist_e6": np.concatenate(out_d),
+                }
+            )
+
+    partial = codes_df.mapInPandas(
+        scan, "query_id long, neighbor_id long, adist_e6 long"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_e6"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_e6")
+    )

@@ -1457,6 +1457,92 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# similarity search: product quantization + ADC (Jegou et al. 2011) —
+# the compressed-domain scale path (operators/pq.py).  The oracle
+# unrolls the per-subspace seeded Lloyd training exactly like
+# _ivf_oracle (round-6 means, ties to the lowest code), then scores
+# with integerized per-subspace distances so the ADC sum is an exact
+# int64 on both engines.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_KSUB = 8
+_PQ_ITERS = 2
+_PQ_DSUB = _IVF_DIM // _PQ_M
+
+
+def _pq_oracle() -> str:
+    dsub, m, ksub = _PQ_DSUB, _PQ_M, _PQ_KSUB
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS double)) AS v"
+        " FROM embeddings)",
+        f"sub AS (SELECT vec_id, s, v[(s-1)*{dsub}+1 : s*{dsub}] AS sv"
+        f" FROM e, UNNEST(generate_series(1, {m})) AS u(s))",
+        f"c0 AS (SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1"
+        f" AS BIGINT) AS code, sv AS cv FROM sub"
+        f" WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {ksub}))",
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        p = f"c{t - 1}"
+        ctes += [
+            f"s{t} AS (SELECT sub.vec_id, sub.s, sub.sv, c.code, row_number() OVER ("
+            f"PARTITION BY sub.vec_id, sub.s ORDER BY {l2('sub.sv', 'c.cv')} ASC, c.code)"
+            f" AS rn FROM sub JOIN {p} c ON c.s = sub.s)",
+            f"a{t} AS (SELECT * FROM s{t} WHERE rn = 1)",
+            f"m{t} AS (SELECT s, code, i AS sdim, {roundn_sql('avg(sv[i])', 6)} AS mv"
+            f" FROM a{t}, UNNEST(generate_series(1, {dsub})) AS u(i)"
+            f" GROUP BY s, code, i)",
+            f"mc{t} AS (SELECT s, code, list(mv ORDER BY sdim) AS cv FROM m{t}"
+            f" GROUP BY s, code)",
+            f"c{t} AS (SELECT p.s, p.code, coalesce(mc.cv, p.cv) AS cv FROM {p} p"
+            f" LEFT JOIN mc{t} mc ON mc.s = p.s AND mc.code = p.code)",
+        ]
+    cf = f"c{_PQ_ITERS}"
+    ctes += [
+        f"sF AS (SELECT sub.vec_id, sub.s, c.code, row_number() OVER ("
+        f"PARTITION BY sub.vec_id, sub.s ORDER BY {l2('sub.sv', 'c.cv')} ASC, c.code)"
+        f" AS rn FROM sub JOIN {cf} c ON c.s = sub.s)",
+        "codes AS (SELECT vec_id, s, code FROM sF WHERE rn = 1)",
+        f"qsub AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < {_ANN_NQ})",
+        f"lut AS (SELECT q.query_id, q.s, c.code,"
+        f" CAST(floor({l2('q.sv', 'c.cv')} * 1e6 + 0.5) AS BIGINT) AS d"
+        f" FROM qsub q JOIN {cf} c ON c.s = q.s)",
+        "ad AS (SELECT l.query_id, x.vec_id AS neighbor_id,"
+        " CAST(sum(l.d) AS BIGINT) AS adist_e6"
+        " FROM codes x JOIN lut l ON l.s = x.s AND l.code = x.code"
+        " WHERE x.vec_id <> l.query_id GROUP BY l.query_id, x.vec_id)",
+        "ranked AS (SELECT query_id, neighbor_id, adist_e6, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY adist_e6, neighbor_id) AS rank FROM ad)",
+    ]
+    joined = ",\n         ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, rank, adist_e6
+    FROM ranked WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(
+        e, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, round_decimals=6
+    )
+    codes = pq.encode(e, books)
+    queries_df = e.where(F.col("vec_id") < _ANN_NQ)
+    return pq.search_adc(codes, queries_df, books, k=_ANN_K)
+
+
+# ---------------------------------------------------------------------------
 # dedup: embedding-cosine near-duplicate pairs (threshold form).
 # Gated plan: multi-band random-projection candidates + exact cosine
 # verify (no cross join; the only corpus-sized shuffle is the
