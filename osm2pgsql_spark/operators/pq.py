@@ -209,3 +209,147 @@ def search_adc(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist_e6")
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# The composed configuration (FAISS's "IVFADC", Jegou 2011 §V): a
+# coarse quantizer limits the scan to nprobe cells, PQ codes encode
+# the RESIDUAL vector - cell_centroid (residuals concentrate near 0,
+# so the same ksub codes quantize much finer than on raw vectors).
+# At planet scale the index is partitioned by cell id, so a probe
+# touches nprobe/nlist of the corpus AND reads only M-byte codes.
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    coarse_iters: int = 5,
+    pq_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (coarse centroids [nlist, D], residual codebooks
+    [m, ksub, D/m]).  The coarse stage reuses ivf.train_kmeans; the
+    PQ stage trains on the residual frame (one extra column, never
+    materialized to the driver)."""
+    from osm2pgsql_spark.operators import ivf
+
+    cents = ivf.train_kmeans(
+        corpus, nlist=nlist, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col, round_decimals=round_decimals,
+    )
+    res = _residual_frame(corpus, cents, id_col, vec_col)
+    books = train_pq(
+        res, m=m, ksub=ksub, iters=pq_iters,
+        id_col=id_col, vec_col="residual", round_decimals=round_decimals,
+    )
+    return cents, books
+
+
+def _residual_frame(
+    corpus: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    from osm2pgsql_spark.operators.ivf import _assign_udf
+
+    c = cents.copy()
+
+    def residual_kernel(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        r = x - c[clusters.to_numpy()]
+        return pd.Series(list(r))
+
+    res = pandas_udf(residual_kernel, "array<double>")
+    assign = _assign_udf(cents)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).alias("cluster"),
+    ).withColumn("residual", res(F.col(vec_col), F.col("cluster")))
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, codes): the persisted index — partition/bucket by
+    `cluster` for repeated searches."""
+    res = _residual_frame(corpus, cents, id_col, vec_col)
+    enc = _encode_kernel(books)
+    return res.select(
+        F.col(id_col), F.col("cluster"), enc(F.col("residual")).alias("codes")
+    )
+
+
+def search_ivfpq(
+    index: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adist_e6): probe the nprobe
+    nearest cells (cosine, like ivf.search), ADC on the residual
+    codes inside them.  The candidate join is keyed on cluster —
+    exactly the shuffle ivf.search pays — but the corpus side carries
+    M-byte codes instead of the float vectors."""
+    from osm2pgsql_spark.operators.ivf import _assign_udf  # noqa: F401 (parity)
+
+    m, ksub, dsub = books.shape
+    nc = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def probe_kernel(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype="f8") for v in vecs])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ nc.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    probe = pandas_udf(probe_kernel, "array<bigint>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe(F.col(vec_col))).alias("cluster"),
+    )
+    cand = index.select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+    )
+
+    cb = books.copy()
+    cc = cents.copy()
+
+    def adist_kernel(
+        qvs: pd.Series, clusters: pd.Series, codes: pd.Series
+    ) -> pd.Series:
+        qx = np.asarray([np.asarray(v, dtype="f8") for v in qvs])
+        cl = clusters.to_numpy()
+        cd = np.stack([np.asarray(c, dtype="i8") for c in codes])
+        r = (qx - cc[cl]).reshape(len(qx), m, dsub)
+        acc = np.zeros(len(qx), dtype="i8")
+        for mi in range(m):
+            d = ((r[:, mi, :] - cb[mi][cd[:, mi]]) ** 2).sum(-1)
+            acc += np.floor(d * 1e6 + 0.5).astype("i8")
+        return pd.Series(acc)
+
+    adist = pandas_udf(adist_kernel, "long")
+    scored = (
+        F.broadcast(q).join(cand, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist_e6", adist(F.col("qv"), F.col("cluster"), F.col("codes")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist_e6")
+    )

@@ -130,3 +130,71 @@ def test_dim_not_divisible_raises(corpus):
     _, df = corpus
     with pytest.raises(ValueError, match="not divisible"):
         pq.train_pq(df, m=5, ksub=KSUB, iters=1)
+
+
+class TestIvfPq:
+    """Composed IVF + residual-PQ (FAISS IVFADC shape): cell-limited
+    candidate join over M-byte codes."""
+
+    NLIST, NPROBE = 4, 2
+
+    def _fit(self, corpus):
+        vecs, df = corpus
+        cents, books = pq.train_ivfpq(
+            df, nlist=self.NLIST, m=M, ksub=KSUB,
+            coarse_iters=3, pq_iters=2, round_decimals=6,
+        )
+        return df, cents, books
+
+    def test_recall_on_tight_clusters(self, corpus):
+        df, cents, books = self._fit(corpus)
+        index = pq.encode_ivfpq(df, cents, books)
+        queries = df.where(F.col("vec_id") < 8)
+        rows = pq.search_ivfpq(
+            index, queries, cents, books, k=K, nprobe=self.NPROBE
+        ).collect()
+        assert len(rows) == 8 * K
+        for r in rows:
+            assert r["neighbor_id"] % 4 == r["query_id"] % 4
+
+    def test_layout_independent(self, corpus):
+        df, cents, books = self._fit(corpus)
+        index = pq.encode_ivfpq(df, cents, books)
+        queries = df.where(F.col("vec_id") < 5)
+
+        def run(ix):
+            return {
+                (r["query_id"], r["neighbor_id"], r["rank"], r["adist_e6"])
+                for r in pq.search_ivfpq(
+                    ix, queries, cents, books, k=K, nprobe=self.NPROBE
+                ).collect()
+            }
+
+        assert run(index) == run(index.repartition(9))
+
+    def test_residual_codes_reconstruct_better_than_raw(self, corpus):
+        """The point of residual encoding: quantization error through
+        (centroid + codebook) is below raw-vector PQ at equal M/ksub."""
+        vecs, df = corpus
+        cents, books = pq.train_ivfpq(
+            df, nlist=self.NLIST, m=M, ksub=KSUB,
+            coarse_iters=3, pq_iters=2, round_decimals=6,
+        )
+        raw_books = pq.train_pq(df, m=M, ksub=KSUB, iters=2, round_decimals=6)
+
+        ix = pq.encode_ivfpq(df, cents, books).orderBy("vec_id").collect()
+        raw = pq.encode(df, raw_books).orderBy("vec_id").collect()
+        dsub = vecs.shape[1] // M
+
+        def recon_err(codes_rows, books_, base_of):
+            err = 0.0
+            for i, r in enumerate(codes_rows):
+                rec = base_of(r).copy()
+                for mi, c in enumerate(r["codes"]):
+                    rec[mi * dsub : (mi + 1) * dsub] += books_[mi, c]
+                err += float(((vecs[i] - rec) ** 2).sum())
+            return err
+
+        err_ivf = recon_err(ix, books, lambda r: cents[r["cluster"]])
+        err_raw = recon_err(raw, raw_books, lambda r: np.zeros(vecs.shape[1]))
+        assert err_ivf < err_raw
