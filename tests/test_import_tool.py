@@ -559,3 +559,65 @@ class TestPrefixParam:
         _fn, spaces = mod.load_pgsql_style(self._args(mod, prefix="osm_uk"))
         assert set(spaces) == {"osm_uk_point", "osm_uk_line",
                                "osm_uk_polygon", "osm_uk_roads"}
+
+
+ANY_IDS_LUA = """
+local addrs = osm2pgsql.define_table({
+    name = 'addrs',
+    ids = { type = 'any', type_column = 'osm_type', id_column = 'osm_id' },
+    columns = {
+        { column = 'name', type = 'text' },
+    }
+})
+
+function osm2pgsql.process_node(object)
+    if object.tags.name then addrs:insert({ name = object.tags.name }) end
+end
+
+function osm2pgsql.process_way(object)
+    if object.tags.name then addrs:insert({ name = object.tags.name }) end
+end
+"""
+
+ANY_IDS_OPL = """n1 Tname=A x9.0 y50.0
+n2 x9.001 y50.0
+w100 Tname=Main Nn1,n2
+"""
+
+ANY_IDS_OSC = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="1" lat="50.0" lon="9.0" version="2">
+    <tag k="name" v="B"/></node></modify>
+</osmChange>
+"""
+
+
+def test_append_any_ids_delete_and_reinsert(tmp_path, spark):
+    """ADVICE round-7 (medium): ids={type='any'} tables are
+    ID-TRACKED (two-column osm_type/osm_id delete + reinsert,
+    reference flex-table.cpp map_id) — they must NOT be treated as
+    ids=nil append-only log tables, which silently kept stale rows
+    and appended duplicates."""
+    style = tmp_path / "anyids.lua"
+    style.write_text(ANY_IDS_LUA)
+    src = tmp_path / "in.opl"
+    src.write_text(ANY_IDS_OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), "--style", str(style)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    rows = {(x["osm_type"], x["osm_id"]): x["name"]
+            for x in spark.read.parquet(str(out / "tables" / "addrs")).collect()}
+    assert rows == {("n", 1): "A", ("w", 100): "Main"}
+
+    osc = tmp_path / "diff.osc"
+    osc.write_text(ANY_IDS_OSC)
+    r = _run([str(osc), str(out), "--append", "--style", str(style)])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    got = spark.read.parquet(str(out / "tables" / "addrs")).collect()
+    # no duplicate (n,1) row, no stale name=A; the way containing n1
+    # reprocesses to the same single row
+    assert len(got) == 2
+    rows = {(x["osm_type"], x["osm_id"]): x["name"] for x in got}
+    assert rows == {("n", 1): "B", ("w", 100): "Main"}

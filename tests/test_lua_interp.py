@@ -416,3 +416,33 @@ class TestInitLuaHelpers:
         r = table.concat(refs, ',')
         """
         assert run(src) == "A1,B2"
+
+
+class TestAdvicePins:
+    """Round-7 ADVICE regressions: pcall must trap builtin
+    argument-type errors as Lua errors (never a raw Python traceback
+    escaping the mapInPandas task), and tonumber must reject
+    'inf'/'nan' strings like Lua 5.3."""
+
+    def test_pcall_traps_builtin_bad_argument(self):
+        ok, msg = run_expr("pcall(function() return string.len(nil) end)")
+        assert ok is False
+        assert "bad argument" in msg
+
+    def test_pcall_traps_direct_builtin_call(self):
+        ok, msg = run_expr("pcall(string.rep, nil, 3)")
+        assert ok is False
+        assert isinstance(msg, str)
+
+    def test_tonumber_rejects_inf_nan_strings(self):
+        assert run_expr("tonumber('inf')") is None
+        assert run_expr("tonumber('infinity')") is None
+        assert run_expr("tonumber('nan')") is None
+        assert run_expr("tonumber('-inf')") is None
+        assert run_expr("tonumber('1e3')") == 1000.0
+        assert run_expr("tonumber('0x1A')") == 26
+        assert run_expr("tonumber('  -4.5  ')") == -4.5
+
+    def test_arithmetic_on_inf_string_raises(self):
+        with pytest.raises(LuaRuntimeError, match="arithmetic"):
+            run("r = 'inf' + 1")

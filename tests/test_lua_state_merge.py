@@ -197,3 +197,77 @@ class TestInterpreterRouting:
                 "    t:insert{ name = o.tags.name }\n"
                 "end\n")
         assert not _needs_interpreter(text)
+
+
+TWO_STAGE_LOG_LUA = """
+local roads = osm2pgsql.define_table{
+    name = 'roads',
+    ids = { type = 'way', id_column = 'osm_id' },
+    columns = {{ column = 'refs', type = 'text' }},
+}
+local waylog = osm2pgsql.define_table{
+    name = 'waylog',
+    columns = {{ column = 'note', type = 'text' }},
+}
+local w2r = {}
+
+function osm2pgsql.select_relation_members(relation)
+    if relation.tags.type == 'route' then
+        return { ways = osm2pgsql.way_member_ids(relation) }
+    end
+end
+
+function osm2pgsql.process_way(object)
+    waylog:insert({ note = 'w' .. object.id })
+    local refs = ''
+    if osm2pgsql.stage == 2 then
+        refs = table.concat(w2r[object.id] or {}, ',')
+    end
+    roads:insert({ refs = refs })
+end
+
+function osm2pgsql.process_relation(object)
+    if object.tags.type == 'route' then
+        for _, id in ipairs(osm2pgsql.way_member_ids(object)) do
+            w2r[id] = w2r[id] or {}
+            w2r[id][#w2r[id] + 1] = object.tags.ref
+        end
+    end
+end
+"""
+
+TWO_STAGE_LOG_OPL = """n1 x9.0 y50.0
+n2 x9.01 y50.0
+n3 x9.02 y50.0
+n4 x9.03 y50.0
+w300 Thighway=primary Nn1,n2
+w301 Thighway=service Nn3,n4
+r500 Ttype=route,ref=R1 Mw300@
+"""
+
+
+class TestStage2LogTables:
+    """ADVICE round-7: delete-then-reprocess may only anti-join marked
+    ids out of ID-TRACKED tables; the reference cannot delete from
+    ids=nil log tables, so their stage-1 rows survive next to the
+    stage-2 rows (flex-table.cpp delete path requires an id)."""
+
+    def test_log_rows_survive_marked_reprocess(self, spark):
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".opl", delete=False
+        ) as fh:
+            fh.write(TWO_STAGE_LOG_OPL)
+            path = fh.name
+        nodes, ways, rels = read_opl(spark, path)
+        out = LuaFlexAdapter(TWO_STAGE_LOG_LUA).run(
+            nodes=nodes.repartition(3), ways=ways.repartition(2),
+            relations=rels)
+
+        roads = {r["osm_id"]: r["refs"] for r in out["roads"].collect()}
+        # marked way replaced by its stage-2 row; unmarked keeps stage 1
+        assert roads == {300: "R1", 301: ""}
+
+        notes = sorted(r["note"] for r in out["waylog"].collect())
+        # w300 logs in BOTH stages (the id-less table is append-only);
+        # w301 logs once — the old bug anti-joined w300's stage-1 row away
+        assert notes == ["w300", "w300", "w301"]
