@@ -1794,6 +1794,58 @@ def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_TOPK = 25
+
+
+def _dsir_oracle() -> str:
+    tgt_list = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    grams = (
+        "list_concat(t, list_transform(generate_series(1, len(t)-1),"
+        " i -> t[i] || ' ' || t[i+1]))"
+    )
+    return f"""
+    WITH tgt AS (SELECT text FROM documents WHERE source IN ({tgt_list})),
+         src AS (SELECT doc_id, text FROM documents
+                 WHERE source NOT IN ({tgt_list})),
+         tg AS (SELECT substr(md5(g), 1, 2) AS bucket FROM (
+                  SELECT unnest({grams}) AS g FROM
+                    (SELECT string_split(text, ' ') AS t FROM tgt))),
+         tc AS (SELECT bucket, count(*) AS t_cnt FROM tg GROUP BY bucket),
+         sg AS (SELECT doc_id, substr(md5(g), 1, 2) AS bucket FROM (
+                  SELECT doc_id, unnest({grams}) AS g FROM
+                    (SELECT doc_id, string_split(text, ' ') AS t FROM src))),
+         sc AS (SELECT bucket, count(*) AS s_cnt FROM sg GROUP BY bucket),
+         tot AS (SELECT (SELECT sum(t_cnt) FROM tc) AS t_tot,
+                        (SELECT sum(s_cnt) FROM sc) AS s_tot),
+         lr AS (SELECT coalesce(tc.bucket, sc.bucket) AS bucket,
+                       CAST(floor((ln((coalesce(t_cnt, 0) + 0.5) / (t_tot + 128.0))
+                                 - ln((coalesce(s_cnt, 0) + 0.5) / (s_tot + 128.0)))
+                                  * 1e6 + 0.5) AS BIGINT) AS lr_e6
+                FROM tc FULL JOIN sc ON sc.bucket = tc.bucket, tot),
+         sco AS (SELECT doc_id, CAST(sum(lr_e6) AS BIGINT) AS score_e6
+                 FROM sg JOIN lr USING (bucket) GROUP BY doc_id),
+         ranked AS (SELECT doc_id, score_e6, row_number() OVER (
+                      ORDER BY score_e6 DESC, doc_id) AS rank FROM sco)
+    SELECT doc_id, score_e6, rank FROM ranked WHERE rank <= {_DSIR_TOPK}
+    """
+
+
+@register("dsir_selection", oracle=_dsir_oracle())
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169): hashed unigram+bigram
+    importance log-ratios score every raw-corpus doc against the
+    'target domain' (src0/src1 stand in); top-25 kept.  Pure Catalyst
+    — two 256-row bucket aggregations, one broadcast join onto the
+    exploded gram stream, integer per-doc sums."""
+    from osm2pgsql_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = docs.where(F.col("source").isin(*_DSIR_TARGET))
+    src = docs.where(~F.col("source").isin(*_DSIR_TARGET))
+    return dsir.dsir_select(src, tgt, top_k=_DSIR_TOPK)
+
+
 @register("semdedup_decisions")  # non-SQL (iterative k-means): rows-only gate
 def q_semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep-decisions over the embeddings
