@@ -211,3 +211,41 @@ def test_relation_polygon_parts_plan_is_scalar_arrow(spark):
     assert ("ArrowEvalPython" in plan) or ("BatchEvalPython" in plan)
     for op in _FORBIDDEN:
         assert op not in plan
+
+
+def test_pq_and_ivfpq_plans_have_no_cross_join(spark):
+    """Round-8 compressed-domain ANN paths: search_adc is a pure
+    mapInPandas scan + bounded top-k window (no join at all);
+    search_ivfpq's candidate join must stay a hash join on cluster."""
+    from osm2pgsql_spark.operators import pq
+    from osm2pgsql_spark.sources.testdata import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    books = pq.train_pq(e, m=4, ksub=8, iters=1, round_decimals=6)
+    codes = pq.encode(e, books)
+    q = e.where(F.col("vec_id") < 5)
+    plan = _physical_plan(pq.search_adc(codes, q, books, k=3))
+    for op in _FORBIDDEN:
+        assert op not in plan
+
+    cents, rbooks = pq.train_ivfpq(
+        e, nlist=4, m=4, ksub=8, coarse_iters=1, pq_iters=1,
+        round_decimals=6)
+    ix = pq.encode_ivfpq(e, cents, rbooks)
+    plan = _physical_plan(pq.search_ivfpq(ix, q, cents, rbooks, k=3, nprobe=2))
+    for op in _FORBIDDEN:
+        assert op not in plan
+
+
+def test_dsir_plan_no_cross_join_and_no_python(spark):
+    """DSIR scoring is pure Catalyst: the log-ratio table rides a
+    broadcast hash join, nothing evaluates Python row-wise."""
+    from osm2pgsql_spark.operators import dsir
+    from osm2pgsql_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tgt = docs.where(F.col("source").isin("src0", "src1"))
+    src = docs.where(~F.col("source").isin("src0", "src1"))
+    plan = _physical_plan(dsir.dsir_select(src, tgt, top_k=5))
+    for op in _FORBIDDEN + ("BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan
