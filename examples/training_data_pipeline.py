@@ -89,6 +89,45 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = kept.join(drop_emb, "doc_id", "left_anti")
     counts["after_embedding_dedup"] = kept.count()
 
+    # 5b. SemDeDup: paraphrase-level duplicates inside k-means cells
+    # (catches what lexical + pairwise-cosine dedup both miss)
+    from osm2pgsql_spark.operators.semdedup import semantic_dedup
+
+    sem = semantic_dedup(emb, nlist=8, iters=3, threshold=0.97)
+    sem_drop = sem.where(~F.col("keep")).select(F.col("vec_id").alias("doc_id"))
+    kept = kept.join(sem_drop, "doc_id", "left_anti")
+    counts["after_semdedup"] = kept.count()
+
+    # 5c. benchmark decontamination: strip spans whose every k-gram
+    # occurs in the eval set (here: a held-out slice stands in)
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    contam = dedup.contaminated_spans(
+        kept.select("doc_id", "text"), bench, k=8)
+    kept = kept.drop("text").join(
+        dedup.strip_duplicated_spans(kept.select("doc_id", "text"), contam),
+        "doc_id")
+    counts["after_decontamination"] = kept.count()
+
+    # 5d. DSIR: keep the half of the corpus most like the target
+    # domain (hashed n-gram importance log-ratios, pure Catalyst)
+    from osm2pgsql_spark.operators import dsir
+
+    tgt = docs.where(F.col("source").isin("src0", "src1"))
+    picked = dsir.dsir_select(
+        kept.select("doc_id", "text"), tgt,
+        top_k=max(1, kept.count() // 2))
+    kept = kept.join(picked.select("doc_id"), "doc_id", "leftsemi")
+    counts["after_dsir_selection"] = kept.count()
+
+    # 5e. token-budget mixture: deterministic per-source prefixes to
+    # a token budget (layout-independent, reproducible on any cluster)
+    budgeted = dedup.token_budget_mixture(
+        kept.join(docs.select("doc_id", "source"), "doc_id"),
+        budgets={"src0": 10_000, "src1": 10_000, "src2": 5_000},
+        token_col="n_tokens")
+    kept = kept.join(budgeted.select("doc_id"), "doc_id", "leftsemi")
+    counts["after_token_budget"] = kept.count()
+
     # 6. curated output, embedding attached where present
     curated = kept.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id", "left"
