@@ -621,3 +621,42 @@ def test_append_any_ids_delete_and_reinsert(tmp_path, spark):
     assert len(got) == 2
     rows = {(x["osm_type"], x["osm_id"]): x["name"] for x in got}
     assert rows == {("n", 1): "B", ("w", 100): "Main"}
+
+
+class TestInputReader:
+    """-r/--input-reader (reference command-line-parser.cpp:545-550 +
+    input.cpp:313-329 wordings): force the reader, reject unknown
+    formats, refuse undetectable files without -r, refuse change
+    files in create mode."""
+
+    def test_force_opl_on_odd_extension(self, tmp_path, spark):
+        src = tmp_path / "data.dump"
+        src.write_text("n1 Tamenity=pub x9.0 y50.0\n")
+        out = tmp_path / "db"
+        r = _run([str(src), str(out), "-r", "opl"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        pts = spark.read.parquet(str(out / "tables" / "points"))
+        assert pts.count() == 1
+
+    def test_unknown_format_wording(self, tmp_path):
+        src = tmp_path / "data.opl"
+        src.write_text("n1 x9.0 y50.0\n")
+        r = _run([str(src), str(tmp_path / "db"), "-r", "foo"])
+        assert r.returncode != 0
+        assert "Unknown file format 'foo'." in r.stderr
+
+    def test_undetectable_without_r(self, tmp_path):
+        src = tmp_path / "data.dump"
+        src.write_text("n1 x9.0 y50.0\n")
+        r = _run([str(src), str(tmp_path / "db")])
+        assert r.returncode != 0
+        assert "Cannot detect file format for" in r.stderr
+        assert "Try using -r." in r.stderr
+
+    def test_change_file_rejected_in_create(self, tmp_path):
+        src = tmp_path / "diff.osc"
+        src.write_text("<osmChange version='0.6'/>")
+        r = _run([str(src), str(tmp_path / "db")])
+        assert r.returncode != 0
+        assert ("Reading an OSM change file only works in append mode."
+                in r.stderr)

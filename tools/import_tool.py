@@ -52,21 +52,41 @@ os.environ["PYTHONPATH"] = (
 from pyspark.sql import DataFrame, functions as F
 
 
-def read_osm_any(spark, path: str):
-    """(nodes, ways, rels) from .pbf / .o5m / .opl / .osm[.xml][.gz]."""
+def read_osm_any(spark, path: str, input_format: str = ""):
+    """(nodes, ways, rels) from .pbf / .o5m / .opl / .osm[.xml][.gz].
+
+    input_format forces the reader like the reference's
+    -r/--input-reader (command-line-parser.cpp:545-550); detection
+    failures and unknown formats use the reference wordings
+    (input.cpp:313-321)."""
     from osm2pgsql_spark.sources.o5m import read_o5m
     from osm2pgsql_spark.sources.opl import read_opl
     from osm2pgsql_spark.sources.osm_xml import read_osm_xml
     from osm2pgsql_spark.sources.pbf import read_pbf
 
+    readers = {"pbf": read_pbf, "o5m": read_o5m, "opl": read_opl,
+               "xml": read_osm_xml}
+    fmt = (input_format or "").lower()
+    if fmt and fmt != "auto":
+        reader = readers.get(fmt)
+        if reader is None:
+            raise SystemExit(f"Unknown file format '{input_format}'.")
+        return reader(spark, path)
+
     low = path.lower()
-    if low.endswith(".pbf"):
+    for gz in (".gz", ".bz2"):
+        if low.endswith(gz):
+            low = low[: -len(gz)]
+    if low.endswith((".pbf",)):
         return read_pbf(spark, path)
     if low.endswith((".o5m", ".o5c")):
         return read_o5m(spark, path)
     if low.endswith(".opl"):
         return read_opl(spark, path)
-    return read_osm_xml(spark, path)
+    if low.endswith((".osm", ".xml", ".osc", ".osh")):
+        return read_osm_xml(spark, path)
+    raise SystemExit(
+        f"Cannot detect file format for '{path}'. Try using -r.")
 
 
 def load_style(path: str | None, region_db: str | None = None,
@@ -394,7 +414,17 @@ def parse_bbox_param(arg: str) -> tuple:
 def cmd_create(args, spark) -> None:
     from osm2pgsql_spark.streaming.properties import Properties
 
-    nodes, ways, rels = read_osm_any(spark, args.input)
+    # change files carry multiple object versions (reference
+    # input.cpp:326-329, file.has_multiple_object_versions())
+    low = args.input.lower()
+    for gz in (".gz", ".bz2"):
+        if low.endswith(gz):
+            low = low[: -len(gz)]
+    if low.endswith((".osc", ".osh")):
+        raise SystemExit(
+            "Reading an OSM change file only works in append mode.")
+    nodes, ways, rels = read_osm_any(
+        spark, args.input, getattr(args, "input_reader", ""))
     if args.bbox:
         lo_x, lo_y, hi_x, hi_y = parse_bbox_param(args.bbox)
         inside = nodes.where(
@@ -713,6 +743,10 @@ def main() -> None:
     ap.add_argument("--region-db", default=None,
                     help="DuckDB file serving locator add_from_db queries")
     ap.add_argument("--bbox", default=None, help="minlon,minlat,maxlon,maxlat")
+    ap.add_argument(
+        "-r", "--input-reader", default="", metavar="FORMAT",
+        help="Input format ('xml', 'pbf', 'o5m', 'opl', 'auto' - "
+        "autodetect format (default)).")
     ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
     ap.add_argument("--expire-output", default=None)
     ap.add_argument(
