@@ -116,11 +116,16 @@ def test_training_data_pipeline_example(spark, tmp_path):
         counts["input"], counts["after_quality_filter"],
         counts["after_perplexity_filter"], counts["after_span_strip"],
         counts["after_exact_dedup"], counts["after_near_dedup"],
-        counts["after_embedding_dedup"],
+        counts["after_embedding_dedup"], counts["after_semdedup"],
+        counts["after_decontamination"], counts["after_dsir_selection"],
+        counts["after_token_budget"],
     ]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
     # perplexity filter drops the worst tail but keeps most docs
     assert counts["after_perplexity_filter"] >= counts["after_quality_filter"] * 0.8
-    # span stripping rewrites text without dropping rows
+    # span stripping / decontamination rewrite text without dropping rows
     assert counts["after_span_strip"] == counts["after_perplexity_filter"]
-    assert counts["written"] == counts["after_embedding_dedup"] > 0
+    assert counts["after_decontamination"] == counts["after_semdedup"]
+    # DSIR keeps the target-likest half
+    assert counts["after_dsir_selection"] == max(1, counts["after_decontamination"] // 2)
+    assert counts["written"] == counts["after_token_budget"] > 0
