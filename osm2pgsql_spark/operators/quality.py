@@ -16,11 +16,15 @@ Per-document signals over the `documents` table:
 - ``dup5gram_char_frac`` chars in word 5-grams occurring more than
                          once (Σ c·len(gram) / text length, capped at 1)
 
-Everything is Catalyst built-ins — split / filter / transform /
-explode / groupBy — so the 100-TB plan is two token-array scans plus
-hash aggregations on (doc_id, gram); no Python runs per row.  Each
-signal has a bit-matching DuckDB oracle (gopher_oracle_ctes) wired
-into the text_stats gate.
+Every signal is PER-DOCUMENT, so none of them needs a shuffle:
+they are computed as pure Catalyst array expressions (split / filter
+/ transform / aggregate over the row's own line/token arrays), one
+scan, zero exchanges, embarrassingly parallel — the right plan at
+100 TB, where exploding grams across the cluster to count them per
+doc would shuffle the whole corpus for nothing.  Per-row cost is
+O(distinct_grams * n_tokens) string compares in whole-stage codegen,
+bounded by document length.  Each signal has a bit-matching DuckDB
+oracle (gopher_oracle_ctes) wired into the text_stats gate.
 
 Tokenization is the shared dedup tokenizer
 (functions/similarity.tokens: lower + `\\s+` split, empty tokens
@@ -47,77 +51,158 @@ def _clean_tokens_sql(col: str) -> str:
     return (f"list_filter({S.tokens_sql(col)}, x -> x <> '')")
 
 
+def _fsum(arr, fn):
+    """Sum fn(x) over an array column as doubles (per-row)."""
+    return F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + fn(x).cast("double")
+    )
+
+
+def _run_fold(sorted_arr, per_run, init=0.0):
+    """Fold a SORTED string array into a double by run-length
+    encoding in one pass: per_run(gram, count) is accumulated once
+    per distinct value.  state = (prev, run_count, acc); the finish
+    lambda closes the last run.  O(n) per row, and the array
+    expression is referenced exactly once (repeated references would
+    re-materialize the whole subtree per fold step after Catalyst's
+    projection collapsing — the quadratic-tree trap)."""
+    state = F.struct(
+        F.lit("").alias("p"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit(float(init)).alias("a"),
+    )
+
+    def merge(acc, x):
+        closed = acc["a"] + per_run(acc["p"], acc["c"])
+        return F.when(
+            x == acc["p"],
+            F.struct(acc["p"].alias("p"), (acc["c"] + 1).alias("c"),
+                     acc["a"].alias("a")),
+        ).otherwise(
+            F.struct(x.alias("p"), F.lit(1).cast("long").alias("c"),
+                     closed.alias("a"))
+        )
+
+    return F.aggregate(
+        sorted_arr, state, merge,
+        lambda acc: acc["a"] + per_run(acc["p"], acc["c"]),
+    )
+
+
+def gopher_exprs(text_col) -> dict:
+    """The eight signals as plain column expressions over one text
+    column — compose them into any projection; no shuffle, no join."""
+    lines = F.filter(
+        F.split(text_col, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    nl = F.size(lines).cast("double")
+    toks = _clean_tokens(text_col)
+    nt = F.size(toks).cast("double")
+    tl = F.greatest(F.length(text_col), F.lit(1)).cast("double")
+
+    def gram_array(n: int):
+        # sliding window as zip_with over n shifted slices: each slice
+        # materializes the token array ONCE (an element_at(toks, i+j)
+        # inside a transform lambda would re-evaluate the split per
+        # ELEMENT — O(n^2) splits per row, the quadratic-tree trap)
+        cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        g = F.slice(toks, 1, cnt)
+        for j in range(1, n):
+            g = F.zip_with(
+                g, F.slice(toks, j + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return g
+
+    g2, g5 = gram_array(2), gram_array(5)
+
+    def zero_if(cond, val):
+        return F.when(cond, F.lit(0.0)).otherwise(val)
+
+    def dup_chars(g, c):
+        # chars in runs occurring more than once (0 for the "" seed)
+        return F.when(c > 1, c * F.length(g)).otherwise(F.lit(0)).cast("double")
+
+    # top word-2-gram by (count desc, gram asc): runs arrive in
+    # ascending gram order, so a strictly-greater count comparison
+    # keeps the lexicographically-first gram on ties.  The fold packs
+    # (best_c, best_g) into the accumulator string to keep the state
+    # struct shared with _run_fold's shape-free double accumulator —
+    # instead, use a dedicated struct fold here.
+    def top2_pick():
+        state = F.struct(
+            F.lit("").alias("p"),
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit("").alias("bg"),
+        )
+
+        def close(acc):
+            better = (acc["c"] > acc["bc"]) & (acc["p"] != F.lit(""))
+            return (
+                F.when(better, acc["c"]).otherwise(acc["bc"]),
+                F.when(better, acc["p"]).otherwise(acc["bg"]),
+            )
+
+        def merge(acc, x):
+            nbc, nbg = close(acc)
+            return F.when(
+                x == acc["p"],
+                F.struct(acc["p"].alias("p"), (acc["c"] + 1).alias("c"),
+                         acc["bc"].alias("bc"), acc["bg"].alias("bg")),
+            ).otherwise(
+                F.struct(x.alias("p"), F.lit(1).cast("long").alias("c"),
+                         nbc.alias("bc"), nbg.alias("bg"))
+            )
+
+        def finish(acc):
+            nbc, nbg = close(acc)
+            return nbc * F.length(nbg) / tl
+
+        return F.when(F.size(g2) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(F.array_sort(g2), state, merge, finish)
+        )
+
+    return {
+        "dup_line_frac": zero_if(
+            nl == 0, (nl - F.size(F.array_distinct(lines))) / nl
+        ),
+        "dup_line_char_frac": zero_if(
+            nl == 0,
+            _run_fold(
+                F.array_sort(lines),
+                lambda g, c: F.when(c > 1, (c - 1) * F.length(g))
+                .otherwise(F.lit(0)).cast("double"),
+            )
+            / F.greatest(_fsum(lines, F.length), F.lit(1.0)),
+        ),
+        "bullet_line_frac": zero_if(
+            nl == 0, _fsum(lines, lambda l: l.rlike(BULLET_RE).cast("int")) / nl
+        ),
+        "ellipsis_line_frac": zero_if(
+            nl == 0,
+            _fsum(lines, lambda l: l.rlike(ELLIPSIS_RE).cast("int")) / nl,
+        ),
+        "mean_word_len": zero_if(nt == 0, _fsum(toks, F.length) / nt),
+        "alpha_word_frac": zero_if(
+            nt == 0, _fsum(toks, lambda w: w.rlike("[a-z]").cast("int")) / nt
+        ),
+        "top2gram_char_frac": top2_pick(),
+        "dup5gram_char_frac": F.when(F.size(g5) == 0, F.lit(0.0)).otherwise(
+            F.least(F.lit(1.0), _run_fold(F.array_sort(g5), dup_chars) / tl)
+        ),
+    }
+
+
 def gopher_signals(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Per-doc signal frame: one row per input doc, all signals
     null-free (docs with no lines/words get 0.0)."""
-    d = docs.select(
+    exprs = gopher_exprs(F.col(text_col))
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__t"),
-        F.greatest(F.length(text_col), F.lit(1)).alias("__tl"),
+        *[v.alias(k) for k, v in exprs.items()],
     )
-
-    lines = d.select(
-        "doc_id", F.explode(F.split("__t", "\n")).alias("line")
-    ).where(F.length(F.trim("line")) > 0)
-    line_shape = lines.groupBy("doc_id").agg(
-        F.avg(F.col("line").rlike(BULLET_RE).cast("double"))
-        .alias("bullet_line_frac"),
-        F.avg(F.col("line").rlike(ELLIPSIS_RE).cast("double"))
-        .alias("ellipsis_line_frac"),
-    )
-    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
-    line_dup = per_line.groupBy("doc_id").agg(
-        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
-        (F.sum((F.col("c") - 1) * F.length("line"))
-         / F.sum(F.col("c") * F.length("line")))
-        .alias("dup_line_char_frac"),
-    )
-
-    toks = d.select("doc_id", "__tl", _clean_tokens(F.col("__t")).alias("t"))
-    words = toks.select("doc_id", F.explode("t").alias("w"))
-    word_shape = words.groupBy("doc_id").agg(
-        F.avg(F.length("w")).alias("mean_word_len"),
-        F.avg(F.col("w").rlike("[a-z]").cast("double"))
-        .alias("alpha_word_frac"),
-    )
-
-    def gram_frame(n: int) -> DataFrame:
-        sep = "concat(" + ", ' ', ".join(
-            f"t[i + {j}]" for j in range(n)) + ")"
-        expr = (f"CASE WHEN size(t) >= {n} THEN "
-                f"transform(sequence(0, size(t) - {n}), i -> {sep}) "
-                f"ELSE array() END")
-        return (toks.select("doc_id", "__tl",
-                            F.explode(F.expr(expr)).alias("g"))
-                .groupBy("doc_id", "g")
-                .agg(F.count("*").alias("c"), F.first("__tl").alias("tl")))
-
-    from pyspark.sql import Window
-
-    bgc = gram_frame(2)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("g"))
-    top2 = (bgc.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("doc_id", (F.col("c") * F.length("g") / F.col("tl"))
-                    .alias("top2gram_char_frac")))
-
-    g5c = gram_frame(5)
-    d5 = g5c.groupBy("doc_id").agg(
-        F.least(F.lit(1.0),
-                F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
-                      .otherwise(0)) / F.first("tl"))
-        .alias("dup5gram_char_frac"))
-
-    out = d.select("doc_id")
-    for sub in (line_dup, line_shape, word_shape, top2, d5):
-        out = out.join(sub, "doc_id", "left")
-    fill = [
-        "dup_line_frac", "dup_line_char_frac", "bullet_line_frac",
-        "ellipsis_line_frac", "mean_word_len", "alpha_word_frac",
-        "top2gram_char_frac", "dup5gram_char_frac",
-    ]
-    return out.fillna(0.0, subset=fill)
 
 
 def gopher_oracle_ctes(table: str = "documents", id_col: str = "doc_id",
