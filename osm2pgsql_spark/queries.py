@@ -1846,6 +1846,47 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(src, tgt, top_k=_DSIR_TOPK)
 
 
+@register("ann_ivfpq_topk")  # non-SQL (two nested trainings): rows-only gate
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC shape): coarse cells + residual PQ codes;
+    the probe join carries M-byte codes only.  Both component
+    trainings are gated with full SQL twins separately (ann_ivf_topk,
+    ann_pq_topk); the composition's oracle would nest both unrolled
+    Lloyd loops, so the driver records the rows-only check and
+    test_pq::TestIvfPq pins recall + layout independence."""
+    from osm2pgsql_spark.operators import pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, books = pq.train_ivfpq(
+        e, nlist=_IVF_NLIST, m=_PQ_M, ksub=_PQ_KSUB,
+        coarse_iters=2, pq_iters=2, round_decimals=6,
+    )
+    ix = pq.encode_ivfpq(e, cents, books)
+    queries_df = e.where(F.col("vec_id") < _ANN_NQ)
+    return pq.search_ivfpq(
+        ix, queries_df, cents, books, k=_ANN_K, nprobe=_IVF_NPROBE
+    )
+
+
+@register("bpe_encode")  # non-SQL (iterative merge selection): rows-only gate
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: train 25 merges on the corpus (each round one
+    pair-count aggregation; ties break (count desc, left asc, right
+    asc) so the model is deterministic), then Arrow-encode every doc.
+    Iterative greedy merge selection has no ANSI-SQL twin; test_bpe
+    pins the trainer against a sequential reference implementation."""
+    from osm2pgsql_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=25)
+    enc = bpe.encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_bpe"),
+        F.array_join(F.slice("tokens", 1, 5), " ").alias("head_tokens"),
+    )
+
+
 @register("semdedup_decisions")  # non-SQL (iterative k-means): rows-only gate
 def q_semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep-decisions over the embeddings
