@@ -244,3 +244,40 @@ def test_dedup_stream_exact_across_batches(spark, tmp_path):
 
     got = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_gopher_quality_filter_on_stream(spark, tmp_path):
+    """The round-8 shuffle-free Gopher signals are pure stateless
+    column expressions, so they run UNCHANGED inside Structured
+    Streaming (the aggregation-based formulation could not — per-doc
+    groupBy in a stream needs watermark/output-mode machinery).  A
+    streaming quality filter is just readStream -> select -> where."""
+    from osm2pgsql_spark.operators.quality import gopher_exprs
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the same line\nthe same line\nthe same line"),
+            (2, "a perfectly ordinary document with varied words here"),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    ex = gopher_exprs(F.col("text"))
+    scored = stream.select(
+        "doc_id",
+        ex["dup_line_frac"].alias("dup_line_frac"),
+        ex["mean_word_len"].alias("mean_word_len"),
+    ).where(F.col("dup_line_frac") < 0.5)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from quality_stream").collect()
+    assert [r["doc_id"] for r in rows] == [2]
+    assert rows[0]["mean_word_len"] > 0
