@@ -125,6 +125,58 @@ class ParquetMergeTable:
         self._swap_from_tmp(tmp, touched, set(staged))
         return [int(b) for b in touched]
 
+    def merge_refresh(
+        self,
+        spark: SparkSession,
+        touched_keys: DataFrame,
+        new_rows: DataFrame,
+        key_cols: list[str] | None = None,
+    ) -> list[int]:
+        """OUTPUT-table MERGE: delete every row whose key tuple
+        appears in `touched_keys`, insert `new_rows`.
+
+        merge_diff is a snapshot upsert (one row per id — the middle
+        contract); output tables may carry SEVERAL rows per object id
+        (split_multi parts, multi-table routing), so here the delete
+        is an anti-join on the full key tuple and the insert a plain
+        union.  Buckets hash self.id_col (the numeric id), which must
+        be one of key_cols; pruning covers both sides because every
+        inserted row's id is also a touched id.  Same journaled
+        staged-swap commit as merge_diff."""
+        self.recover()
+        key_cols = key_cols or [self.id_col]
+        keys = touched_keys.select(*key_cols).unionByName(
+            new_rows.select(*key_cols)
+        ).distinct()
+        touched = sorted(
+            r[_BUCKET]
+            for r in self._bucketed(keys).select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return []
+        if glob.glob(os.path.join(self.path, f"{_BUCKET}=*", "*.parquet")):
+            base = (
+                spark.read.parquet(self.path)
+                .where(F.col(_BUCKET).isin([int(b) for b in touched]))
+                .drop(_BUCKET)
+            )
+        else:
+            base = self.read(spark)
+        keep = base.join(keys, key_cols, "left_anti")
+        out = self._bucketed(keep.unionByName(new_rows))
+
+        tmp = self.path + ".merge-tmp"
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(tmp)
+        staged = [
+            int(b)
+            for b in touched
+            if os.path.isdir(os.path.join(tmp, f"{_BUCKET}={b}"))
+        ]
+        with open(self._marker_path(), "w", encoding="utf-8") as fh:
+            json.dump({"touched": [int(b) for b in touched], "staged": staged}, fh)
+        self._swap_from_tmp(tmp, touched, set(staged))
+        return [int(b) for b in touched]
+
     def _marker_path(self) -> str:
         return os.path.join(self.path, "_merge_inprogress.json")
 

@@ -660,3 +660,65 @@ class TestInputReader:
         assert r.returncode != 0
         assert ("Reading an OSM change file only works in append mode."
                 in r.stderr)
+
+
+class TestMergeTablesFormat:
+    """--tables-format merge: output tables stored as hash-bucketed
+    ParquetMergeTable snapshots so append refresh I/O is proportional
+    to the diff (touched buckets), not the table — the plain format
+    rewrites every output table in full per append."""
+
+    def _both(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        osc = tmp_path / "change.osc"
+        osc.write_text(OSC)
+        outs = {}
+        for fmt in ("plain", "merge"):
+            out = tmp_path / fmt
+            args = [str(src), str(out)]
+            if fmt == "merge":
+                args += ["--tables-format", "merge"]
+            r = _run(args)
+            assert r.returncode == 0, r.stderr[-2000:]
+            r = _run([str(osc), str(out), "--append"])
+            assert r.returncode == 0, r.stderr[-2000:]
+            outs[fmt] = out
+        return outs
+
+    def test_append_matches_plain_format(self, tmp_path, spark):
+        from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+        outs = self._both(tmp_path)
+        for table in ("points", "lines", "polygons"):
+            plain = spark.read.parquet(
+                str(outs["plain"] / "tables" / table))
+            merged = ParquetMergeTable(
+                str(outs["merge"] / "tables" / table), id_col="osm_id"
+            ).read(spark)
+            key = [c for c in plain.columns if c != "geom"]
+            a = sorted(tuple(r) for r in plain.select(*key).collect())
+            b = sorted(tuple(r) for r in merged.select(*key).collect())
+            assert a == b, table
+            # geometries byte-equal too, keyed by osm_id
+            ga = {r["osm_id"]: bytes(r["geom"]) for r in plain.collect()
+                  if r["geom"] is not None}
+            gb = {r["osm_id"]: bytes(r["geom"]) for r in merged.collect()
+                  if r["geom"] is not None}
+            assert ga == gb, table
+
+    def test_append_rewrites_only_touched_buckets(self, tmp_path, spark):
+        outs = self._both(tmp_path)
+        r = _run([str(tmp_path / "change.osc"), str(outs["merge"]),
+                  "--append"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        # the tool reports per-table bucket counts; with a 2-object
+        # diff they must be far below the 16-bucket table width
+        import re
+
+        merged = {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(r"table (\w+): merged (\d+) bucket", r.stdout)
+        }
+        assert merged, r.stdout
+        assert all(n <= 4 for n in merged.values()), merged

@@ -303,6 +303,34 @@ def _write_tables(tables: dict[str, DataFrame], out_dir: str) -> dict[str, int]:
     return counts
 
 
+def _write_tables_merge(
+    tables: dict[str, DataFrame], out_dir: str, id_spaces: dict | None
+) -> dict[str, int]:
+    """--tables-format merge: id-tracked output tables are stored as
+    hash-bucketed ParquetMergeTable snapshots, so a later append
+    rewrites ONLY the buckets containing touched ids — table-refresh
+    I/O proportional to the diff, not the table (the property the
+    plain format lacks: its append rewrites every output table in
+    full, O(planet) per minutely diff at scale).  ids=nil log tables
+    stay plain parquet; appends only ADD files there."""
+    from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+    counts = {}
+    for name, df in tables.items():
+        path = os.path.join(out_dir, "tables", name)
+        if (id_spaces or {}).get(name) is None:
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = df.sparkSession.read.parquet(path).count()
+            continue
+        if "osm_id" not in df.columns:
+            raise SystemExit(
+                f"--tables-format merge needs an osm_id column in table {name!r}")
+        mt = ParquetMergeTable(path, id_col="osm_id")
+        mt.write_full(df)
+        counts[name] = mt.read(df.sparkSession).count()
+    return counts
+
+
 def _geom_tile_kernel(maxzoom: int, buffer: float):
     """mapInPandas kernel: WKB geometry column -> (x, y) dirty tiles
     at maxzoom, via the reference's expire walk."""
@@ -454,12 +482,21 @@ def cmd_create(args, spark) -> None:
         # reference output-null.cpp: parse the input, keep the middle
         # (slim mode), produce no tables
         style_fn = lambda spark, n, w, r: {}  # noqa: E731
+        id_spaces_c: dict | None = {}
     elif out_backend == "pgsql":
-        style_fn, _ = load_pgsql_style(args)
+        style_fn, id_spaces_c = load_pgsql_style(args)
     else:
-        style_fn, _ = load_style(args.style, getattr(args, "region_db", None))
+        style_fn, id_spaces_c = load_style(
+            args.style, getattr(args, "region_db", None))
     tables = style_fn(spark, nodes, ways, rels)
-    counts = _write_tables(tables, args.out_dir)
+    fmt = getattr(args, "tables_format", "plain")
+    if fmt == "merge":
+        if not id_spaces_c and out_backend != "null":
+            raise SystemExit(
+                "--tables-format merge needs the style to define ID_SPACES")
+        counts = _write_tables_merge(tables, args.out_dir, id_spaces_c)
+    else:
+        counts = _write_tables(tables, args.out_dir)
     if args.drop:
         # --create --slim --drop: middle only existed to build the
         # output; an appendless import reclaims it (reference --drop)
@@ -470,6 +507,7 @@ def cmd_create(args, spark) -> None:
     props.set("db_format", "parquet-v1")
     props.set("style", args.style or "generic")
     props.set("updatable", "false" if args.drop else "true")
+    props.set("tables_format", fmt)
     props.set("attributes", "false")
     props.set("import_timestamp", datetime.datetime.utcnow().isoformat() + "Z")
     # the reference stores the data's newest object timestamp
@@ -656,6 +694,50 @@ def cmd_append(args, spark) -> None:
             )
             print(f"expire list: {out}")
 
+    # --tables-format merge: partition-pruned output MERGE — delete
+    # touched keys from the touched buckets only, insert the new rows;
+    # log tables only ADD files.  Refresh I/O ~ diff, not table size.
+    fmt = props.get("tables_format") or "plain"
+    if fmt == "merge":
+        if not incremental:
+            raise SystemExit(
+                "--tables-format merge requires an incremental-capable "
+                "style (ID_SPACES)")
+        from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+        counts = {}
+        for name, new_rows in new_side.items():
+            keys, key_cols = _touched_keys(
+                id_spaces[name], node_ids, way_ids, rel_ids)
+            mt = ParquetMergeTable(
+                os.path.join(args.out_dir, "tables", name), id_col="osm_id")
+            buckets = mt.merge_refresh(
+                spark, keys, new_rows.localCheckpoint(), key_cols)
+            counts[name] = mt.read(spark).count()
+            print(f"table {name}: merged {len(buckets)} bucket(s)")
+        for name in log_tables:
+            path = os.path.join(args.out_dir, "tables", name)
+            add = log_new.get(name)
+            if add is not None:
+                add.write.mode("append").parquet(path)
+            if os.path.exists(path):
+                counts[name] = spark.read.parquet(path).count()
+        mids["nodes"].merge_diff(spark, n_diff)
+        mids["ways"].merge_diff(spark, w_diff)
+        mids["rels"].merge_diff(spark, r_diff)
+        props.set(
+            "append_timestamp", datetime.datetime.utcnow().isoformat() + "Z")
+        diff_ts = _data_timestamp((n_diff, w_diff, r_diff))
+        if diff_ts is not None:
+            cur = props.get("current_timestamp")
+            new = diff_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if cur is None or new > cur:
+                props.set("current_timestamp", new)
+        props.save()
+        for name, n in counts.items():
+            print(f"table {name}: {n} rows")
+        return
+
     # materialize the refreshed outputs BEFORE the middle MERGE swaps
     # the parquet files their lineage still reads
     if incremental:
@@ -755,6 +837,11 @@ def main() -> None:
         "needs the style's ID_SPACES) or full re-derivation; auto "
         "picks incremental when the style allows it",
     )
+    ap.add_argument(
+        "--tables-format", choices=("plain", "merge"), default="plain",
+        help="output table storage: plain parquet (append rewrites "
+        "tables in full) or hash-bucketed merge snapshots (append "
+        "rewrites only buckets containing touched ids)")
     ap.add_argument("--number-processes", type=int, default=0)
     args = ap.parse_args()
 
