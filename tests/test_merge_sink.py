@@ -135,3 +135,98 @@ def test_merge_swap_crash_recovery(spark, tmp_path):
     assert got == want
     assert not os.path.exists(t2._marker_path())
     assert not os.path.isdir(tmp)
+
+
+def _parts(spark, n=60):
+    """An OUTPUT-shaped table: several rows per osm_id (split parts)."""
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("osm_id"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("id") % 3).cast("int"))
+        ).alias("part"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+
+
+def test_merge_refresh_multi_row_per_id(spark, tmp_path):
+    """merge_refresh: delete-matching + insert keeps UNTOUCHED rows
+    (several per id) and replaces every row of a touched id — the
+    output-table contract, not the middle's one-row upsert."""
+    base = _parts(spark)
+    t = ParquetMergeTable(str(tmp_path / "out"), id_col="osm_id",
+                          num_buckets=8)
+    t.write_full(base)
+
+    touched = spark.createDataFrame([(3,), (7,), (9,)], "osm_id bigint")
+    new_rows = spark.createDataFrame(
+        [(3, 0, 999.0), (7, 0, 777.0), (7, 1, 778.0)],
+        "osm_id bigint, part int, v double",
+    )
+    buckets = t.merge_refresh(spark, touched, new_rows, ["osm_id"])
+    assert 0 < len(buckets) <= 8
+
+    got = t.read(spark)
+    rows = {(r["osm_id"], r["part"]): r["v"] for r in got.collect()}
+    # id 9 deleted entirely (touched, no new rows); 3 and 7 replaced
+    assert not any(k[0] == 9 for k in rows)
+    assert {k for k in rows if k[0] == 3} == {(3, 0)}
+    assert rows[(3, 0)] == 999.0
+    assert {k for k in rows if k[0] == 7} == {(7, 0), (7, 1)}
+    # an untouched multi-part id keeps every part
+    assert {k for k in rows if k[0] == 5} == {(5, 0), (5, 1), (5, 2)}
+
+    # equality with a from-scratch rebuild
+    want = (
+        base.join(touched, "osm_id", "left_anti").unionByName(new_rows)
+    )
+    a = sorted(tuple(r) for r in want.collect())
+    b = sorted(tuple(r) for r in got.select(*want.columns).collect())
+    assert a == b
+
+
+def test_merge_refresh_crash_recovery(spark, tmp_path):
+    """An interrupted merge_refresh swap completes via the same
+    journal recover() path merge_diff uses."""
+    import json as _json
+    import shutil
+
+    base = _parts(spark)
+    path = str(tmp_path / "out")
+    t = ParquetMergeTable(path, id_col="osm_id", num_buckets=8)
+    t.write_full(base)
+    before = {(r["osm_id"], r["part"]): r["v"] for r in t.read(spark).collect()}
+
+    touched = spark.createDataFrame([(4,), (8,)], "osm_id bigint")
+    new_rows = spark.createDataFrame(
+        [(4, 0, 444.0)], "osm_id bigint, part int, v double")
+    # stage the merge by hand: run it fully, then reconstruct the
+    # "crashed after staging, before swap" state from a second table
+    t.merge_refresh(spark, touched, new_rows, ["osm_id"])
+    after = {(r["osm_id"], r["part"]): r["v"] for r in t.read(spark).collect()}
+    assert after != before and after[(4, 0)] == 444.0
+
+    # crash simulation: stage tmp dirs + journal marker, leave swap undone
+    t2 = ParquetMergeTable(str(tmp_path / "out2"), id_col="osm_id",
+                           num_buckets=8)
+    t2.write_full(base)
+    tmp = t2.path + ".merge-tmp"
+    # stage: what the rewrite would have produced for bucket of id 4
+    from pyspark.sql import functions as FF
+    b4 = int(spark.range(1).select(
+        FF.pmod(FF.xxhash64(FF.lit(4).cast("bigint")), FF.lit(8))
+    ).collect()[0][0])
+    staged_df = (
+        base.withColumn(
+            "__bucket", FF.pmod(FF.xxhash64(FF.col("osm_id")), FF.lit(8)))
+        .where(FF.col("__bucket") == b4)
+        .join(touched, "osm_id", "left_anti")
+        .unionByName(new_rows.withColumn("__bucket", FF.lit(b4)))
+    )
+    staged_df.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+    with open(t2._marker_path(), "w", encoding="utf-8") as fh:
+        _json.dump({"touched": [b4], "staged": [b4]}, fh)
+
+    got = {(r["osm_id"], r["part"]): r["v"] for r in t2.read(spark).collect()}
+    assert not os.path.exists(t2._marker_path())  # recover() ran
+    assert got[(4, 0)] == 444.0
+    assert {k for k in got if k[0] == 4} == {(4, 0)}
