@@ -722,3 +722,48 @@ class TestMergeTablesFormat:
         }
         assert merged, r.stdout
         assert all(n <= 4 for n in merged.values()), merged
+
+
+def test_pgsql_output_merge_tables_format(tmp_path, spark):
+    """-O pgsql with --tables-format merge: the bucketed snapshot
+    append equals a fresh plain import of the merged data for all
+    four planet tables (same twin as the incremental test, different
+    storage/refresh path)."""
+    from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+    style_args = ["-O", "pgsql", "-S", DEFAULT_STYLE]
+    src = tmp_path / "in.opl"
+    src.write_text(PGSQL_OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out), *style_args, "--tables-format", "merge"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    osc = tmp_path / "diff.osc"
+    osc.write_text(PGSQL_OSC)
+    r = _run([str(osc), str(out), "--append", *style_args])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "merged" in r.stdout  # the pruned path actually ran
+
+    merged = tmp_path / "merged.opl"
+    merged.write_text(
+        "n1 Tamenity=pub,name=A x9.0 y50.0\n"
+        "n2 x9.0012 y50.0002\n"
+        "n3 x9.001 y50.001\n"
+        "n4 x9.0 y50.001\n"
+        "n20 Tamenity=cafe x9.3 y50.3\n"
+        "w100 Thighway=residential,name=Main Nn1,n2\n"
+        "w101 Tnatural=water Nn1,n2,n3,n4,n1\n"
+    )
+    twin_out = tmp_path / "twin"
+    r = _run([str(merged), str(twin_out), *style_args])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    for t in ("planet_osm_point", "planet_osm_line", "planet_osm_polygon",
+              "planet_osm_roads"):
+        a = ParquetMergeTable(
+            str(out / "tables" / t), id_col="osm_id").read(spark)
+        b = spark.read.parquet(str(twin_out / "tables" / t))
+        assert sorted(a.columns) == sorted(b.columns), t
+        a = a.select(*sorted(a.columns))
+        b = b.select(*sorted(a.columns))
+        assert a.exceptAll(b).count() == 0, t
+        assert b.exceptAll(a).count() == 0, t
