@@ -581,10 +581,11 @@ def _gopher_bm25_ctes() -> str:
     # CCNet-style char-trigram LM perplexity against the corpus's own
     # model (operators/lm.py) — the oracle trains the identical model
     # in CTEs; 4-decimal rounding absorbs float sum-order ULPs.
-    # Round 8 widened the composite with the Gopher repetition/shape
-    # signals (operators/quality.py) and BM25 retrieval scoring for a
-    # fixed query (operators/retrieval.py) — same per-doc key, the
-    # oracle twins live beside each operator.
+    # SELECT list FROZEN at the round-7 scope (bench continuity: this
+    # is a benched query and its trend line must keep meaning across
+    # rounds).  The round-8 Gopher/BM25 audit columns moved to the
+    # separate text_quality_signals gate below — new per-doc signals
+    # belong THERE, not here.
     oracle=f"""
     WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g3
                  FROM documents,
@@ -594,8 +595,7 @@ def _gopher_bm25_ctes() -> str:
     sc AS (SELECT doc_id, count(*) AS n_tri, avg(ln(c3 * 1.0 / c2)) AS lp
            FROM tri JOIN m3 USING (g3)
                     JOIN m2 ON substr(tri.g3, 1, 2) = m2.p2
-           GROUP BY doc_id),
-    {_gopher_bm25_ctes()}
+           GROUP BY doc_id)
     SELECT doc_id,
            {TX.token_count_sql('text')} AS n_tokens,
            {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
@@ -610,25 +610,12 @@ def _gopher_bm25_ctes() -> str:
            {TX.is_quality_sql('text')} AS is_quality,
            {S.simhash32_sql('text')} AS simhash,
            coalesce(n_tri, 0) AS n_tri3,
-           {roundn_sql('exp(-lp)', 4)} AS ppl3,
-           {roundn_sql('gq.dup_line_frac', 4)} AS dup_line_frac,
-           {roundn_sql('gq.dup_line_char_frac', 4)} AS dup_line_char_frac,
-           {roundn_sql('gq.bullet_line_frac', 4)} AS bullet_line_frac,
-           {roundn_sql('gq.ellipsis_line_frac', 4)} AS ellipsis_line_frac,
-           {roundn_sql('gq.mean_word_len', 4)} AS mean_word_len,
-           {roundn_sql('gq.alpha_word_frac', 4)} AS alpha_word_frac,
-           {roundn_sql('gq.top2gram_char_frac', 4)} AS top2gram_char_frac,
-           {roundn_sql('gq.dup5gram_char_frac', 4)} AS dup5gram_char_frac,
-           {roundn_sql('bq.bm25', 4)} AS bm25
+           {roundn_sql('exp(-lp)', 4)} AS ppl3
     FROM documents LEFT JOIN sc USING (doc_id)
-                   LEFT JOIN gq USING (doc_id)
-                   LEFT JOIN bq USING (doc_id)
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import lm
-    from osm2pgsql_spark.operators.quality import gopher_signals
-    from osm2pgsql_spark.operators.retrieval import bm25_scores
 
     docs = load_table(spark, sf_dir, "documents")
     ppl = lm.perplexity3(docs).select(
@@ -636,11 +623,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri").alias("n_tri3"),
         round4(F.col("ppl3")).alias("ppl3"),
     )
-    gq = gopher_signals(docs)
-    gq = gq.select("doc_id", *[round4(F.col(c)).alias(c)
-                               for c in gq.columns if c != "doc_id"])
-    bq = bm25_scores(docs, _BM25_TERMS).select(
-        "doc_id", round4(F.col("bm25")).alias("bm25"))
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
@@ -655,7 +637,45 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.char_count(TX.redact(F.col("text"))).alias("redacted_len"),
         TX.is_quality(F.col("text")).alias("is_quality"),
         S.simhash32(F.col("text")).alias("simhash"),
-    ).join(ppl, "doc_id").join(gq, "doc_id").join(bq, "doc_id")
+    ).join(ppl, "doc_id")
+
+
+@register(
+    "text_quality_signals",
+    # The round-8 audit columns split out of text_stats (bench-scope
+    # freeze): Gopher repetition/shape signals (operators/quality.py,
+    # Rae et al. 2021 §A1.1) + BM25 scoring for a fixed query
+    # (operators/retrieval.py).  Oracle twins live beside each
+    # operator; this gate is intentionally NOT benched — it absorbs
+    # future per-doc signal columns so the benched text_stats never
+    # changes scope again.
+    oracle=f"""
+    WITH {_gopher_bm25_ctes()}
+    SELECT doc_id,
+           {roundn_sql('gq.dup_line_frac', 4)} AS dup_line_frac,
+           {roundn_sql('gq.dup_line_char_frac', 4)} AS dup_line_char_frac,
+           {roundn_sql('gq.bullet_line_frac', 4)} AS bullet_line_frac,
+           {roundn_sql('gq.ellipsis_line_frac', 4)} AS ellipsis_line_frac,
+           {roundn_sql('gq.mean_word_len', 4)} AS mean_word_len,
+           {roundn_sql('gq.alpha_word_frac', 4)} AS alpha_word_frac,
+           {roundn_sql('gq.top2gram_char_frac', 4)} AS top2gram_char_frac,
+           {roundn_sql('gq.dup5gram_char_frac', 4)} AS dup5gram_char_frac,
+           {roundn_sql('bq.bm25', 4)} AS bm25
+    FROM documents LEFT JOIN gq USING (doc_id)
+                   LEFT JOIN bq USING (doc_id)
+    """,
+)
+def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osm2pgsql_spark.operators.quality import gopher_signals
+    from osm2pgsql_spark.operators.retrieval import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    gq = gopher_signals(docs)
+    gq = gq.select("doc_id", *[round4(F.col(c)).alias(c)
+                               for c in gq.columns if c != "doc_id"])
+    bq = bm25_scores(docs, _BM25_TERMS).select(
+        "doc_id", round4(F.col("bm25")).alias("bm25"))
+    return docs.select("doc_id").join(gq, "doc_id").join(bq, "doc_id")
 
 
 # ---------------------------------------------------------------------------
