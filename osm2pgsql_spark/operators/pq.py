@@ -150,57 +150,90 @@ def search_adc(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_batch: int = 1024,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, adist_e6): ADC top-k over the
     compressed corpus.  adist_e6 = sum over subspaces of
     floor(1e6 * ||q_sub - centroid[code]||^2 + 0.5) — an int64, so the
     sum is exact and order-independent.  Per-partition top-k inside
-    mapInPandas, then one global window over O(partitions*nq*k) rows."""
+    mapInPandas, then one global window over O(partitions*nq*k) rows.
+
+    The query side is CHUNKED (`query_batch`): queries are processed
+    in fixed-size batches, each batch shipping only its own
+    [m, ksub, batch] integerized LUT in the scan closure, and the
+    per-batch partial top-k frames are unioned before the one global
+    rank window.  Batches partition the query set and each
+    (query, neighbor) pair is scored in exactly one batch with the
+    batch-independent integer distance, so the union is equal to the
+    single-LUT result for any batch size (pinned by
+    test_pq::test_search_adc_chunked_equality).  Memory bound:
+    driver and per-task LUT = m * ksub * min(nq, query_batch) * 8
+    bytes (m=16, ksub=256, batch=1024 -> 32 MiB) instead of the
+    unbounded m * ksub * nq — the corpus scan is repeated
+    ceil(nq / query_batch) times, each over the 32x-compressed code
+    column."""
     m, ksub, dsub = books.shape
     qrows = queries.orderBy(id_col).select(id_col, vec_col).collect()
-    qids = np.asarray([r[id_col] for r in qrows], dtype="i8")
-    qvecs = np.asarray([np.asarray(r[vec_col], dtype="f8") for r in qrows])
-    nq = len(qids)
-    # integerized LUT [m, ksub, nq]
-    lut = np.empty((m, ksub, nq), dtype="i8")
-    for mi in range(m):
-        qs = qvecs[:, mi * dsub : (mi + 1) * dsub]
-        for c in range(ksub):
-            for qi in range(nq):
-                d = _seq_sq_l2(qs[qi], books[mi, c])
-                lut[mi, c, qi] = int(np.floor(d * 1e6 + 0.5))
+    all_qids = np.asarray([r[id_col] for r in qrows], dtype="i8")
+    all_qvecs = np.asarray([np.asarray(r[vec_col], dtype="f8") for r in qrows])
+    if query_batch <= 0:
+        raise ValueError("query_batch must be positive")
 
-    def scan(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            codes = np.stack([np.asarray(c, dtype="i8") for c in pdf["codes"]])
-            acc = np.zeros((len(ids), nq), dtype="i8")
-            for mi in range(m):
-                acc += lut[mi][codes[:, mi], :]
-            topn = min(k + 1, len(ids))  # +1 absorbs the self-match
-            out_q, out_n, out_d = [], [], []
-            for qi in range(nq):
-                col = acc[:, qi]
-                # full (adist, id) order, not argpartition: PQ codes
-                # tie often and the global rank tie-breaks on id, so
-                # the partition cut must use the same total order
-                part = np.lexsort((ids, col))[:topn]
-                out_q.append(np.full(topn, qids[qi], dtype="i8"))
-                out_n.append(ids[part])
-                out_d.append(col[part])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "adist_e6": np.concatenate(out_d),
-                }
-            )
+    def _batch_scan(qids: np.ndarray, qvecs: np.ndarray):
+        nq = len(qids)
+        # integerized LUT [m, ksub, nq] for THIS batch only
+        lut = np.empty((m, ksub, nq), dtype="i8")
+        for mi in range(m):
+            qs = qvecs[:, mi * dsub : (mi + 1) * dsub]
+            for c in range(ksub):
+                for qi in range(nq):
+                    d = _seq_sq_l2(qs[qi], books[mi, c])
+                    lut[mi, c, qi] = int(np.floor(d * 1e6 + 0.5))
 
-    partial = codes_df.mapInPandas(
-        scan, "query_id long, neighbor_id long, adist_e6 long"
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+        def scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                codes = np.stack([np.asarray(c, dtype="i8") for c in pdf["codes"]])
+                acc = np.zeros((len(ids), nq), dtype="i8")
+                for mi in range(m):
+                    acc += lut[mi][codes[:, mi], :]
+                topn = min(k + 1, len(ids))  # +1 absorbs the self-match
+                out_q, out_n, out_d = [], [], []
+                for qi in range(nq):
+                    col = acc[:, qi]
+                    # full (adist, id) order, not argpartition: PQ codes
+                    # tie often and the global rank tie-breaks on id, so
+                    # the partition cut must use the same total order
+                    part = np.lexsort((ids, col))[:topn]
+                    out_q.append(np.full(topn, qids[qi], dtype="i8"))
+                    out_n.append(ids[part])
+                    out_d.append(col[part])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adist_e6": np.concatenate(out_d),
+                    }
+                )
+
+        return codes_df.mapInPandas(
+            scan, "query_id long, neighbor_id long, adist_e6 long"
+        )
+
+    parts = [
+        _batch_scan(all_qids[lo : lo + query_batch], all_qvecs[lo : lo + query_batch])
+        for lo in range(0, len(all_qids), query_batch)
+    ]
+    if not parts:
+        return codes_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adist_e6 long"
+        )
+    partial = parts[0]
+    for p in parts[1:]:
+        partial = partial.unionByName(p)
+    partial = partial.where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adist_e6"), F.asc("neighbor_id")
     )

@@ -107,6 +107,30 @@ def test_adc_topk_matches_twin_and_layout_independent(corpus):
     assert rep == got
 
 
+def test_search_adc_chunked_equality(corpus):
+    """The query-side LUT chunking is result-invariant: forcing one
+    query per batch (query_batch=1, 8 corpus scans) and an
+    odd-size batch must both equal the single-LUT answer — batches
+    partition the query set and the integer distances are
+    batch-independent, so the unioned partial top-k is identical."""
+    vecs, df = corpus
+    books = pq.train_pq(df, m=M, ksub=KSUB, iters=ITERS, round_decimals=6)
+    codes = pq.encode(df, books)
+    queries = df.where(F.col("vec_id") < 8)
+
+    def run(batch):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["adist_e6"])
+            for r in pq.search_adc(
+                codes, queries, books, k=K, query_batch=batch
+            ).collect()
+        }
+
+    single = run(10_000)  # one LUT covers all 8 queries
+    assert run(1) == single
+    assert run(3) == single
+
+
 def test_adc_finds_true_cluster_neighbors(corpus):
     """On tight clusters the compressed-domain top-k must agree with
     exact L2: every returned neighbor is in the query's ball."""
