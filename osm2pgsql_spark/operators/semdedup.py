@@ -21,6 +21,16 @@ Spark shape (100-TB plan):
   if it is within `threshold` cosine of ANY earlier kept item
   (deterministic greedy — layout-independent because the group is
   sorted before the scan, so results don't depend on partitioning).
+
+Cross-engine determinism (the repo's integerization discipline, cf.
+operators/pq.py ADC): unit vectors are quantized to a 1e-6 grid
+(floor(u * 1e6 + 0.5) as int64) and the pairwise similarity is the
+exact int64 dot of the quantized units, compared against
+floor(threshold * 1e12 + 0.5).  Integer arithmetic is
+order-independent, so the greedy cascade — where one flipped
+comparison would propagate — reproduces bit-for-bit in the DuckDB
+oracle (queries.py::semdedup_decisions).  The quantization moves the
+effective threshold by < 1e-5 cosine, far below any semantic meaning.
 """
 
 from __future__ import annotations
@@ -38,6 +48,8 @@ def _dedup_group_kernel(threshold: float, id_col: str, vec_col: str):
     dup_of).  Greedy scan in ascending id order: O(kept * c) dot
     products, vectorized against the kept block."""
 
+    thr_int = int(np.floor(threshold * 1e12 + 0.5))
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
@@ -45,14 +57,16 @@ def _dedup_group_kernel(threshold: float, id_col: str, vec_col: str):
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0.0] = 1.0
         unit = vecs / norms[:, None]
+        # 1e-6-grid quantization -> exact int64 similarity (module doc)
+        uq = np.floor(unit * 1e6 + 0.5).astype("i8")
         kept_rows: list[int] = []
         keep = np.ones(len(ids), dtype=bool)
         dup_of = np.full(len(ids), -1, dtype="i8")
         for i in range(len(ids)):
             if kept_rows:
-                sims = unit[kept_rows] @ unit[i]
-                j = int(np.argmax(sims))
-                if sims[j] >= threshold:
+                sims = uq[kept_rows] @ uq[i]
+                j = int(np.argmax(sims))  # first max = lowest kept id
+                if sims[j] >= thr_int:
                     keep[i] = False
                     dup_of[i] = ids[kept_rows[j]]
                     continue

@@ -1866,21 +1866,118 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(src, tgt, top_k=_DSIR_TOPK)
 
 
-@register("ann_ivfpq_topk")  # non-SQL (two nested trainings): rows-only gate
+# ---------------------------------------------------------------------------
+# Frozen-artifact oracles (round 9): the three trainings that have no
+# ANSI-SQL twin (nested Lloyd loops, greedy merge selection, k-means)
+# are FROZEN — tools/freeze_artifacts.py trains once at the gate scale
+# and commits the model as literals (osm2pgsql_spark/frozen.py) that
+# both the Spark gate query and its DuckDB oracle embed.  The gates
+# below therefore compare the full DECISION / SEARCH / ENCODE stages
+# rows+schema+hash; training itself stays pinned by the existing
+# unrolled-Lloyd gates (ann_ivf_topk, ann_pq_topk), the sequential
+# twins (test_bpe, test_pq), and tests/test_frozen.py's
+# retrain-equals-literal check.
+# ---------------------------------------------------------------------------
+
+
+def _sql_dlist(vals) -> str:
+    """Doubles as a DuckDB list literal — repr() is the shortest
+    round-trip form, which strtod parses back to identical bits."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _ivfpq_oracle() -> str:
+    from osm2pgsql_spark import frozen
+
+    dim = len(frozen.IVFPQ_CENTS[0])
+    m = len(frozen.IVFPQ_BOOKS)
+    dsub = dim // m
+    cent_rows = ", ".join(
+        f"({c}, {_sql_dlist(cv)})" for c, cv in enumerate(frozen.IVFPQ_CENTS)
+    )
+    book_rows = ", ".join(
+        f"({s + 1}, {code}, {_sql_dlist(bv)})"
+        for s, sub in enumerate(frozen.IVFPQ_BOOKS)
+        for code, bv in enumerate(sub)
+    )
+
+    def norm(col: str) -> str:
+        return (
+            f"list_transform({col}, x -> x / greatest(sqrt(list_sum("
+            f"list_transform({col}, y -> y * y))), 1e-12))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    return f"""
+    WITH cents(cluster, cv) AS (VALUES {cent_rows}),
+         books(s, code, bv) AS (VALUES {book_rows}),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         n AS (SELECT vec_id, v, {norm('v')} AS nv FROM e),
+         nc AS (SELECT cluster, cv, {norm('cv')} AS ncv FROM cents),
+         asg AS (SELECT vec_id, v, cluster, cv FROM (
+             SELECT n.vec_id, n.v, c.cluster, c.cv, row_number() OVER (
+               PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster) AS rn
+             FROM n CROSS JOIN nc c) WHERE rn = 1),
+         res AS (SELECT vec_id, cluster,
+                        list_transform(generate_series(1, {dim}), i -> v[i] - cv[i]) AS r
+                 FROM asg),
+         sub AS (SELECT vec_id, cluster, s, r[(s-1)*{dsub}+1 : s*{dsub}] AS rsub
+                 FROM res, UNNEST(generate_series(1, {m})) AS u(s)),
+         enc AS (SELECT vec_id, cluster, s, code FROM (
+             SELECT sub.vec_id, sub.cluster, sub.s, b.code, row_number() OVER (
+               PARTITION BY sub.vec_id, sub.s ORDER BY {l2('sub.rsub', 'b.bv')} ASC, b.code) AS rn
+             FROM sub JOIN books b ON b.s = sub.s) WHERE rn = 1),
+         qp AS (SELECT query_id, qv, cluster, cv FROM (
+             SELECT n.vec_id AS query_id, n.v AS qv, c.cluster, c.cv, row_number() OVER (
+               PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster) AS prn
+             FROM n CROSS JOIN nc c WHERE n.vec_id < {_ANN_NQ}) WHERE prn <= {_IVF_NPROBE}),
+         qsub AS (SELECT query_id, cluster, s, qr[(s-1)*{dsub}+1 : s*{dsub}] AS qrsub FROM (
+             SELECT query_id, cluster,
+                    list_transform(generate_series(1, {dim}), i -> qv[i] - cv[i]) AS qr
+             FROM qp), UNNEST(generate_series(1, {m})) AS u(s)),
+         lut AS (SELECT q.query_id, q.cluster, q.s, b.code,
+                        CAST(floor({l2('q.qrsub', 'b.bv')} * 1e6 + 0.5e0) AS BIGINT) AS d
+                 FROM qsub q JOIN books b ON b.s = q.s),
+         ad AS (SELECT l.query_id, x.vec_id AS neighbor_id,
+                       CAST(sum(l.d) AS BIGINT) AS adist_e6
+                FROM enc x
+                JOIN lut l ON l.cluster = x.cluster AND l.s = x.s AND l.code = x.code
+                WHERE x.vec_id <> l.query_id
+                GROUP BY l.query_id, x.vec_id),
+         ranked AS (SELECT query_id, neighbor_id, adist_e6, row_number() OVER (
+             PARTITION BY query_id ORDER BY adist_e6, neighbor_id) AS rank FROM ad)
+    SELECT query_id, neighbor_id, rank, adist_e6
+    FROM ranked WHERE rank <= {_ANN_K}
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS IVFADC shape): coarse cells + residual PQ codes;
-    the probe join carries M-byte codes only.  Both component
-    trainings are gated with full SQL twins separately (ann_ivf_topk,
-    ann_pq_topk); the composition's oracle would nest both unrolled
-    Lloyd loops, so the driver records the rows-only check and
-    test_pq::TestIvfPq pins recall + layout independence."""
+    the probe join carries M-byte codes only.  The codebooks are the
+    FROZEN artifacts (frozen.IVFPQ_*, trained by the gated-elsewhere
+    trainers at sf0.01); the gate compares the full encode + probe +
+    residual-ADC pipeline against a literal-codebook DuckDB twin."""
+    import numpy as np
+
+    from osm2pgsql_spark import frozen
     from osm2pgsql_spark.operators import pq
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents, books = pq.train_ivfpq(
-        e, nlist=_IVF_NLIST, m=_PQ_M, ksub=_PQ_KSUB,
-        coarse_iters=2, pq_iters=2, round_decimals=6,
-    )
+    cents = np.asarray(frozen.IVFPQ_CENTS, dtype="f8")
+    books = np.asarray(frozen.IVFPQ_BOOKS, dtype="f8")
     ix = pq.encode_ivfpq(e, cents, books)
     queries_df = e.where(F.col("vec_id") < _ANN_NQ)
     return pq.search_ivfpq(
@@ -1888,18 +1985,80 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode")  # non-SQL (iterative merge selection): rows-only gate
+def _bpe_oracle() -> str:
+    from osm2pgsql_spark import frozen
+
+    # rank = 1-based list_position in the merge-key list; chr(31) is a
+    # separator no token can contain (tokens are word chars + the end
+    # marker)
+    keys = ", ".join(
+        f"{a!r} || chr(31) || {b!r}" for a, b in frozen.BPE_MERGES
+    )
+    return f"""
+    WITH RECURSIVE
+         keys AS (SELECT [{keys}] AS ks),
+         w AS (SELECT DISTINCT u.w AS word
+               FROM (SELECT string_split_regex(lower(text), '\\s+') AS ws
+                     FROM documents) t, UNNEST(t.ws) AS u(w)
+               WHERE u.w <> ''),
+         enc AS (
+           SELECT word,
+                  list_append(list_filter(string_split(word, ''), c -> c <> ''),
+                              '▁') AS parts,
+                  0 AS step
+           FROM w
+           UNION ALL
+           SELECT word,
+                  parts[1 : bi-1] || [parts[bi] || parts[bi+1]]
+                      || parts[bi+2 : len(parts)] AS parts,
+                  step + 1
+           FROM (
+             SELECT word, parts, step, best['i'] AS bi
+             FROM (
+               SELECT word, parts, step,
+                      list_sort(list_filter(list_transform(
+                        generate_series(1, len(parts) - 1),
+                        i -> {{'r': nullif(list_position(ks,
+                                parts[i] || chr(31) || parts[i+1]), 0),
+                              'i': i}}),
+                        x -> x['r'] IS NOT NULL))[1] AS best
+               FROM enc, keys
+             ) s0 WHERE best IS NOT NULL
+           ) s1),
+         fin AS (SELECT word, parts FROM (
+             SELECT word, parts, row_number() OVER (
+               PARTITION BY word ORDER BY step DESC) AS rn FROM enc)
+             WHERE rn = 1),
+         dw AS (SELECT doc_id, pos, ws[pos] AS word
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+                      FROM documents) t,
+                     UNNEST(generate_series(1, len(ws))) AS u(pos)
+                WHERE ws[pos] <> ''),
+         agg AS (SELECT doc_id,
+                        CAST(sum(len(parts)) AS BIGINT) AS n_bpe,
+                        flatten(list(parts ORDER BY pos)) AS toks
+                 FROM dw JOIN fin USING (word) GROUP BY doc_id)
+    SELECT doc_id,
+           coalesce(n_bpe, 0) AS n_bpe,
+           coalesce(array_to_string(toks[1:5], ' '), '') AS head_tokens
+    FROM documents LEFT JOIN agg USING (doc_id)
+    """
+
+
+@register("bpe_encode", oracle=_bpe_oracle())
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE: train 25 merges on the corpus (each round one
-    pair-count aggregation; ties break (count desc, left asc, right
-    asc) so the model is deterministic), then Arrow-encode every doc.
-    Iterative greedy merge selection has no ANSI-SQL twin; test_bpe
-    pins the trainer against a sequential reference implementation."""
+    """BPE greedy encode (lowest-rank pair first, leftmost on rank
+    ties) of every document under the FROZEN 25-merge model
+    (frozen.BPE_MERGES).  The oracle replays the same greedy loop as
+    a DuckDB recursive CTE over the distinct-word table — the same
+    word-cache shape the Arrow kernel uses.  The trainer itself is
+    pinned by test_bpe (sequential reference twin) and test_frozen
+    (retrain at sf0.01 == the frozen literals)."""
+    from osm2pgsql_spark import frozen
     from osm2pgsql_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(docs, num_merges=25)
-    enc = bpe.encode(docs, merges)
+    enc = bpe.encode(docs, list(frozen.BPE_MERGES))
     return enc.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_bpe"),
@@ -1907,20 +2066,108 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semdedup_decisions")  # non-SQL (iterative k-means): rows-only gate
+_SEMDEDUP_THRESHOLD = 0.92
+
+
+def _semdedup_oracle() -> str:
+    import numpy as np
+
+    from osm2pgsql_spark import frozen
+
+    dim = len(frozen.SEMDEDUP_CENTROIDS[0])
+    thr_int = int(np.floor(_SEMDEDUP_THRESHOLD * 1e12 + 0.5))
+    cent_rows = ", ".join(
+        f"({c}, {_sql_dlist(cv)})"
+        for c, cv in enumerate(frozen.SEMDEDUP_CENTROIDS)
+    )
+
+    def norm(col: str) -> str:
+        return (
+            f"list_transform({col}, x -> x / greatest(sqrt(list_sum("
+            f"list_transform({col}, y -> y * y))), 1e-12))"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    return f"""
+    WITH RECURSIVE
+         cents(cluster, cv) AS (VALUES {cent_rows}),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         n AS (SELECT vec_id, v, {norm('v')} AS nv FROM e),
+         nc AS (SELECT cluster, {norm('cv')} AS ncv FROM cents),
+         asg AS (SELECT vec_id, v, cluster FROM (
+             SELECT n.vec_id, n.v, c.cluster, row_number() OVER (
+               PARTITION BY n.vec_id ORDER BY {dot('n.nv', 'c.ncv')} DESC, c.cluster) AS rn
+             FROM n CROSS JOIN nc c) WHERE rn = 1),
+         mem AS (SELECT vec_id, cluster,
+                        list_transform(v, x -> CAST(floor(x / (
+                          CASE WHEN sqrt(list_sum(list_transform(v, y -> y * y))) = 0
+                               THEN 1.0e0
+                               ELSE sqrt(list_sum(list_transform(v, y -> y * y))) END
+                        ) * 1000000.0e0 + 0.5e0) AS BIGINT)) AS uq,
+                        row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+                 FROM asg),
+         walk AS (
+           SELECT cluster, CAST(0 AS BIGINT) AS rn,
+                  CAST(NULL AS BIGINT) AS vec_id,
+                  CAST(NULL AS BOOLEAN) AS keep,
+                  CAST(NULL AS BIGINT) AS dup_of,
+                  CAST([] AS BIGINT[]) AS kept_ids,
+                  CAST([] AS BIGINT[][]) AS kept_uqs
+           FROM (SELECT DISTINCT cluster FROM mem)
+           UNION ALL
+           SELECT cluster, rn, vec_id,
+                  NOT isdup AS keep,
+                  CASE WHEN isdup THEN kept_ids[list_position(sims, mx)]
+                       ELSE -1 END AS dup_of,
+                  CASE WHEN isdup THEN kept_ids
+                       ELSE list_append(kept_ids, vec_id) END AS kept_ids,
+                  CASE WHEN isdup THEN kept_uqs
+                       ELSE list_append(kept_uqs, uq) END AS kept_uqs
+           FROM (
+             SELECT *, coalesce(mx >= {thr_int}, FALSE) AS isdup
+             FROM (
+               SELECT *, list_max(sims) AS mx
+               FROM (
+                 SELECT w.cluster, m.rn, m.vec_id, m.uq, w.kept_ids, w.kept_uqs,
+                        list_transform(w.kept_uqs, kv -> list_sum(list_transform(
+                          generate_series(1, {dim}), i -> kv[i] * m.uq[i]))) AS sims
+                 FROM walk w JOIN mem m ON m.cluster = w.cluster AND m.rn = w.rn + 1
+               ) s0
+             ) s1
+           ) s2)
+    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, keep, dup_of
+    FROM walk WHERE rn > 0
+    """
+
+
+@register("semdedup_decisions", oracle=_semdedup_oracle())
 def q_semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep-decisions over the embeddings
-    table: seeded distributed k-means -> within-cluster greedy cosine
-    pruning in applyInPandas (the paper's bounded work unit; shuffle
-    keyed only on cluster id).  Deterministic — sorted greedy on
-    seeded centroids — but k-means is iterative, so no ANSI-SQL
-    oracle exists; the driver records the weaker rows-only check and
-    test_semdedup pins exact keep/dup_of equality vs a brute-force
-    Python twin."""
+    table under the FROZEN centroid model (frozen.SEMDEDUP_CENTROIDS):
+    cosine-nearest assignment -> within-cluster ascending-id greedy
+    pruning on the 1e-6-quantized integer cosine (applyInPandas, the
+    paper's bounded work unit; shuffle keyed only on cluster id).  The
+    oracle replays the greedy cascade as a DuckDB recursive CTE
+    carrying the kept set per cluster — exact because the similarity
+    is an order-independent int64 dot.  k-means training is pinned by
+    ann_ivf_topk's unrolled-Lloyd gate and test_frozen."""
+    import numpy as np
+
+    from osm2pgsql_spark import frozen
     from osm2pgsql_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, nlist=8, iters=4, threshold=0.92)
+    return semantic_dedup(
+        emb,
+        centroids=np.asarray(frozen.SEMDEDUP_CENTROIDS, dtype="f8"),
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,9 @@ def emb(spark):
 def _python_twin(rows, centroids, threshold):
     """Exact twin of assign+greedy: cosine-nearest centroid (the IVF
     assigner's argmax, ties -> lowest cluster id), then ascending-id
-    greedy keep scan."""
+    greedy keep scan on the 1e-6-quantized integer similarity (the
+    operator's cross-engine discipline)."""
+    thr_int = int(np.floor(threshold * 1e12 + 0.5))
     cu = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     by_cluster = {}
@@ -33,19 +35,20 @@ def _python_twin(rows, centroids, threshold):
         kept = []
         for vid, v in items:  # already ascending id
             u = v / (np.linalg.norm(v) or 1.0)
+            uq = np.floor(u * 1e6 + 0.5).astype("i8")
             hit = None
-            best = -2.0
+            best = None
             for kvid, ku in kept:
-                s = float(ku @ u)
-                if s > best:
+                s = int(ku @ uq)
+                if best is None or s > best:
                     best, hit = s, kvid
-            if kept and best >= threshold:
+            if kept and best >= thr_int:
                 keep[vid] = False
                 dup_of[vid] = hit
             else:
                 keep[vid] = True
                 dup_of[vid] = -1
-                kept.append((vid, u))
+                kept.append((vid, uq))
     return keep, dup_of
 
 
