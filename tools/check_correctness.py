@@ -7,6 +7,13 @@ row count, column names, and an order-insensitive value hash
 engine's rounding discipline must make them identical).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json writes a driver-format CORRECTNESS artifact (one object per
+query with rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err plus a secs timing) — commit one full sweep per round as
+CORRECTNESS_full_rN.json so every registered query has a fresh green
+oracle row even when the driver's own budget rotates gates out.
 """
 
 from __future__ import annotations
@@ -63,8 +70,13 @@ def value_hash(rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from osm2pgsql_spark.session import get_spark
@@ -75,6 +87,17 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
+
+    def rec(name, rows_match, schema_match, hash_match, spark_rows,
+            oracle_rows, err, secs):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+            "secs": round(secs, 1),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,9 +109,13 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             failures.append(name)
+            rec(name, None, None, None, None, None,
+                f"spark: {ex}"[:200], time.time() - t0)
             continue
         if name not in oracles:
             print(f"okay {name}: rows={len(srows)} (no oracle — rows-only)")
+            rec(name, None, None, None, len(srows), None, "no_oracle",
+                time.time() - t0)
             continue
         try:
             res = con.execute(oracles[name])
@@ -97,19 +124,25 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
+            rec(name, None, None, None, len(srows), None,
+                f"duckdb: {ex}"[:200], time.time() - t0)
             continue
         ok = True
-        if sorted(scols) != sorted(dcols):
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = False
+        if not schema_match:
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
-        elif len(srows) != len(drows):
+        elif not rows_match:
             print(f"FAIL {name}: rows spark={len(srows)} duck={len(drows)}")
             ok = False
         else:
             ns = normalize(srows, scols)
             nd = normalize(drows, dcols)
             hs, hd = value_hash(ns), value_hash(nd)
-            if hs != hd:
+            hash_match = hs == hd
+            if not hash_match:
                 print(f"FAIL {name}: value hash {hs} != {hd}")
                 for i, (a, b) in enumerate(zip(ns, nd)):
                     if a != b:
@@ -117,10 +150,19 @@ def main() -> int:
                         break
                 ok = False
         dt = time.time() - t0
+        rec(name, rows_match, schema_match, hash_match, len(srows),
+            len(drows), None, dt)
         if ok:
             print(f"PASS {name}: rows={len(srows)} ({dt:.1f}s)")
         else:
             failures.append(name)
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
 
     print()
     if failures:
