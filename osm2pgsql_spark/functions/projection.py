@@ -575,6 +575,20 @@ def sterea_inverse(E: np.ndarray, N: np.ndarray, p: StereaParams):
 
 # ------------------------------------------------------------ geometry API
 
+def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
+    """Dispatch the forward projection for a resolved params object —
+    vectorized (lon[], lat[]) -> (x[], y[])."""
+    if isinstance(p, TmercParams):
+        return tmerc_forward(lon, lat, p)
+    if isinstance(p, LccParams):
+        return lcc_forward(lon, lat, p)
+    if isinstance(p, AlbersParams):
+        return albers_forward(lon, lat, p)
+    if isinstance(p, StereaParams):
+        return sterea_forward(lon, lat, p)
+    return laea_forward(lon, lat, p)
+
+
 def transform_epsg(geom, code: int):
     """Forward-transform a geometry (kind, payload) from 4326 into the
     target EPSG — same geometry model as functions/geometry.py."""
@@ -583,16 +597,7 @@ def transform_epsg(geom, code: int):
     p = epsg_params(code)
 
     def f(a: np.ndarray) -> np.ndarray:
-        if isinstance(p, TmercParams):
-            x, y = tmerc_forward(a[:, 0], a[:, 1], p)
-        elif isinstance(p, LccParams):
-            x, y = lcc_forward(a[:, 0], a[:, 1], p)
-        elif isinstance(p, AlbersParams):
-            x, y = albers_forward(a[:, 0], a[:, 1], p)
-        elif isinstance(p, StereaParams):
-            x, y = sterea_forward(a[:, 0], a[:, 1], p)
-        else:
-            x, y = laea_forward(a[:, 0], a[:, 1], p)
+        x, y = forward_xy(a[:, 0], a[:, 1], p)
         return np.column_stack([x, y])
 
     return _map_coords(geom, f)

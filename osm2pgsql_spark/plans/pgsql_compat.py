@@ -88,6 +88,42 @@ def mercator_nodes(nodes: DataFrame) -> DataFrame:
     return nodes.withColumn("lon", x).withColumn("lat", y)
 
 
+def project_nodes(nodes: DataFrame, srid: int) -> DataFrame:
+    """Node lon/lat -> target-srid coordinates IN PLACE (same column
+    names): 3857 via the JVM-side mercator expressions, 4326
+    passthrough, any other EPSG via the public-formula registry
+    (functions/projection.py) in one Arrow-batched numpy kernel — the
+    reference's -E/--proj output projection
+    (src/command-line-parser.cpp:427-440, reprojection_t)."""
+    if srid == 3857:
+        return mercator_nodes(nodes)
+    if srid == 4326:
+        return nodes
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(srid)  # raises for unknown codes, like PROJ
+
+    # no annotations: postponed-evaluation strings (PEP 563, active in
+    # this module) defeat pandas_udf's signature inference for the
+    # struct-returning Series,Series->DataFrame shape
+    def _proj_kernel(lon, lat):
+        x, y = PJ.forward_xy(lon.to_numpy(), lat.to_numpy(), p)
+        return pd.DataFrame({"x": x, "y": y})
+
+    proj = pandas_udf(_proj_kernel, "struct<x: double, y: double>")
+
+    return (
+        nodes.withColumn("__prj", proj(F.col("lon"), F.col("lat")))
+        .withColumn("lon", F.col("__prj.x"))
+        .withColumn("lat", F.col("__prj.y"))
+        .drop("__prj")
+    )
+
+
 def mercator_shoelace_area(pts) -> "F.Column":
     """way_area for --reproject-area (src/output-pgsql.cpp:45-55,
     src/command-line-parser.cpp:447-448): the geometry column stays in

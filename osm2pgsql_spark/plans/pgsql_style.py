@@ -455,15 +455,15 @@ def planet_tables_styled(
     (4326) and split into one row per piece."""
     from osm2pgsql_spark.operators.geom_udfs import wkb_segmentize, wkb_split_parts
     from osm2pgsql_spark.plans.pgsql_compat import (
-        mercator_nodes,
         mercator_shoelace_area,
+        project_nodes,
     )
 
-    if srid == 3857:
-        nodes = mercator_nodes(nodes)
-        split_at = 100_000.0
-    else:
-        split_at = 1.0
+    # reference: transform to the target projection, then segmentize
+    # at 1 degree (latlon target) / 100 km (projected target) —
+    # output-pgsql.cpp:109-111
+    nodes = project_nodes(nodes, srid)
+    split_at = 1.0 if srid == 4326 else 100_000.0
     tags = F.col("tags")
 
     # --- points ---

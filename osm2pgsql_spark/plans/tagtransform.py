@@ -306,16 +306,13 @@ def planet_tables_lua(
         wkb_split_parts,
     )
     from osm2pgsql_spark.plans.pgsql_compat import (
-        mercator_nodes,
         mercator_shoelace_area,
+        project_nodes,
     )
     from osm2pgsql_spark.plans.pgsql_style import int4_escape
 
-    if srid == 3857:
-        nodes = mercator_nodes(nodes)
-        split_at = 100_000.0
-    else:
-        split_at = 1.0
+    nodes = project_nodes(nodes, srid)
+    split_at = 1.0 if srid == 4326 else 100_000.0
 
     ot = F.col("out")
     # the Lua transform computes z_order itself and returns it as a

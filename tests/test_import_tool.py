@@ -767,3 +767,175 @@ def test_pgsql_output_merge_tables_format(tmp_path, spark):
         b = b.select(*sorted(a.columns))
         assert a.exceptAll(b).count() == 0, t
         assert b.exceptAll(a).count() == 0, t
+
+
+class TestProjectionFlags:
+    """-E/--proj, -m/--merc, -l mutual exclusion and arbitrary-EPSG
+    output (command-line-parser.cpp:182-186, 397-440)."""
+
+    def test_only_one_projection_flag(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        r = _run([str(src), str(tmp_path / "db"), "-O", "pgsql",
+                  "-S", DEFAULT_STYLE, "-l", "-E", "25833"])
+        assert r.returncode != 0
+        assert ("You can only use one of --latlong, -l, --merc, -m, "
+                "--proj, and -E") in r.stderr
+
+    def test_proj_epsg_25833_matches_direct_transform(self, tmp_path, spark):
+        """pgsql output at EPSG:25833 (ETRS89 / UTM 33N): point
+        coordinates equal the registry forward transform applied
+        directly — the -E path really projects, not a silently-kept
+        latlong."""
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        out = tmp_path / "db"
+        r = _run([str(src), str(out), "-O", "pgsql", "-S", DEFAULT_STYLE,
+                  "-E", "25833"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        import numpy as np
+
+        from osm2pgsql_spark.functions import projection as PJ
+
+        pts = {row["osm_id"]: (row["lon"], row["lat"]) for row in
+               spark.read.parquet(
+                   str(out / "tables" / "planet_osm_point")).collect()}
+        p = PJ.epsg_params(25833)
+        for osm_id, (lon, lat) in {1: (9.0, 50.0), 10: (9.2, 50.2)}.items():
+            x, y = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
+            assert pts[osm_id] == (float(x[0]), float(y[0])), osm_id
+
+    def test_merc_flag_equals_default(self, tmp_path, spark):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        a, b = tmp_path / "a", tmp_path / "b"
+        style = ["-O", "pgsql", "-S", DEFAULT_STYLE]
+        assert _run([str(src), str(a), *style]).returncode == 0
+        assert _run([str(src), str(b), *style, "-m"]).returncode == 0
+        pa = spark.read.parquet(str(a / "tables" / "planet_osm_point"))
+        pb = spark.read.parquet(str(b / "tables" / "planet_osm_point"))
+        assert pa.exceptAll(pb).count() == 0
+        assert pb.exceptAll(pa).count() == 0
+
+    def test_expire_requires_mercator(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        r = _run([str(src), str(tmp_path / "db"), "-O", "pgsql",
+                  "-S", DEFAULT_STYLE, "-l", "--expire-tiles", "12"])
+        assert r.returncode != 0
+        assert ("Expire has been enabled (with -e or --expire-tiles) "
+                "but target SRS is not Mercator (EPSG:3857)") in r.stderr
+
+
+# a ~0.5 x 0.5 degree water polygon (~55 km x 35 km at lat 50): its
+# 3857 bbox exceeds the 20000 m default --expire-bbox-size, so hybrid
+# mode expires the boundary only; node 8 is nudged in the diff
+BIG_POLY_OPL = """n5 x9.0 y50.0
+n6 x9.5 y50.0
+n7 x9.5 y50.5
+n8 x9.0 y50.5
+w200 Tnatural=water Nn5,n6,n7,n8,n5
+"""
+
+BIG_POLY_OSC = """<?xml version='1.0'?>
+<osmChange version="0.6">
+  <modify><node id="8" lat="50.501" lon="9.0"/></modify>
+</osmChange>
+"""
+
+
+class TestExpireBboxSize:
+    """--expire-bbox-size: hybrid full-area/boundary-only switch
+    (expire-config.hpp:16-45, expire-tiles.cpp:116-135; default 20000,
+    options.hpp:99)."""
+
+    def _tiles(self, tmp_path, extra):
+        src = tmp_path / "in.opl"
+        src.write_text(BIG_POLY_OPL)
+        out = tmp_path / "db"
+        r = _run([str(src), str(out)])
+        assert r.returncode == 0, r.stderr[-2000:]
+        osc = tmp_path / "diff.osc"
+        osc.write_text(BIG_POLY_OSC)
+        expire = tmp_path / "dirty.list"
+        r = _run([str(osc), str(out), "--append", "--expire-tiles", "12",
+                  "--expire-output", str(expire), *extra])
+        assert r.returncode == 0, r.stderr[-2000:]
+        return {t for t in expire.read_text().strip().splitlines() if t}
+
+    def test_hybrid_default_expires_boundary_only(self, tmp_path):
+        hybrid = self._tiles(tmp_path / "h", [])
+        full = self._tiles(tmp_path / "f", ["--expire-bbox-size", "0"])
+        # boundary tiles are a strict subset of the filled block: the
+        # polygon spans ~6 x ~5 z12 tiles, so the interior is non-empty
+        assert hybrid < full
+        assert len(full) - len(hybrid) >= 4
+
+    def test_threshold_above_bbox_keeps_full_area(self, tmp_path):
+        # limit larger than the polygon bbox -> full-area fill again
+        full = self._tiles(tmp_path / "f", ["--expire-bbox-size", "0"])
+        big = self._tiles(tmp_path / "b", ["--expire-bbox-size", "100000"])
+        assert big == full
+
+
+class TestHstoreIndexAndMiddleNodes:
+    def test_hstore_add_index_writes_ddl(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        out = tmp_path / "db"
+        r = _run([str(src), str(out), "-O", "pgsql", "-S", DEFAULT_STYLE,
+                  "-k", "-z", "name:", "--hstore-add-index"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        ddl = (out / "indexes.sql").read_text()
+        assert "CREATE INDEX ON planet_osm_point USING GIN (tags);" in ddl
+        assert ('CREATE INDEX ON planet_osm_line USING GIN ("name:");'
+                in ddl)
+
+    def test_hstore_add_index_ignored_without_hstore(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        out = tmp_path / "db"
+        r = _run([str(src), str(out), "-O", "pgsql", "-S", DEFAULT_STYLE,
+                  "--hstore-add-index"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert ("--hstore-add-index only makes sense with hstore "
+                "enabled; ignored.") in r.stderr
+        assert not (out / "indexes.sql").exists()
+
+    def test_hstore_match_only_ignored_without_hstore(self, tmp_path):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        r = _run([str(src), str(tmp_path / "db"), "-O", "pgsql",
+                  "-S", DEFAULT_STYLE, "--hstore-match-only"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert ("--hstore-match-only only makes sense with --hstore, "
+                "--hstore-all, or --hstore-column; ignored.") in r.stderr
+
+    def test_middle_with_nodes_accepted(self, tmp_path, spark):
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        out = tmp_path / "db"
+        r = _run([str(src), str(out), "--middle-with-nodes"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        # the parquet middle always stores tagged nodes (the flag's
+        # guarantee): n1's tags are present in middle/nodes
+        rows = {row["id"]: row for row in spark.read.parquet(
+            str(out / "middle" / "nodes")).collect()}
+        assert dict(rows[1]["tags"]).get("amenity") == "pub"
+
+
+def test_expire_zoom_clamped_to_31(tmp_path):
+    src = tmp_path / "in.opl"
+    src.write_text(OPL)
+    out = tmp_path / "db"
+    r = _run([str(src), str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    osc = tmp_path / "diff.osc"
+    osc.write_text(OSC)
+    r = _run([str(osc), str(out), "--append", "--expire-tiles", "40",
+              "--expire-output", str(tmp_path / "d.list")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert ("Maximum zoom level for tile expiry is too large and has "
+            "been set to 31.") in r.stderr
+    txt = (tmp_path / "d.list").read_text().strip().splitlines()
+    assert txt and all(t.startswith("31/") for t in txt)

@@ -168,6 +168,19 @@ def load_pgsql_style(args):
     exlist, enable_way_area = read_style_file(args.style)
     hstore_mode = "all" if args.hstore_all else (
         "norm" if args.hstore else "none")
+    # check_options_output_pgsql warnings (command-line-parser.cpp:
+    # 188-201): both options are silently dropped without hstore
+    if (hstore_mode == "none" and not args.hstore_column
+            and args.hstore_match_only):
+        print("--hstore-match-only only makes sense with --hstore, "
+              "--hstore-all, or --hstore-column; ignored.",
+              file=sys.stderr)
+        args.hstore_match_only = False
+    if (getattr(args, "hstore_add_index", False)
+            and hstore_mode == "none" and not args.hstore_column):
+        print("--hstore-add-index only makes sense with hstore "
+              "enabled; ignored.", file=sys.stderr)
+        args.hstore_add_index = False
     plan = StylePlan(
         exlist,
         hstore_mode=hstore_mode,
@@ -176,7 +189,7 @@ def load_pgsql_style(args):
         keep_coastlines=args.keep_coastlines,
         enable_way_area=enable_way_area,
     )
-    srid = 4326 if args.latlong else 3857
+    srid = resolve_srid(args)
     tt = None
     if args.tag_transform_script:
         from osm2pgsql_spark.plans.tagtransform import LuaTagTransform
@@ -214,7 +227,33 @@ def load_pgsql_style(args):
         f"{prefix}_polygon": "area",
         f"{prefix}_roads": "area",
     }
+    if getattr(args, "hstore_add_index", False):
+        # the reference runs these against PostgreSQL at table stop
+        # time (table.cpp:228-241); the parquet sink has no index
+        # concept, so the DDL the reference would execute lands as
+        # OUT_DIR/indexes.sql for the eventual database load
+        stmts = []
+        for t in id_spaces:
+            if hstore_mode != "none":
+                stmts.append(f"CREATE INDEX ON {t} USING GIN (tags);")
+            for hcol in args.hstore_column:
+                stmts.append(f'CREATE INDEX ON {t} USING GIN ("{hcol}");')
+        style_fn.index_sql = stmts
     return style_fn, id_spaces
+
+
+def resolve_srid(args) -> int:
+    """Output projection from -l/-m/-E (command-line-parser.cpp:
+    182-186, 397-440): exactly one may be given; default is web
+    mercator."""
+    given = (int(bool(args.latlong)) + int(bool(getattr(args, "merc", False)))
+             + int(getattr(args, "proj", None) is not None))
+    if given > 1:
+        raise SystemExit("You can only use one of --latlong, -l, "
+                         "--merc, -m, --proj, and -E")
+    if getattr(args, "proj", None) is not None:
+        return args.proj
+    return 4326 if args.latlong else 3857
 
 
 def _last_op(diff: DataFrame) -> DataFrame:
@@ -331,16 +370,24 @@ def _write_tables_merge(
     return counts
 
 
-def _geom_tile_kernel(maxzoom: int, buffer: float):
+def _geom_tile_kernel(maxzoom: int, buffer: float, max_bbox: float = 20000.0):
     """mapInPandas kernel: WKB geometry column -> (x, y) dirty tiles
-    at maxzoom, via the reference's expire walk."""
+    at maxzoom, via the reference's expire walk.  max_bbox is the
+    --expire-bbox-size hybrid threshold (default 20000 m, options.hpp:
+    99): polygons larger than it expire the boundary only
+    (output-flex.cpp:1377-1380, expire-tiles.cpp:116-135); 0 forces
+    full-area mode."""
     def batches(it):
         import pandas as pd
 
         from osm2pgsql_spark.functions.geometry import from_wkb
         from osm2pgsql_spark.operators.expire import ExpireConfig, tiles_for_geometry
 
-        cfg = ExpireConfig(maxzoom=maxzoom, buffer=buffer)
+        cfg = ExpireConfig(
+            maxzoom=maxzoom, buffer=buffer,
+            mode="hybrid" if max_bbox > 0.0 else "full_area",
+            full_area_limit=max_bbox,
+        )
         for pdf in it:
             rows = []
             for wkb in pdf["geom"]:
@@ -355,7 +402,7 @@ def _geom_tile_kernel(maxzoom: int, buffer: float):
 
 def expire_tiles_of(
     tables: dict[str, DataFrame], touched: DataFrame | None, maxzoom: int,
-    buffer: float = 0.1,
+    buffer: float = 0.1, max_bbox: float = 20000.0,
 ) -> DataFrame | None:
     """Distinct (x, y) dirty tiles across every geometry column of the
     touched rows (old or new side; caller unions both)."""
@@ -380,7 +427,7 @@ def expire_tiles_of(
     for p in parts[1:]:
         allg = allg.unionByName(p)
     return allg.mapInPandas(
-        _geom_tile_kernel(maxzoom, buffer), "x int, y int"
+        _geom_tile_kernel(maxzoom, buffer, max_bbox), "x int, y int"
     ).distinct()
 
 
@@ -497,6 +544,12 @@ def cmd_create(args, spark) -> None:
         counts = _write_tables_merge(tables, args.out_dir, id_spaces_c)
     else:
         counts = _write_tables(tables, args.out_dir)
+    index_sql = getattr(style_fn, "index_sql", None)
+    if index_sql:
+        # --hstore-add-index: the GIN DDL the reference executes at
+        # table stop (table.cpp:228-241), as a load-time artifact
+        with open(os.path.join(args.out_dir, "indexes.sql"), "w") as f:
+            f.write("\n".join(index_sql) + "\n")
     if args.drop:
         # --create --slim --drop: middle only existed to build the
         # output; an appendless import reclaims it (reference --drop)
@@ -679,7 +732,8 @@ def cmd_append(args, spark) -> None:
         touched = node_ids.unionByName(way_ids).unionByName(rel_ids).distinct()
         dirty = []
         for side in (old_tables, new_side):
-            t = expire_tiles_of(side, touched, args.expire_tiles)
+            t = expire_tiles_of(side, touched, args.expire_tiles,
+                                max_bbox=args.expire_bbox_size)
             if t is not None:
                 dirty.append(t)
         if dirty:
@@ -820,6 +874,18 @@ def main() -> None:
                     help="pgsql output table-name prefix")
     ap.add_argument("-l", "--latlong", action="store_true",
                     help="store coordinates in WGS84 instead of web mercator")
+    ap.add_argument("-m", "--merc", action="store_true",
+                    help="store coordinates in web mercator (default)")
+    ap.add_argument("-E", "--proj", type=int, default=None, metavar="SRID",
+                    help="use projection EPSG:SRID")
+    ap.add_argument("--hstore-add-index", action="store_true",
+                    help="emit the GIN index DDL the reference creates "
+                    "on hstore columns (OUT_DIR/indexes.sql)")
+    ap.add_argument("--middle-with-nodes", action="store_true",
+                    help="store tagged nodes in the middle (reference "
+                    "flag for flat-node-file setups; the parquet middle "
+                    "always stores all nodes with tags, so this is "
+                    "accepted for command-line compatibility)")
     ap.add_argument("--tag-transform-script", default=None, metavar="LUA",
                     help="legacy Lua tag transform for the pgsql output")
     ap.add_argument("--region-db", default=None,
@@ -831,6 +897,10 @@ def main() -> None:
         "autodetect format (default)).")
     ap.add_argument("--expire-tiles", type=int, default=0, metavar="Z")
     ap.add_argument("--expire-output", default=None)
+    ap.add_argument(
+        "--expire-bbox-size", type=float, default=20000.0, metavar="SIZE",
+        help="Max size for a polygon to expire the whole polygon, not "
+        "just the boundary (default: 20000).")
     ap.add_argument(
         "--refresh", choices=("auto", "full", "incremental"), default="auto",
         help="append table refresh: incremental (touched rows only; "
@@ -844,6 +914,18 @@ def main() -> None:
         "rewrites only buckets containing touched ids)")
     ap.add_argument("--number-processes", type=int, default=0)
     args = ap.parse_args()
+
+    # check_options_expire (command-line-parser.cpp:229-249): clamp
+    # the zoom to the 32-bit tile-index limit, and expiry needs the
+    # mercator tile grid
+    if args.expire_tiles > 31:
+        print("Maximum zoom level for tile expiry is too large and "
+              "has been set to 31.", file=sys.stderr)
+        args.expire_tiles = 31
+    if args.expire_tiles and resolve_srid(args) != 3857:
+        raise SystemExit(
+            "Expire has been enabled (with -e or --expire-tiles) but "
+            "target SRS is not Mercator (EPSG:3857)")
 
     if args.number_processes:
         os.environ["SPARK_GRAFT_CPUS"] = str(args.number_processes)
