@@ -850,6 +850,7 @@ class TestExpireBboxSize:
     options.hpp:99)."""
 
     def _tiles(self, tmp_path, extra):
+        tmp_path.mkdir(parents=True, exist_ok=True)
         src = tmp_path / "in.opl"
         src.write_text(BIG_POLY_OPL)
         out = tmp_path / "db"

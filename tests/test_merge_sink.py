@@ -230,3 +230,61 @@ def test_merge_refresh_crash_recovery(spark, tmp_path):
     assert not os.path.exists(t2._marker_path())  # recover() ran
     assert got[(4, 0)] == 444.0
     assert {k for k in got if k[0] == 4} == {(4, 0)}
+
+
+def test_merge_refresh_planet_shaped(spark, tmp_path):
+    """THE append-at-scale claim, pinned at a size where a full-table
+    rewrite would visibly fail the file-level assertion: 10^6 rows
+    across 256 hash buckets, a 10-object diff.  merge_refresh must
+    (a) report <= 10 touched buckets, (b) leave every untouched
+    bucket's parquet files physically untouched on disk (same names,
+    sizes, mtimes — the swap moves touched bucket dirs only), and
+    (c) produce exactly the plain-format result (old rows minus
+    touched keys, plus the new rows)."""
+    path = str(tmp_path / "planet")
+    t = ParquetMergeTable(path, id_col="osm_id", num_buckets=256)
+    base = spark.range(0, 1_000_000).select(
+        F.col("id").alias("osm_id"),
+        (F.col("id") * 7 % 1000).cast("int").alias("v"),
+    )
+    t.write_full(base)
+
+    def snapshot_files():
+        out = {}
+        for d in glob.glob(os.path.join(path, "__bucket=*")):
+            b = int(d.rsplit("=", 1)[1])
+            out[b] = sorted(
+                (os.path.basename(p), os.stat(p).st_size,
+                 os.stat(p).st_mtime_ns)
+                for p in glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    before = snapshot_files()
+    assert len(before) == 256
+
+    diff_ids = [3, 99_999, 123_456, 250_000, 333_333, 500_000,
+                777_777, 888_888, 999_999, 1_000_001]  # one create
+    touched_keys = spark.createDataFrame(
+        [(i,) for i in diff_ids], "osm_id long")
+    new_rows = spark.createDataFrame(
+        [(i, -1) for i in diff_ids if i != 99_999],  # 99999: delete
+        "osm_id long, v int")
+
+    rewritten = t.merge_refresh(spark, touched_keys, new_rows, ["osm_id"])
+    assert 0 < len(rewritten) <= len(diff_ids)
+
+    after = snapshot_files()
+    untouched = set(before) - set(rewritten)
+    assert len(untouched) >= 246
+    for b in untouched:
+        assert after[b] == before[b], f"bucket {b} was rewritten"
+
+    # plain-format (full-rewrite) semantics, computed independently
+    expected = base.join(touched_keys, "osm_id", "left_anti").unionByName(
+        new_rows)
+    got = t.read(spark)
+    # net count: one delete (99999) offset by one create (1000001)
+    assert got.count() == expected.count() == 1_000_000
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
