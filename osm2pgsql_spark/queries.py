@@ -678,6 +678,107 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(gq, "doc_id").join(bq, "doc_id")
 
 
+def _classifier_oracle() -> str:
+    from osm2pgsql_spark.operators.curation import hashed_linear_score_sql
+
+    score, ntok = hashed_linear_score_sql("text")
+    return f"""
+    SELECT doc_id,
+           CAST({ntok} AS BIGINT) AS n_scored_tokens,
+           CAST({score} AS BIGINT) AS score_e6,
+           {score} > 0 AS is_kept
+    FROM documents
+    """
+
+
+@register("quality_classifier", oracle=_classifier_oracle())
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the fastText-wiki-ref stage
+    of the GPT-3/LLaMA pipelines): linear score over hashed
+    bag-of-words features, integer-exact, as ONE shuffle-free
+    projection — F.aggregate folds the token array per row
+    (operators/curation.py)."""
+    from osm2pgsql_spark.operators.curation import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
+_PACK_WINDOW = 2048
+
+
+@register(
+    "sequence_packing",
+    # single-window twin: cum-sum over (md5, doc_id); equal to the
+    # two-phase operator because the md5 2-hex-char bucket is a
+    # prefix of the order (the token_budget_mix equivalence)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars,
+                      md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+         c AS (SELECT doc_id, n_chars,
+                      sum(n_chars) OVER (ORDER BY hh, doc_id) AS cum FROM t)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_tokens,
+           CAST(cum - n_chars AS BIGINT) AS "offset",
+           CAST(floor((cum - n_chars) / {_PACK_WINDOW}) AS BIGINT) AS pack_id,
+           CAST((cum - n_chars) % {_PACK_WINDOW} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing: documents concatenated in
+    the deterministic portable order and chopped into fixed
+    {_PACK_WINDOW}-token windows.  The global token offset comes from
+    the two-phase distributed prefix sum (256-bucket coarse sums + a
+    window over the tiny bucket frame + per-bucket fine windows) — no
+    single task ever sees the whole corpus, unlike the oracle's
+    single-window twin."""
+    from osm2pgsql_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, window=_PACK_WINDOW, token_col="n_chars")
+
+
+def _ccnet_oracle() -> str:
+    return f"""
+    WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g3
+                 FROM documents,
+                      UNNEST(range(1, greatest(length(text) - 1, 1))) AS u(i)),
+    m3 AS (SELECT g3, count(*) AS c3 FROM tri GROUP BY g3),
+    m2 AS (SELECT substr(g3, 1, 2) AS p2, sum(c3) AS c2 FROM m3 GROUP BY 1),
+    sc AS (SELECT doc_id, avg(ln(c3 * 1.0 / c2)) AS lp
+           FROM tri JOIN m3 USING (g3)
+                    JOIN m2 ON substr(tri.g3, 1, 2) = m2.p2
+           GROUP BY doc_id),
+    p AS (SELECT doc_id, {roundn_sql('exp(-lp)', 4)} AS ppl3 FROM sc
+          WHERE lp IS NOT NULL),
+    r AS (SELECT doc_id, ppl3,
+                 row_number() OVER (ORDER BY ppl3, doc_id) AS rank,
+                 count(*) OVER () AS n
+          FROM p)
+    SELECT doc_id, ppl3, CAST(rank AS BIGINT) AS rank,
+           (['head', 'middle', 'tail'])[
+               CAST(floor((rank - 1) * 3.0 / n) AS INT) + 1] AS bucket
+    FROM r
+    """
+
+
+@register("ccnet_ppl_buckets", oracle=_ccnet_oracle())
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles (arXiv:1911.00359):
+    exact global rank over (ppl3, doc_id) WITHOUT a global sort — the
+    coarse-histogram distributed rank (operators/curation.py) — then
+    the explicit floor((rank-1)*k/n) bucket formula (NTILE remainder
+    placement differs across engines and is avoided)."""
+    from osm2pgsql_spark.operators import lm
+    from osm2pgsql_spark.operators.curation import ccnet_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = lm.perplexity3(docs).select(
+        "doc_id", round4(F.col("ppl3")).alias("ppl3"))
+    return ccnet_buckets(ppl)
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash + LSH candidate pairs + exact Jaccard verification
 # ---------------------------------------------------------------------------

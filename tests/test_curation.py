@@ -1,0 +1,131 @@
+"""Curation operators (operators/curation.py): classifier scoring,
+sequence packing, distributed rank / CCNet buckets — each against a
+brute-force Python twin, plus layout-independence pins."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.operators import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _w(tok: str) -> int:
+    return (_h32(tok) % curation._WM * curation._WA) % curation._WM - curation._WC
+
+
+class TestHashedLinearScore:
+    def test_matches_python_twin(self, spark, docs):
+        got = {r["doc_id"]: r for r in
+               curation.hashed_linear_score(docs).collect()}
+        rows = docs.select("doc_id", "text").collect()
+        assert len(got) == len(rows)
+        for r in rows:
+            toks = [t for t in r["text"].lower().strip().split() if t]
+            want = sum(_w(t) for t in toks)
+            g = got[r["doc_id"]]
+            assert g["score_e6"] == want
+            assert g["n_scored_tokens"] == len(toks)
+            assert g["is_kept"] == (want > 0)
+
+    def test_shuffle_free_plan(self, docs):
+        """The whole stage is a projection: no Exchange in the plan."""
+        plan = curation.hashed_linear_score(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestPackSequences:
+    W = 512
+
+    def _twin(self, rows):
+        order = sorted(
+            (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"],
+             r["n_chars"])
+            for r in rows
+        )
+        out, ofs = {}, 0
+        for _, did, n in order:
+            out[did] = (ofs, ofs // self.W, ofs % self.W)
+            ofs += n
+        return out
+
+    def test_matches_single_sort_twin(self, spark, docs):
+        got = {r["doc_id"]: r for r in curation.pack_sequences(
+            docs, self.W, token_col="n_chars").collect()}
+        want = self._twin(docs.select("doc_id", "n_chars").collect())
+        assert len(got) == len(want)
+        for did, (ofs, pid, pofs) in want.items():
+            g = got[did]
+            assert (g["offset"], g["pack_id"], g["pack_offset"]) == \
+                (ofs, pid, pofs), did
+
+    def test_layout_independent(self, spark, docs):
+        a = {(r["doc_id"], r["offset"]) for r in curation.pack_sequences(
+            docs, self.W, token_col="n_chars").collect()}
+        b = {(r["doc_id"], r["offset"]) for r in curation.pack_sequences(
+            docs.repartition(13), self.W, token_col="n_chars").collect()}
+        assert a == b
+
+    def test_no_global_window(self, docs):
+        """Every per-row window is partitioned (the only unpartitioned
+        window runs over the 256-row coarse frame): the fine window's
+        partition key __b must appear in the plan's window specs."""
+        plan = curation.pack_sequences(
+            docs, self.W, token_col="n_chars")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "windowspecdefinition(__b" in plan.replace(" ", "") or \
+            "__b" in plan  # fine window partitions by bucket
+
+
+class TestRankByValue:
+    def test_matches_sorted_rank(self, spark, docs):
+        scored = docs.select("doc_id", F.col("n_chars").cast("double")
+                             .alias("v"))
+        got = {r["doc_id"]: r["rank"] for r in
+               curation.rank_by_value(scored, "v", "doc_id").collect()}
+        rows = sorted((r["v"], r["doc_id"]) for r in scored.collect())
+        for i, (_, did) in enumerate(rows, start=1):
+            assert got[did] == i
+
+    def test_layout_independent(self, spark, docs):
+        scored = docs.select("doc_id", F.col("n_chars").cast("double")
+                             .alias("v"))
+        a = {(r["doc_id"], r["rank"]) for r in
+             curation.rank_by_value(scored, "v", "doc_id").collect()}
+        b = {(r["doc_id"], r["rank"]) for r in
+             curation.rank_by_value(scored.repartition(17), "v",
+                                    "doc_id").collect()}
+        assert a == b
+
+
+class TestCcnetBuckets:
+    def test_tercile_sizes_and_monotonicity(self, spark, docs):
+        scored = docs.select("doc_id", F.col("n_chars").cast("double")
+                             .alias("ppl3"))
+        out = curation.ccnet_buckets(scored).collect()
+        n = len(out)
+        sizes = {}
+        for r in out:
+            sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        # floor((rank-1)*3/n) bucket boundaries
+        import math
+        b0 = math.ceil(n / 3)
+        assert sizes["head"] == b0
+        assert sum(sizes.values()) == n
+        # monotone: every head value <= every middle value <= tail
+        by_bucket = {b: [r["ppl3"] for r in out if r["bucket"] == b]
+                     for b in ("head", "middle", "tail")}
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
