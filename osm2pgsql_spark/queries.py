@@ -739,6 +739,67 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, window=_PACK_WINDOW, token_col="n_chars")
 
 
+def _hll_oracle() -> str:
+    from osm2pgsql_spark.operators.sketch import hll_sql
+
+    toks = ("(SELECT t.tok FROM (SELECT unnest(string_split_regex("
+            "lower(trim(text)), '\\s+')) AS tok FROM documents) t "
+            "WHERE t.tok <> '') toks")
+    parts = []
+    for src, vexpr, frm, exact_sql in (
+        ("l_partkey", "l_partkey", "lineitem",
+         "SELECT count(DISTINCT l_partkey) FROM lineitem"),
+        ("o_custkey", "o_custkey", "orders",
+         "SELECT count(DISTINCT o_custkey) FROM orders"),
+        ("doc_tokens", "tok", toks,
+         "SELECT count(DISTINCT t.tok) FROM (SELECT unnest("
+         "string_split_regex(lower(trim(text)), '\\s+')) AS tok "
+         "FROM documents) t WHERE t.tok <> ''"),
+    ):
+        parts.append(f"""
+        SELECT '{src}' AS src, n_registers_set,
+               {roundn_sql('hll_estimate', 4)} AS hll_estimate,
+               CAST(({exact_sql}) AS BIGINT) AS exact_ndv
+        FROM ({hll_sql(vexpr, frm)})""")
+    return " UNION ALL ".join(parts)
+
+
+@register("hll_distinct_counts", oracle=_hll_oracle())
+def q_hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog cardinality sketch (operators/sketch.py):
+    register table + estimate reproduce bit-for-bit in DuckDB because
+    the register hash is the cross-engine md5 hash32 and the
+    indicator sum is exactly representable.  Three value sets: two
+    key columns and the token stream (31 distinct -> exercises the
+    linear-counting small-range branch); exact NDV alongside as the
+    accuracy cross-check."""
+    from osm2pgsql_spark.operators import sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(S.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+
+    def one(src: str, df: DataFrame, col: str) -> DataFrame:
+        est = sketch.hll_distinct(df, col).select(
+            F.lit(src).alias("src"),
+            "n_registers_set",
+            round4(F.col("hll_estimate")).alias("hll_estimate"),
+        )
+        exact = df.where(F.col(col).isNotNull()).agg(
+            F.countDistinct(col).cast("long").alias("exact_ndv")
+        )
+        return est.crossJoin(F.broadcast(exact))
+
+    return (
+        one("l_partkey", li, "l_partkey")
+        .unionByName(one("o_custkey", od, "o_custkey"))
+        .unionByName(one("doc_tokens", toks, "tok"))
+    )
+
+
 def _ccnet_oracle() -> str:
     return f"""
     WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g3
