@@ -102,9 +102,23 @@ def build_corpus(spark, out_dir: str, copies: int) -> None:
         gen, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
+    # --- documents, replicated with offset doc_ids --------------------
+    # (text reused verbatim: the scaled queries — packing, classifier,
+    # rank, sketch, token stats — are content-agnostic per row, unlike
+    # the near-dup family, which measures on embeddings above)
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    dmax = docs.agg(F.max("doc_id")).collect()[0][0]
+    docs_n = (
+        docs.crossJoin(F.broadcast(cdf))
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy") * (dmax + 1))
+        .drop("copy")
+    )
+    docs_n.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet"))
+
     # small lookup tables some loaders touch — pass through unchanged
     for t in ("region", "nation", "orders", "customer", "supplier",
-              "events", "documents"):
+              "events"):
         src = os.path.join(SF01, t + ".parquet")
         if os.path.exists(src):
             dst = os.path.join(out_dir, t + ".parquet")
