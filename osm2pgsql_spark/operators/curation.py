@@ -179,8 +179,15 @@ def ccnet_buckets(
     """CCNet-style k-cile bucketing by ascending `value_col`:
     (key, value, rank, bucket) with bucket = labels[floor((rank-1) *
     k / n)].  Low perplexity = head (the highest-quality slice)."""
+    from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
+
+    # the scored frame fans out three ways below (coarse histogram,
+    # fine rank join, total count) — materialize it once so an
+    # expensive upstream (e.g. the trigram LM) isn't re-evaluated per
+    # branch (stats-stripped checkpoint, the repo's standard cut)
     ranked = rank_by_value(
-        scored.where(F.col(value_col).isNotNull()), value_col, key_col
+        _ckpt(scored.where(F.col(value_col).isNotNull())),
+        value_col, key_col,
     )
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     lab = F.array(*[F.lit(x) for x in labels])
