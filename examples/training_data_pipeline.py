@@ -128,8 +128,34 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = kept.join(budgeted.select("doc_id"), "doc_id", "leftsemi")
     counts["after_token_budget"] = kept.count()
 
-    # 6. curated output, embedding attached where present
+    # 5f. classifier-based quality filter (fastText-shaped hashed
+    # linear model — one shuffle-free projection) as an audit column
+    from osm2pgsql_spark.operators import curation
+
+    clf = curation.hashed_linear_score(kept.select("doc_id", "text"))
+    kept = kept.join(clf.select("doc_id", "score_e6"), "doc_id")
+    counts["after_classifier"] = kept.count()
+
+    # 5g. CCNet head/middle/tail perplexity buckets (distributed rank)
+    buckets = curation.ccnet_buckets(
+        ppl.select("doc_id", "ppl3").join(
+            kept.select("doc_id"), "doc_id", "leftsemi"))
+    kept = kept.join(buckets.select("doc_id", "bucket"), "doc_id", "left")
+
+    # 5h. corpus stats without a count(DISTINCT) shuffle: portable
+    # HLL sketch of the distinct-token cardinality
+    from osm2pgsql_spark.operators import sketch
+
+    toks = kept.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+    ndv = sketch.hll_distinct(toks.where(F.col("t") != ""), "t").first()
+    counts["distinct_tokens_hll"] = int(round(ndv["hll_estimate"]))
+
+    # 7. pack into fixed training windows (distributed prefix sum) and
+    # write the curated corpus with pack assignments + embeddings
+    packed = curation.pack_sequences(kept, window=2048, token_col="n_tokens")
     curated = kept.join(
+        packed.select("doc_id", "offset", "pack_id", "pack_offset"), "doc_id"
+    ).join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id", "left"
     )
     curated.write.mode("overwrite").parquet(out_dir)

@@ -64,8 +64,13 @@ def hashed_linear_score(
 ) -> DataFrame:
     """(id, n_scored_tokens, score_e6, is_kept): linear classifier
     score = sum over tokens of w(hash32(token)); keep rule score > 0.
-    One shuffle-free projection (fold over the token array)."""
-    toks = F.filter(S.tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    One shuffle-free projection (fold over the token array).  NULL
+    text scores as an empty document — (0, 0, false), matching the
+    SQL twin's coalesced semantics."""
+    toks = F.filter(
+        S.tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
     d = docs.withColumn("__t", toks)
     score = F.aggregate(
         F.col("__t"),
@@ -80,13 +85,16 @@ def hashed_linear_score(
     )
 
 
-def hashed_linear_score_sql(text_col: str = "text") -> str:
-    """The per-row score as DuckDB scalar SQL (the gate twin)."""
-    toks = f"list_filter({S.tokens_sql(text_col)}, t -> t <> '')"
+def hashed_linear_score_sql(text_col: str = "text") -> tuple[str, str]:
+    """(score_sql, n_tokens_sql): the per-row score as DuckDB scalar
+    SQL (the gate twin).  NULL text coalesces to the empty document,
+    like the operator."""
+    coalesced = "coalesce({}, '')".format(text_col)
+    toks = f"list_filter({S.tokens_sql(coalesced)}, t -> t <> '')"
     w = f"(({S.hash32_sql('t')}) % {_WM} * {_WA}) % {_WM} - {_WC}"
     return (
         f"coalesce(list_sum(list_transform({toks}, t -> {w})), 0)",
-        f"len({toks})",
+        f"coalesce(len({toks}), 0)",
     )
 
 

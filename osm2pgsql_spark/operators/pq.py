@@ -143,6 +143,27 @@ def _seq_sq_l2(a: np.ndarray, b: np.ndarray) -> float:
     return acc
 
 
+def _batch_lut(books: np.ndarray, qvecs: np.ndarray) -> np.ndarray:
+    """Integerized ADC LUT [m, ksub, nq] for one query batch.
+
+    Bit-identical to applying _seq_sq_l2 per (centroid, query) pair:
+    the accumulation loops over the subvector DIMENSION (left to
+    right, like a sequential SQL list_sum) and vectorizes over the
+    (ksub, nq) pairs — float64 adds are elementwise, so every scalar
+    accumulator sees exactly the scalar loop's operation sequence."""
+    m, ksub, dsub = books.shape
+    nq = len(qvecs)
+    lut = np.empty((m, ksub, nq), dtype="i8")
+    for mi in range(m):
+        qs = qvecs[:, mi * dsub : (mi + 1) * dsub]  # [nq, dsub]
+        acc = np.zeros((ksub, nq), dtype="f8")
+        for i in range(dsub):
+            d = books[mi][:, i][:, None] - qs[:, i][None, :]
+            acc += d * d
+        lut[mi] = np.floor(acc * 1e6 + 0.5).astype("i8")
+    return lut
+
+
 def search_adc(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -159,19 +180,22 @@ def search_adc(
     mapInPandas, then one global window over O(partitions*nq*k) rows.
 
     The query side is CHUNKED (`query_batch`): queries are processed
-    in fixed-size batches, each batch shipping only its own
-    [m, ksub, batch] integerized LUT in the scan closure, and the
-    per-batch partial top-k frames are unioned before the one global
-    rank window.  Batches partition the query set and each
+    in fixed-size batches, each batch shipping only its own query
+    VECTORS in the scan closure (batch * D doubles, ~1 MiB at
+    batch=1024, D=128); the integerized [m, ksub, batch] LUT is built
+    INSIDE each task (once, at scan start, with _batch_lut — the
+    bit-exact vectorized form of the sequential per-pair distance),
+    and the per-batch partial top-k frames are unioned before the one
+    global rank window.  Batches partition the query set and each
     (query, neighbor) pair is scored in exactly one batch with the
     batch-independent integer distance, so the union is equal to the
     single-LUT result for any batch size (pinned by
-    test_pq::test_search_adc_chunked_equality).  Memory bound:
-    driver and per-task LUT = m * ksub * min(nq, query_batch) * 8
-    bytes (m=16, ksub=256, batch=1024 -> 32 MiB) instead of the
-    unbounded m * ksub * nq — the corpus scan is repeated
-    ceil(nq / query_batch) times, each over the 32x-compressed code
-    column."""
+    test_pq::test_search_adc_chunked_equality).  Memory bound: the
+    driver holds only the query vectors (nq * D doubles); each task
+    holds one m * ksub * min(nq, query_batch) * 8-byte LUT (m=16,
+    ksub=256, batch=1024 -> 32 MiB) — nothing anywhere scales as
+    m * ksub * nq.  The corpus scan is repeated ceil(nq / query_batch)
+    times, each over the 32x-compressed code column."""
     m, ksub, dsub = books.shape
     qrows = queries.orderBy(id_col).select(id_col, vec_col).collect()
     all_qids = np.asarray([r[id_col] for r in qrows], dtype="i8")
@@ -180,17 +204,9 @@ def search_adc(
         raise ValueError("query_batch must be positive")
 
     def _batch_scan(qids: np.ndarray, qvecs: np.ndarray):
-        nq = len(qids)
-        # integerized LUT [m, ksub, nq] for THIS batch only
-        lut = np.empty((m, ksub, nq), dtype="i8")
-        for mi in range(m):
-            qs = qvecs[:, mi * dsub : (mi + 1) * dsub]
-            for c in range(ksub):
-                for qi in range(nq):
-                    d = _seq_sq_l2(qs[qi], books[mi, c])
-                    lut[mi, c, qi] = int(np.floor(d * 1e6 + 0.5))
-
         def scan(batches):
+            nq = len(qids)
+            lut = _batch_lut(books, qvecs)  # built per task, not shipped
             for pdf in batches:
                 if not len(pdf):
                     continue

@@ -85,7 +85,11 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
     alpha = _alpha(m)
     agg = registers.agg(
         F.count(F.lit(1)).alias("v_set"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_set"),
+        # coalesce: an EMPTY register table (no input values) must
+        # estimate 0 via the linear-counting branch, not NULL
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("s_set"),
     )
     # empty buckets each contribute 2^0 = 1 to the indicator sum
     s = F.col("s_set") + (F.lit(m) - F.col("v_set"))
@@ -127,7 +131,7 @@ def hll_sql(value_expr: str, from_clause: str, p: int = 8) -> str:
                             END) AS rho
                  FROM hv GROUP BY 1),
          agg AS (SELECT count(*) AS v_set,
-                        sum(power(2.0e0, -rho)) AS s_set
+                        coalesce(sum(power(2.0e0, -rho)), 0.0e0) AS s_set
                  FROM reg)
     SELECT CAST(v_set AS BIGINT) AS n_registers_set,
            CASE WHEN {amm} / (s_set + ({m} - v_set)) <= {lim}

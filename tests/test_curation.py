@@ -39,6 +39,15 @@ class TestHashedLinearScore:
             assert g["n_scored_tokens"] == len(toks)
             assert g["is_kept"] == (want > 0)
 
+    def test_null_text_scores_as_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "good words")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               curation.hashed_linear_score(df).collect()}
+        assert (got[1]["n_scored_tokens"], got[1]["score_e6"],
+                got[1]["is_kept"]) == (0, 0, False)
+        assert got[2]["n_scored_tokens"] == 2
+
     def test_shuffle_free_plan(self, docs):
         """The whole stage is a projection: no Exchange in the plan."""
         plan = curation.hashed_linear_score(docs)._jdf.queryExecution() \
@@ -80,13 +89,12 @@ class TestPackSequences:
 
     def test_no_global_window(self, docs):
         """Every per-row window is partitioned (the only unpartitioned
-        window runs over the 256-row coarse frame): the fine window's
-        partition key __b must appear in the plan's window specs."""
+        window runs over the 256-row coarse frame): a windowspec
+        partitioned by the bucket key __b must exist in the plan."""
         plan = curation.pack_sequences(
             docs, self.W, token_col="n_chars")._jdf.queryExecution() \
-            .executedPlan().toString()
-        assert "windowspecdefinition(__b" in plan.replace(" ", "") or \
-            "__b" in plan  # fine window partitions by bucket
+            .executedPlan().toString().replace(" ", "")
+        assert "windowspecdefinition(__b" in plan
 
 
 class TestRankByValue:

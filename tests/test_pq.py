@@ -107,6 +107,23 @@ def test_adc_topk_matches_twin_and_layout_independent(corpus):
     assert rep == got
 
 
+def test_batch_lut_matches_sequential_pairs(corpus):
+    """_batch_lut (vectorized over pairs, sequential over dims) must
+    be bit-identical to the per-pair left-to-right _seq_sq_l2 loop —
+    the property that keeps the task-built LUT oracle-exact."""
+    vecs, df = corpus
+    books = pq.train_pq(df, m=M, ksub=KSUB, iters=ITERS, round_decimals=6)
+    qvecs = np.asarray(vecs[:7], dtype="f8")
+    got = pq._batch_lut(books, qvecs)
+    m, ksub, dsub = books.shape
+    for mi in range(m):
+        qs = qvecs[:, mi * dsub:(mi + 1) * dsub]
+        for c in range(ksub):
+            for qi in range(len(qvecs)):
+                d = pq._seq_sq_l2(qs[qi], books[mi, c])
+                assert got[mi, c, qi] == int(np.floor(d * 1e6 + 0.5))
+
+
 def test_search_adc_chunked_equality(corpus):
     """The query-side LUT chunking is result-invariant: forcing one
     query per batch (query_batch=1, 8 corpus scans) and an

@@ -53,6 +53,13 @@ def test_deterministic_and_layout_independent(spark, values):
     assert a["n_registers_set"] == b["n_registers_set"]
 
 
+def test_empty_input_estimates_zero(spark, values):
+    empty = values.where(F.lit(False))
+    row = sketch.hll_distinct(empty, "v").first()
+    assert row["n_registers_set"] == 0
+    assert row["hll_estimate"] == 0.0
+
+
 def test_p_range_validated(spark, values):
     with pytest.raises(ValueError, match="p must be"):
         sketch.hll_registers(values, "v", p=2)

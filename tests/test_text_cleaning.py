@@ -128,4 +128,9 @@ def test_training_data_pipeline_example(spark, tmp_path):
     assert counts["after_decontamination"] == counts["after_semdedup"]
     # DSIR keeps the target-likest half
     assert counts["after_dsir_selection"] == max(1, counts["after_decontamination"] // 2)
+    # the classifier stage annotates (score column) without dropping
+    assert counts["after_classifier"] == counts["after_token_budget"]
+    # HLL corpus stat is in the right ballpark (tiny vocab corpus)
+    assert 0 < counts["distinct_tokens_hll"] < 200
+    # every kept doc gets a pack assignment
     assert counts["written"] == counts["after_token_budget"] > 0

@@ -73,6 +73,10 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     if argv and argv[0] == "--json":
+        if len(argv) < 2:
+            print("usage: check_correctness.py [--json OUT.json] "
+                  "[sf_dir] [query ...]", file=sys.stderr)
+            return 2
         json_out = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
