@@ -1,0 +1,263 @@
+"""Live PostgreSQL execution through the psql CLI.
+
+This container ships PostgreSQL server binaries (postgres/initdb/
+pg_ctl/psql) but no Python driver (psycopg2/pg8000) and no JDBC jar.
+psql speaks the real wire protocol, so a thin subprocess shim turns
+it into the connection the sinks already target:
+
+- ``PsqlCon`` implements the execute/executemany/commit/close subset
+  ``SqlBatchWriter`` (sinks/live.py) consumes.  Statements are
+  buffered with parameters inlined by the SAME literal encoder the
+  reviewable transcript uses (TranscriptCon._lit), then shipped in
+  one ``psql -1 -v ON_ERROR_STOP=1`` run per commit — i.e. the live
+  session executes exactly the statements the golden transcript
+  records.
+- ``run_psql_script`` replays full transcripts, including
+  ``COPY ... FROM STDIN`` blocks (psql consumes the inline data up to
+  ``\\.``) — this is how tests/data/pg_transcript_golden.sql is
+  EXECUTED against a real server, not just diffed.
+- ``pg_load_tables`` lands Spark DataFrames as PostgreSQL tables:
+  CREATE TABLE from the Spark schema, then per-partition COPY FROM
+  STDIN streams through the typed encoder (sinks/writers.py,
+  reference db-copy.hpp flow) — every executor partition is its own
+  COPY session, the reference's copy-thread parallelism shape.
+
+Scale note: psql-per-partition adds a process spawn (~10 ms) per
+partition-commit — noise against a COPY stream of MBs.  On a real
+cluster with psycopg available, DuckDbConnectFactory's shape (a DSN
+connect callable) drops in unchanged; this module exists so live
+execution is TESTED here rather than deferred.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from collections.abc import Sequence
+
+from osm2pgsql_spark.sinks.live import TranscriptCon
+
+_PSQL_BASE = ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1"]
+
+
+def _psql_args(dsn: dict) -> list[str]:
+    args = list(_PSQL_BASE)
+    for flag, key in (("-h", "host"), ("-p", "port"),
+                      ("-U", "user"), ("-d", "dbname")):
+        v = dsn.get(key)
+        if v is not None:
+            args += [flag, str(v)]
+    return args
+
+
+def run_psql_script(dsn: dict, script: str, single_txn: bool = True) -> str:
+    """Execute a SQL script (COPY FROM STDIN blocks included) through
+    psql; returns stdout.  Raises RuntimeError with stderr on any
+    error (ON_ERROR_STOP)."""
+    args = _psql_args(dsn) + (["-1"] if single_txn else []) + ["-f", "-"]
+    proc = subprocess.run(
+        args, input=script, capture_output=True, text=True, cwd="/tmp",
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"psql failed (rc={proc.returncode}): {proc.stderr[-2000:]}"
+        )
+    return proc.stdout
+
+
+def query(dsn: dict, sql: str) -> list[list[str]]:
+    """Run one SELECT and return unaligned tuples-only output split on
+    tabs (values containing tabs/newlines need caller-side quoting —
+    aggregate or hash server-side for such checks)."""
+    args = _psql_args(dsn) + ["-At", "-F", "\t", "-c", sql]
+    proc = subprocess.run(args, capture_output=True, text=True, cwd="/tmp")
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"psql failed (rc={proc.returncode}): {proc.stderr[-2000:]}"
+        )
+    out = proc.stdout.rstrip("\n")
+    return [line.split("\t") for line in out.split("\n")] if out else []
+
+
+class PsqlCon:
+    """execute/executemany/commit/close over one psql run per commit.
+
+    Parameters are inlined with TranscriptCon's literal encoder, so
+    the statements executed live are identical to the transcript the
+    test suite pins.  Buffered statements run atomically (-1) at
+    commit(); close() flushes any remainder."""
+
+    def __init__(self, dsn: dict) -> None:
+        self.dsn = dsn
+        self._t = TranscriptCon()
+
+    def execute(self, sql: str, params=None) -> None:
+        self._t.execute(sql, params)
+
+    def executemany(self, sql: str, rows) -> None:
+        self._t.executemany(sql, rows)
+
+    def commit(self) -> None:
+        if self._t.lines:
+            script = "\n".join(self._t.lines)
+            self._t.lines = []
+            run_psql_script(self.dsn, script)
+
+    def close(self) -> None:
+        self.commit()
+
+
+class PsqlConnectFactory:
+    """Picklable connect factory (the DuckDbConnectFactory shape) for
+    executor-side writers."""
+
+    def __init__(self, dsn: dict) -> None:
+        self.dsn = dict(dsn)
+
+    def __call__(self) -> PsqlCon:
+        return PsqlCon(self.dsn)
+
+
+# ------------------------------------------------------------- table loading
+
+_PG_TYPES = {
+    "bigint": "int8",
+    "int": "int4",
+    "smallint": "int2",
+    "tinyint": "int2",
+    "double": "float8",
+    "float": "float4",
+    "string": "text",
+    "boolean": "bool",
+    "binary": "bytea",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def pg_type_of(spark_type: str) -> str:
+    t = _PG_TYPES.get(spark_type)
+    if t is None:
+        raise ValueError(
+            f"no PostgreSQL mapping for Spark type {spark_type!r} "
+            "(pass explicit column DDL for arrays/maps/structs)"
+        )
+    return t
+
+
+class _CopyPartition:
+    """foreachPartition writer: one COPY FROM STDIN stream per
+    partition through its own psql process."""
+
+    def __init__(self, dsn: dict, table: str, columns: list[str]) -> None:
+        self.dsn = dsn
+        self.table = table
+        self.columns = columns
+
+    def __call__(self, rows) -> None:
+        from osm2pgsql_spark.sinks.writers import (
+            COPY_BUFFER_BYTES, encode_copy_rows,
+        )
+
+        quoted = ", ".join(f'"{c}"' for c in self.columns)
+        head = f'COPY "{self.table}" ({quoted}) FROM STDIN;\n'
+        buf: list[dict] = []
+        size = 0
+        for row in rows:
+            d = row.asDict(recursive=False) if hasattr(row, "asDict") else row
+            buf.append(d)
+            size += sum(len(str(v)) for v in d.values() if v is not None)
+            if size >= COPY_BUFFER_BYTES:
+                run_psql_script(
+                    self.dsn,
+                    head + encode_copy_rows(buf, self.columns) + "\\.\n",
+                    single_txn=False,
+                )
+                buf, size = [], 0
+        if buf:
+            run_psql_script(
+                self.dsn,
+                head + encode_copy_rows(buf, self.columns) + "\\.\n",
+                single_txn=False,
+            )
+
+
+def pg_load_tables(
+    tables: dict, dsn: dict, ddl_overrides: dict | None = None,
+    if_exists: str = "replace",
+) -> dict[str, int]:
+    """CREATE each table from its DataFrame schema and COPY-load it —
+    the reference's table.cpp:118-240 create+COPY flow against a live
+    server.  Returns row counts read back from PostgreSQL."""
+    counts = {}
+    for name, df in tables.items():
+        cols = [
+            (c, (ddl_overrides or {}).get(name, {}).get(c) or pg_type_of(t))
+            for c, t in df.dtypes
+        ]
+        col_sql = ", ".join(f'"{c}" {t}' for c, t in cols)
+        drop = f'DROP TABLE IF EXISTS "{name}";\n' if if_exists == "replace" else ""
+        run_psql_script(dsn, f'{drop}CREATE TABLE "{name}" ({col_sql});')
+        df.foreachPartition(
+            _CopyPartition(dsn, name, [c for c, _t in cols])
+        )
+        counts[name] = int(query(dsn, f'SELECT count(*) FROM "{name}"')[0][0])
+    return counts
+
+
+# ------------------------------------------------------------- test server
+
+def start_test_server(base_dir: str, port: int = 54399) -> dict | None:
+    """initdb + start a throwaway PostgreSQL on a unix socket under
+    base_dir; returns the dsn dict, or None when the environment
+    can't run one (no binaries / no unprivileged user).  The server
+    must run unprivileged, so when invoked as root everything is
+    chown'd to and run as `nobody`."""
+    import pwd
+    import shutil
+
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        return None
+    os.makedirs(base_dir, exist_ok=True)
+    data = os.path.join(base_dir, "data")
+
+    def run_as_pg(cmd: str) -> subprocess.CompletedProcess:
+        if os.geteuid() == 0:
+            try:
+                pwd.getpwnam("nobody")
+            except KeyError:
+                return subprocess.CompletedProcess(cmd, 1, "", "no nobody user")
+            os.chmod(base_dir, 0o777)
+            return subprocess.run(
+                ["su", "nobody", "-s", "/bin/bash", "-c", cmd],
+                capture_output=True, text=True, cwd="/tmp",
+            )
+        return subprocess.run(
+            ["bash", "-c", cmd], capture_output=True, text=True, cwd="/tmp",
+        )
+
+    r = run_as_pg(f"initdb -D {data} -U postgres --auth=trust")
+    if r.returncode != 0:
+        return None
+    r = run_as_pg(
+        f"pg_ctl -D {data} -o \"-k {base_dir} -p {port} "
+        f"-c listen_addresses=''\" -l {base_dir}/server.log start"
+    )
+    if r.returncode != 0:
+        return None
+    return {"host": base_dir, "port": port, "user": "postgres",
+            "dbname": "postgres"}
+
+
+def stop_test_server(base_dir: str) -> None:
+    import shutil
+
+    data = os.path.join(base_dir, "data")
+    cmd = f"pg_ctl -D {data} -m immediate stop"
+    if os.geteuid() == 0:
+        subprocess.run(["su", "nobody", "-s", "/bin/bash", "-c", cmd],
+                       capture_output=True, text=True, cwd="/tmp")
+    else:
+        subprocess.run(["bash", "-c", cmd], capture_output=True, text=True,
+                       cwd="/tmp")
+    shutil.rmtree(base_dir, ignore_errors=True)

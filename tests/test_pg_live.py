@@ -1,0 +1,161 @@
+"""LIVE PostgreSQL execution (sinks/pg_live.py): a real PostgreSQL 15
+server (initdb'd per test module, unix socket, trust auth) executes
+the same SQL the golden transcript pins — DDL, typed COPY FROM STDIN,
+delete-before-insert batches — and the pgsql output's tables land via
+per-partition COPY streams.  Skipped wholesale when the environment
+has no server binaries."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2pgsql_spark.sinks import pg_live
+
+BASE = f"/tmp/pg_live_test_{os.getpid()}"
+
+
+@pytest.fixture(scope="module")
+def pg():
+    dsn = pg_live.start_test_server(BASE)
+    if dsn is None:
+        pytest.skip("no runnable PostgreSQL in this environment")
+    yield dsn
+    pg_live.stop_test_server(BASE)
+
+
+def test_golden_transcript_executes_live(pg):
+    """tests/data/pg_transcript_golden.sql — previously reviewable
+    only — runs end-to-end on a real server with the semantics it
+    claims: COPY-loaded rows, then the append batch's
+    delete-before-insert leaves exactly the expected final table.
+    geometry(...) columns become bytea and their gist indexes btree
+    (no PostGIS in the container; all geometry values in the golden
+    are NULL) — the only edits."""
+    golden = os.path.join(
+        os.path.dirname(__file__), "data", "pg_transcript_golden.sql")
+    script = open(golden).read()
+    import re
+
+    script = re.sub(r"geometry\([A-Za-z]+,3857\)", "bytea", script)
+    script = script.replace('USING gist ("way")', 'USING btree ("way")')
+    pg_live.run_psql_script(pg, script, single_txn=False)
+
+    # ids only: row 11's name holds a REAL newline (proof the COPY
+    # escaping round-tripped), which the tuples-only query splitter
+    # cannot carry in-band
+    pts = pg_live.query(
+        pg, "SELECT osm_id FROM planet_osm_point ORDER BY osm_id")
+    # import: 1, 10, 11; append: 1 renamed (delete+insert), 2/4/5
+    # created, 3 deleted (absent)
+    assert [r[0] for r in pts] == ["1", "2", "4", "5", "10", "11"]
+    assert pg_live.query(
+        pg, "SELECT name FROM planet_osm_point WHERE osm_id = 1"
+    )[0][0] == "A pub renamed"
+    assert pg_live.query(
+        pg, "SELECT name FROM planet_osm_point WHERE osm_id = 4"
+    )[0][0] == "it's quoted"
+    # COPY escaping survived the real decoder: embedded tab + newline
+    assert pg_live.query(
+        pg, "SELECT name FROM planet_osm_point WHERE osm_id = 10"
+    )[0][0].startswith("stop")
+    assert pg_live.query(
+        pg,
+        "SELECT count(*) FROM planet_osm_point "
+        "WHERE osm_id = 11 AND name = E'line\\nbreak'",
+    )[0][0] == "1"
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_line")[0][0] == "2"
+    # the golden's index DDL really created indexes
+    idx = pg_live.query(
+        pg,
+        "SELECT indexname FROM pg_indexes "
+        "WHERE tablename = 'planet_osm_line'",
+    )
+    assert len(idx) >= 2  # way index + btree(osm_id, fillfactor=90)
+
+
+def test_sql_batch_writer_against_live_pg(spark, pg):
+    """The REAL SqlBatchWriter (sinks/live.py) drives a live server
+    through PsqlConnectFactory from executor partitions — the
+    delete-before-insert path executed, not transcribed."""
+    from osm2pgsql_spark.sinks.live import write_delete_before_insert
+
+    pg_live.run_psql_script(
+        pg,
+        'DROP TABLE IF EXISTS live_objs;'
+        'CREATE TABLE live_objs (id int8, name text);',
+    )
+    base = spark.createDataFrame(
+        [(i, f"n{i}", "create") for i in range(50)],
+        "id long, name string, op string",
+    )
+    write_delete_before_insert(
+        base, pg_live.PsqlConnectFactory(pg), "live_objs", num_partitions=4)
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM live_objs")[0][0] == "50"
+
+    diff = spark.createDataFrame(
+        [(3, "n3-renamed", "modify"), (7, None, "delete"),
+         (100, "n100", "create")],
+        "id long, name string, op string",
+    )
+    write_delete_before_insert(
+        diff, pg_live.PsqlConnectFactory(pg), "live_objs", num_partitions=4)
+    rows = {r[0]: r[1] for r in pg_live.query(
+        pg, "SELECT id, name FROM live_objs ORDER BY id::int8")}
+    assert len(rows) == 50  # 50 - 1 deleted + 1 created
+    assert "7" not in rows
+    assert rows["3"] == "n3-renamed"
+    assert rows["100"] == "n100"
+
+
+def test_pgsql_output_lands_in_live_pg(spark, pg):
+    """The reference's headline behavior, executed for real: the
+    style-driven pgsql output tables COPY-load into PostgreSQL and
+    read back value-identical (counts, z_order sums, a name probe) —
+    closing the 'live PG is environment-blocked' gap."""
+    from osm2pgsql_spark.plans.pgsql_style import (
+        StylePlan, planet_tables_styled)
+    from osm2pgsql_spark.plans.style_file import read_style_file
+    from osm2pgsql_spark.sources.opl import read_opl
+
+    opl = os.path.join(BASE, "in.opl")
+    with open(opl, "w") as f:
+        f.write(
+            "n1 Tamenity=pub,name=A's\"pub\" x9.0 y50.0\n"
+            "n2 x9.001 y50.0\n"
+            "n3 x9.001 y50.001\n"
+            "n4 x9.0 y50.001\n"
+            "n10 Thighway=bus_stop x9.2 y50.2\n"
+            "w100 Thighway=residential,name=Main Nn1,n2\n"
+            "w101 Tnatural=water Nn1,n2,n3,n4,n1\n"
+        )
+    nodes, ways, rels = read_opl(spark, opl)
+    exlist, way_area = read_style_file("/root/reference/default.style")
+    plan = StylePlan(exlist, enable_way_area=way_area)
+    tables = planet_tables_styled(nodes, ways, rels, plan=plan)
+    # geometry/way columns are WKB binary -> bytea
+    counts = pg_live.pg_load_tables(tables, pg)
+    want = {name: df.count() for name, df in tables.items()}
+    assert counts == want and counts["planet_osm_point"] == 2
+
+    # values survived COPY: z_order and a quoted name
+    z = pg_live.query(
+        pg,
+        "SELECT coalesce(sum(z_order), 0) FROM planet_osm_line")[0][0]
+    zl = tables["planet_osm_line"].agg(
+        F.coalesce(F.sum("z_order"), F.lit(0))).first()[0]
+    assert int(z) == int(zl)
+    got_name = pg_live.query(
+        pg,
+        "SELECT name FROM planet_osm_point WHERE osm_id = 1")[0][0]
+    assert got_name == 'A\'s"pub"'
+    # the geometry bytes round-tripped exactly (bytea hex vs WKB)
+    wkb = pg_live.query(
+        pg,
+        "SELECT encode(way, 'hex') FROM planet_osm_polygon "
+        "WHERE osm_id = 101")[0][0]
+    local = tables["planet_osm_polygon"].where(
+        F.col("osm_id") == 101).select("way").first()[0]
+    assert wkb == bytes(local).hex()
