@@ -40,6 +40,22 @@ from osm2pgsql_spark.sinks.live import TranscriptCon
 _PSQL_BASE = ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1"]
 
 
+def parse_conninfo(conninfo: str) -> dict:
+    """libpq keyword/value conninfo subset -> dsn dict (host, port,
+    user, dbname; values may be single-quoted)."""
+    import shlex
+
+    dsn: dict = {}
+    for tok in shlex.split(conninfo):
+        if "=" not in tok:
+            raise ValueError(f"bad conninfo token {tok!r}")
+        k, v = tok.split("=", 1)
+        if k not in ("host", "port", "user", "dbname"):
+            raise ValueError(f"unsupported conninfo keyword {k!r}")
+        dsn[k] = v
+    return dsn
+
+
 def _psql_args(dsn: dict) -> list[str]:
     args = list(_PSQL_BASE)
     for flag, key in (("-h", "host"), ("-p", "port"),

@@ -159,3 +159,38 @@ def test_pgsql_output_lands_in_live_pg(spark, pg):
     local = tables["planet_osm_polygon"].where(
         F.col("osm_id") == 101).select("way").first()[0]
     assert wkb == bytes(local).hex()
+
+
+def test_import_tool_pg_flag(spark, pg):
+    """`import_tool --pg 'conninfo'` — the reference's -d/--database
+    twin: one command reads OSM and lands queryable tables in a live
+    PostgreSQL."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    opl = os.path.join(BASE, "cli_in.opl")
+    with open(opl, "w") as f:
+        f.write(
+            "n1 Tamenity=pub,name=A x9.0 y50.0\n"
+            "n2 x9.001 y50.0\n"
+            "n10 Thighway=bus_stop x9.2 y50.2\n"
+            "w100 Thighway=residential,name=Main Nn1,n2\n"
+        )
+    out = os.path.join(BASE, "cli_db")
+    conninfo = (f"host={pg['host']} port={pg['port']} "
+                f"user={pg['user']} dbname={pg['dbname']}")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_tool.py"),
+         opl, out, "-O", "pgsql", "-S", "/root/reference/default.style",
+         "--pg", conninfo],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "postgresql table planet_osm_point: 2 rows" in r.stdout
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_line")[0][0] == "1"
+    assert pg_live.query(
+        pg,
+        "SELECT name FROM planet_osm_point WHERE osm_id = 1")[0][0] == "A"

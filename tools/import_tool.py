@@ -550,6 +550,24 @@ def cmd_create(args, spark) -> None:
         # table stop (table.cpp:228-241), as a load-time artifact
         with open(os.path.join(args.out_dir, "indexes.sql"), "w") as f:
             f.write("\n".join(index_sql) + "\n")
+    if args.pg:
+        # -d/--database twin: COPY-load the output tables into a LIVE
+        # PostgreSQL (per-partition COPY FROM STDIN streams through
+        # psql — sinks/pg_live.py; the reference's copy-thread flow,
+        # table.cpp:118-240).  Geometry columns land as bytea WKB.
+        from osm2pgsql_spark.sinks.pg_live import parse_conninfo, pg_load_tables
+        from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
+
+        def _read_out(name: str):
+            path = os.path.join(args.out_dir, "tables", name)
+            if fmt == "merge" and (id_spaces_c or {}).get(name) is not None:
+                return ParquetMergeTable(path, id_col="osm_id").read(spark)
+            return spark.read.parquet(path)
+
+        live = {name: _read_out(name) for name in counts}
+        pg_counts = pg_load_tables(live, parse_conninfo(args.pg))
+        for name, n in pg_counts.items():
+            print(f"postgresql table {name}: {n} rows")
     if args.drop:
         # --create --slim --drop: middle only existed to build the
         # output; an appendless import reclaims it (reference --drop)
@@ -912,6 +930,12 @@ def main() -> None:
         help="output table storage: plain parquet (append rewrites "
         "tables in full) or hash-bucketed merge snapshots (append "
         "rewrites only buckets containing touched ids)")
+    ap.add_argument(
+        "--pg", default=None, metavar="CONNINFO",
+        help="after the parquet write, COPY-load the output tables "
+        "into a live PostgreSQL (libpq keyword conninfo, e.g. "
+        "'host=/sock/dir port=5432 user=postgres dbname=gis'); the "
+        "reference's -d/--database twin")
     ap.add_argument("--number-processes", type=int, default=0)
     args = ap.parse_args()
 
