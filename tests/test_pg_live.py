@@ -194,3 +194,38 @@ def test_import_tool_pg_flag(spark, pg):
     assert pg_live.query(
         pg,
         "SELECT name FROM planet_osm_point WHERE osm_id = 1")[0][0] == "A"
+
+
+def test_expire_table_upsert_live_pg(spark, pg):
+    """The expire-table sink's ON CONFLICT upsert — written for the
+    reference's PostgreSQL dialect (expire-output.cpp:107-143) — runs
+    natively on a real server: duplicate-safe inserts and the
+    timestamped DO UPDATE SET last = now() variant."""
+    from osm2pgsql_spark.sinks.live import (
+        create_expire_table, upsert_expire_tiles)
+
+    con = pg_live.PsqlCon(pg)
+    con.execute("DROP TABLE IF EXISTS expire_z12")
+    create_expire_table(con, "expire_z12", with_timestamps=True)
+    con.close()
+
+    tiles = spark.createDataFrame(
+        [(12, x, y) for x in range(4) for y in range(3)],
+        "zoom int, x int, y int",
+    )
+    fac = pg_live.PsqlConnectFactory(pg)
+    upsert_expire_tiles(tiles, fac, "expire_z12", update_last=True)
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM expire_z12")[0][0] == "12"
+    # replay overlapping tiles: no duplicates, `last` advances
+    first = pg_live.query(
+        pg, "SELECT max(last::text) FROM expire_z12")[0][0]
+    import time
+
+    time.sleep(1.1)
+    upsert_expire_tiles(tiles.limit(5), fac, "expire_z12",
+                        update_last=True)
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM expire_z12")[0][0] == "12"
+    assert pg_live.query(
+        pg, "SELECT max(last::text) FROM expire_z12")[0][0] > first
