@@ -363,10 +363,15 @@ class StylePlan:
         for prefix in self.hstore_columns:
             m = F.map_filter(ot, lambda k, v: k.startswith(prefix))
             m = F.transform_keys(m, lambda k, v: F.substr(k, F.lit(len(prefix) + 1)))
+            # column named after the full prefix under the repo's
+            # ':'->'_' parquet-name convention (the reference names it
+            # the raw prefix, table.cpp:162); keeping the trailing
+            # separator distinguishes the "name:" hstore column from a
+            # plain "name" data column (a real default.style column)
             cols.append(
                 F.when(F.size(m) > 0, m)
                 .otherwise(F.lit(None).cast("map<string,string>"))
-                .alias(prefix.replace(":", "_").rstrip("_") or prefix)
+                .alias(prefix.replace(":", "_"))
             )
         if self.hstore_mode != "none":
             used = [c.name for c in self._kind[kind]["columns"]]

@@ -880,7 +880,7 @@ class TestExpireBboxSize:
 
 
 class TestHstoreIndexAndMiddleNodes:
-    def test_hstore_add_index_writes_ddl(self, tmp_path):
+    def test_hstore_add_index_writes_ddl(self, tmp_path, spark):
         src = tmp_path / "in.opl"
         src.write_text(OPL)
         out = tmp_path / "db"
@@ -889,8 +889,14 @@ class TestHstoreIndexAndMiddleNodes:
         assert r.returncode == 0, r.stderr[-2000:]
         ddl = (out / "indexes.sql").read_text()
         assert "CREATE INDEX ON planet_osm_point USING GIN (tags);" in ddl
-        assert ('CREATE INDEX ON planet_osm_line USING GIN ("name:");'
+        # prefix column name under the ':'->'_' parquet convention
+        assert ('CREATE INDEX ON planet_osm_line USING GIN ("name_");'
                 in ddl)
+        # and the column really exists in the written table, distinct
+        # from the style's plain "name" data column
+        cols = spark.read.parquet(
+            str(out / "tables" / "planet_osm_point")).columns
+        assert "name_" in cols and "name" in cols
 
     def test_hstore_add_index_ignored_without_hstore(self, tmp_path):
         src = tmp_path / "in.opl"

@@ -237,7 +237,11 @@ def load_pgsql_style(args):
             if hstore_mode != "none":
                 stmts.append(f"CREATE INDEX ON {t} USING GIN (tags);")
             for hcol in args.hstore_column:
-                stmts.append(f'CREATE INDEX ON {t} USING GIN ("{hcol}");')
+                # our parquet column name for the prefix (':' -> '_',
+                # plans/pgsql_style.py hstore_cols)
+                stmts.append(
+                    f'CREATE INDEX ON {t} USING GIN '
+                    f'("{hcol.replace(":", "_")}");')
         style_fn.index_sql = stmts
     return style_fn, id_spaces
 
