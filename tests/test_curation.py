@@ -14,7 +14,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+    # unpersist on teardown: a leaked cache substitutes
+    # InMemoryTableScan for the parquet scan in LATER tests'
+    # plans, breaking test_pushdown's PushedFilters pins
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def _h32(s: str) -> int:

@@ -18,7 +18,9 @@ SF = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()  # don't leak the cache into later tests' plans
 
 
 def test_semdedup_centroids_reproduce(spark, emb):
