@@ -229,3 +229,23 @@ def test_expire_table_upsert_live_pg(spark, pg):
         pg, "SELECT count(*) FROM expire_z12")[0][0] == "12"
     assert pg_live.query(
         pg, "SELECT max(last::text) FROM expire_z12")[0][0] > first
+
+
+class TestParseConninfo:
+    def test_keywords(self):
+        dsn = pg_live.parse_conninfo(
+            "host=/tmp/sock port=5433 user=u dbname=gis")
+        assert dsn == {"host": "/tmp/sock", "port": "5433",
+                       "user": "u", "dbname": "gis"}
+
+    def test_quoted_value(self):
+        dsn = pg_live.parse_conninfo("host='/var/run dir' dbname=d")
+        assert dsn["host"] == "/var/run dir"
+
+    def test_rejects_unknown_keyword(self):
+        with pytest.raises(ValueError, match="unsupported conninfo"):
+            pg_live.parse_conninfo("sslmode=require")
+
+    def test_rejects_bare_token(self):
+        with pytest.raises(ValueError, match="bad conninfo token"):
+            pg_live.parse_conninfo("gis")
