@@ -19,22 +19,25 @@ dedup and tokenization, each expressed scale-first:
   fixed windows.  The naive plan is one global cumulative-sum window
   (single task at planet scale).  This runs the distributed
   prefix-sum instead: per-bucket token sums (tiny frame) -> window
-  over 256 bucket rows assigns each bucket its global offset ->
-  broadcast join + per-bucket window finishes each document's exact
-  global offset.  The portable order (md5 hex, key) makes the bucket
-  (first two hex chars) a PREFIX of the order, so one single-window
-  cumsum over (md5, key) is an exact cross-engine twin — the same
-  equivalence token_budget_mixture documents (operators/dedup.py).
+  over the 16^width bucket rows assigns each bucket its global offset
+  -> broadcast join + per-bucket window finishes each document's
+  exact global offset.  The portable order (md5 hex, key) makes the
+  bucket (the md5's first `bucket_hex_width` hex chars) a PREFIX of
+  the order, so one single-window cumsum over (md5, key) is an exact
+  cross-engine twin at ANY width — the same equivalence
+  token_budget_mixture documents (operators/dedup.py).
 
 - **rank_by_value / ccnet buckets** — CCNet (Wenzek et al. 2020,
   arXiv:1911.00359) splits a corpus into head/middle/tail by
   per-document LM perplexity terciles.  Exact global rank without a
-  global sort: coarse histogram on floor(value) (an ordinary hash
-  agg), prefix-sum the tiny histogram, broadcast the offsets, finish
-  with a per-coarse-bucket window — rank = offset + within-bucket
-  row_number, total-ordered by (value, key).  Bucket k of n rows is
-  floor((rank-1) * k / n) (an explicit formula on both engines — SQL
-  NTILE distributes remainders differently and is avoided).
+  global sort: coarse histogram on an adaptively scaled floor
+  (floor(value * 2^k), k from a min/max probe; heavy buckets re-split
+  at finer scale — _rank_buckets), prefix-sum the tiny histogram,
+  broadcast the offsets, finish with a per-coarse-bucket window —
+  rank = offset + within-bucket row_number, total-ordered by
+  (value, key).  Bucket k of n rows is floor((rank-1) * k / n) (an
+  explicit formula on both engines — SQL NTILE distributes remainders
+  differently and is avoided).
 """
 
 from __future__ import annotations
@@ -104,6 +107,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     key_col: str = "doc_id",
     salt: str = "",
+    bucket_hex_width: int = 2,
 ) -> DataFrame:
     """(key, n_tokens, offset, pack_id, pack_offset): each document's
     position in the concatenated token stream under the deterministic
@@ -111,11 +115,18 @@ def pack_sequences(
     `window`-token training sequences.  offset is the exact global
     prefix sum of earlier documents' tokens — computed with the
     two-phase distributed prefix sum (module docstring), no global
-    window."""
+    window.
+
+    The fan-out is 16^bucket_hex_width buckets (the md5 prefix is a
+    prefix of the order at any width, so the result is
+    width-invariant); a fine window sees ~n/16^width rows — planet
+    jobs want width 3-4, the default 2 (256 buckets) suits bench
+    scale."""
     from osm2pgsql_spark.operators.dedup import _decision_hash
 
     h = _decision_hash(key_col, salt, True)
-    d = docs.withColumn("__h", h).withColumn("__b", F.substring("__h", 1, 2))
+    d = docs.withColumn("__h", h).withColumn(
+        "__b", F.substring("__h", 1, bucket_hex_width))
     coarse = d.groupBy("__b").agg(F.sum(token_col).alias("__bsum"))
     wofs = Window.orderBy("__b")
     coarse = coarse.withColumn(
@@ -146,16 +157,97 @@ def pack_sequences(
     )
 
 
+def _rank_buckets(
+    df: DataFrame,
+    value_col: str,
+    heavy_threshold: int,
+    base_buckets: int,
+    fanout: int,
+    max_levels: int,
+) -> DataFrame:
+    """df + `__cb` (int64): a value-monotone bucket id — equal values
+    share a bucket, bucket boundaries are a prefix of the value order
+    at ANY granularity, so the rank result is bucketing-invariant.
+
+    Adaptive granularity (r9 VERDICT/ADVICE de-skew): a min/max/count
+    probe picks a power-of-two scale so floor(value * 2^k) yields
+    ~base_buckets buckets over the ACTUAL value range (scores packed
+    in [0,1) get a large k instead of one degenerate floor bucket);
+    then any bucket whose count exceeds heavy_threshold is re-split at
+    fanout× finer scale, up to max_levels rounds — a heavy bucket only
+    survives when its values are identical (or closer than the float
+    scale cap allows), where order degenerates to the key tie-break
+    and no value-based split exists.  Power-of-two scaling is an exact
+    float exponent shift, so the bucketing replays bit-identically on
+    any engine."""
+    import math
+
+    vmin, vmax, n = df.agg(
+        F.min(value_col), F.max(value_col), F.count(F.lit(1))
+    ).first()
+    if n == 0:
+        return df.withColumn("__cb", F.lit(0).cast("long"))
+    rng = float(vmax) - float(vmin)
+    vabs = max(abs(float(vmin)), abs(float(vmax)), 1.0)
+    # total scale cap: floor(|v| * 2^k) must stay well inside int64
+    kcap = int(61 - math.ceil(math.log2(vabs)))
+    k = min(int(round(math.log2(base_buckets / rng))) if rng > 0 else 0, kcap)
+    d = df.withColumn(
+        "__cb", F.floor(F.col(value_col) * F.lit(2.0 ** k)).cast("long")
+    )
+    if rng <= 0 or n <= heavy_threshold:
+        return d
+    lvl_bits = int(math.log2(fanout))
+    for _ in range(max_levels):
+        if k + lvl_bits > kcap:
+            break  # float-granularity cap: remaining heavy ≈ ties
+        heavy = (
+            d.groupBy("__cb")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > heavy_threshold)
+            .select("__cb")
+        )
+        if heavy.limit(1).count() == 0:
+            break
+        k += lvl_bits
+        d = (
+            d.join(
+                F.broadcast(heavy.withColumn("__hv", F.lit(True))),
+                "__cb", "left",
+            )
+            .withColumn(
+                "__cb",
+                F.when(
+                    F.col("__hv").isNotNull(),
+                    F.floor(F.col(value_col) * F.lit(2.0 ** k)).cast("long"),
+                ).otherwise(F.col("__cb") * fanout),
+            )
+            .drop("__hv")
+        )
+    return d
+
+
 def rank_by_value(
     df: DataFrame,
     value_col: str,
     key_col: str,
+    heavy_threshold: int = 4_000_000,
+    base_buckets: int = 4096,
+    fanout: int = 4096,
+    max_levels: int = 3,
 ) -> DataFrame:
     """df + `rank` (1-based, total order (value, key)) via the
     coarse-histogram distributed rank — no global sort, no global
-    window.  NULL values must be filtered by the caller (engines
-    disagree on NULL placement in ORDER BY)."""
-    d = df.withColumn("__cb", F.floor(F.col(value_col)).cast("long"))
+    window.  Buckets come from _rank_buckets (adaptive scaled floor +
+    heavy-bucket refinement), so concentrated distributions — scores
+    normalized to [0,1), perplexity point masses — still spread across
+    tasks; only an exact-tie mass wider than heavy_threshold falls
+    back to a single fine window (its order is the key tie-break,
+    which no value bucketing can split).  NULL values must be filtered
+    by the caller (engines disagree on NULL placement in ORDER BY)."""
+    d = _rank_buckets(
+        df, value_col, heavy_threshold, base_buckets, fanout, max_levels
+    )
     coarse = d.groupBy("__cb").agg(F.count(F.lit(1)).alias("__c"))
     wofs = Window.orderBy("__cb")
     coarse = coarse.withColumn(
@@ -183,6 +275,7 @@ def ccnet_buckets(
     key_col: str = "doc_id",
     k: int = 3,
     labels: tuple = ("head", "middle", "tail"),
+    **rank_kwargs,
 ) -> DataFrame:
     """CCNet-style k-cile bucketing by ascending `value_col`:
     (key, value, rank, bucket) with bucket = labels[floor((rank-1) *
@@ -195,7 +288,7 @@ def ccnet_buckets(
     # branch (stats-stripped checkpoint, the repo's standard cut)
     ranked = rank_by_value(
         _ckpt(scored.where(F.col(value_col).isNotNull())),
-        value_col, key_col,
+        value_col, key_col, **rank_kwargs,
     )
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     lab = F.array(*[F.lit(x) for x in labels])

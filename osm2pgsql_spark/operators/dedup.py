@@ -640,6 +640,7 @@ def token_budget_mixture(
     salt: str = "",
     n_buckets: int = 4096,
     portable: bool = False,
+    bucket_hex_width: int = 2,
 ) -> DataFrame:
     """Token-budget data mixing: per source, keep a deterministic
     prefix of documents — ordered by (hash-bucket, hash, key) — whose
@@ -667,15 +668,19 @@ def token_budget_mixture(
     deterministic_sample.
 
     portable=True orders by the md5 hex string with the bucket as its
-    first two hex chars (256 buckets; n_buckets is ignored), so the
-    global keep-order is (md5, key) — reproducible as ONE window
-    `sum() over (partition by source order by md5, key)` in any
-    engine with md5, which is exactly the audit/oracle twin."""
+    first `bucket_hex_width` hex chars (16^width buckets; n_buckets is
+    ignored), so the global keep-order is (md5, key) — reproducible as
+    ONE window `sum() over (partition by source order by md5, key)` in
+    any engine with md5, which is exactly the audit/oracle twin.  Any
+    width yields the same result (the prefix is a prefix of the
+    order); pick it for per-task volume — a fine window sees ~
+    source_tokens/16^width rows, so planet-scale jobs want width 3-4
+    (4096/65536 buckets), the default 2 suits bench scale."""
     from pyspark.sql import Window
 
     if portable:
         h = _decision_hash(key_col, salt, True)
-        bkt = F.substring(h, 1, 2)
+        bkt = F.substring(h, 1, bucket_hex_width)
     else:
         h = F.xxhash64(F.col(key_col).cast("string"), F.lit(salt))
         bkt = F.pmod(h, F.lit(n_buckets))

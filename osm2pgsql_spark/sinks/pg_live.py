@@ -40,19 +40,35 @@ from osm2pgsql_spark.sinks.live import TranscriptCon
 _PSQL_BASE = ["psql", "-X", "-q", "-v", "ON_ERROR_STOP=1"]
 
 
+# Keywords psql receives as flags (-h/-p/-U/-d) or via its environment
+# (PGPASSWORD).  Everything else in libpq's (long) keyword table —
+# sslmode, connect_timeout, application_name, ... — has no psql flag;
+# those are accepted with a warning rather than failing the import,
+# since the --pg help advertises libpq conninfo strings.
+_ROUTED_KEYWORDS = ("host", "port", "user", "dbname", "password")
+
+
 def parse_conninfo(conninfo: str) -> dict:
-    """libpq keyword/value conninfo subset -> dsn dict (host, port,
-    user, dbname; values may be single-quoted)."""
+    """libpq keyword/value conninfo -> dsn dict.  host/port/user/dbname
+    map to psql flags, password rides PGPASSWORD; other libpq keywords
+    (sslmode, connect_timeout, ...) are ignored with a stderr warning.
+    Values may be single-quoted (shlex)."""
     import shlex
+    import sys
 
     dsn: dict = {}
     for tok in shlex.split(conninfo):
         if "=" not in tok:
             raise ValueError(f"bad conninfo token {tok!r}")
         k, v = tok.split("=", 1)
-        if k not in ("host", "port", "user", "dbname"):
-            raise ValueError(f"unsupported conninfo keyword {k!r}")
-        dsn[k] = v
+        if k in _ROUTED_KEYWORDS:
+            dsn[k] = v
+        else:
+            print(
+                f"osm2pgsql-spark: ignoring conninfo keyword {k!r} "
+                "(psql shim routes host/port/user/dbname/password only)",
+                file=sys.stderr,
+            )
     return dsn
 
 
@@ -66,6 +82,15 @@ def _psql_args(dsn: dict) -> list[str]:
     return args
 
 
+def _psql_env(dsn: dict) -> dict | None:
+    """password rides PGPASSWORD (libpq's own fallback), never argv."""
+    if dsn.get("password") is None:
+        return None
+    env = dict(os.environ)
+    env["PGPASSWORD"] = str(dsn["password"])
+    return env
+
+
 def run_psql_script(dsn: dict, script: str, single_txn: bool = True) -> str:
     """Execute a SQL script (COPY FROM STDIN blocks included) through
     psql; returns stdout.  Raises RuntimeError with stderr on any
@@ -73,6 +98,7 @@ def run_psql_script(dsn: dict, script: str, single_txn: bool = True) -> str:
     args = _psql_args(dsn) + (["-1"] if single_txn else []) + ["-f", "-"]
     proc = subprocess.run(
         args, input=script, capture_output=True, text=True, cwd="/tmp",
+        env=_psql_env(dsn),
     )
     if proc.returncode != 0:
         raise RuntimeError(
@@ -86,7 +112,8 @@ def query(dsn: dict, sql: str) -> list[list[str]]:
     tabs (values containing tabs/newlines need caller-side quoting —
     aggregate or hash server-side for such checks)."""
     args = _psql_args(dsn) + ["-At", "-F", "\t", "-c", sql]
-    proc = subprocess.run(args, capture_output=True, text=True, cwd="/tmp")
+    proc = subprocess.run(args, capture_output=True, text=True, cwd="/tmp",
+                          env=_psql_env(dsn))
     if proc.returncode != 0:
         raise RuntimeError(
             f"psql failed (rc={proc.returncode}): {proc.stderr[-2000:]}"
@@ -152,18 +179,37 @@ _PG_TYPES = {
 
 
 def pg_type_of(spark_type: str) -> str:
+    if spark_type == "map<string,string>":
+        # the reference's hstore columns (table.cpp column type table);
+        # copy_encode_value already emits the "k"=>"v" literal form
+        return "hstore"
+    if spark_type.startswith("array<") and spark_type.endswith(">"):
+        return pg_type_of(spark_type[6:-1]) + "[]"
     t = _PG_TYPES.get(spark_type)
     if t is None:
         raise ValueError(
             f"no PostgreSQL mapping for Spark type {spark_type!r} "
-            "(pass explicit column DDL for arrays/maps/structs)"
+            "(pass explicit column DDL for structs/nested maps)"
         )
     return t
 
 
+COPY_LEDGER = "_osm2pgsql_copy_ledger"
+
+
 class _CopyPartition:
-    """foreachPartition writer: one COPY FROM STDIN stream per
-    partition through its own psql process."""
+    """foreachPartition writer with exactly-once semantics under Spark
+    task retries / speculative execution.
+
+    Each task attempt COPYs into its own UNLOGGED staging table
+    (<table>__stg_<partition>_<attempt>), then promotes atomically:
+    one transaction inserts (table, partition) into the copy ledger
+    (PRIMARY KEY (tbl, part)) and INSERT..SELECTs the staged rows into
+    the target.  A re-run of an already-promoted partition hits the
+    ledger's unique constraint, the transaction rolls back, and the
+    attempt degrades to a no-op — rows land exactly once no matter how
+    many times Spark replays the partition.  Failed attempts leave
+    only an orphan staging table, swept by pg_load_tables afterwards."""
 
     def __init__(self, dsn: dict, table: str, columns: list[str]) -> None:
         self.dsn = dsn
@@ -171,31 +217,63 @@ class _CopyPartition:
         self.columns = columns
 
     def __call__(self, rows) -> None:
+        from pyspark import TaskContext
+
         from osm2pgsql_spark.sinks.writers import (
             COPY_BUFFER_BYTES, encode_copy_rows,
         )
 
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.attemptNumber() if ctx is not None else 0
+        stg = f"{self.table}__stg_{pid}_{attempt}"
         quoted = ", ".join(f'"{c}"' for c in self.columns)
-        head = f'COPY "{self.table}" ({quoted}) FROM STDIN;\n'
+        head = f'COPY "{stg}" ({quoted}) FROM STDIN;\n'
+        created = False
         buf: list[dict] = []
         size = 0
-        for row in rows:
-            d = row.asDict(recursive=False) if hasattr(row, "asDict") else row
-            buf.append(d)
-            size += sum(len(str(v)) for v in d.values() if v is not None)
-            if size >= COPY_BUFFER_BYTES:
+
+        def flush() -> None:
+            nonlocal created, buf, size
+            if not created:
                 run_psql_script(
                     self.dsn,
-                    head + encode_copy_rows(buf, self.columns) + "\\.\n",
-                    single_txn=False,
+                    f'DROP TABLE IF EXISTS "{stg}";\n'
+                    f'CREATE UNLOGGED TABLE "{stg}" '
+                    f'(LIKE "{self.table}");',
                 )
-                buf, size = [], 0
-        if buf:
+                created = True
             run_psql_script(
                 self.dsn,
                 head + encode_copy_rows(buf, self.columns) + "\\.\n",
                 single_txn=False,
             )
+            buf, size = [], 0
+
+        for row in rows:
+            d = row.asDict(recursive=False) if hasattr(row, "asDict") else row
+            buf.append(d)
+            size += sum(len(str(v)) for v in d.values() if v is not None)
+            if size >= COPY_BUFFER_BYTES:
+                flush()
+        if buf:
+            flush()
+        if not created:
+            return  # empty partition: nothing staged, nothing to promote
+        promote = (
+            f"INSERT INTO \"{COPY_LEDGER}\" (tbl, part) "
+            f"VALUES ('{self.table}', {pid});\n"
+            f'INSERT INTO "{self.table}" SELECT * FROM "{stg}";\n'
+            f'DROP TABLE "{stg}";'
+        )
+        try:
+            run_psql_script(self.dsn, promote, single_txn=True)
+        except RuntimeError as e:
+            if "duplicate key value" in str(e):
+                # another attempt already promoted this partition
+                run_psql_script(self.dsn, f'DROP TABLE IF EXISTS "{stg}";')
+                return
+            raise
 
 
 def pg_load_tables(
@@ -213,10 +291,29 @@ def pg_load_tables(
         ]
         col_sql = ", ".join(f'"{c}" {t}' for c, t in cols)
         drop = f'DROP TABLE IF EXISTS "{name}";\n' if if_exists == "replace" else ""
-        run_psql_script(dsn, f'{drop}CREATE TABLE "{name}" ({col_sql});')
+        ext = (
+            "CREATE EXTENSION IF NOT EXISTS hstore;\n"
+            if any(t == "hstore" for _c, t in cols) else ""
+        )
+        run_psql_script(
+            dsn,
+            f'{ext}{drop}CREATE TABLE "{name}" ({col_sql});\n'
+            f'CREATE TABLE IF NOT EXISTS "{COPY_LEDGER}" '
+            "(tbl text, part int, PRIMARY KEY (tbl, part));\n"
+            f"DELETE FROM \"{COPY_LEDGER}\" WHERE tbl = '{name}';",
+        )
         df.foreachPartition(
             _CopyPartition(dsn, name, [c for c, _t in cols])
         )
+        # sweep staging tables orphaned by failed/duplicate attempts
+        pat = name + "~_~_stg~_%"  # literal underscores escaped
+        orphans = query(
+            dsn,
+            f"SELECT tablename FROM pg_tables WHERE tablename LIKE '{pat}' "
+            "ESCAPE '~'",
+        )
+        for (orphan,) in orphans:
+            run_psql_script(dsn, f'DROP TABLE IF EXISTS "{orphan}";')
         counts[name] = int(query(dsn, f'SELECT count(*) FROM "{name}"')[0][0])
     return counts
 

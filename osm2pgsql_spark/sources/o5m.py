@@ -247,7 +247,9 @@ def _parse(data: bytes):
 def read_o5m(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Parse a .o5m file into the (nodes, ways, relations) trio
     (model schemas; deleted objects carry visible=False)."""
-    with open(path, "rb") as fh:
+    from osm2pgsql_spark.sources.osm_xml import open_compressed
+
+    with open_compressed(path, "rb") as fh:
         data = fh.read()
     nodes, ways, rels = _parse(data)
     return (
@@ -269,7 +271,9 @@ def read_o5c(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame, Data
             + [T.StructField("op", T.StringType()), T.StructField("op_seq", T.LongType())]
         )
 
-    with open(path, "rb") as fh:
+    from osm2pgsql_spark.sources.osm_xml import open_compressed
+
+    with open_compressed(path, "rb") as fh:
         data = fh.read()
     nodes, ways, rels = _parse(data)
 

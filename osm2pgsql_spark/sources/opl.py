@@ -109,8 +109,10 @@ def read_opl(
     """Parse OPL text (a path or list of lines) into the
     (nodes, ways, relations) DataFrame trio."""
     if isinstance(source, str):
-        with open(source, encoding="utf-8") as fh:
-            lines = fh.readlines()
+        from osm2pgsql_spark.sources.osm_xml import open_compressed
+
+        with open_compressed(source, "rb") as fh:
+            lines = fh.read().decode("utf-8").splitlines(keepends=True)
     else:
         lines = list(source)
 

@@ -93,9 +93,23 @@ def _schema(base: T.StructType, with_op: bool) -> T.StructType:
     return T.StructType(fields)
 
 
-def _parse_root(path: str):
+def open_compressed(path: str, mode: str = "rb"):
+    """Open a possibly-compressed OSM file.  libosmium resolves the
+    compression from the filename suffix (.gz via zlib, .bz2 via
+    libbz2 — reference vendored libosmium io/compression handling);
+    here the stdlib gzip/bz2 modules cover the same two formats."""
     if path.endswith(".gz"):
-        with gzip.open(path, "rb") as fh:
+        return gzip.open(path, mode)
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
+def _parse_root(path: str):
+    if path.endswith((".gz", ".bz2")):
+        with open_compressed(path, "rb") as fh:
             return ET.parse(fh).getroot()
     return ET.parse(path).getroot()
 
@@ -103,7 +117,7 @@ def _parse_root(path: str):
 def read_osm_xml(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Parse a .osm(.gz) file into the (nodes, ways, relations) trio."""
+    """Parse a .osm(.gz/.bz2) file into the (nodes, ways, relations) trio."""
     root = _parse_root(path)
     nodes, ways, rels = _parse(root, op=None)
     return (
@@ -116,7 +130,7 @@ def read_osm_xml(
 def read_osc_xml(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Parse a .osc(.gz) change file; each DataFrame carries an `op` column."""
+    """Parse a .osc(.gz/.bz2) change file; each DataFrame carries an `op` column."""
     root = _parse_root(path)
     all_nodes, all_ways, all_rels = [], [], []
     for section in root:

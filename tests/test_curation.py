@@ -142,3 +142,65 @@ class TestCcnetBuckets:
                      for b in ("head", "middle", "tail")}
         assert max(by_bucket["head"]) <= min(by_bucket["middle"])
         assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+class TestRankByValueDeskew:
+    """r9 de-skew: adaptive scaled-floor bucketing must (a) keep the
+    exact rank of the plain plan, (b) actually spread concentrated
+    distributions so no fine window exceeds the heavy threshold."""
+
+    def _brute(self, df):
+        rows = sorted((r["v"], r["doc_id"]) for r in df.collect())
+        return {did: i for i, (_, did) in enumerate(rows, start=1)}
+
+    def test_concentrated_unit_interval_equality(self, spark):
+        # ADVICE r9: scores normalized to [0,1) degenerated to ONE
+        # floor bucket — the probe's scale must spread them
+        n = 3000
+        df = spark.createDataFrame(
+            [(i, ((i * 2654435761) % 99991) / 99991.0) for i in range(n)],
+            "doc_id long, v double")
+        got = {r["doc_id"]: r["rank"] for r in curation.rank_by_value(
+            df, "v", "doc_id", heavy_threshold=100).collect()}
+        assert got == self._brute(df)
+
+    def test_concentrated_five_six_equality(self, spark):
+        # VERDICT r9 pin: all values inside [5,6)
+        n = 2000
+        df = spark.createDataFrame(
+            [(i, 5.0 + ((i * 40503) % 65521) / 65521.0) for i in range(n)],
+            "doc_id long, v double")
+        got = {r["doc_id"]: r["rank"] for r in curation.rank_by_value(
+            df, "v", "doc_id", heavy_threshold=64).collect()}
+        assert got == self._brute(df)
+
+    def test_no_fine_bucket_exceeds_threshold(self, spark):
+        # concentrated values + small threshold: after refinement no
+        # bucket (= fine-window partition) may hold > threshold rows,
+        # except pure ties which no value bucketing can split
+        n, thr = 5000, 100
+        df = spark.createDataFrame(
+            [(i, 5.0 + ((i * 40503) % 65521) / 65521.0) for i in range(n)],
+            "doc_id long, v double")
+        b = curation._rank_buckets(df, "v", thr, 4096, 4096, 3)
+        mx = b.groupBy("__cb").count().agg(F.max("count")).first()[0]
+        assert mx <= thr
+
+    def test_pure_tie_mass_still_correct(self, spark):
+        # an exact point mass cannot be value-split; rank falls back
+        # to the key order inside one bucket and stays exact
+        df = spark.createDataFrame(
+            [(i, 7.25) for i in range(500)] +
+            [(1000 + i, 9.5 + i / 100.0) for i in range(50)],
+            "doc_id long, v double")
+        got = {r["doc_id"]: r["rank"] for r in curation.rank_by_value(
+            df, "v", "doc_id", heavy_threshold=64).collect()}
+        assert got == self._brute(df)
+
+    def test_negative_and_wide_range_equality(self, spark):
+        df = spark.createDataFrame(
+            [(i, (i - 1500) * 1e6 / 7.0) for i in range(3000)],
+            "doc_id long, v double")
+        got = {r["doc_id"]: r["rank"] for r in curation.rank_by_value(
+            df, "v", "doc_id", heavy_threshold=200).collect()}
+        assert got == self._brute(df)

@@ -242,10 +242,86 @@ class TestParseConninfo:
         dsn = pg_live.parse_conninfo("host='/var/run dir' dbname=d")
         assert dsn["host"] == "/var/run dir"
 
-    def test_rejects_unknown_keyword(self):
-        with pytest.raises(ValueError, match="unsupported conninfo"):
-            pg_live.parse_conninfo("sslmode=require")
+    def test_ignores_unrouted_keyword_with_warning(self, capsys):
+        dsn = pg_live.parse_conninfo(
+            "host=h sslmode=require connect_timeout=10 dbname=d")
+        assert dsn == {"host": "h", "dbname": "d"}
+        err = capsys.readouterr().err
+        assert "sslmode" in err and "connect_timeout" in err
+
+    def test_password_routes_to_pgpassword(self):
+        dsn = pg_live.parse_conninfo("host=h password=s3cr:t dbname=d")
+        assert dsn["password"] == "s3cr:t"
+        # password never lands in argv — only in the env
+        assert not any("s3cr:t" in a for a in pg_live._psql_args(dsn))
+        env = pg_live._psql_env(dsn)
+        assert env["PGPASSWORD"] == "s3cr:t"
+        assert pg_live._psql_env({"host": "h"}) is None
 
     def test_rejects_bare_token(self):
         with pytest.raises(ValueError, match="bad conninfo token"):
             pg_live.parse_conninfo("gis")
+
+
+def test_copy_partition_replay_is_exactly_once(spark, pg):
+    """Task retries / speculative attempts must not duplicate rows:
+    the staged-promote protocol lets a replayed partition hit the copy
+    ledger's (tbl, part) primary key and no-op (ADVICE r9)."""
+    pg_live.run_psql_script(
+        pg,
+        'DROP TABLE IF EXISTS eo_tbl;'
+        'CREATE TABLE eo_tbl (id int8, name text);'
+        f'CREATE TABLE IF NOT EXISTS "{pg_live.COPY_LEDGER}" '
+        "(tbl text, part int, PRIMARY KEY (tbl, part));"
+        f"DELETE FROM \"{pg_live.COPY_LEDGER}\" WHERE tbl = 'eo_tbl';",
+    )
+    rows = [{"id": i, "name": f"n{i}"} for i in range(20)]
+    writer = pg_live._CopyPartition(pg, "eo_tbl", ["id", "name"])
+    # driver-side call: TaskContext.get() is None -> partition 0
+    writer(iter(rows))
+    assert pg_live.query(pg, "SELECT count(*) FROM eo_tbl")[0][0] == "20"
+    # replay the same partition (a retried task): must be a no-op
+    writer(iter(rows))
+    assert pg_live.query(pg, "SELECT count(*) FROM eo_tbl")[0][0] == "20"
+    # no staging tables left behind
+    stg = pg_live.query(
+        pg,
+        "SELECT tablename FROM pg_tables "
+        "WHERE tablename LIKE 'eo~_tbl~_~_stg~_%' ESCAPE '~'")
+    assert stg == []
+
+
+def test_pg_load_tables_hstore_column(spark, pg):
+    """map<string,string> output columns (the -k/--hstore shapes) land
+    as REAL hstore: extension created, "k"=>"v" literals decoded by
+    the server, values queryable with -> (ADVICE r9: --pg + hstore
+    used to crash in pg_type_of)."""
+    df = spark.createDataFrame(
+        [(1, {"amenity": "pub", "name": 'A\'s"pub"'}),
+         (2, {"k\\slash": "v\ttab"}),
+         (3, None)],
+        "osm_id long, tags map<string,string>",
+    )
+    counts = pg_live.pg_load_tables({"hs_tbl": df}, pg)
+    assert counts == {"hs_tbl": 3}
+    assert pg_live.query(
+        pg, "SELECT tags -> 'amenity' FROM hs_tbl WHERE osm_id = 1"
+    )[0][0] == "pub"
+    assert pg_live.query(
+        pg, "SELECT tags -> 'name' FROM hs_tbl WHERE osm_id = 1"
+    )[0][0] == 'A\'s"pub"'
+    # backslash + tab survive double-escaping (COPY then hstore parse)
+    assert pg_live.query(
+        pg,
+        "SELECT count(*) FROM hs_tbl "
+        "WHERE tags -> E'k\\\\slash' = E'v\\ttab'")[0][0] == "1"
+    assert pg_live.query(
+        pg, "SELECT tags IS NULL FROM hs_tbl WHERE osm_id = 3")[0][0] == "t"
+
+
+def test_pg_type_of_arrays_and_maps():
+    assert pg_live.pg_type_of("map<string,string>") == "hstore"
+    assert pg_live.pg_type_of("array<bigint>") == "int8[]"
+    assert pg_live.pg_type_of("array<string>") == "text[]"
+    with pytest.raises(ValueError, match="no PostgreSQL mapping"):
+        pg_live.pg_type_of("struct<a:int>")

@@ -226,3 +226,40 @@ class TestPortableHashMode:
         rep = {r["doc_id"] for r in token_budget_mixture(
             docs.repartition(11), budgets, portable=True).collect()}
         assert rep == keep
+
+
+class TestBucketWidthInvariance:
+    """r9 directive: the md5-prefix bucket is a prefix of the portable
+    order at ANY width, so widths 1/2/3 must produce identical keeps
+    (token_budget_mixture) and identical offsets (pack_sequences)."""
+
+    def _docs(self, spark):
+        rows = [(i, "A", 100 + (i % 7)) for i in range(60)]
+        rows += [(100 + i, "B", 55) for i in range(30)]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string, n_tokens bigint")
+
+    def test_token_budget_width_invariant(self, spark):
+        from osm2pgsql_spark.operators.dedup import token_budget_mixture
+
+        docs = self._docs(spark)
+        budgets = {"A": 2500, "B": 800}
+        keeps = [
+            {r["doc_id"] for r in token_budget_mixture(
+                docs, budgets, portable=True,
+                bucket_hex_width=p).collect()}
+            for p in (1, 2, 3)
+        ]
+        assert keeps[0] == keeps[1] == keeps[2]
+
+    def test_pack_sequences_width_invariant(self, spark):
+        from osm2pgsql_spark.operators.curation import pack_sequences
+
+        docs = self._docs(spark)
+        packs = [
+            {(r["doc_id"], r["offset"], r["pack_id"], r["pack_offset"])
+             for r in pack_sequences(
+                 docs, 512, bucket_hex_width=p).collect()}
+            for p in (1, 2, 3)
+        ]
+        assert packs[0] == packs[1] == packs[2]

@@ -105,3 +105,64 @@ def test_read_osc_xml_with_apply(spark, tmp_path):
     new = apply_diff(base, nodes)
     got = {r["id"]: (r["lat"], r["lon"]) for r in new.collect()}
     assert got == {1: (51.0, 9.5), 3: (52.0, 9.9)}
+
+def test_read_compressed_roundtrips(spark, tmp_path):
+    """.gz and .bz2 variants of every text format parse identically to
+    the plain file (libosmium resolves compression from the suffix)."""
+    import bz2
+    import gzip
+
+    from osm2pgsql_spark.sources.o5m import read_o5m, write_o5m
+
+    # --- XML (.osm.gz / .osm.bz2)
+    plain = tmp_path / "x.osm"
+    plain.write_text(OSM_XML)
+    want_n, want_w, want_r = (df.count() for df in read_osm_xml(spark, str(plain)))
+    for suffix, opener in ((".gz", gzip.open), (".bz2", bz2.open)):
+        p = tmp_path / f"x.osm{suffix}"
+        with opener(p, "wb") as fh:
+            fh.write(OSM_XML.encode())
+        n, w, r = read_osm_xml(spark, str(p))
+        assert (n.count(), w.count(), r.count()) == (want_n, want_w, want_r)
+
+    # --- OSC (.osc.bz2)
+    pc = tmp_path / "c.osc.bz2"
+    with bz2.open(pc, "wb") as fh:
+        fh.write(OSC_XML.encode())
+    nodes, _, _ = read_osc_xml(spark, str(pc))
+    assert {r["id"]: r["op"] for r in nodes.collect()} == {
+        1: "modify", 2: "delete", 3: "create"}
+
+    # --- OPL (.opl.bz2)
+    opl_text = "n1 x9.0 y50.0 Tamenity=pub\nw10 Thighway=road Nn1\n"
+    po = tmp_path / "d.opl.bz2"
+    with bz2.open(po, "wb") as fh:
+        fh.write(opl_text.encode())
+    n, w, r = read_opl(spark, str(po))
+    assert n.count() == 1 and w.count() == 1 and r.count() == 0
+
+    # --- o5m (.o5m.bz2): write plain, recompress, compare
+    def build(enc):
+        enc.node(1, 50.0, 9.0, {"amenity": "pub"})
+        enc.node(2, 50.1, 9.1)
+        enc.way(10, [1, 2], {"highway": "road"})
+
+    p5 = tmp_path / "e.o5m"
+    write_o5m(str(p5), build)
+    p5z = tmp_path / "e.o5m.bz2"
+    with bz2.open(p5z, "wb") as fh:
+        fh.write(p5.read_bytes())
+    n, w, _ = read_o5m(spark, str(p5z))
+    assert n.count() == 2 and w.count() == 1
+
+
+def test_import_tool_detects_bz2(spark, tmp_path):
+    import bz2
+
+    from tools.import_tool import read_osm_any
+
+    p = tmp_path / "x.osm.bz2"
+    with bz2.open(p, "wb") as fh:
+        fh.write(OSM_XML.encode())
+    nodes, ways, rels = read_osm_any(spark, str(p))
+    assert nodes.count() == 2 and ways.count() == 1

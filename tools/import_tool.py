@@ -571,6 +571,11 @@ def cmd_create(args, spark) -> None:
         live = {name: _read_out(name) for name in counts}
         pg_counts = pg_load_tables(live, parse_conninfo(args.pg))
         for name, n in pg_counts.items():
+            want = live[name].count()
+            if n != want:
+                raise SystemExit(
+                    f"postgresql table {name}: loaded {n} rows but Spark "
+                    f"produced {want} — COPY load incomplete")
             print(f"postgresql table {name}: {n} rows")
     if args.drop:
         # --create --slim --drop: middle only existed to build the
