@@ -25,6 +25,10 @@ real deployments use are implemented from the public formulas:
 - Oblique Stereographic (EPSG method 9809) — Amersfoort / RD New
   (28992) — the EPSG Guidance Note 7-2 conformal-sphere formulation,
   inverse via fixed-point on the conformal latitude.
+- Hotine Oblique Mercator variant B (EPSG method 9815) — the Swiss
+  grids CH1903/LV03 (21781) and CH1903+/LV95 (2056, alpha=gamma=90),
+  and the skew RSO grids (Timbalai 29873, pinned to the GN7-2 §3.2.6
+  worked example to the mm) — forward + inverse per GN7-2.
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -49,10 +53,16 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 298.257222101),
     # Airy 1830 (OSGB36): defined via a and b
     "airy": (6377563.396, 299.3249646),
+    # Airy Modified 1849 (Irish grids TM65/TM75)
+    "airy_mod": (6377340.189, 299.3249646),
     # Krassowsky 1940 (many eastern-european legacy grids)
     "krass": (6378245.0, 298.3),
-    # Bessel 1841 (DHDN / Gauss-Krueger legacy)
+    # Bessel 1841 (DHDN / Gauss-Krueger legacy, Swiss CH1903/CH1903+)
     "bessel": (6377397.155, 299.1528128),
+    # International 1924 / Hayford (ED50, Belge 1972)
+    "intl": (6378388.0, 297.0),
+    # Everest 1830 (1967 definition) (Timbalai 1948 — RSO Borneo)
+    "evrst67": (6377298.556, 300.8017),
 }
 
 
@@ -296,6 +306,69 @@ class StereaParams:
         return big_r, n, c, chi0
 
 
+@dataclass(frozen=True)
+class HomParams:
+    """Hotine Oblique Mercator variant B parameters (EPSG method 9815
+    — azimuth given at the projection centre, false coordinates AT
+    the centre).  alpha = gamma = 90, k0 = 1 on Bessel is the Swiss
+    Oblique Mercator shape (EPSG 21781 / 2056); the classic RSO
+    grids (Borneo 29873, Malaysia) use a skew azimuth.  Formulas:
+    EPSG Guidance Note 7 part 2, §3.2.6."""
+
+    a: float
+    inv_f: float
+    lonc: float   # longitude of projection centre, degrees
+    latc: float   # latitude of projection centre, degrees
+    alpha: float  # azimuth of initial line at the centre, degrees
+    gamma: float  # angle from rectified to skew grid, degrees
+    k0: float     # scale on the initial line
+    fe: float     # easting at the projection centre
+    fn: float     # northing at the projection centre
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _derived(self) -> tuple[float, float, float, float, float, float]:
+        """(B, A, H, gamma0, lon0, uc) — the GN7-2 §3.2.6 constants."""
+        e = self.e
+        e2 = e * e
+        phic = math.radians(self.latc)
+        alphac = math.radians(self.alpha)
+        s = math.sin(phic)
+        big_b = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+        big_a = self.a * big_b * self.k0 * math.sqrt(1.0 - e2) / (
+            1.0 - e2 * s * s
+        )
+        t0 = math.tan(math.pi / 4.0 - phic / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+        big_d = big_b * math.sqrt(1.0 - e2) / (
+            math.cos(phic) * math.sqrt(1.0 - e2 * s * s)
+        )
+        d2 = max(big_d * big_d, 1.0)
+        sign = 1.0 if self.latc >= 0.0 else -1.0
+        big_f = big_d + math.sqrt(d2 - 1.0) * sign
+        big_h = big_f * t0**big_b
+        big_g = (big_f - 1.0 / big_f) / 2.0
+        gamma0 = math.asin(math.sin(alphac) / big_d)
+        lon0 = self.lonc - math.degrees(
+            math.asin(big_g * math.tan(gamma0))
+        ) / big_b
+        if abs(self.alpha - 90.0) < 1e-12:
+            uc = big_a * math.radians(self.lonc - lon0)
+        else:
+            uc = (big_a / big_b) * math.atan2(
+                math.sqrt(d2 - 1.0), math.cos(alphac)
+            ) * sign
+        return big_b, big_a, big_h, gamma0, lon0, uc
+
+
 def _q_auth(e: float, sphi):
     """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
     es = e * sphi
@@ -334,6 +407,19 @@ def _st(code, ell, lon0, lat0, k0, fe, fn):
     _NAMED[code] = StereaParams(a, inv_f, lon0, lat0, k0, fe, fn)
 
 
+def _ho(code, ell, lonc, latc, alpha, gamma, k0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = HomParams(a, inv_f, lonc, latc, alpha, gamma, k0, fe, fn)
+
+
+def _dms(d, m=0.0, s=0.0):
+    """Degrees-minutes-seconds -> decimal degrees (EPSG rows publish
+    DMS; converting in code keeps the registry literally the EPSG
+    values)."""
+    sign = -1.0 if d < 0 else 1.0
+    return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+
 # national grids (parameters from the public EPSG registry entries)
 _tm(27700, "airy", -2.0, 49.0, 0.9996012717, 400000.0, -100000.0)  # OSGB36
 _tm(2180, "GRS80", 19.0, 0.0, 0.9993, 500000.0, -5300000.0)  # Poland CS92
@@ -346,6 +432,34 @@ _ab(3310, "GRS80", -120.0, 0.0, 34.0, 40.5, 0.0, -4000000.0)  # NAD83 / Californ
 # Amersfoort / RD New (Bessel 1841)
 _st(28992, "bessel", 5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
     52.0 + 9.0 / 60.0 + 22.178 / 3600.0, 0.9999079, 155000.0, 463000.0)
+# --- round-10 registry tail (EPSG registry rows; same five families
+# --- plus Hotine Oblique Mercator B) ---
+# Belge 1972 / Belgian Lambert 72 — LCC 2SP on International 1924;
+# false origin at the north pole (t(90) = 0 handles r0 = 0)
+_lc(31370, "intl", _dms(4, 22, 2.952), 90.0,
+    _dms(51, 10, 0.00204), _dms(49, 50, 0.00204), 150000.013, 5400088.438)
+# NAD83 / Maryland (metres) — state-plane LCC 2SP
+_lc(26985, "GRS80", -77.0, _dms(37, 40), _dms(39, 27), _dms(38, 18),
+    400000.0, 0.0)
+# NAD83 / BC Albers
+_ab(3005, "GRS80", -126.0, 45.0, 50.0, 58.5, 1000000.0, 0.0)
+# IRENET95 / Irish Transverse Mercator
+_tm(2157, "GRS80", -8.0, 53.5, 0.99982, 600000.0, 750000.0)
+# TM65 & TM75 / Irish Grid (Airy Modified)
+_tm(29902, "airy_mod", -8.0, 53.5, 1.000035, 200000.0, 250000.0)
+_tm(29903, "airy_mod", -8.0, 53.5, 1.000035, 200000.0, 250000.0)
+# NZGD2000 / New Zealand Transverse Mercator 2000
+_tm(2193, "GRS80", 173.0, 0.0, 0.9996, 1600000.0, 10000000.0)
+# CH1903 / LV03 and CH1903+ / LV95 — Swiss Oblique Mercator as
+# Hotine variant B with alpha = gamma = 90 (EPSG's published method
+# for 21781/2056; matches swisstopo's exact double projection to mm)
+_ho(21781, "bessel", _dms(7, 26, 22.5), _dms(46, 57, 8.66),
+    90.0, 90.0, 1.0, 600000.0, 200000.0)
+_ho(2056, "bessel", _dms(7, 26, 22.5), _dms(46, 57, 8.66),
+    90.0, 90.0, 1.0, 2600000.0, 1200000.0)
+# Timbalai 1948 / RSO Borneo (m) — the GN7-2 §3.2.6 worked example
+_ho(29873, "evrst67", 115.0, 4.0, _dms(53, 18, 56.9537),
+    _dms(53, 7, 48.3685), 0.99984, 590476.87, 442857.65)
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -369,10 +483,21 @@ def epsg_params(code: int) -> TmercParams | LaeaParams:
     if 26901 <= code <= 26923:  # NAD83 / UTM north
         zone = code - 26900
         return TmercParams(*ELLIPSOIDS["GRS80"], 6.0 * zone - 183.0, 0.0, 0.9996, 500000.0, 0.0)
+    if 31466 <= code <= 31469:  # DHDN / Gauss-Krueger zones 2-5
+        zone = code - 31464
+        return TmercParams(*ELLIPSOIDS["bessel"], 3.0 * zone, 0.0, 1.0,
+                           zone * 1e6 + 500000.0, 0.0)
+    if 28402 <= code <= 28432:  # Pulkovo 1942 / Gauss-Krueger zones 2-32
+        zone = code - 28400
+        return TmercParams(*ELLIPSOIDS["krass"], 6.0 * zone - 3.0, 0.0, 1.0,
+                           zone * 1e6 + 500000.0, 0.0)
+    named = ", ".join(str(c) for c in sorted(_NAMED))
     raise KeyError(
         f"EPSG:{code} not supported (no PROJ in this environment; "
-        "supported: UTM zones, 27700, 2180, 3035, 2154, 3034, 5070, "
-        "3577, 3310, 28992)"
+        "supported ranges: 32601-32660/32701-32760 (WGS84 UTM), "
+        "25828-25838 (ETRS89 UTM), 26901-26923 (NAD83 UTM), "
+        "31466-31469 (DHDN GK), 28402-28432 (Pulkovo GK); "
+        f"named codes: {named})"
     )
 
 
@@ -573,6 +698,74 @@ def sterea_inverse(E: np.ndarray, N: np.ndarray, p: StereaParams):
     return lon, np.degrees(phi)
 
 
+# ------------------------------------- Hotine Oblique Mercator kernels
+
+def hom_forward(lon: np.ndarray, lat: np.ndarray, p: HomParams):
+    """(E, N) — Hotine Oblique Mercator variant B forward (EPSG 9815,
+    GN7-2 §3.2.6)."""
+    e = p.e
+    big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    sign = 1.0 if p.latc >= 0.0 else -1.0
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * s) / (1.0 + e * s)
+    ) ** (e / 2.0)
+    big_q = big_h / t**big_b
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_t = (big_q + 1.0 / big_q) / 2.0
+    dl = big_b * np.radians(lon - lon0)
+    big_v = np.sin(dl)
+    big_u = (-big_v * math.cos(gamma0) + big_s * math.sin(gamma0)) / big_t
+    v = big_a * np.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
+    u = (
+        big_a
+        * np.arctan2(
+            big_s * math.cos(gamma0) + big_v * math.sin(gamma0), np.cos(dl)
+        )
+        / big_b
+        - abs(uc) * sign
+    )
+    gc = math.radians(p.gamma)
+    return (
+        v * math.cos(gc) + u * math.sin(gc) + p.fe,
+        u * math.cos(gc) - v * math.sin(gc) + p.fn,
+    )
+
+
+def hom_inverse(E: np.ndarray, N: np.ndarray, p: HomParams):
+    """(lon, lat) — 9815 variant B inverse; conformal-latitude fixed
+    point (8 iterations: double-precision converged)."""
+    e = p.e
+    big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    sign = 1.0 if p.latc >= 0.0 else -1.0
+    gc = math.radians(p.gamma)
+    de = np.asarray(E, dtype="f8") - p.fe
+    dn = np.asarray(N, dtype="f8") - p.fn
+    v = de * math.cos(gc) - dn * math.sin(gc)
+    u = dn * math.cos(gc) + de * math.sin(gc) + abs(uc) * sign
+    big_q = np.exp(-big_b * v / big_a)
+    big_s = (big_q - 1.0 / big_q) / 2.0
+    big_v = np.sin(big_b * u / big_a)
+    big_u = (big_v * math.cos(gamma0) + big_s * math.sin(gamma0)) / (
+        (big_q + 1.0 / big_q) / 2.0
+    )
+    t = (big_h / np.sqrt((1.0 + big_u) / (1.0 - big_u))) ** (1.0 / big_b)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    lon = lon0 - np.degrees(
+        np.arctan2(
+            big_s * math.cos(gamma0) - big_v * math.sin(gamma0),
+            np.cos(big_b * u / big_a),
+        )
+    ) / big_b
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------------------------------ geometry API
 
 def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
@@ -586,6 +779,8 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return albers_forward(lon, lat, p)
     if isinstance(p, StereaParams):
         return sterea_forward(lon, lat, p)
+    if isinstance(p, HomParams):
+        return hom_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
 
 
@@ -706,6 +901,39 @@ def albers_forward_sql(lon_expr: str, lat_expr: str, p: AlbersParams) -> tuple[s
     return (
         f"({_r(p.fe)} + ({rho})*sin({theta}))",
         f"({_r(p.fn + p.rho0)} - ({rho})*cos({theta}))",
+    )
+
+
+def hom_forward_sql(lon_expr: str, lat_expr: str, p: HomParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of hom_forward."""
+    e = p.e
+    big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    sign = 1.0 if p.latc >= 0.0 else -1.0
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    t = (
+        f"(tan(pi()/4.0 - radians({lat_expr})/2.0)"
+        f" / pow((1.0-({es}))/(1.0+({es})), {_r(e / 2.0)}))"
+    )
+    q = f"({_r(big_h)}/pow({t}, {_r(big_b)}))"
+    s = f"((({q}) - 1.0/({q}))/2.0)"
+    tt = f"((({q}) + 1.0/({q}))/2.0)"
+    dl = f"({_r(big_b)}*radians(({lon_expr}) - {_r(lon0)}))"
+    v_ = f"sin({dl})"
+    u_ = (
+        f"(((-({v_}))*{_r(math.cos(gamma0))}"
+        f" + ({s})*{_r(math.sin(gamma0))})/({tt}))"
+    )
+    v = f"({_r(big_a)}*ln((1.0-({u_}))/(1.0+({u_})))/{_r(2.0 * big_b)})"
+    u = (
+        f"({_r(big_a)}*atan2(({s})*{_r(math.cos(gamma0))}"
+        f" + ({v_})*{_r(math.sin(gamma0))}, cos({dl}))/{_r(big_b)}"
+        f" - {_r(abs(uc) * sign)})"
+    )
+    gc = math.radians(p.gamma)
+    return (
+        f"(({v})*{_r(math.cos(gc))} + ({u})*{_r(math.sin(gc))} + {_r(p.fe)})",
+        f"(({u})*{_r(math.cos(gc))} - ({v})*{_r(math.sin(gc))} + {_r(p.fn)})",
     )
 
 

@@ -101,6 +101,134 @@ def hashed_linear_score_sql(text_col: str = "text") -> tuple[str, str]:
     )
 
 
+# fixed stopword list for the weak-supervision label the demo trainer
+# uses (a Gopher-style quality proxy); ANY offline labeler slots in —
+# the artifact contract is just (weights: bucket -> int, bias, n_buckets)
+_LABEL_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is",
+                    "it", "that")
+
+
+def train_hashed_linear(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    epochs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[dict[int, int], int]:
+    """Train a hashed bag-of-words perceptron (integer weights) —
+    the offline step that produces a REAL artifact for
+    trained_linear_score.  Weak-supervision label: +1 when the doc's
+    stopword ratio >= 1/4 (a crude fastText-wiki-vs-crawl stand-in).
+
+    Label threshold = the corpus-mean stopword ratio, compared in
+    integers (n_stop * sum(n) >= n * sum(n_stop)) so the split is
+    exact on any engine.  Deterministic: docs iterate in id order,
+    integer perceptron updates (w += label * count on mistakes), so
+    retraining reproduces the frozen artifact bit-for-bit
+    (test_frozen).  The feature extraction (per-doc hashed bucket
+    counts) is distributed; the sequential update loop runs
+    driver-side over the collected per-doc sparse counts — training
+    data is the small curated set, INFERENCE is the 100-TB path."""
+    toks = F.filter(
+        S.tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
+    sw = F.array(*[F.lit(w) for w in _LABEL_STOPWORDS])
+    d = docs.withColumn("__t", toks).select(
+        F.col(id_col).alias("id"),
+        F.size("__t").alias("n"),
+        F.size(F.filter(F.col("__t"), lambda t: F.array_contains(sw, t)))
+        .alias("n_stop"),
+        F.transform(
+            F.col("__t"), lambda t: (S.hash32(t) % n_buckets).cast("int")
+        ).alias("buckets"),
+    )
+    rows = d.orderBy("id").collect()
+    sum_n = sum(r["n"] for r in rows)
+    sum_stop = sum(r["n_stop"] for r in rows)
+    w: dict[int, int] = {}
+    bias = 0
+    for _ in range(epochs):
+        for r in rows:
+            cnt: dict[int, int] = {}
+            for b in r["buckets"]:
+                cnt[b] = cnt.get(b, 0) + 1
+            label = (
+                1 if r["n"] > 0 and r["n_stop"] * sum_n >= r["n"] * sum_stop
+                else -1
+            )
+            s = bias + sum(w.get(b, 0) * c for b, c in cnt.items())
+            if (1 if s > 0 else -1) != label:
+                for b, c in cnt.items():
+                    w[b] = w.get(b, 0) + label * c
+                bias += label
+    return {b: v for b, v in sorted(w.items()) if v != 0}, bias
+
+
+def trained_linear_score(
+    docs: DataFrame,
+    weights: dict[int, int],
+    n_buckets: int,
+    bias: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """hashed_linear_score with a REAL trained artifact: feature index
+    = hash32(token) % n_buckets (the fastText hashing trick), weights
+    shipped as a Catalyst map literal — plan-broadcast to every task,
+    no join, no Exchange (plan-pinned like the synthetic path).
+    Integer weights keep scores exact int64 on any engine.
+
+    Scale note: the map literal is O(non-zero buckets) inside the
+    plan — fine to ~1e5 entries; past that, ship the weights through
+    an Arrow pandas_udf closure (same zero-Exchange shape), never a
+    join."""
+    wmap = F.create_map(
+        *[F.lit(x) for b in sorted(weights) for x in (int(b), int(weights[b]))]
+    )
+    toks = F.filter(
+        S.tokens(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
+    d = docs.withColumn("__t", toks)
+    score = F.aggregate(
+        F.col("__t"),
+        F.lit(int(bias)).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(wmap, (S.hash32(t) % n_buckets).cast("int")),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_scored_tokens"),
+        score.alias("score_e6"),
+        (score > 0).alias("is_kept"),
+    )
+
+
+def trained_linear_score_sql(
+    weights: dict[int, int],
+    n_buckets: int,
+    bias: int = 0,
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """(score_sql, n_tokens_sql): the trained-weights score as DuckDB
+    scalar SQL — the weight map becomes a CASE over the hashed bucket
+    (evaluated once per token)."""
+    coalesced = "coalesce({}, '')".format(text_col)
+    toks = f"list_filter({S.tokens_sql(coalesced)}, t -> t <> '')"
+    arms = " ".join(
+        f"WHEN {int(b)} THEN {int(weights[b])}" for b in sorted(weights)
+    )
+    w = f"(CASE (({S.hash32_sql('t')}) % {n_buckets}) {arms} ELSE 0 END)"
+    return (
+        f"({int(bias)} + coalesce(list_sum(list_transform({toks}, t -> {w})), 0))",
+        f"coalesce(len({toks}), 0)",
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     window: int,

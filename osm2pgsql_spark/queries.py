@@ -704,6 +704,38 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs)
 
 
+def _classifier_trained_oracle() -> str:
+    from osm2pgsql_spark import frozen
+    from osm2pgsql_spark.operators.curation import trained_linear_score_sql
+
+    score, ntok = trained_linear_score_sql(
+        frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS, frozen.QUALITY_BIAS)
+    return f"""
+    SELECT doc_id,
+           CAST({ntok} AS BIGINT) AS n_scored_tokens,
+           CAST({score} AS BIGINT) AS score_e6,
+           {score} > 0 AS is_kept
+    FROM documents
+    """
+
+
+@register("quality_classifier_trained", oracle=_classifier_trained_oracle())
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_classifier with a REAL trained artifact (round-10):
+    frozen.QUALITY_WEIGHTS is an integer perceptron trained offline by
+    tools/freeze_artifacts.py (train_hashed_linear; test_frozen pins
+    retraining bit-equal), shipped into the plan as a map literal —
+    same zero-Exchange projection, weights now data, not a hash
+    function."""
+    from osm2pgsql_spark import frozen
+    from osm2pgsql_spark.operators.curation import trained_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trained_linear_score(
+        docs, frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS,
+        frozen.QUALITY_BIAS)
+
+
 _PACK_WINDOW = 2048
 
 
@@ -3200,41 +3232,46 @@ _EPSG_GRATICULES = {
 }
 
 
-def _epsg_oracle(chk: str) -> str:
+def _epsg_forward_sql(code: int) -> tuple[str, str]:
+    """(e_sql, n_sql) over columns lon/lat — the family-dispatched
+    DuckDB twin generated from the SAME params object the kernel
+    uses."""
     from osm2pgsql_spark.functions import projection as PJ
 
-    code, lon_sql, lat_sql = _EPSG_GRATICULES[chk]
     p = PJ.epsg_params(code)
     if isinstance(p, PJ.TmercParams):
-        e_sql, n_sql = PJ.tmerc_forward_sql("lon", "lat", p)
-    elif isinstance(p, PJ.LccParams):
-        e_sql, n_sql = PJ.lcc_forward_sql("lon", "lat", p)
-    elif isinstance(p, PJ.AlbersParams):
-        e_sql, n_sql = PJ.albers_forward_sql("lon", "lat", p)
-    elif isinstance(p, PJ.StereaParams):
-        e_sql, n_sql = PJ.sterea_forward_sql("lon", "lat", p)
-    else:
-        e_sql, n_sql = PJ.laea_forward_sql("lon", "lat", p)
+        return PJ.tmerc_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.LccParams):
+        return PJ.lcc_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.AlbersParams):
+        return PJ.albers_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.StereaParams):
+        return PJ.sterea_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.HomParams):
+        return PJ.hom_forward_sql("lon", "lat", p)
+    return PJ.laea_forward_sql("lon", "lat", p)
+
+
+def _epsg_oracle(chk: str, specs: dict | None = None) -> str:
+    code, lon_sql, lat_sql = (specs or _EPSG_GRATICULES)[chk]
+    e_sql, n_sql = _epsg_forward_sql(code)
     return (
         f"SELECT id, {roundn_sql(e_sql, 0)} AS e, {roundn_sql(n_sql, 0)} AS n "
         f"FROM (SELECT p_partkey AS id, {lon_sql} AS lon, {lat_sql} AS lat FROM part)"
     )
 
 
-def q_geom_epsg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All EPSG graticule branches in ONE scan + ONE Arrow kernel.
-
-    q_geom_epsg pays a separate pandas-UDF stage per projection (6
-    Arrow round-trips over WKB points); this fused path computes every
-    graticule's lon/lat as JVM columns and runs all forward transforms
-    in a single mapInPandas that emits the long-form suite rows
-    (id, chk, e, n) directly — emitting long-form inside the kernel
-    avoids the fan-out-from-one-frame subplan re-execution a 6-branch
-    union would risk.  Values are identical to the per-branch path
-    (same kernels, same params objects)."""
+def _geom_epsg_fused(spark: SparkSession, sf_dir: str, specs: dict) -> DataFrame:
+    """All of `specs`' EPSG graticule branches in ONE scan + ONE Arrow
+    kernel: every graticule's lon/lat computed as JVM columns, one
+    mapInPandas running the family-dispatched forward (forward_xy)
+    and emitting the long-form rows (id, chk, e, n) directly —
+    emitting long-form inside the kernel avoids the
+    fan-out-from-one-frame subplan re-execution a per-branch union
+    would risk."""
     import pandas as pd
 
-    specs = dict(_EPSG_GRATICULES)
+    specs = dict(specs)
     cols = [F.col("p_partkey").alias("id")]
     for chk, (_code, lon_sql, lat_sql) in specs.items():
         cols.append(F.expr(lon_sql).alias(f"lon_{chk}"))
@@ -3245,25 +3282,13 @@ def q_geom_epsg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         from osm2pgsql_spark.functions import projection as PJ
 
         params = {chk: PJ.epsg_params(spec[0]) for chk, spec in specs.items()}
-
-        def forward(p, lon, lat):
-            if isinstance(p, PJ.TmercParams):
-                return PJ.tmerc_forward(lon, lat, p)
-            if isinstance(p, PJ.LccParams):
-                return PJ.lcc_forward(lon, lat, p)
-            if isinstance(p, PJ.AlbersParams):
-                return PJ.albers_forward(lon, lat, p)
-            if isinstance(p, PJ.StereaParams):
-                return PJ.sterea_forward(lon, lat, p)
-            return PJ.laea_forward(lon, lat, p)
-
         for pdf in it:
             frames = []
             for chk, p in params.items():
-                e, n = forward(
-                    p,
+                e, n = PJ.forward_xy(
                     pdf[f"lon_{chk}"].to_numpy(),
                     pdf[f"lat_{chk}"].to_numpy(),
+                    p,
                 )
                 frames.append(
                     pd.DataFrame(
@@ -3276,6 +3301,69 @@ def q_geom_epsg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "chk", roundn(F.col("e"), 0).alias("e"), roundn(F.col("n"), 0).alias("n")
     )
+
+
+def q_geom_epsg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6 original graticule branches fused (benched geom_suite
+    scope — FROZEN; round-10 registry-tail codes live in the separate
+    epsg_registry_tail gate)."""
+    return _geom_epsg_fused(spark, sf_dir, _EPSG_GRATICULES)
+
+
+# round-10 registry tail — the codes the r9 VERDICT named as the
+# visible capability gap (31370/2056-class), each inside its belt.
+# Unbenched on purpose: geom_suite's bench scope is frozen at r7.
+_EPSG_GRATICULES_R10 = {
+    "lcc_belge": (  # Belgian Lambert 72 (LCC 2SP, false origin at pole)
+        31370,
+        "cast((p_partkey * 7) % 5 AS double) + 2.0e0",
+        "cast((p_partkey * 11) % 4 AS double) + 49.0e0",
+    ),
+    "hom_lv95": (  # CH1903+ / LV95 (Hotine B, alpha=90)
+        2056,
+        "cast((p_partkey * 3) % 5 AS double) + 6.0e0",
+        "cast((p_partkey * 5) % 3 AS double) + 46.0e0",
+    ),
+    "hom_rso": (  # Timbalai 1948 / RSO Borneo (skew Hotine B)
+        29873,
+        "cast((p_partkey * 13) % 9 AS double) + 111.0e0",
+        "cast((p_partkey * 7) % 6 AS double) + 1.0e0",
+    ),
+    "tm_itm": (  # IRENET95 / Irish TM
+        2157,
+        "cast((p_partkey * 5) % 8 AS double) - 11.0e0",
+        "cast((p_partkey * 3) % 5 AS double) + 51.0e0",
+    ),
+    "tm_nztm": (  # NZGD2000 / NZTM (southern hemisphere)
+        2193,
+        "cast((p_partkey * 11) % 9 AS double) + 168.0e0",
+        "cast((p_partkey * 13) % 13 AS double) - 47.0e0",
+    ),
+    "tm_gk4": (  # DHDN / Gauss-Krueger zone 4 (range-derived row)
+        31468,
+        "cast((p_partkey * 3) % 6 AS double) + 9.0e0",
+        "cast((p_partkey * 7) % 8 AS double) + 47.0e0",
+    ),
+}
+
+
+def _epsg_registry_tail_oracle() -> str:
+    parts = [
+        f"SELECT id, '{chk}' AS chk, e, n FROM ({_epsg_oracle(chk, _EPSG_GRATICULES_R10)})"
+        for chk in _EPSG_GRATICULES_R10
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("epsg_registry_tail", oracle=_epsg_registry_tail_oracle())
+def q_epsg_registry_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 EPSG registry tail (projection.py registry rows for
+    Belgian Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, and a
+    Gauss-Krueger zone) — the reference reprojects to these via PROJ
+    (src/reprojection-generic-proj6.cpp); here each family kernel is
+    checked against a DuckDB twin generated from the same params
+    object."""
+    return _geom_epsg_fused(spark, sf_dir, _EPSG_GRATICULES_R10)
 
 
 def q_geom_epsg(spark: SparkSession, sf_dir: str, chk: str) -> DataFrame:

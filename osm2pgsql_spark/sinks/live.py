@@ -69,6 +69,7 @@ class SqlBatchWriter:
         type_col: str | None = None,
         delete_batch_max: int = DELETE_BATCH_MAX,
         insert_batch_rows: int = INSERT_BATCH_ROWS,
+        quote_idents: bool = False,
     ) -> None:
         self.connect = connect
         self.table = table
@@ -77,6 +78,13 @@ class SqlBatchWriter:
         self.type_col = type_col
         self.delete_batch_max = delete_batch_max
         self.insert_batch_rows = insert_batch_rows
+        # quote identifiers in the emitted SQL (reserved-word columns
+        # like "natural" in the full pgsql schema); off by default so
+        # the golden transcript stays byte-identical
+        self.quote_idents = quote_idents
+
+    def _q(self, ident: str) -> str:
+        return f'"{ident}"' if self.quote_idents else ident
 
     # -- executor side ----------------------------------------------------
 
@@ -120,14 +128,16 @@ class SqlBatchWriter:
             for t, i in deletes:
                 flat.extend((t, i))
             con.execute(
-                f"DELETE FROM {self.table} WHERE ({self.type_col}, {self.id_col})"
+                f"DELETE FROM {self.table} WHERE "
+                f"({self._q(self.type_col)}, {self._q(self.id_col)})"
                 f" IN ({placeholders})",
                 flat,
             )
         else:
             placeholders = ",".join(["?"] * len(deletes))
             con.execute(
-                f"DELETE FROM {self.table} WHERE {self.id_col} IN ({placeholders})",
+                f"DELETE FROM {self.table} WHERE {self._q(self.id_col)}"
+                f" IN ({placeholders})",
                 list(deletes),
             )
         deletes.clear()
@@ -135,7 +145,7 @@ class SqlBatchWriter:
     def _flush_inserts(self, con, inserts: list) -> None:
         if not inserts:
             return
-        cols = ", ".join(self.columns)
+        cols = ", ".join(self._q(c) for c in self.columns)
         ph = ",".join(["?"] * len(self.columns))
         con.executemany(
             f"INSERT INTO {self.table} ({cols}) VALUES ({ph})", inserts
@@ -152,6 +162,7 @@ def write_delete_before_insert(
     columns: Sequence[str] | None = None,
     num_partitions: int | None = None,
     delete_batch_max: int = DELETE_BATCH_MAX,
+    quote_idents: bool = False,
 ) -> None:
     """Apply one diff's change set to a live SQL table.
 
@@ -168,7 +179,7 @@ def write_delete_before_insert(
     )
     writer = SqlBatchWriter(
         connect, table, cols, id_col=id_col, type_col=type_col,
-        delete_batch_max=delete_batch_max,
+        delete_batch_max=delete_batch_max, quote_idents=quote_idents,
     )
     parted.foreachPartition(writer)
 
@@ -347,6 +358,21 @@ class TranscriptCon:
             return str(v)
         if isinstance(v, (bytes, bytearray, memoryview)):
             return "'\\x" + bytes(v).hex() + "'"
+        if isinstance(v, dict):
+            # hstore literal (implicitly cast by the column type)
+            items = ", ".join(
+                '"{}"=>"{}"'.format(
+                    str(k).replace("\\", "\\\\").replace('"', '\\"'),
+                    str(x).replace("\\", "\\\\").replace('"', '\\"'),
+                )
+                for k, x in sorted(v.items())
+            )
+            return "'" + items.replace("'", "''") + "'"
+        if isinstance(v, (list, tuple)):
+            from osm2pgsql_spark.sinks.writers import _array_elem
+
+            lit = "{" + ",".join(_array_elem(x) for x in v) + "}"
+            return "'" + lit.replace("'", "''") + "'"
         return "'" + str(v).replace("'", "''") + "'"
 
     def _substitute(self, sql: str, params: list) -> str:

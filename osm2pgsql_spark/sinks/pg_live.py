@@ -211,10 +211,12 @@ class _CopyPartition:
     many times Spark replays the partition.  Failed attempts leave
     only an orphan staging table, swept by pg_load_tables afterwards."""
 
-    def __init__(self, dsn: dict, table: str, columns: list[str]) -> None:
+    def __init__(self, dsn: dict, table: str, columns: list[str],
+                 schema: str = "") -> None:
         self.dsn = dsn
         self.table = table
         self.columns = columns
+        self.schema = schema
 
     def __call__(self, rows) -> None:
         from pyspark import TaskContext
@@ -226,9 +228,12 @@ class _CopyPartition:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.attemptNumber() if ctx is not None else 0
-        stg = f"{self.table}__stg_{pid}_{attempt}"
+        target = _qual(self.table, self.schema)
+        stg = _qual(f"{self.table}__stg_{pid}_{attempt}", self.schema)
+        ledger_key = (f"{self.schema}.{self.table}" if self.schema
+                      else self.table)
         quoted = ", ".join(f'"{c}"' for c in self.columns)
-        head = f'COPY "{stg}" ({quoted}) FROM STDIN;\n'
+        head = f"COPY {stg} ({quoted}) FROM STDIN;\n"
         created = False
         buf: list[dict] = []
         size = 0
@@ -238,9 +243,9 @@ class _CopyPartition:
             if not created:
                 run_psql_script(
                     self.dsn,
-                    f'DROP TABLE IF EXISTS "{stg}";\n'
-                    f'CREATE UNLOGGED TABLE "{stg}" '
-                    f'(LIKE "{self.table}");',
+                    f"DROP TABLE IF EXISTS {stg};\n"
+                    f"CREATE UNLOGGED TABLE {stg} "
+                    f"(LIKE {target});",
                 )
                 created = True
             run_psql_script(
@@ -262,60 +267,188 @@ class _CopyPartition:
             return  # empty partition: nothing staged, nothing to promote
         promote = (
             f"INSERT INTO \"{COPY_LEDGER}\" (tbl, part) "
-            f"VALUES ('{self.table}', {pid});\n"
-            f'INSERT INTO "{self.table}" SELECT * FROM "{stg}";\n'
-            f'DROP TABLE "{stg}";'
+            f"VALUES ('{ledger_key}', {pid});\n"
+            f"INSERT INTO {target} SELECT * FROM {stg};\n"
+            f"DROP TABLE {stg};"
         )
         try:
             run_psql_script(self.dsn, promote, single_txn=True)
         except RuntimeError as e:
             if "duplicate key value" in str(e):
                 # another attempt already promoted this partition
-                run_psql_script(self.dsn, f'DROP TABLE IF EXISTS "{stg}";')
+                run_psql_script(self.dsn, f"DROP TABLE IF EXISTS {stg};")
                 return
             raise
 
 
 def pg_load_tables(
     tables: dict, dsn: dict, ddl_overrides: dict | None = None,
-    if_exists: str = "replace",
+    if_exists: str = "replace", schema: str = "",
 ) -> dict[str, int]:
     """CREATE each table from its DataFrame schema and COPY-load it —
     the reference's table.cpp:118-240 create+COPY flow against a live
-    server.  Returns row counts read back from PostgreSQL."""
+    server.  `schema` qualifies every table (the reference's
+    --schema / --output-pgsql-schema).  Returns row counts read back
+    from PostgreSQL."""
     counts = {}
+    mk_schema = (
+        f'CREATE SCHEMA IF NOT EXISTS "{schema}";\n' if schema else ""
+    )
     for name, df in tables.items():
+        qn = _qual(name, schema)
+        ledger_key = f"{schema}.{name}" if schema else name
         cols = [
             (c, (ddl_overrides or {}).get(name, {}).get(c) or pg_type_of(t))
             for c, t in df.dtypes
         ]
         col_sql = ", ".join(f'"{c}" {t}' for c, t in cols)
-        drop = f'DROP TABLE IF EXISTS "{name}";\n' if if_exists == "replace" else ""
+        drop = f"DROP TABLE IF EXISTS {qn};\n" if if_exists == "replace" else ""
         ext = (
             "CREATE EXTENSION IF NOT EXISTS hstore;\n"
             if any(t == "hstore" for _c, t in cols) else ""
         )
         run_psql_script(
             dsn,
-            f'{ext}{drop}CREATE TABLE "{name}" ({col_sql});\n'
+            f"{mk_schema}{ext}{drop}CREATE TABLE {qn} ({col_sql});\n"
             f'CREATE TABLE IF NOT EXISTS "{COPY_LEDGER}" '
             "(tbl text, part int, PRIMARY KEY (tbl, part));\n"
-            f"DELETE FROM \"{COPY_LEDGER}\" WHERE tbl = '{name}';",
+            f"DELETE FROM \"{COPY_LEDGER}\" WHERE tbl = '{ledger_key}';",
         )
         df.foreachPartition(
-            _CopyPartition(dsn, name, [c for c, _t in cols])
+            _CopyPartition(dsn, name, [c for c, _t in cols], schema=schema)
         )
         # sweep staging tables orphaned by failed/duplicate attempts
         pat = name + "~_~_stg~_%"  # literal underscores escaped
+        schema_cond = (
+            f"schemaname = '{schema}'" if schema
+            else "schemaname NOT IN ('pg_catalog', 'information_schema')"
+        )
         orphans = query(
             dsn,
             f"SELECT tablename FROM pg_tables WHERE tablename LIKE '{pat}' "
-            "ESCAPE '~'",
+            f"ESCAPE '~' AND {schema_cond}",
         )
         for (orphan,) in orphans:
-            run_psql_script(dsn, f'DROP TABLE IF EXISTS "{orphan}";')
-        counts[name] = int(query(dsn, f'SELECT count(*) FROM "{name}"')[0][0])
+            run_psql_script(
+                dsn, f"DROP TABLE IF EXISTS {_qual(orphan, schema)};")
+        counts[name] = int(
+            query(dsn, f"SELECT count(*) FROM {qn}")[0][0])
     return counts
+
+
+# ------------------------------------------------------ capability probe
+
+#: reference CMakeLists.txt: MINIMUM_POSTGRESQL_SERVER_VERSION_NUM
+MIN_PG_VERSION_NUM = 120000
+MIN_PG_VERSION = "12"
+
+
+def pg_capabilities(dsn: dict, require_postgis: bool = False) -> dict:
+    """The reference's database-capabilities probe, executed live
+    (src/pgsql-capabilities.cpp init_database_capabilities): all
+    pg_settings, database name, installed extensions, schemas,
+    tablespaces, index methods, and tables, with the version and
+    UTF8-encoding checks using the reference wordings.
+
+    require_postgis=True reproduces the missing-PostGIS error this
+    container necessarily hits (no PostGIS package): callers that only
+    need schemas/tablespaces/index methods probe with the default."""
+    caps: dict = {}
+    caps["settings"] = {
+        r[0]: (r[1] if len(r) > 1 else "")
+        for r in query(dsn, "SELECT name, setting FROM pg_catalog.pg_settings")
+    }
+    caps["database_name"] = query(dsn, "SELECT current_catalog")[0][0]
+    pgis = query(
+        dsn,
+        "SELECT extversion FROM pg_catalog.pg_extension"
+        " WHERE extname='postgis'",
+    )
+    if not pgis and require_postgis:
+        raise RuntimeError(
+            f"The postgis extension is not enabled on the database "
+            f"'{caps['database_name']}'. Are you using the correct "
+            "database? Enable with 'CREATE EXTENSION postgis;'"
+        )
+    caps["postgis"] = pgis[0][0] if pgis else None
+    version = int(caps["settings"]["server_version_num"])
+    caps["database_version"] = version
+    if version < MIN_PG_VERSION_NUM:
+        raise RuntimeError(
+            f"Your database version is too old (need at least "
+            f"{MIN_PG_VERSION})."
+        )
+    if caps["settings"]["server_encoding"] != "UTF8":
+        raise RuntimeError("Database is not using UTF8 encoding.")
+
+    def _set(table: str, column: str, condition: str = "true") -> set:
+        return {r[0] for r in query(
+            dsn, f"SELECT {column} FROM {table} WHERE {condition}")}
+
+    caps["extensions"] = _set("pg_catalog.pg_extension", "extname")
+    caps["schemas"] = _set(
+        "pg_catalog.pg_namespace", "nspname",
+        "nspname !~ '^pg_' AND nspname <> 'information_schema'")
+    caps["tablespaces"] = _set(
+        "pg_catalog.pg_tablespace", "spcname", "spcname != 'pg_global'")
+    caps["index_methods"] = _set(
+        "pg_catalog.pg_am", "amname", "amtype = 'i'")
+    caps["tables"] = _set(
+        "pg_catalog.pg_tables", "schemaname || '.' || tablename",
+        "schemaname NOT IN ('pg_catalog', 'information_schema')")
+    return caps
+
+
+def has_schema(caps: dict, value: str) -> bool:
+    """pgsql-capabilities.cpp has_schema: empty always passes."""
+    return not value or value in caps["schemas"]
+
+
+def has_tablespace(caps: dict, value: str) -> bool:
+    return not value or value in caps["tablespaces"]
+
+
+def has_index_method(caps: dict, value: str) -> bool:
+    return value in caps["index_methods"]
+
+
+def _qual(table: str, schema: str = "") -> str:
+    """Schema-qualified quoted name (the reference qualifies every
+    table with the configured schema, properties.cpp / table.cpp)."""
+    return f'"{schema}"."{table}"' if schema else f'"{table}"'
+
+
+def pg_write_properties(dsn: dict, props: dict, schema: str = "") -> None:
+    """Write the osm2pgsql_properties table — the reference creates it
+    at import and upserts each property (src/properties.cpp:22,109);
+    osm2pgsql-replication and append read it back from the database.
+    `schema` qualifies the table (the reference's --middle-schema,
+    BDD replication_schema feature)."""
+    name = _qual("osm2pgsql_properties", schema)
+    t = TranscriptCon()
+    t.execute(
+        f"CREATE TABLE IF NOT EXISTS {name} "
+        "(property TEXT NOT NULL PRIMARY KEY, value TEXT NOT NULL)"
+    )
+    for k in sorted(props):
+        t.execute(
+            f"INSERT INTO {name} (property, value) "
+            "VALUES (?, ?) ON CONFLICT (property) "
+            "DO UPDATE SET value = EXCLUDED.value",
+            (str(k), str(props[k])),
+        )
+    run_psql_script(dsn, "\n".join(t.lines))
+
+
+def pg_read_properties(dsn: dict, schema: str = "") -> dict:
+    """Read osm2pgsql_properties back (append-side compatibility
+    check against the live database, reference osm2pgsql.cpp:102-145)."""
+    rows = query(
+        dsn,
+        f"SELECT property, value FROM {_qual('osm2pgsql_properties', schema)}"
+        " ORDER BY property",
+    )
+    return {r[0]: r[1] for r in rows}
 
 
 # ------------------------------------------------------------- test server

