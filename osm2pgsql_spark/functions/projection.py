@@ -29,6 +29,14 @@ real deployments use are implemented from the public formulas:
   grids CH1903/LV03 (21781) and CH1903+/LV95 (2056, alpha=gamma=90),
   and the skew RSO grids (Timbalai 29873, pinned to the GN7-2 §3.2.6
   worked example to the mm) — forward + inverse per GN7-2.
+- Lambert Conformal Conic 1SP (method 9801) — Jamaica National Grid
+  (24200, pinned to the GN7-2 §3.1.1 worked example); reuses the 2SP
+  kernels through a derived-constant surface.
+- Polar Stereographic variants A/B (9810/9829) — UPS 32661/32761
+  (GN7-2 §3.1.6 worked example), Antarctic 3031, NSIDC 3413/3976 —
+  standard-parallel scale invariant pinned.
+- Mercator variants A/B (9804/9805) — World Mercator 3395, Makassar /
+  NEIEZ 3002 (GN7-2 §3.1.3 worked example).
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -63,6 +71,8 @@ ELLIPSOIDS = {
     "intl": (6378388.0, 297.0),
     # Everest 1830 (1967 definition) (Timbalai 1948 — RSO Borneo)
     "evrst67": (6377298.556, 300.8017),
+    # Clarke 1866 (NAD27, Jamaica 1969)
+    "clrk66": (6378206.4, 294.978698214),
 }
 
 
@@ -307,6 +317,140 @@ class StereaParams:
 
 
 @dataclass(frozen=True)
+class Lcc1Params:
+    """Lambert Conformal Conic 1SP parameters (EPSG method 9801) —
+    Jamaica National Grid class.  Derives the same (n, big_f, r0)
+    surface as LccParams, so the 9802 kernels (lcc_forward /
+    lcc_inverse / lcc_forward_sql) run unchanged: n = sin(lat0),
+    F = k0 * m0 / (n * t0^n), r0 = a F t0^n (GN7-2 §3.1.1)."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    k0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    def _m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - (self.e * s) ** 2)
+
+    def _t(self, phi: float) -> float:
+        e, s = self.e, math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    @property
+    def n(self) -> float:
+        return math.sin(math.radians(self.lat0))
+
+    @property
+    def big_f(self) -> float:
+        phi0 = math.radians(self.lat0)
+        return self.k0 * self._m(phi0) / (self.n * self._t(phi0) ** self.n)
+
+    @property
+    def r0(self) -> float:
+        return self.a * self.big_f * self._t(
+            math.radians(self.lat0)) ** self.n
+
+
+@dataclass(frozen=True)
+class PolarParams:
+    """Polar Stereographic parameters — EPSG method 9810 (variant A:
+    k0 at the pole; UPS) and 9829 (variant B: standard parallel
+    lat_ts; Antarctic Polar Stereographic).  `south` selects the
+    aspect.  GN7-2 §3.1.6 formulas."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    k0: float      # scale at the pole (variant A); derived for B
+    fe: float
+    fn: float
+    south: bool = False
+    lat_ts: float | None = None  # variant B standard parallel
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _ce(self) -> float:
+        e = self.e
+        return math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+    def _t(self, phi):
+        """Isometric-colatitude t for the aspect (numpy-safe)."""
+        e = self.e
+        if self.south:
+            s = np.sin(-phi)
+            return np.tan(np.pi / 4.0 - (-phi) / 2.0) / (
+                (1.0 - e * s) / (1.0 + e * s)
+            ) ** (e / 2.0)
+        s = np.sin(phi)
+        return np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    @property
+    def k0_eff(self) -> float:
+        """Variant B: k0 from the standard parallel (GN7-2: k0 =
+        mF * sqrt((1+e)^(1+e)(1-e)^(1-e)) / (2 tF))."""
+        if self.lat_ts is None:
+            return self.k0
+        phi = math.radians(self.lat_ts)
+        s = math.sin(phi)
+        m = math.cos(phi) / math.sqrt(1.0 - (self.e * s) ** 2)
+        t = float(self._t(np.asarray(phi)))
+        return m * self._ce / (2.0 * t)
+
+
+@dataclass(frozen=True)
+class MercParams:
+    """Mercator parameters — EPSG 9804 (variant A: k0) / 9805
+    (variant B: standard parallel).  GN7-2 §3.1.3."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    k0: float
+    fe: float
+    fn: float
+    lat_ts: float | None = None
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def k0_eff(self) -> float:
+        if self.lat_ts is None:
+            return self.k0
+        phi = math.radians(self.lat_ts)
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - (self.e * s) ** 2)
+
+
+@dataclass(frozen=True)
 class HomParams:
     """Hotine Oblique Mercator variant B parameters (EPSG method 9815
     — azimuth given at the projection centre, false coordinates AT
@@ -412,6 +556,22 @@ def _ho(code, ell, lonc, latc, alpha, gamma, k0, fe, fn):
     _NAMED[code] = HomParams(a, inv_f, lonc, latc, alpha, gamma, k0, fe, fn)
 
 
+def _l1(code, ell, lon0, lat0, k0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = Lcc1Params(a, inv_f, lon0, lat0, k0, fe, fn)
+
+
+def _ps(code, ell, lon0, k0, fe, fn, south=False, lat_ts=None):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = PolarParams(a, inv_f, lon0, k0, fe, fn,
+                               south=south, lat_ts=lat_ts)
+
+
+def _me(code, ell, lon0, k0, fe, fn, lat_ts=None):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = MercParams(a, inv_f, lon0, k0, fe, fn, lat_ts=lat_ts)
+
+
 def _dms(d, m=0.0, s=0.0):
     """Degrees-minutes-seconds -> decimal degrees (EPSG rows publish
     DMS; converting in code keeps the registry literally the EPSG
@@ -460,6 +620,20 @@ _ho(2056, "bessel", _dms(7, 26, 22.5), _dms(46, 57, 8.66),
 # Timbalai 1948 / RSO Borneo (m) — the GN7-2 §3.2.6 worked example
 _ho(29873, "evrst67", 115.0, 4.0, _dms(53, 18, 56.9537),
     _dms(53, 7, 48.3685), 0.99984, 590476.87, 442857.65)
+# Jamaica 1969 / Jamaica National Grid — the GN7-2 §3.1.1 LCC-1SP
+# worked example
+_l1(24200, "clrk66", -77.0, 18.0, 1.0, 250000.0, 150000.0)
+# Universal Polar Stereographic (variant A, k0 at the pole)
+_ps(32661, "WGS84", 0.0, 0.994, 2000000.0, 2000000.0)           # UPS N
+_ps(32761, "WGS84", 0.0, 0.994, 2000000.0, 2000000.0, south=True)  # UPS S
+# variant B (standard parallel): Antarctic + NSIDC sea-ice grids
+_ps(3031, "WGS84", 0.0, 1.0, 0.0, 0.0, south=True, lat_ts=-71.0)
+_ps(3976, "WGS84", 0.0, 1.0, 0.0, 0.0, south=True, lat_ts=-70.0)
+_ps(3413, "WGS84", -45.0, 1.0, 0.0, 0.0, lat_ts=70.0)
+# Mercator: World Mercator (9804 k0=1) + the GN7-2 §3.1.3 worked
+# example CRS (Makassar / NEIEZ, Bessel)
+_me(3395, "WGS84", 0.0, 1.0, 0.0, 0.0)
+_me(3002, "bessel", 110.0, 0.997, 3900000.0, 900000.0)
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -698,6 +872,75 @@ def sterea_inverse(E: np.ndarray, N: np.ndarray, p: StereaParams):
     return lon, np.degrees(phi)
 
 
+# --------------------------------------- Polar Stereographic kernels
+
+def polar_forward(lon: np.ndarray, lat: np.ndarray, p: PolarParams):
+    """(E, N) — Polar Stereographic forward (EPSG 9810/9829,
+    GN7-2 §3.1.6), north or south aspect."""
+    k0 = p.k0_eff
+    t = p._t(np.radians(lat))
+    rho = 2.0 * p.a * k0 * t / p._ce
+    theta = np.radians(lon - p.lon0)
+    if p.south:
+        return p.fe + rho * np.sin(theta), p.fn + rho * np.cos(theta)
+    return p.fe + rho * np.sin(theta), p.fn - rho * np.cos(theta)
+
+
+def polar_inverse(E: np.ndarray, N: np.ndarray, p: PolarParams):
+    """(lon, lat) — 9810/9829 inverse; conformal-latitude fixed point
+    (8 iterations: double-precision converged)."""
+    e = p.e
+    k0 = p.k0_eff
+    dx = np.asarray(E, dtype="f8") - p.fe
+    dy = np.asarray(N, dtype="f8") - p.fn
+    rho = np.hypot(dx, dy)
+    t = rho * p._ce / (2.0 * p.a * k0)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)  # aspect-local latitude
+    phi = chi
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+    if p.south:
+        lon = p.lon0 + np.degrees(np.arctan2(dx, dy))
+        return lon, -np.degrees(phi)
+    lon = p.lon0 + np.degrees(np.arctan2(dx, -dy))
+    return lon, np.degrees(phi)
+
+
+# ------------------------------------------------- Mercator kernels
+
+def merc_forward(lon: np.ndarray, lat: np.ndarray, p: MercParams):
+    """(E, N) — ellipsoidal Mercator forward (EPSG 9804/9805)."""
+    e = p.e
+    ak = p.a * p.k0_eff
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    N = ak * (np.arctanh(s) - e * np.arctanh(e * s))
+    return p.fe + ak * np.radians(lon - p.lon0), p.fn + N
+
+
+def merc_inverse(E: np.ndarray, N: np.ndarray, p: MercParams):
+    """(lon, lat) — Mercator inverse via Newton on the isometric
+    latitude (5 iterations: double-precision converged)."""
+    e = p.e
+    ak = p.a * p.k0_eff
+    psi = (np.asarray(N, dtype="f8") - p.fn) / ak
+    lon = p.lon0 + np.degrees((np.asarray(E, dtype="f8") - p.fe) / ak)
+    t = np.sinh(psi)
+    phi = np.arctan(t)
+    for _ in range(5):
+        s = np.sin(phi)
+        g = np.sinh(np.arctanh(s) - e * np.arctanh(e * s)) - t
+        dpsi = 1.0 / np.cos(phi) - e * e * np.cos(phi) / (
+            1.0 - (e * s) ** 2
+        )
+        psi_phi = np.arctanh(s) - e * np.arctanh(e * s)
+        phi = phi - g / (np.cosh(psi_phi) * dpsi)
+    return lon, np.degrees(phi)
+
+
 # ------------------------------------- Hotine Oblique Mercator kernels
 
 def hom_forward(lon: np.ndarray, lat: np.ndarray, p: HomParams):
@@ -781,6 +1024,12 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return sterea_forward(lon, lat, p)
     if isinstance(p, HomParams):
         return hom_forward(lon, lat, p)
+    if isinstance(p, Lcc1Params):
+        return lcc_forward(lon, lat, p)  # same derived surface as 2SP
+    if isinstance(p, PolarParams):
+        return polar_forward(lon, lat, p)
+    if isinstance(p, MercParams):
+        return merc_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
 
 
@@ -901,6 +1150,43 @@ def albers_forward_sql(lon_expr: str, lat_expr: str, p: AlbersParams) -> tuple[s
     return (
         f"({_r(p.fe)} + ({rho})*sin({theta}))",
         f"({_r(p.fn + p.rho0)} - ({rho})*cos({theta}))",
+    )
+
+
+def polar_forward_sql(lon_expr: str, lat_expr: str, p: PolarParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of polar_forward."""
+    e = p.e
+    k0 = p.k0_eff
+    lat = f"({'-' if p.south else ''}({lat_expr}))"
+    sphi = f"sin(radians({lat}))"
+    es = f"({_r(e)}*({sphi}))"
+    t = (
+        f"(tan(pi()/4.0 - radians({lat})/2.0)"
+        f" / pow((1.0-({es}))/(1.0+({es})), {_r(e / 2.0)}))"
+    )
+    rho = f"({_r(2.0 * p.a * k0 / p._ce)}*({t}))"
+    theta = f"radians(({lon_expr}) - {_r(p.lon0)})"
+    op = "+" if p.south else "-"
+    return (
+        f"({_r(p.fe)} + ({rho})*sin({theta}))",
+        f"({_r(p.fn)} {op} ({rho})*cos({theta}))",
+    )
+
+
+def merc_forward_sql(lon_expr: str, lat_expr: str, p: MercParams) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of merc_forward
+    (atanh spelled with ln)."""
+    e = p.e
+    ak = p.a * p.k0_eff
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    psi = (
+        f"(0.5*ln((1.0+({sphi}))/(1.0-({sphi})))"
+        f" - {_r(e)}*0.5*ln((1.0+({es}))/(1.0-({es}))))"
+    )
+    return (
+        f"({_r(p.fe)} + {_r(ak)}*radians(({lon_expr}) - {_r(p.lon0)}))",
+        f"({_r(p.fn)} + {_r(ak)}*{psi})",
     )
 
 

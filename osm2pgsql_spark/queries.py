@@ -3249,6 +3249,12 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
         return PJ.sterea_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.HomParams):
         return PJ.hom_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.Lcc1Params):
+        return PJ.lcc_forward_sql("lon", "lat", p)  # shared surface
+    if isinstance(p, PJ.PolarParams):
+        return PJ.polar_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.MercParams):
+        return PJ.merc_forward_sql("lon", "lat", p)
     return PJ.laea_forward_sql("lon", "lat", p)
 
 
@@ -3344,6 +3350,21 @@ _EPSG_GRATICULES_R10 = {
         "cast((p_partkey * 3) % 6 AS double) + 9.0e0",
         "cast((p_partkey * 7) % 8 AS double) + 47.0e0",
     ),
+    "lcc1_jamaica": (  # Jamaica National Grid (LCC 1SP, method 9801)
+        24200,
+        "cast((p_partkey * 5) % 3 AS double) - 79.0e0",
+        "cast((p_partkey * 7) % 2 AS double) + 17.0e0",
+    ),
+    "polar_ant": (  # Antarctic Polar Stereographic (9829 variant B)
+        3031,
+        "cast((p_partkey * 11) % 360 AS double) - 179.0e0",
+        "cast((p_partkey * 13) % 28 AS double) - 88.0e0",
+    ),
+    "merc_world": (  # WGS84 World Mercator (9804)
+        3395,
+        "cast((p_partkey * 7) % 359 AS double) - 179.0e0",
+        "cast((p_partkey * 17) % 160 AS double) - 80.0e0",
+    ),
 }
 
 
@@ -3358,11 +3379,12 @@ def _epsg_registry_tail_oracle() -> str:
 @register("epsg_registry_tail", oracle=_epsg_registry_tail_oracle())
 def q_epsg_registry_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 EPSG registry tail (projection.py registry rows for
-    Belgian Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, and a
-    Gauss-Krueger zone) — the reference reprojects to these via PROJ
-    (src/reprojection-generic-proj6.cpp); here each family kernel is
-    checked against a DuckDB twin generated from the same params
-    object."""
+    Belgian Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, a
+    Gauss-Krueger zone, Jamaica National Grid (LCC 1SP), Antarctic
+    Polar Stereographic, and World Mercator) — the reference
+    reprojects to these via PROJ (src/reprojection-generic-proj6.cpp);
+    here each family kernel is checked against a DuckDB twin generated
+    from the same params object."""
     return _geom_epsg_fused(spark, sf_dir, _EPSG_GRATICULES_R10)
 
 

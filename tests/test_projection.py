@@ -486,3 +486,125 @@ def test_transform_epsg_hom_dispatch():
     E, N = PJ.hom_forward(np.array([8.5]), np.array([47.0]),
                           PJ.epsg_params(2056))
     assert out[1] == (pytest.approx(E[0]), pytest.approx(N[0]))
+
+
+def test_lcc1sp_jamaica_worked_example():
+    """EPSG GN7-2 §3.1.1 (Lambert Conic Conformal 1SP): Jamaica 1969 /
+    Jamaica National Grid (24200).  17°55'55.8"N 76°56'37.26"W ->
+    E 255966.58, N 142493.51."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(24200)
+    lat = 17 + 55 / 60 + 55.80 / 3600
+    lon = -(76 + 56 / 60 + 37.26 / 3600)
+    E, N = PJ.lcc_forward(np.array([lon]), np.array([lat]), p)
+    assert abs(E[0] - 255966.58) < 5e-3
+    assert abs(N[0] - 142493.51) < 5e-3
+    lo, la = PJ.lcc_inverse(E, N, p)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+
+
+def test_polar_stereographic_ups_worked_example():
+    """EPSG GN7-2 §3.1.6 variant A: WGS84 / UPS North (32661).
+    73N 44E -> E 3320416.75, N 632668.43."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(32661)
+    E, N = PJ.polar_forward(np.array([44.0]), np.array([73.0]), p)
+    assert abs(E[0] - 3320416.75) < 5e-3
+    assert abs(N[0] - 632668.43) < 5e-3
+    # pole maps exactly to (FE, FN); UPS South mirrors
+    E0, N0 = PJ.polar_forward(np.array([0.0]), np.array([90.0]), p)
+    assert abs(E0[0] - 2000000.0) < 1e-6 and abs(N0[0] - 2000000.0) < 1e-6
+    ps = PJ.epsg_params(32761)
+    E1, N1 = PJ.polar_forward(np.array([44.0]), np.array([-73.0]), ps)
+    assert abs(E1[0] - E[0]) < 1e-6  # symmetric easting
+    assert abs((N1[0] - 2000000.0) + (N[0] - 2000000.0)) < 1e-6
+
+
+def test_polar_stereographic_variant_b_standard_parallel():
+    """Variant B (9829): scale == 1 exactly on the standard parallel
+    (3031 at 71S, 3413 at 70N) and < 1 poleward of it — the defining
+    property, pinned without a memorized vector."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    h = 1e-7
+    for code, lat_ts, probe in ((3031, -71.0, -80.0), (3413, 70.0, 80.0)):
+        p = PJ.epsg_params(code)
+        for lat0, want_one in ((lat_ts, True), (probe, False)):
+            E1, N1 = PJ.polar_forward(np.array([30.0]), np.array([lat0]), p)
+            E2, N2 = PJ.polar_forward(np.array([30.0 + h]), np.array([lat0]), p)
+            e2 = p.e ** 2
+            s = math.sin(math.radians(lat0))
+            nu = p.a / math.sqrt(1 - e2 * s * s)
+            arc = nu * math.cos(math.radians(lat0)) * math.radians(h)
+            k = math.hypot(E2[0] - E1[0], N2[0] - N1[0]) / arc
+            if want_one:
+                # 1e-6: numeric-derivative cancellation at h=1e-7 deg;
+                # a wrong lat_ts would move k by ~1e-3
+                assert k == pytest.approx(1.0, abs=1e-6), code
+            else:
+                assert k < 1.0, code
+        # round-trip incl. the pole-adjacent belt
+        rng = np.random.default_rng(code)
+        lon = rng.uniform(-179, 179, 150)
+        lat = rng.uniform(*((-89.9, -60) if code == 3031 else (60, 89.9)), 150)
+        E, N = PJ.polar_forward(lon, lat, p)
+        lo, la = PJ.polar_inverse(E, N, p)
+        dl = np.abs((lo - lon + 180) % 360 - 180)
+        assert dl.max() < 1e-9 and np.abs(la - lat).max() < 1e-9
+
+
+def test_mercator_worked_example_and_invariants():
+    """EPSG GN7-2 §3.1.3 variant A: Makassar / NEIEZ (3002).
+    3S 120E -> E 5009726.58, N 569150.82.  World Mercator (3395):
+    scale k0 exactly on the equator, round-trip to 84N."""
+    from osm2pgsql_spark.functions import projection as PJ
+
+    p = PJ.epsg_params(3002)
+    E, N = PJ.merc_forward(np.array([120.0]), np.array([-3.0]), p)
+    assert abs(E[0] - 5009726.58) < 5e-3
+    assert abs(N[0] - 569150.82) < 5e-3
+
+    w = PJ.epsg_params(3395)
+    # equator scale: dE/dlon per unit arc == 1 (k0 = 1)
+    h = 1e-7
+    E1, _ = PJ.merc_forward(np.array([10.0]), np.array([0.0]), w)
+    E2, _ = PJ.merc_forward(np.array([10.0 + h]), np.array([0.0]), w)
+    assert (E2[0] - E1[0]) / (w.a * math.radians(h)) == \
+        pytest.approx(1.0, abs=1e-7)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-84, 84, 200)
+    E, N = PJ.merc_forward(lon, lat, w)
+    lo, la = PJ.merc_inverse(E, N, w)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_polar_merc_lcc1_sql_twins_match_kernel():
+    import duckdb
+
+    from osm2pgsql_spark.functions import projection as PJ
+
+    con = duckdb.connect()
+    cases = [
+        (24200, PJ.lcc_forward, PJ.lcc_forward_sql, (-78.5, -76.2), (17.7, 18.5)),
+        (3031, PJ.polar_forward, PJ.polar_forward_sql, (-170, 170), (-88, -61)),
+        (32661, PJ.polar_forward, PJ.polar_forward_sql, (-170, 170), (61, 88)),
+        (3395, PJ.merc_forward, PJ.merc_forward_sql, (-179, 179), (-80, 80)),
+    ]
+    for code, fwd, sql_fn, lon_rng, lat_rng in cases:
+        p = PJ.epsg_params(code)
+        rng = np.random.default_rng(code)
+        lon = rng.uniform(*lon_rng, 40)
+        lat = rng.uniform(*lat_rng, 40)
+        E, N = fwd(lon, lat, p)
+        e_sql, n_sql = sql_fn("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        cols = list(got)
+        assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
+        assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
