@@ -365,6 +365,27 @@ def test_full_create_append_cycle_live_pg(spark, pg):
                   "-S", "/root/reference/default.style", "--pg", conninfo])
     assert "postgresql table planet_osm_point: 3 rows" in stdout
     assert "GiST skipped" in stdout
+    # slim middle landed in the database (middle-pgsql new-format
+    # shapes): 1e7-scaled int4 locations, int8[] way nodes, jsonb tags
+    assert pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_nodes")[0][0] == "4"
+    assert pg_live.query(
+        pg,
+        "SELECT lat, lon FROM planet_osm_nodes WHERE id = 1"
+    )[0] == ["500000000", "90000000"]
+    assert pg_live.query(
+        pg, "SELECT nodes[1], nodes[2] FROM planet_osm_ways WHERE id = 100"
+    )[0] == ["1", "2"]
+    assert pg_live.query(
+        pg,
+        "SELECT tags ->> 'highway' FROM planet_osm_ways WHERE id = 100"
+    )[0][0] == "residential"
+    # id PKs built after the COPY (reference build_indexes)
+    assert pg_live.query(
+        pg,
+        "SELECT count(*) FROM pg_indexes WHERE "
+        "tablename = 'planet_osm_nodes' AND indexdef LIKE '%UNIQUE%'"
+    )[0][0] == "1"
 
     # osm_id btree index created on every output table
     idx = pg_live.query(
@@ -415,6 +436,11 @@ def test_full_create_append_cycle_live_pg(spark, pg):
     # properties refreshed by the append
     props = pg_live.pg_read_properties(pg)
     assert "append_timestamp" in props
+    # middle replayed live: n5 created, n4 deleted, count tracks
+    assert "postgresql middle planet_osm_nodes: diff applied" in stdout
+    mids = {r[0] for r in pg_live.query(
+        pg, "SELECT id FROM planet_osm_nodes")}
+    assert "5" in mids and "4" not in mids and len(mids) == 4
 
 
 def test_pg_capabilities_probe(pg):

@@ -594,6 +594,19 @@ def cmd_create(args, spark) -> None:
             run_psql_script(dsn, "\n".join(ddl))
             print(f"postgresql: created {len(ddl)} index(es); geometry "
                   "GiST skipped (no PostGIS — way columns are bytea WKB)")
+        if not args.drop:
+            # slim middle in the database too (reference
+            # middle-pgsql.cpp new-format tables; id PKs built after
+            # the COPY like build_indexes, :1020-1063)
+            prefix = getattr(args, "prefix", "planet_osm")
+            mcounts = pg_load_tables(
+                _pg_middle_frames(prefix, nodes, ways, rels), dsn,
+                ddl_overrides=_pg_middle_ddl(prefix))
+            run_psql_script(dsn, "\n".join(
+                f'ALTER TABLE "{prefix}_{t}" ADD PRIMARY KEY (id);'
+                for t in ("nodes", "ways", "rels")))
+            for name, n in mcounts.items():
+                print(f"postgresql middle {name}: {n} rows")
     if args.drop:
         # --create --slim --drop: middle only existed to build the
         # output; an appendless import reclaims it (reference --drop)
@@ -675,8 +688,50 @@ def _touched_keys(space: str, node_ids: DataFrame, way_ids: DataFrame,
     raise SystemExit(f"unsupported id space {space!r} for incremental")
 
 
+def _pg_middle_frames(prefix: str, nodes, ways, rels,
+                      keep_op: bool = False) -> dict:
+    """Slim middle tables for the live database — the reference's
+    middle-pgsql NEW-format shapes (middle-pgsql.cpp table DDL:
+    {prefix}_nodes(id, lat, lon int4 — osmium's 1e7-scaled int32
+    locations), {prefix}_ways(id, nodes int8[], tags jsonb),
+    {prefix}_rels(id, members jsonb, tags jsonb); member type letters
+    uppercased like the reference's JSON encoder).  keep_op carries
+    the diff's op column through for the append replay."""
+    mid_nodes = nodes.select(
+        "id",
+        F.round(F.col("lat") * 1e7).cast("int").alias("lat"),
+        F.round(F.col("lon") * 1e7).cast("int").alias("lon"),
+        *(["op"] if keep_op else []),
+    )
+    mid_ways = ways.select(
+        "id",
+        F.col("refs").alias("nodes"),
+        F.to_json("tags").alias("tags"),
+        *(["op"] if keep_op else []),
+    )
+    mid_rels = rels.select(
+        "id",
+        F.to_json(F.expr(
+            "transform(members, m -> named_struct("
+            "'type', upper(m.type), 'ref', m.ref, 'role', m.role))"
+        )).alias("members"),
+        F.to_json("tags").alias("tags"),
+        *(["op"] if keep_op else []),
+    )
+    return {f"{prefix}_nodes": mid_nodes, f"{prefix}_ways": mid_ways,
+            f"{prefix}_rels": mid_rels}
+
+
+def _pg_middle_ddl(prefix: str) -> dict:
+    return {
+        f"{prefix}_ways": {"tags": "jsonb"},
+        f"{prefix}_rels": {"members": "jsonb", "tags": "jsonb"},
+    }
+
+
 def _pg_apply_append(args, new_side, log_new, id_spaces,
-                     node_ids, way_ids, rel_ids, log_tables) -> None:
+                     node_ids, way_ids, rel_ids, log_tables,
+                     diffs=None) -> None:
     """--append --pg: replay the diff against the live PostgreSQL.
 
     The reference's append flow — touched ids deleted in batches, new
@@ -739,6 +794,31 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
 
         add.foreachPartition(_ins)
         print(f"postgresql table {name}: log rows appended")
+    if diffs is not None:
+        # middle replay: the reference's append updates the slim
+        # middle tables in the database (middle-pgsql.cpp node/way/rel
+        # delete+insert flow).  Skipped when the import didn't load a
+        # middle (e.g. --drop), detected from the catalog.
+        from osm2pgsql_spark.sinks.pg_live import query as pg_query
+
+        prefix = getattr(args, "prefix", "planet_osm")
+        present = pg_query(
+            fac.dsn,
+            "SELECT count(*) FROM pg_tables WHERE tablename = "
+            f"'{prefix}_ways'")
+        if present and present[0][0] != "0":
+            n_diff, w_diff, r_diff = diffs
+            mid = _pg_middle_frames(
+                prefix, _last_op(n_diff), _last_op(w_diff),
+                _last_op(r_diff), keep_op=True)
+            for name, change in mid.items():
+                write_delete_before_insert(
+                    change, fac, f'"{name}"', id_col="id",
+                    quote_idents=True, num_partitions=4)
+                print(f"postgresql middle {name}: diff applied")
+        else:
+            print("postgresql middle: not present in database; "
+                  "skipping middle replay")
 
 
 def cmd_append(args, spark) -> None:
@@ -902,7 +982,8 @@ def cmd_append(args, spark) -> None:
             # the change-set lineage still reads (same ordering rule
             # as the refreshed-outputs materialization below)
             _pg_apply_append(args, new_side, log_new, id_spaces,
-                             node_ids, way_ids, rel_ids, log_tables)
+                             node_ids, way_ids, rel_ids, log_tables,
+                             diffs=(n_diff, w_diff, r_diff))
         counts = {}
         for name, new_rows in new_side.items():
             keys, key_cols = _touched_keys(
@@ -979,7 +1060,8 @@ def cmd_append(args, spark) -> None:
                 "--append --pg needs an incremental-capable style "
                 "(ID_SPACES) — the live diff replay is id-tracked")
         _pg_apply_append(args, new_side, log_new, id_spaces,
-                         node_ids, way_ids, rel_ids, log_tables)
+                         node_ids, way_ids, rel_ids, log_tables,
+                         diffs=(n_diff, w_diff, r_diff))
 
     # middle MERGE (partition-pruned on the touched id buckets)
     mids["nodes"].merge_diff(spark, n_diff)
