@@ -570,7 +570,8 @@ def cmd_create(args, spark) -> None:
 
         live = {name: _read_out(name) for name in counts}
         dsn = parse_conninfo(args.pg)
-        pg_counts = pg_load_tables(live, dsn)
+        mid_schema, out_schema = resolve_schemas(args)
+        pg_counts = pg_load_tables(live, dsn, schema=out_schema)
         for name, n in pg_counts.items():
             want = live[name].count()
             if n != want:
@@ -583,10 +584,11 @@ def cmd_create(args, spark) -> None:
         # declared GIN/hstore DDL (--hstore-add-index).  The geometry
         # GiST index is skipped with a logged reason: no PostGIS in
         # this environment, geometry columns land as bytea WKB.
-        from osm2pgsql_spark.sinks.pg_live import run_psql_script
+        from osm2pgsql_spark.sinks.pg_live import _qual, run_psql_script
 
         ddl = [
-            f'CREATE INDEX ON "{name}" ("osm_id") WITH (fillfactor = 90);'
+            f'CREATE INDEX ON {_qual(name, out_schema)} ("osm_id") '
+            "WITH (fillfactor = 90);"
             for name, df in live.items() if "osm_id" in df.columns
         ]
         ddl.extend(index_sql or [])
@@ -601,9 +603,10 @@ def cmd_create(args, spark) -> None:
             prefix = getattr(args, "prefix", "planet_osm")
             mcounts = pg_load_tables(
                 _pg_middle_frames(prefix, nodes, ways, rels), dsn,
-                ddl_overrides=_pg_middle_ddl(prefix))
+                ddl_overrides=_pg_middle_ddl(prefix), schema=mid_schema)
             run_psql_script(dsn, "\n".join(
-                f'ALTER TABLE "{prefix}_{t}" ADD PRIMARY KEY (id);'
+                f'ALTER TABLE {_qual(prefix + "_" + t, mid_schema)} '
+                "ADD PRIMARY KEY (id);"
                 for t in ("nodes", "ways", "rels")))
             for name, n in mcounts.items():
                 print(f"postgresql middle {name}: {n} rows")
@@ -641,10 +644,12 @@ def cmd_create(args, spark) -> None:
     props.save()
     if args.pg:
         # the reference creates osm2pgsql_properties in the database
-        # at import (properties.cpp:22) — mirror the local store there
+        # at import (properties.cpp:22, middle schema) — mirror the
+        # local store there
         from osm2pgsql_spark.sinks.pg_live import pg_write_properties
 
-        pg_write_properties(parse_conninfo(args.pg), props.as_dict())
+        pg_write_properties(parse_conninfo(args.pg), props.as_dict(),
+                            schema=resolve_schemas(args)[0])
     for name, n in counts.items():
         print(f"table {name}: {n} rows")
 
@@ -729,6 +734,32 @@ def _pg_middle_ddl(prefix: str) -> dict:
     }
 
 
+def resolve_schemas(args) -> tuple[str, str]:
+    """(middle_schema, output_schema) for the live-PG path with the
+    reference's defaulting chain and validation
+    (command-line-parser.cpp:648-665): --middle-schema and
+    --output-pgsql-schema fall back to --schema; empty --schema and
+    special characters raise with the reference wordings.  'public'
+    normalizes to '' (unqualified names — the pre---schema
+    transcripts stay byte-identical)."""
+    schema = getattr(args, "schema", "public")
+    if schema == "":
+        raise SystemExit("Schema can not be empty.")
+
+    def check(value: str, what: str) -> None:
+        if any(c in "\"',.;$%&/()<>{}=?^*#" for c in value):
+            raise SystemExit("Special characters are not allowed in "
+                             f"{what} parameter: '{value}'.")
+
+    check(schema, "--schema")
+    mid = getattr(args, "middle_schema", "") or schema
+    out = getattr(args, "output_pgsql_schema", "") or schema
+    check(mid, "--middle-schema")
+    check(out, "--output-pgsql-schema")
+    return ("" if mid == "public" else mid,
+            "" if out == "public" else out)
+
+
 def _pg_apply_append(args, new_side, log_new, id_spaces,
                      node_ids, way_ids, rel_ids, log_tables,
                      diffs=None) -> None:
@@ -746,6 +777,9 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
     from osm2pgsql_spark.sinks.pg_live import (
         PsqlConnectFactory, parse_conninfo)
 
+    from osm2pgsql_spark.sinks.pg_live import _qual
+
+    mid_schema, out_schema = resolve_schemas(args)
     fac = PsqlConnectFactory(parse_conninfo(args.pg))
     for name, new_rows in new_side.items():
         # materialize once: the touched-closure style pipeline would
@@ -766,7 +800,7 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
         )
         change = ins.unionByName(dels)
         write_delete_before_insert(
-            change, fac, f'"{name}"',
+            change, fac, _qual(name, out_schema),
             id_col=key_cols[-1],
             type_col=key_cols[0] if len(key_cols) == 2 else None,
             columns=list(new_rows.columns),
@@ -782,12 +816,12 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
             continue
         cols = list(add.columns)
 
-        def _ins(rows, table=name, cols=cols, fac=fac):
+        def _ins(rows, table=_qual(name, out_schema), cols=cols, fac=fac):
             con = fac()
             ph = ",".join(["?"] * len(cols))
             quoted = ", ".join(f'"{c}"' for c in cols)
             con.executemany(
-                f'INSERT INTO "{table}" ({quoted}) VALUES ({ph})',
+                f"INSERT INTO {table} ({quoted}) VALUES ({ph})",
                 [tuple(r[c] for c in cols) for r in rows],
             )
             con.close()
@@ -802,10 +836,14 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
         from osm2pgsql_spark.sinks.pg_live import query as pg_query
 
         prefix = getattr(args, "prefix", "planet_osm")
+        schema_cond = (
+            f"schemaname = '{mid_schema}'" if mid_schema
+            else "schemaname = 'public'"
+        )
         present = pg_query(
             fac.dsn,
             "SELECT count(*) FROM pg_tables WHERE tablename = "
-            f"'{prefix}_ways'")
+            f"'{prefix}_ways' AND {schema_cond}")
         if present and present[0][0] != "0":
             n_diff, w_diff, r_diff = diffs
             mid = _pg_middle_frames(
@@ -813,7 +851,7 @@ def _pg_apply_append(args, new_side, log_new, id_spaces,
                 _last_op(r_diff), keep_op=True)
             for name, change in mid.items():
                 write_delete_before_insert(
-                    change, fac, f'"{name}"', id_col="id",
+                    change, fac, _qual(name, mid_schema), id_col="id",
                     quote_idents=True, num_partitions=4)
                 print(f"postgresql middle {name}: diff applied")
         else:
@@ -954,17 +992,18 @@ def cmd_append(args, spark) -> None:
                 from osm2pgsql_spark.sinks.live import (
                     create_expire_table, upsert_expire_tiles)
                 from osm2pgsql_spark.sinks.pg_live import (
-                    PsqlCon, PsqlConnectFactory, parse_conninfo)
+                    PsqlCon, PsqlConnectFactory, _qual, parse_conninfo)
 
                 dsn = parse_conninfo(args.pg)
-                expire_table = f"{args.prefix}_expire"
+                expire_name = f"{args.prefix}_expire"
+                expire_table = _qual(expire_name, resolve_schemas(args)[1])
                 con = PsqlCon(dsn)
                 create_expire_table(con, expire_table)
                 con.close()
                 upsert_expire_tiles(
                     tiles.select("zoom", "x", "y"),
                     PsqlConnectFactory(dsn), expire_table)
-                print(f"postgresql expire table: {expire_table}")
+                print(f"postgresql expire table: {expire_name}")
 
     # --tables-format merge: partition-pruned output MERGE — delete
     # touched keys from the touched buckets only, insert the new rows;
@@ -1019,7 +1058,8 @@ def cmd_append(args, spark) -> None:
             from osm2pgsql_spark.sinks.pg_live import (
                 parse_conninfo, pg_write_properties)
 
-            pg_write_properties(parse_conninfo(args.pg), props.as_dict())
+            pg_write_properties(parse_conninfo(args.pg), props.as_dict(),
+                                schema=resolve_schemas(args)[0])
         return
 
     # materialize the refreshed outputs BEFORE the middle MERGE swaps
@@ -1087,7 +1127,8 @@ def cmd_append(args, spark) -> None:
         from osm2pgsql_spark.sinks.pg_live import (
             parse_conninfo, pg_write_properties)
 
-        pg_write_properties(parse_conninfo(args.pg), props.as_dict())
+        pg_write_properties(parse_conninfo(args.pg), props.as_dict(),
+                            schema=resolve_schemas(args)[0])
 
 
 def main() -> None:
@@ -1170,6 +1211,14 @@ def main() -> None:
         "into a live PostgreSQL (libpq keyword conninfo, e.g. "
         "'host=/sock/dir port=5432 user=postgres dbname=gis'); the "
         "reference's -d/--database twin")
+    ap.add_argument("--schema", default="public", metavar="SCHEMA",
+                    help="database schema (default: 'public')")
+    ap.add_argument("--middle-schema", default="", metavar="SCHEMA",
+                    help="database schema for middle tables "
+                    "(default: setting of --schema)")
+    ap.add_argument("--output-pgsql-schema", default="", metavar="SCHEMA",
+                    help="database schema for output tables "
+                    "(default: setting of --schema)")
     ap.add_argument("--number-processes", type=int, default=0)
     args = ap.parse_args()
 
