@@ -209,3 +209,68 @@ def test_split_multi_preserves_parts_and_points(pts):
     assert len(parts) == len(segs)
     total = sum(p[1].shape[0] if isinstance(p, tuple) else 0 for p in parts)
     assert total == 2 * len(segs)
+
+
+@given(
+    st.floats(min_value=5.5, max_value=11.0),
+    st.floats(min_value=45.0, max_value=48.5),
+)
+@settings(max_examples=200, deadline=None)
+def test_hom_round_trip_swiss(lon, lat):
+    p = P.epsg_params(2056)
+    e, n = P.hom_forward(np.array([lon]), np.array([lat]), p)
+    lon2, lat2 = P.hom_inverse(e, n, p)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+@given(
+    st.floats(min_value=108.0, max_value=120.0),
+    st.floats(min_value=0.5, max_value=8.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_hom_round_trip_skew_rso(lon, lat):
+    p = P.epsg_params(29873)
+    e, n = P.hom_forward(np.array([lon]), np.array([lat]), p)
+    lon2, lat2 = P.hom_inverse(e, n, p)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+@given(
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-89.9, max_value=-55.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_polar_round_trip_antarctic(lon, lat):
+    p = P.epsg_params(3031)
+    e, n = P.polar_forward(np.array([lon]), np.array([lat]), p)
+    lon2, lat2 = P.polar_inverse(e, n, p)
+    dl = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
+    assert dl < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@given(
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-84.0, max_value=84.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_mercator_round_trip_world(lon, lat):
+    p = P.epsg_params(3395)
+    e, n = P.merc_forward(np.array([lon]), np.array([lat]), p)
+    lon2, lat2 = P.merc_inverse(e, n, p)
+    assert abs(lon2[0] - lon) < 1e-9
+    assert abs(lat2[0] - lat) < 1e-9
+
+
+@given(
+    st.floats(min_value=-78.9, max_value=-75.5),
+    st.floats(min_value=17.2, max_value=19.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_lcc1sp_round_trip_jamaica(lon, lat):
+    p = P.epsg_params(24200)
+    e, n = P.lcc_forward(np.array([lon]), np.array([lat]), p)
+    lon2, lat2 = P.lcc_inverse(e, n, p)
+    assert abs(lon2[0] - lon) < 1e-8
+    assert abs(lat2[0] - lat) < 1e-8
