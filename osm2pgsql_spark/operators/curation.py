@@ -397,6 +397,31 @@ def rank_by_value(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    **rank_kwargs,
+) -> DataFrame:
+    """(q, value): EXACT corpus quantiles — value at rank ceil(q*n)
+    in the total order (value, key) — built on the de-skewed
+    distributed rank (no global sort, no sampling error like
+    approxQuantile).  The training-data use: picking exact keep
+    thresholds (perplexity cutoffs, length caps) at corpus scale.
+    NULL values must be filtered by the caller."""
+    ranked = rank_by_value(df, value_col, key_col, **rank_kwargs)
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    quants = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    targets = quants.join(F.broadcast(n)).select(
+        "q", F.ceil(F.col("q") * F.col("__n")).cast("long").alias("rank"))
+    return (
+        ranked.join(F.broadcast(targets), "rank")
+        .select("q", F.col(value_col).cast("double").alias("value"))
+    )
+
+
 def ccnet_buckets(
     scored: DataFrame,
     value_col: str = "ppl3",

@@ -872,6 +872,36 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(ppl)
 
 
+_QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _quantiles_oracle() -> str:
+    # e0 suffix: bare 0.25 parses as DECIMAL in DuckDB (PERF_NOTES)
+    vals = ", ".join(f"({q!r}e0)" for q in _QUANTILE_QS)
+    return f"""
+    WITH r AS (SELECT cast(n_chars AS double) AS v, doc_id,
+                      row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+               FROM documents),
+         n AS (SELECT count(*) AS c FROM documents)
+    SELECT q, v AS value
+    FROM (VALUES {vals}) AS quantiles(q)
+    JOIN r ON r.rnk = CAST(ceil(q * (SELECT c FROM n)) AS BIGINT)
+    """
+
+
+@register("exact_quantiles", oracle=_quantiles_oracle())
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus quantiles (value at rank ceil(q*n), total order
+    (value, key)) via the de-skewed distributed rank — the
+    threshold-selection primitive (length caps, perplexity cutoffs)
+    without approxQuantile's sampling error or a global sort."""
+    from osm2pgsql_spark.operators.curation import exact_quantiles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("v"))
+    return exact_quantiles(docs, "v", "doc_id", qs=_QUANTILE_QS)
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash + LSH candidate pairs + exact Jaccard verification
 # ---------------------------------------------------------------------------

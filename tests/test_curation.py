@@ -256,3 +256,29 @@ class TestTrainedLinearScore:
             frozen.QUALITY_BIAS)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_definition(self, spark, docs):
+        import math
+
+        scored = docs.select("doc_id", F.col("n_chars").cast("double")
+                             .alias("v"))
+        qs = (0.1, 0.5, 0.95, 1.0)
+        got = {r["q"]: r["value"] for r in curation.exact_quantiles(
+            scored, "v", "doc_id", qs=qs).collect()}
+        rows = sorted((r["v"], r["doc_id"]) for r in scored.collect())
+        n = len(rows)
+        for q in qs:
+            assert got[q] == rows[math.ceil(q * n) - 1][0], q
+
+    def test_concentrated_distribution(self, spark):
+        # the de-skew path underneath: all values in [0,1)
+        df = spark.createDataFrame(
+            [(i, ((i * 2654435761) % 9973) / 9973.0) for i in range(2000)],
+            "doc_id long, v double")
+        got = {r["q"]: r["value"] for r in curation.exact_quantiles(
+            df, "v", "doc_id", qs=(0.5,), heavy_threshold=100).collect()}
+        import math
+        rows = sorted(r["v"] for r in df.collect())
+        assert got[0.5] == rows[math.ceil(0.5 * 2000) - 1]
