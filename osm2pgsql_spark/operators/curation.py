@@ -118,7 +118,8 @@ def train_hashed_linear(
     """Train a hashed bag-of-words perceptron (integer weights) —
     the offline step that produces a REAL artifact for
     trained_linear_score.  Weak-supervision label: +1 when the doc's
-    stopword ratio >= 1/4 (a crude fastText-wiki-vs-crawl stand-in).
+    stopword ratio is at or above the corpus mean (a crude
+    fastText-wiki-vs-crawl stand-in).
 
     Label threshold = the corpus-mean stopword ratio, compared in
     integers (n_stop * sum(n) >= n * sum(n_stop)) so the split is
