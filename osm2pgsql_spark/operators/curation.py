@@ -286,6 +286,195 @@ def pack_sequences(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    total_budget: int,
+    group_col: str = "lang",
+    token_col: str = "n_tokens",
+    max_epochs: int = 1,
+) -> DataFrame:
+    """(group, avail_tokens, alloc_tokens): UniMax budget allocation
+    (Chung et al. 2023, ICLR — "UniMax: Fairer and More Effective
+    Language Sampling") — distribute `total_budget` tokens across
+    groups as equally as possible, capping each group at
+    avail * max_epochs (no group repeats more than max_epochs times).
+
+    The closed-form integer waterfill: sort groups ascending by cap;
+    group i is fully allocated (alloc = cap) iff
+    prefix(i-1) + cap_i * (n - i + 1) <= B (fullness is a prefix of
+    the sorted order because caps ascend); the remaining budget
+    R = B - sum(full caps) splits over the n_p partial groups as
+    base = R // n_p with the remainder's +1 going to the first R % n_p
+    partials in (cap, group) order.  All-integer, window-expressible,
+    so the allocation replays exactly in any engine (the gate twin).
+    The group frame is tiny (|groups| rows) — the windows here never
+    see data volume."""
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    caps = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.sum(token_col).cast("long").alias("avail_tokens")
+    ).withColumn("__cap", F.col("avail_tokens") * max_epochs)
+    w = Window.orderBy("__cap", "group")
+    wall = Window.partitionBy()
+    g = (
+        caps.withColumn("__idx", F.row_number().over(w))
+        .withColumn(
+            "__pfx",
+            F.coalesce(
+                F.sum("__cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__full",
+            F.col("__pfx")
+            + F.col("__cap") * (F.col("__n") - F.col("__idx") + 1)
+            <= total_budget,
+        )
+        .withColumn(
+            "__sum_full",
+            F.coalesce(
+                F.sum(F.when(F.col("__full"), F.col("__cap"))).over(wall),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__n_full",
+            F.sum(F.col("__full").cast("int")).over(wall),
+        )
+    )
+    # integer floor-div on longs via SQL `div` (no float rounding);
+    # greatest(..., 1) totalizes the expression — when every group is
+    # full the partial branch is never taken
+    base = F.expr(
+        f"({int(total_budget)} - __sum_full) div "
+        "greatest(__n - __n_full, 1)"
+    )
+    rem = F.expr(
+        f"({int(total_budget)} - __sum_full) % "
+        "greatest(__n - __n_full, 1)"
+    )
+    alloc = F.when(F.col("__full"), F.col("__cap")).otherwise(
+        base + (F.col("__idx") - F.col("__n_full") <= rem).cast("long")
+    )
+    return g.select(
+        "group",
+        "avail_tokens",
+        F.greatest(alloc, F.lit(0)).cast("long").alias("alloc_tokens"),
+    )
+
+
+def unimax_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_epochs: int = 1,
+    salt: str = "",
+    bucket_hex_width: int = 2,
+) -> DataFrame:
+    """(key, group, n_tokens, n_epochs): per-document epoch counts
+    realizing the UniMax allocation — group g's alloc_tokens unroll as
+    full_epochs = alloc // avail complete passes plus a deterministic
+    partial prefix of alloc % avail tokens in the portable (md5, key)
+    order; the document crossing the partial boundary is kept (the
+    token_budget_mixture convention, so a met budget never
+    undershoots).  n_epochs = 0 rows are returned (auditable drops).
+
+    Scale shape is token_budget_mixture's three-way bucket
+    classification: per-(group, md5-prefix-bucket) token sums
+    (map-side combined) -> a tiny window assigns bucket offsets and
+    classifies each bucket as fully-inside / fully-outside the
+    partial prefix; ONLY the boundary bucket (at most one per group)
+    pays a per-bucket ordered window — so no task ever sees more than
+    ~group_tokens/16^bucket_hex_width rows regardless of group skew."""
+    alloc = unimax_allocation(
+        docs, total_budget, group_col, token_col, max_epochs
+    )
+    from osm2pgsql_spark.operators.dedup import _decision_hash
+
+    h = _decision_hash(key_col, salt, True)
+    d = docs.select(
+        F.col(key_col),
+        F.col(group_col).alias("group"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    ).withColumn("__h", h).withColumn(
+        "__b", F.substring("__h", 1, bucket_hex_width)
+    )
+    a = alloc.withColumn(
+        "__full_ep",
+        F.expr("alloc_tokens div greatest(avail_tokens, 1)").cast("long"),
+    ).withColumn(
+        "__rem",
+        (F.col("alloc_tokens") % F.greatest(F.col("avail_tokens"), F.lit(1)))
+        .cast("long"),
+    ).select("group", "__full_ep", "__rem")
+
+    coarse = d.groupBy("group", "__b").agg(
+        F.sum("n_tokens").alias("__bsum")
+    )
+    wofs = Window.partitionBy("group").orderBy("__b")
+    coarse = coarse.withColumn(
+        "__ofs",
+        F.coalesce(
+            F.sum("__bsum").over(
+                wofs.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).join(F.broadcast(a), "group")
+
+    j = d.join(
+        F.broadcast(coarse.select("group", "__b", "__bsum", "__ofs",
+                                  "__full_ep", "__rem")),
+        ["group", "__b"],
+    )
+    # three mutually exclusive, exhaustive bucket classes.  inside is
+    # STRICT (< rem, not <=): in a bucket flush against the boundary a
+    # trailing zero-token document ties tokens_before == rem and must
+    # resolve by the uniform per-doc rule (tokens_before < rem -> +1),
+    # so flush buckets pay the fine window — at most one extra bucket
+    # per group
+    inside = j.where(F.col("__ofs") + F.col("__bsum") < F.col("__rem"))
+    outside = j.where(F.col("__ofs") >= F.col("__rem"))
+    wfine = Window.partitionBy("group", "__b").orderBy(
+        F.asc("__h"), F.asc(key_col)
+    )
+    boundary = (
+        j.where(
+            (F.col("__ofs") < F.col("__rem"))
+            & (F.col("__ofs") + F.col("__bsum") >= F.col("__rem"))
+        )
+        .withColumn("__cum", F.sum("n_tokens").over(wfine))
+        .withColumn(
+            "__in",
+            F.col("__ofs") + F.col("__cum") - F.col("n_tokens")
+            < F.col("__rem"),
+        )
+        .drop("__cum")
+    )
+    parts = [
+        inside.withColumn("__in", F.lit(True)),
+        outside.withColumn("__in", F.lit(False)),
+        boundary,
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col(key_col),
+        "group",
+        "n_tokens",
+        (F.col("__full_ep") + F.col("__in").cast("long"))
+        .cast("long")
+        .alias("n_epochs"),
+    )
+
+
 def _rank_buckets(
     df: DataFrame,
     value_col: str,

@@ -832,6 +832,147 @@ def q_hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_SRCS = ("src0", "src1", "src2", "src3")
+# (label, m_bits, k): a healthy filter (designed-rate FPs ~ 0) and a
+# deliberately undersized one — false positives are part of the Bloom
+# CONTRACT and must reproduce bit-for-bit across engines
+_BLOOM_SIZES = (("sized", 1 << 14, 5), ("tiny", 512, 2))
+
+
+def _bloom_oracle() -> str:
+    from osm2pgsql_spark.operators.sketch import (
+        bloom_build_sql, bloom_probe_sql,
+    )
+
+    srcs = ", ".join(f"'{s}'" for s in _BLOOM_SRCS)
+    parts = []
+    for label, m_bits, k in _BLOOM_SIZES:
+        build = bloom_build_sql(
+            "text", "documents", m_bits, k, where=f"source IN ({srcs})"
+        )
+        probe = bloom_probe_sql(
+            "text", "doc_id", "documents", f"reg_{label}", m_bits, k
+        )
+        parts.append(f"""
+        SELECT '{label}' AS filter, p.doc_id,
+               d.source IN ({srcs}) AS in_build, p.maybe_member
+        FROM ({probe}) p JOIN documents d USING (doc_id)
+        """)
+        parts[-1] = f"WITH reg_{label} AS ({build}) {parts[-1]}"
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+@register("bloom_membership", oracle=_bloom_oracle())
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership (operators/sketch.py): the
+    ingest-time "seen before?" primitive — build the filter on four
+    sources' documents, probe the whole corpus.  Registers are 32-bit
+    words keyed by md5-hash32 positions, mergeable across shards and
+    engines by bit-OR, so membership answers — INCLUDING the
+    undersized filter's false positives — are bit-identical to the
+    DuckDB twin.  in_build is the ground truth column: maybe_member
+    may exceed it (false positives), never miss it."""
+    from osm2pgsql_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    build = docs.where(F.col("source").isin(*_BLOOM_SRCS))
+    truth = docs.select(
+        "doc_id", F.col("source").isin(*_BLOOM_SRCS).alias("in_build")
+    )
+    out = None
+    for label, m_bits, k in _BLOOM_SIZES:
+        reg = sketch.bloom_registers(build, "text", m_bits, k)
+        res = sketch.bloom_contains(
+            reg, docs, "text", ["doc_id"], m_bits, k
+        ).join(truth, "doc_id").select(
+            F.lit(label).alias("filter"), "doc_id", "in_build",
+            "maybe_member",
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+_UNIMAX_BUDGET = 40_000
+_UNIMAX_EPOCHS = 2
+
+
+def _unimax_oracle() -> str:
+    B, E = _UNIMAX_BUDGET, _UNIMAX_EPOCHS
+    return f"""
+    WITH d AS (SELECT doc_id, lang AS grp,
+                      {TX.token_count_sql('text')} AS n_tokens
+               FROM documents),
+    caps AS (SELECT grp, sum(n_tokens) AS avail, sum(n_tokens) * {E} AS cap
+             FROM d GROUP BY 1),
+    wf AS (SELECT grp, avail, cap,
+                  row_number() OVER (ORDER BY cap, grp) AS idx,
+                  coalesce(sum(cap) OVER (ORDER BY cap, grp
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS pfx,
+                  count(*) OVER () AS n
+           FROM caps),
+    wf2 AS (SELECT *, (pfx + cap * (n - idx + 1) <= {B}) AS isfull FROM wf),
+    wf3 AS (SELECT *,
+                   coalesce(sum(CASE WHEN isfull THEN cap END) OVER (), 0)
+                       AS sum_full,
+                   coalesce(sum(CASE WHEN isfull THEN 1 ELSE 0 END)
+                            OVER (), 0) AS n_full
+            FROM wf2),
+    alloc AS (SELECT grp, avail,
+                     greatest(CASE WHEN isfull THEN cap
+                       ELSE ({B} - sum_full) // greatest(n - n_full, 1)
+                            + CASE WHEN idx - n_full <=
+                                   ({B} - sum_full) % greatest(n - n_full, 1)
+                              THEN 1 ELSE 0 END END, 0) AS alloc
+              FROM wf3),
+    ofs AS (SELECT d.*,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY grp
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS off
+            FROM d)
+    SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((alloc // greatest(avail, 1))
+                + CASE WHEN off < (alloc % greatest(avail, 1))
+                  THEN 1 ELSE 0 END AS BIGINT) AS n_epochs,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens
+    FROM ofs JOIN alloc USING (grp)
+    """
+
+
+@register("unimax_mixture", oracle=_unimax_oracle())
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (operators/curation.py, Chung et al.
+    2023): closed-form integer waterfill allocates a 40k-token budget
+    across languages capping each at 2 epochs (the skewed `en` ends
+    partial, the small languages cap out), then the two-phase
+    distributed prefix sum realizes each allocation as per-document
+    epoch counts in the portable (md5, key) order — no global or
+    per-group single-task window.  n_epochs = 0 rows are returned
+    (auditable drops); the oracle replays allocation AND selection as
+    one windowed SQL query."""
+    from osm2pgsql_spark.operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    mix = curation.unimax_mixture(
+        d, _UNIMAX_BUDGET, group_col="lang", key_col="doc_id",
+        token_col="n_tokens", max_epochs=_UNIMAX_EPOCHS,
+    )
+    alloc = curation.unimax_allocation(
+        d, _UNIMAX_BUDGET, group_col="lang", token_col="n_tokens",
+        max_epochs=_UNIMAX_EPOCHS,
+    )
+    return mix.join(F.broadcast(alloc), "group").select(
+        "doc_id", F.col("group").alias("grp"), "n_tokens", "n_epochs",
+        "avail_tokens", "alloc_tokens",
+    )
+
+
 def _ccnet_oracle() -> str:
     return f"""
     WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g3

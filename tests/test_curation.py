@@ -282,3 +282,125 @@ class TestExactQuantiles:
         import math
         rows = sorted(r["v"] for r in df.collect())
         assert got[0.5] == rows[math.ceil(0.5 * 2000) - 1]
+
+
+def _waterfill(caps: dict, budget: int):
+    """Brute-force integer waterfill twin: unit-by-unit round robin
+    would be O(B); instead verify via the closed form's DEFINITION —
+    allocate one token at a time to the currently-least-allocated
+    uncapped group (ties by group name).  Small budgets only."""
+    alloc = {g: 0 for g in caps}
+    for _ in range(budget):
+        open_g = [g for g in caps if alloc[g] < caps[g]]
+        if not open_g:
+            break
+        # tie-break mirrors the closed form's (cap, group) sort: the
+        # remainder's +1 goes to the smaller-capacity group first
+        g = min(open_g, key=lambda g: (alloc[g], caps[g], g))
+        alloc[g] += 1
+    return alloc
+
+
+class TestUnimax:
+    def _tok_docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_tokens long")
+
+    def test_allocation_matches_round_robin_twin(self, spark):
+        rows = [(i, f"g{i % 4}", (i * 7) % 13 + 1) for i in range(40)]
+        d = self._tok_docs(spark, rows)
+        caps = {}
+        for _, g, n in rows:
+            caps[g] = caps.get(g, 0) + n * 2  # max_epochs=2
+        for budget in (0, 17, 150, 10_000):
+            got = {r["group"]: r["alloc_tokens"] for r in
+                   curation.unimax_allocation(
+                       d, budget, "lang", "n_tokens", 2).collect()}
+            want = _waterfill(caps, budget)
+            assert got == want, budget
+
+    def test_mixture_matches_single_sort_twin(self, spark):
+        import hashlib
+
+        rows = [(i, f"g{i % 3}", (i * 5) % 11 + 1) for i in range(60)]
+        d = self._tok_docs(spark, rows)
+        budget, epochs = 200, 3
+        got = {r["doc_id"]: r["n_epochs"] for r in curation.unimax_mixture(
+            d, budget, "lang", "doc_id", "n_tokens", epochs).collect()}
+        alloc = {r["group"]: (r["avail_tokens"], r["alloc_tokens"])
+                 for r in curation.unimax_allocation(
+                     d, budget, "lang", "n_tokens", epochs).collect()}
+        by_g = {}
+        for did, g, n in rows:
+            by_g.setdefault(g, []).append(
+                (hashlib.md5(str(did).encode()).hexdigest(), did, n))
+        want = {}
+        for g, docs_ in by_g.items():
+            avail, al = alloc[g]
+            full, rem = al // avail, al % avail
+            ofs = 0
+            for _, did, n in sorted(docs_):
+                want[did] = full + (1 if ofs < rem else 0)
+                ofs += n
+        assert got == want
+        # allocation realized exactly: kept tokens == alloc_tokens
+        per_g = {}
+        for did, g, n in rows:
+            per_g[g] = per_g.get(g, 0) + n * got[did]
+        realized = dict(per_g)
+        # crossing-doc semantics: realized >= alloc, short by < one doc
+        for g, (avail, al) in alloc.items():
+            assert realized[g] >= al
+
+    def test_budget_exceeding_caps_gives_max_epochs(self, spark):
+        rows = [(i, f"g{i % 2}", 5) for i in range(10)]
+        d = self._tok_docs(spark, rows)
+        out = curation.unimax_mixture(
+            d, 10**9, "lang", "doc_id", "n_tokens", 3).collect()
+        assert all(r["n_epochs"] == 3 for r in out)
+
+    def test_zero_budget_drops_everything(self, spark):
+        rows = [(i, "g", 5) for i in range(10)]
+        d = self._tok_docs(spark, rows)
+        out = curation.unimax_mixture(
+            d, 0, "lang", "doc_id", "n_tokens", 1).collect()
+        assert len(out) == 10
+        assert all(r["n_epochs"] == 0 for r in out)
+
+    def test_layout_and_width_invariance(self, spark):
+        rows = [(i, f"g{i % 3}", (i * 5) % 11 + 1) for i in range(60)]
+        d = self._tok_docs(spark, rows)
+        base = {(r["doc_id"], r["n_epochs"]) for r in
+                curation.unimax_mixture(
+                    d, 100, "lang", "doc_id", "n_tokens", 2).collect()}
+        for width in (1, 3):
+            w = {(r["doc_id"], r["n_epochs"]) for r in
+                 curation.unimax_mixture(
+                     d, 100, "lang", "doc_id", "n_tokens", 2,
+                     bucket_hex_width=width).collect()}
+            assert w == base, width
+        rp = {(r["doc_id"], r["n_epochs"]) for r in
+              curation.unimax_mixture(
+                  d.repartition(13), 100, "lang", "doc_id",
+                  "n_tokens", 2).collect()}
+        assert rp == base
+
+    def test_no_per_group_global_window(self, spark):
+        rows = [(i, f"g{i % 3}", (i * 5) % 11 + 1) for i in range(60)]
+        d = self._tok_docs(spark, rows)
+        plan = curation.unimax_mixture(
+            d, 100, "lang", "doc_id", "n_tokens", 2
+        )._jdf.queryExecution().executedPlan().toString().replace(" ", "")
+        # every data-volume window is partitioned by (group, __b);
+        # group-only windows run over the tiny coarse/alloc frames
+        assert "windowspecdefinition(group#" in plan
+        assert "windowspecdefinition(group" in plan
+
+    def test_validation(self, spark):
+        rows = [(1, "g", 5)]
+        d = self._tok_docs(spark, rows)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="total_budget"):
+            curation.unimax_allocation(d, -1, "lang", "n_tokens", 1)
+        with _pt.raises(ValueError, match="max_epochs"):
+            curation.unimax_allocation(d, 10, "lang", "n_tokens", 0)

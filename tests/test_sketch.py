@@ -63,3 +63,102 @@ def test_empty_input_estimates_zero(spark, values):
 def test_p_range_validated(spark, values):
     with pytest.raises(ValueError, match="p must be"):
         sketch.hll_registers(values, "v", p=2)
+
+
+# --------------------------------------------------------------- bloom
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 300 string keys; build the filter on the first 200
+    return spark.range(300).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("s"),
+        (F.col("id") < 200).alias("in_build"),
+    ).cache()
+
+
+M, K = 1 << 12, 4
+
+
+def _bloom_positions(s: str, k: int, m_bits: int):
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def test_bloom_registers_match_python_twin(spark, keys):
+    want = {}
+    for r in keys.where("in_build").collect():
+        for p in _bloom_positions(r["s"], K, M):
+            want[p >> 5] = want.get(p >> 5, 0) | (1 << (p % 32))
+    got = {
+        r["word"]: r["bits"]
+        for r in sketch.bloom_registers(
+            keys.where("in_build"), "s", M, K
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_no_false_negatives(spark, keys):
+    reg = sketch.bloom_registers(keys.where("in_build"), "s", M, K)
+    res = {
+        r["s"]: r["maybe_member"]
+        for r in sketch.bloom_contains(reg, keys, "s", ["s"], M, K).collect()
+    }
+    for r in keys.collect():
+        if r["in_build"]:
+            assert res[r["s"]], r["s"]
+
+
+def test_bloom_merge_by_bit_or(spark, keys):
+    """filter(A ∪ B) == per-word bit-OR of filter(A), filter(B) — the
+    property that makes per-shard / per-batch filters combinable."""
+    a = keys.where("in_build AND s < 'key-2'")
+    b = keys.where("in_build AND s >= 'key-2'")
+    merged = (
+        sketch.bloom_registers(a, "s", M, K)
+        .unionByName(sketch.bloom_registers(b, "s", M, K))
+        .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = sketch.bloom_registers(keys.where("in_build"), "s", M, K)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_bloom_layout_independent(spark, keys):
+    build = keys.where("in_build")
+    a = sketch.bloom_contains(
+        sketch.bloom_registers(build, "s", M, K), keys, "s", ["s"], M, K)
+    b = sketch.bloom_contains(
+        sketch.bloom_registers(build.repartition(13), "s", M, K),
+        keys.repartition(7), "s", ["s"], M, K)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_bloom_undersized_filter_false_positives_deterministic(spark, keys):
+    """A deliberately tiny filter MUST produce false positives (they
+    are the designed trade-off, not a bug) and they must reproduce."""
+    reg = sketch.bloom_registers(keys.where("in_build"), "s", 128, 2)
+    res = sketch.bloom_contains(reg, keys, "s", ["s"], 128, 2)
+    n = res.where("maybe_member").count()
+    assert n > 200  # all 200 members + some of the 100 non-members
+    assert n == sketch.bloom_contains(
+        reg, keys, "s", ["s"], 128, 2).where("maybe_member").count()
+
+
+def test_bloom_register_side_is_broadcast(spark, keys):
+    reg = sketch.bloom_registers(keys.where("in_build"), "s", M, K)
+    plan = sketch.bloom_contains(
+        reg, keys, "s", ["s"], M, K
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_params_validated(spark, keys):
+    with pytest.raises(ValueError, match="m_bits"):
+        sketch.bloom_registers(keys, "s", m_bits=100)
+    with pytest.raises(ValueError, match="k must"):
+        sketch.bloom_registers(keys, "s", k=0)

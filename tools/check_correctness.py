@@ -90,6 +90,12 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # an unmatched filter (typo, or flags passed after sf_dir) would
+        # otherwise skip every query and report a vacuous "all match"
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     report: dict[str, dict] = {}
 
