@@ -892,6 +892,70 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# (label, relation/column, depth, width): a wide sketch (near-exact at
+# this vocabulary) and a deliberately narrow one — collision
+# overcounts are the sketch's designed trade-off and must reproduce
+# bit-for-bit across engines
+_CMS_CONFIGS = (("wide", 4, 1 << 12), ("narrow", 2, 16))
+
+
+def _cms_oracle() -> str:
+    from osm2pgsql_spark.operators.sketch import (
+        cms_build_sql, cms_estimate_sql,
+    )
+
+    tok_rel = f"""(SELECT t.tok FROM (SELECT unnest({
+        S.tokens_sql('text')}) AS tok FROM documents) t
+        WHERE t.tok <> '')"""
+    parts = []
+    for label, depth, width in _CMS_CONFIGS:
+        build = cms_build_sql("tok", f"{tok_rel} AS toks", depth, width)
+        est = cms_estimate_sql(
+            "tok", "tok", f"{tok_rel} AS toks2", f"reg_{label}",
+            depth, width,
+        )
+        parts.append(f"""
+        WITH reg_{label} AS ({build}),
+        exact AS (SELECT tok, count(*) AS exact_count
+                  FROM {tok_rel} AS toks3 GROUP BY 1)
+        SELECT '{label}' AS sketch, e.tok, e.cms_count, x.exact_count
+        FROM ({est}) e JOIN exact x USING (tok)
+        """)
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable count-min sketch (operators/sketch.py, Cormode &
+    Muthukrishnan 2005): per-token frequency estimates from a
+    depth x width counter table mergeable across shards/engines by
+    per-cell SUM — the heavy-hitter primitive at 100 TB (hot tokens /
+    URLs / join keys) without a full groupBy of raw values.  Always
+    cms_count >= exact_count (one-sided error); the narrow sketch's
+    collision overcounts are part of the gate and reproduce
+    bit-for-bit in DuckDB."""
+    from osm2pgsql_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(S.tokens(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    out = None
+    for label, depth, width in _CMS_CONFIGS:
+        reg = sketch.cms_registers(toks, "tok", depth, width)
+        res = sketch.cms_estimate(reg, toks, "tok", depth, width).join(
+            exact, "tok"
+        ).select(
+            F.lit(label).alias("sketch"), "tok", "cms_count",
+            "exact_count",
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 _UNIMAX_BUDGET = 40_000
 _UNIMAX_EPOCHS = 2
 

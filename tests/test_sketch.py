@@ -162,3 +162,87 @@ def test_bloom_params_validated(spark, keys):
         sketch.bloom_registers(keys, "s", m_bits=100)
     with pytest.raises(ValueError, match="k must"):
         sketch.bloom_registers(keys, "s", k=0)
+
+
+# ----------------------------------------------------------- count-min
+
+@pytest.fixture(scope="module")
+def freq_values(spark):
+    # value v appears v+1 times, v in [0, 50): known exact frequencies
+    return spark.range(50).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("rep"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    ).select("v").cache()
+
+
+def test_cms_never_underestimates(spark, freq_values):
+    reg = sketch.cms_registers(freq_values, "v", depth=3, width=64)
+    est = {r["v"]: r["cms_count"] for r in sketch.cms_estimate(
+        reg, freq_values, "v", depth=3, width=64).collect()}
+    for i in range(50):
+        assert est[f"v{i}"] >= i + 1, i
+
+
+def test_cms_exact_when_wide(spark, freq_values):
+    reg = sketch.cms_registers(freq_values, "v", depth=4, width=1 << 14)
+    est = {r["v"]: r["cms_count"] for r in sketch.cms_estimate(
+        reg, freq_values, "v", depth=4, width=1 << 14).collect()}
+    assert est == {f"v{i}": i + 1 for i in range(50)}
+
+
+def test_cms_merge_by_sum(spark, freq_values):
+    """sketch(A ⊎ B) == per-cell SUM of sketch(A), sketch(B)."""
+    a = freq_values.where("v < 'v3'")
+    b = freq_values.where("v >= 'v3'")
+    merged = (
+        sketch.cms_registers(a, "v", 3, 64)
+        .unionByName(sketch.cms_registers(b, "v", 3, 64))
+        .groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketch.cms_registers(freq_values, "v", 3, 64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_matches_python_twin(spark, freq_values):
+    import hashlib
+
+    D, W = 2, 16
+    cells = {}
+    truth = {}
+    for i in range(50):
+        truth[f"v{i}"] = i + 1
+    for v, n in truth.items():
+        for i in range(D):
+            c = int(hashlib.md5(f"{v}:{i}".encode()).hexdigest()[:8],
+                    16) % W
+            cells[(i, c)] = cells.get((i, c), 0) + n
+    want_reg = cells
+    got_reg = {(r["row"], r["col"]): r["cnt"] for r in
+               sketch.cms_registers(freq_values, "v", D, W).collect()}
+    assert got_reg == want_reg
+    est = {r["v"]: r["cms_count"] for r in sketch.cms_estimate(
+        sketch.cms_registers(freq_values, "v", D, W),
+        freq_values, "v", D, W).collect()}
+    for v, n in truth.items():
+        want = min(
+            cells[(i, int(hashlib.md5(f"{v}:{i}".encode())
+                          .hexdigest()[:8], 16) % W)]
+            for i in range(D)
+        )
+        assert est[v] == want, v
+
+
+def test_cms_layout_independent(spark, freq_values):
+    a = sketch.cms_estimate(
+        sketch.cms_registers(freq_values, "v", 3, 64),
+        freq_values, "v", 3, 64)
+    b = sketch.cms_estimate(
+        sketch.cms_registers(freq_values.repartition(13), "v", 3, 64),
+        freq_values.repartition(7), "v", 3, 64)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_cms_params_validated(spark, freq_values):
+    with pytest.raises(ValueError, match="depth and width"):
+        sketch.cms_registers(freq_values, "v", depth=0)
