@@ -17,7 +17,7 @@ collected to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.functions.text import fingerprint
@@ -57,3 +57,100 @@ def dedup_stream(
     else:
         out = keyed.dropDuplicates(["__dk"])
     return out.drop("__dk")
+
+
+def bloom_dedup_batch(
+    spark,
+    batch: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    value_col: str = "text",
+    key_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> None:
+    """One micro-batch of Bloom-filtered ingest dedup: append rows NOT
+    already (maybe-)seen to `out_dir` and fold their positions into
+    the persistent register table at `state_dir`.
+
+    dropDuplicates state above is EXACT but grows with the distinct
+    keys; the Bloom register table is a FIXED m_bits/32 rows no matter
+    how many documents pass — the 100-TB ingest trade: false positives
+    drop a bounded fraction of genuinely-new documents, duplicates
+    (within filter capacity) never pass.  The filter is the portable
+    md5-based sketch (operators/sketch.py), so a parallel loader or a
+    different engine can audit or continue the same state.
+
+    Intra-batch duplicates dedup exactly (first by key order); the
+    output append is at-least-once under task retries — idempotent
+    sinks (MERGE on key) make it exactly-once downstream.  Wire into
+    a stream with `.writeStream.foreachBatch(...)` calling this."""
+    from osm2pgsql_spark.operators.sketch import (
+        bloom_contains, bloom_registers,
+    )
+
+    try:
+        reg = spark.read.parquet(state_dir)
+        have_state = True
+    except Exception:  # first batch: no state yet
+        reg = spark.createDataFrame([], "word long, bits long")
+        have_state = False
+
+    # exact intra-batch dedup (keep the smallest key per value), then
+    # probe the accumulated filter
+    w_first = F.row_number().over(
+        Window.partitionBy(value_col).orderBy(key_col)
+    )
+    uniq = batch.withColumn("__rn", w_first).where(F.col("__rn") == 1).drop("__rn")
+    seen = bloom_contains(reg, uniq, value_col, [key_col], m_bits, k)
+    kept = uniq.join(
+        seen.where(~F.col("maybe_member")).select(key_col), key_col
+    )
+    # the kept set is consumed twice (output append + register build):
+    # materialize once
+    kept = kept.localCheckpoint(eager=True)
+    kept.write.mode("append").parquet(out_dir)
+    merged = (
+        reg.unionByName(bloom_registers(kept, value_col, m_bits, k))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    # state swap: write the merged registers beside the old state and
+    # atomically rename over it (overwrite-in-place would read and
+    # clobber the same files)
+    import os
+    import shutil
+
+    tmp = state_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if have_state:
+        shutil.rmtree(state_dir)
+    os.rename(tmp, state_dir)
+
+
+def bloom_dedup_stream(
+    docs: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "text",
+    key_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+):
+    """readStream -> foreachBatch(bloom_dedup_batch): fixed-size
+    cross-batch ingest dedup.  Returns the started StreamingQuery."""
+    spark = docs.sparkSession
+
+    def fn(batch_df: DataFrame, _batch_id: int) -> None:
+        bloom_dedup_batch(
+            spark, batch_df, out_dir, state_dir, value_col, key_col,
+            m_bits, k,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -281,3 +281,54 @@ def test_gopher_quality_filter_on_stream(spark, tmp_path):
     rows = spark.sql("select * from quality_stream").collect()
     assert [r["doc_id"] for r in rows] == [2]
     assert rows[0]["mean_word_len"] > 0
+
+
+def test_bloom_dedup_stream_across_batches(spark, tmp_path):
+    """Fixed-size Bloom ingest dedup: duplicates never pass across
+    micro-batches; the register state persists and merges per batch;
+    re-running new batches continues from the saved state."""
+    from osm2pgsql_spark.streaming.dedup_stream import bloom_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: a, b (+ intra-batch dup of a)
+    spark.createDataFrame(
+        [(1, "doc a"), (2, "doc b"), (3, "doc a")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = bloom_dedup_stream(stream, out, state, ckpt, m_bits=1 << 12, k=4)
+    q.awaitTermination(120)
+
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {1, 2}
+
+    # batch 2: dup of a (cross-batch), new c
+    spark.createDataFrame(
+        [(4, "doc a"), (5, "doc c")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = bloom_dedup_stream(stream, out, state, ckpt, m_bits=1 << 12, k=4)
+    q.awaitTermination(120)
+
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {1, 2, 5}
+
+    # state is the portable sketch: registers equal a batch build over
+    # the three kept distinct texts
+    from osm2pgsql_spark.operators import sketch
+
+    want = {
+        (r["word"], r["bits"])
+        for r in sketch.bloom_registers(
+            spark.createDataFrame(
+                [("doc a",), ("doc b",), ("doc c",)], "text string"
+            ),
+            "text", 1 << 12, 4,
+        ).collect()
+    }
+    got = {(r["word"], r["bits"])
+           for r in spark.read.parquet(state).collect()}
+    assert got == want
