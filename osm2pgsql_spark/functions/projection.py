@@ -513,6 +513,24 @@ class HomParams:
         return big_b, big_a, big_h, gamma0, lon0, uc
 
 
+@dataclass(frozen=True)
+class TmSoParams(TmercParams):
+    """Transverse Mercator South Orientated (EPSG method 9808) —
+    the South African Lo grids (Hartebeesthoek94, EPSG 2046-2055).
+    Same Krueger surface as 9807; the published axes are westing /
+    southing: W = FE - E0, S = FN - N0, where (E0, N0) is the 9807
+    forward with ZERO false easting/northing (EPSG GN7-2 §3.2.2; the
+    Lo grids publish FE = FN = 0, so W = -E0, S = -N0).  Reference
+    parity: PROJ's tmerc +axis=wsu path
+    (src/reprojection-generic-proj6.cpp resolves these through PROJ)."""
+
+    @property
+    def tm0(self) -> TmercParams:
+        return TmercParams(
+            self.a, self.inv_f, self.lon0, self.lat0, self.k0, 0.0, 0.0
+        )
+
+
 def _q_auth(e: float, sphi):
     """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
     es = e * sphi
@@ -665,12 +683,16 @@ def epsg_params(code: int) -> TmercParams | LaeaParams:
         zone = code - 28400
         return TmercParams(*ELLIPSOIDS["krass"], 6.0 * zone - 3.0, 0.0, 1.0,
                            zone * 1e6 + 500000.0, 0.0)
+    if 2046 <= code <= 2055:  # Hartebeesthoek94 / Lo15..Lo33 (9808)
+        lon0 = 15.0 + 2.0 * (code - 2046)
+        return TmSoParams(*ELLIPSOIDS["WGS84"], lon0, 0.0, 1.0, 0.0, 0.0)
     named = ", ".join(str(c) for c in sorted(_NAMED))
     raise KeyError(
         f"EPSG:{code} not supported (no PROJ in this environment; "
         "supported ranges: 32601-32660/32701-32760 (WGS84 UTM), "
         "25828-25838 (ETRS89 UTM), 26901-26923 (NAD83 UTM), "
-        "31466-31469 (DHDN GK), 28402-28432 (Pulkovo GK); "
+        "31466-31469 (DHDN GK), 28402-28432 (Pulkovo GK), "
+        "2046-2055 (SA Lo grids, TM South Orientated); "
         f"named codes: {named})"
     )
 
@@ -720,6 +742,17 @@ def tmerc_inverse(E: np.ndarray, N: np.ndarray, p: TmercParams):
         dpsi = 1.0 / np.cos(phi) - e * e * np.cos(phi) / (1.0 - (e * sphi) ** 2)
         phi = phi - g / (np.cosh(psi) * dpsi)
     return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def tmso_forward(lon: np.ndarray, lat: np.ndarray, p: TmSoParams):
+    """(W, S) — TM South Orientated forward (EPSG 9808): the 9807
+    forward on the zero-false-origin twin, axes negated."""
+    e0, n0 = tmerc_forward(lon, lat, p.tm0)
+    return p.fe - e0, p.fn - n0
+
+
+def tmso_inverse(W: np.ndarray, S: np.ndarray, p: TmSoParams):
+    return tmerc_inverse(p.fe - W, p.fn - S, p.tm0)
 
 
 # ------------------------------------------------------------- LCC kernels
@@ -1014,6 +1047,8 @@ def hom_inverse(E: np.ndarray, N: np.ndarray, p: HomParams):
 def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
     """Dispatch the forward projection for a resolved params object —
     vectorized (lon[], lat[]) -> (x[], y[])."""
+    if isinstance(p, TmSoParams):  # subclass: must dispatch before 9807
+        return tmso_forward(lon, lat, p)
     if isinstance(p, TmercParams):
         return tmerc_forward(lon, lat, p)
     if isinstance(p, LccParams):
@@ -1087,6 +1122,15 @@ def tmerc_forward_sql(lon_expr: str, lat_expr: str, p: TmercParams) -> tuple[str
         f"({_r(p.fe)} + {_r(k0A)}*{eta})",
         f"({_r(p.fn)} + {_r(k0A)}*({xi} - {_r(p.xi0)}))",
     )
+
+
+def tmso_forward_sql(
+    lon_expr: str, lat_expr: str, p: TmSoParams
+) -> tuple[str, str]:
+    """(westing_sql, southing_sql) — DuckDB twin of tmso_forward:
+    the 9807 twin on the zero-false-origin params, negated."""
+    e0, n0 = tmerc_forward_sql(lon_expr, lat_expr, p.tm0)
+    return f"({_r(p.fe)} - ({e0}))", f"({_r(p.fn)} - ({n0}))"
 
 
 def lcc_forward_sql(lon_expr: str, lat_expr: str, p: LccParams) -> tuple[str, str]:

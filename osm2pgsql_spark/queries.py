@@ -3474,6 +3474,8 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
     from osm2pgsql_spark.functions import projection as PJ
 
     p = PJ.epsg_params(code)
+    if isinstance(p, PJ.TmSoParams):  # subclass: dispatch before 9807
+        return PJ.tmso_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.TmercParams):
         return PJ.tmerc_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.LccParams):
@@ -3599,6 +3601,11 @@ _EPSG_GRATICULES_R10 = {
         3395,
         "cast((p_partkey * 7) % 359 AS double) - 179.0e0",
         "cast((p_partkey * 17) % 160 AS double) - 80.0e0",
+    ),
+    "tmso_lo19": (  # Hartebeesthoek94 / Lo19 (TM South Orientated 9808)
+        2048,
+        "cast((p_partkey * 7) % 4 AS double) + 17.0e0",
+        "cast((p_partkey * 5) % 7 AS double) - 34.0e0",
     ),
 }
 

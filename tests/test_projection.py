@@ -608,3 +608,51 @@ def test_polar_merc_lcc1_sql_twins_match_kernel():
         cols = list(got)
         assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
         assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
+
+
+from osm2pgsql_spark.functions import projection as PJ  # noqa: E402
+
+
+def test_tmso_south_african_lo_grids():
+    """TM South Orientated (EPSG 9808, Hartebeesthoek94 Lo15-Lo33
+    2046-2055): westing/southing axes — W = FE - E0, S = FN - N0 on
+    the zero-false-origin 9807 twin (GN7-2 §3.2.2; Lo grids publish
+    FE = FN = 0).  The 9807 kernel itself is worked-example-pinned,
+    so the family check is the definitional relation + geometry."""
+    import numpy as np
+
+    p = PJ.epsg_params(2048)  # Lo19
+    assert isinstance(p, PJ.TmSoParams)
+    assert p.lon0 == 19.0 and p.fe == 0.0 and p.fn == 0.0 and p.k0 == 1.0
+    # zone ends: Lo15 and Lo33
+    assert PJ.epsg_params(2046).lon0 == 15.0
+    assert PJ.epsg_params(2055).lon0 == 33.0
+
+    lon = np.array([18.4239, 19.0, 20.5])
+    lat = np.array([-33.9253, -30.0, -28.75])
+    W, S = PJ.forward_xy(lon, lat, p)
+    e0, n0 = PJ.tmerc_forward(lon, lat, p.tm0)
+    assert np.array_equal(W, -e0) and np.array_equal(S, -n0)
+    # axis geometry: west of the CM -> positive westing; the southern
+    # hemisphere -> positive southing; on the CM -> W = 0
+    assert W[0] > 0 and S[0] > 0
+    assert W[1] == 0.0
+    assert W[2] < 0  # east of CM
+    # exact-ish round trip
+    lo, la = PJ.tmso_inverse(W, S, p)
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, lat, atol=1e-9)
+
+
+def test_tmso_sql_twin_matches_kernel():
+    import duckdb
+    import numpy as np
+
+    p = PJ.epsg_params(2051)  # Lo25
+    lon, lat = 24.1, -29.3
+    e_sql, n_sql = PJ.tmso_forward_sql(str(lon), str(lat), p)
+    got = duckdb.connect().execute(
+        f"SELECT {e_sql}, {n_sql}").fetchone()
+    W, S = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
+    assert abs(got[0] - W[0]) < 1e-6
+    assert abs(got[1] - S[0]) < 1e-6
