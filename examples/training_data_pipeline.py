@@ -128,10 +128,22 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = kept.join(budgeted.select("doc_id"), "doc_id", "leftsemi")
     counts["after_token_budget"] = kept.count()
 
-    # 5f. classifier-based quality filter (fastText-shaped hashed
-    # linear model — one shuffle-free projection) as an audit column
+    # 5e2. UniMax language balancing (Chung et al. 2023): waterfill
+    # a global token budget across languages (each capped at 2
+    # epochs), keep documents drawn at least once — fairer than
+    # proportional sampling for the long-tail languages
     from osm2pgsql_spark.operators import curation
 
+    um = curation.unimax_mixture(
+        kept.select("doc_id", "lang", "n_tokens"),
+        total_budget=30_000, group_col="lang", max_epochs=2)
+    kept = kept.join(
+        um.where(F.col("n_epochs") >= 1).select("doc_id"), "doc_id",
+        "leftsemi")
+    counts["after_unimax"] = kept.count()
+
+    # 5f. classifier-based quality filter (fastText-shaped hashed
+    # linear model — one shuffle-free projection) as an audit column
     clf = curation.hashed_linear_score(kept.select("doc_id", "text"))
     kept = kept.join(clf.select("doc_id", "score_e6"), "doc_id")
     counts["after_classifier"] = kept.count()
@@ -149,6 +161,19 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     toks = kept.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
     ndv = sketch.hll_distinct(toks.where(F.col("t") != ""), "t").first()
     counts["distinct_tokens_hll"] = int(round(ndv["hll_estimate"]))
+
+    # 5h2. heavy-hitter token frequency without a raw-value groupBy:
+    # portable count-min sketch, per-cell-SUM mergeable across shards.
+    # checkpoint: the token explode re-derives the full kept lineage
+    # and the sketch references it twice (build + probe) — cut it
+    from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
+
+    toks_nz = _ckpt(toks.where(F.col("t") != ""))
+    reg = sketch.cms_registers(toks_nz, "t", depth=4, width=1 << 12)
+    counts["top_token_cms"] = int(
+        sketch.cms_estimate(reg, toks_nz, "t", depth=4, width=1 << 12)
+        .agg(F.max("cms_count")).first()[0]
+    )
 
     # 7. pack into fixed training windows (distributed prefix sum) and
     # write the curated corpus with pack assignments + embeddings
@@ -172,7 +197,12 @@ def ingest_stream(spark, sf_dir: str, work_dir: str, n_shards: int = 4) -> int:
     Simulated here by splitting the documents table into n_shards
     parquet files and replaying them one file per trigger — the
     production shape is identical with a cloud-storage source
-    directory.  Returns the deduped row count."""
+    directory.  Returns the deduped row count.
+
+    dropDuplicates state here is exact but grows with distinct keys;
+    for unbounded ingest swap in bloom_dedup_stream (same module):
+    fixed m_bits/32-row register state, engine-portable, at the cost
+    of a designed false-positive drop rate."""
     docs = load_table(spark, sf_dir, "documents")
     shards = os.path.join(work_dir, "shards")
     # deterministic event time derived from the id: duplicates within

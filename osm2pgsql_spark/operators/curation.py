@@ -313,8 +313,12 @@ def unimax_allocation(
         raise ValueError("total_budget must be >= 0")
     if max_epochs < 1:
         raise ValueError("max_epochs must be >= 1")
+    # coalesce: an all-NULL-token group must sort as cap 0 (engines
+    # disagree on NULL placement in ORDER BY — NULL caps would break
+    # the cross-engine idx assignment)
     caps = docs.groupBy(F.col(group_col).alias("group")).agg(
-        F.sum(token_col).cast("long").alias("avail_tokens")
+        F.coalesce(F.sum(token_col), F.lit(0)).cast("long")
+        .alias("avail_tokens")
     ).withColumn("__cap", F.col("avail_tokens") * max_epochs)
     w = Window.orderBy("__cap", "group")
     wall = Window.partitionBy()
@@ -394,17 +398,28 @@ def unimax_mixture(
     partial prefix; ONLY the boundary bucket (at most one per group)
     pays a per-bucket ordered window — so no task ever sees more than
     ~group_tokens/16^bucket_hex_width rows regardless of group skew."""
-    alloc = unimax_allocation(
-        docs, total_budget, group_col, token_col, max_epochs
-    )
     from osm2pgsql_spark.operators.dedup import _decision_hash
+    from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
 
+    # the input fans out four ways below (allocation groupBy, coarse
+    # bucket sums, the fine join, and the caller usually joins the
+    # result back) — checkpoint the NARROW 3-column selection once so
+    # a deep upstream lineage isn't re-analyzed/re-run per branch
+    # (Catalyst analysis cost is per-referenced-subtree: an un-cut
+    # curation pipeline upstream made the analyzer walk minutes-long
+    # expression trees; same cut as ccnet_buckets)
     h = _decision_hash(key_col, salt, True)
-    d = docs.select(
-        F.col(key_col),
-        F.col(group_col).alias("group"),
-        F.col(token_col).cast("long").alias("n_tokens"),
-    ).withColumn("__h", h).withColumn(
+    base = _ckpt(
+        docs.select(
+            F.col(key_col),
+            F.col(group_col).alias("group"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+    )
+    alloc = unimax_allocation(
+        base, total_budget, "group", "n_tokens", max_epochs
+    )
+    d = base.withColumn("__h", h).withColumn(
         "__b", F.substring("__h", 1, bucket_hex_width)
     )
     a = alloc.withColumn(

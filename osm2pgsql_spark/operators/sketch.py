@@ -199,9 +199,13 @@ def bloom_contains(
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__m"))
         == F.col("__m")
     ).cast("int")
+    # min(hit) == 1, not sum(hit) == k: a probe key appearing on more
+    # than one input row contributes k rows PER occurrence, and the
+    # all-positions-set test must stay occurrence-count-invariant
+    # (the SQL twin's bool_and has the same semantics)
     return (
         j.groupBy(*key_cols)
-        .agg((F.sum(hit) == k).alias("maybe_member"))
+        .agg((F.min(hit) == 1).alias("maybe_member"))
     )
 
 

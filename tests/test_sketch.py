@@ -246,3 +246,15 @@ def test_cms_layout_independent(spark, freq_values):
 def test_cms_params_validated(spark, freq_values):
     with pytest.raises(ValueError, match="depth and width"):
         sketch.cms_registers(freq_values, "v", depth=0)
+
+
+def test_bloom_duplicate_probe_keys(spark, keys):
+    """A probe key appearing on multiple rows must answer the same as
+    a single occurrence (min-of-hits, not sum == k)."""
+    reg = sketch.bloom_registers(keys.where("in_build"), "s", M, K)
+    dup_probe = keys.unionByName(keys)  # every key twice
+    a = {tuple(r) for r in sketch.bloom_contains(
+        reg, dup_probe, "s", ["s"], M, K).collect()}
+    b = {tuple(r) for r in sketch.bloom_contains(
+        reg, keys, "s", ["s"], M, K).collect()}
+    assert a == b

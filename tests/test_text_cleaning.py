@@ -118,7 +118,7 @@ def test_training_data_pipeline_example(spark, tmp_path):
         counts["after_exact_dedup"], counts["after_near_dedup"],
         counts["after_embedding_dedup"], counts["after_semdedup"],
         counts["after_decontamination"], counts["after_dsir_selection"],
-        counts["after_token_budget"],
+        counts["after_token_budget"], counts["after_unimax"],
     ]
     assert all(a >= b for a, b in zip(seq, seq[1:]))
     # perplexity filter drops the worst tail but keeps most docs
@@ -129,8 +129,11 @@ def test_training_data_pipeline_example(spark, tmp_path):
     # DSIR keeps the target-likest half
     assert counts["after_dsir_selection"] == max(1, counts["after_decontamination"] // 2)
     # the classifier stage annotates (score column) without dropping
-    assert counts["after_classifier"] == counts["after_token_budget"]
+    assert counts["after_classifier"] == counts["after_unimax"]
     # HLL corpus stat is in the right ballpark (tiny vocab corpus)
     assert 0 < counts["distinct_tokens_hll"] < 200
+    # CMS heavy hitter: the hottest token appears at least as often
+    # as a uniform share (one-sided estimate never under-counts)
+    assert counts["top_token_cms"] > 0
     # every kept doc gets a pack assignment
-    assert counts["written"] == counts["after_token_budget"] > 0
+    assert counts["written"] == counts["after_unimax"] > 0
