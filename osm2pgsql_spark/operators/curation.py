@@ -54,6 +54,16 @@ _WA = 2654435761
 _WM = 2000001
 _WC = (_WM - 1) // 2
 
+# NULL group names coalesce to this sentinel inside the unimax
+# operators (joins and ORDER BY would otherwise drop / misplace NULL
+# rows, engine-dependently); \x00 sorts before any printable group
+# name on both engines, and the outputs restore NULL
+_NULL_GROUP = "\x00null"
+
+
+def _restore_null_group(col):
+    return F.when(col == F.lit(_NULL_GROUP), F.lit(None)).otherwise(col)
+
 
 def _weight(tok):
     idx = S.hash32(tok)
@@ -114,6 +124,7 @@ def train_hashed_linear(
     epochs: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_docs: int = 1_000_000,
 ) -> tuple[dict[int, int], int]:
     """Train a hashed bag-of-words perceptron (integer weights) —
     the offline step that produces a REAL artifact for
@@ -129,7 +140,10 @@ def train_hashed_linear(
     (test_frozen).  The feature extraction (per-doc hashed bucket
     counts) is distributed; the sequential update loop runs
     driver-side over the collected per-doc sparse counts — training
-    data is the small curated set, INFERENCE is the 100-TB path."""
+    data is the small curated set, INFERENCE is the 100-TB path.
+    `max_docs` enforces that contract: pointing this at more than
+    max_docs documents raises a descriptive error instead of OOMing
+    the driver (raise the cap explicitly if you mean it)."""
     toks = F.filter(
         S.tokens(F.coalesce(F.col(text_col), F.lit(""))),
         lambda t: t != F.lit(""),
@@ -144,6 +158,17 @@ def train_hashed_linear(
             F.col("__t"), lambda t: (S.hash32(t) % n_buckets).cast("int")
         ).alias("buckets"),
     )
+    # probe one row past the cap before collecting the feature rows:
+    # the failure mode for a mispointed full corpus is a message, not
+    # a driver OOM (docstring contract; r10 VERDICT #5)
+    if len(d.select("id").limit(max_docs + 1).take(max_docs + 1)) > max_docs:
+        raise ValueError(
+            f"train_hashed_linear collects the training set to the "
+            f"driver (sequential perceptron) and is capped at "
+            f"max_docs={max_docs} documents; this input exceeds the "
+            f"cap. Training corpora are small by design — curate "
+            f"first, or raise max_docs explicitly if you mean it."
+        )
     rows = d.orderBy("id").collect()
     sum_n = sum(r["n"] for r in rows)
     sum_stop = sum(r["n_stop"] for r in rows)
@@ -315,8 +340,14 @@ def unimax_allocation(
         raise ValueError("max_epochs must be >= 1")
     # coalesce: an all-NULL-token group must sort as cap 0 (engines
     # disagree on NULL placement in ORDER BY — NULL caps would break
-    # the cross-engine idx assignment)
-    caps = docs.groupBy(F.col(group_col).alias("group")).agg(
+    # the cross-engine idx assignment).  A NULL group NAME likewise
+    # becomes the \x00 sentinel (sorts before any printable name on
+    # both engines) so NULL-group rows get a real allocation instead
+    # of vanishing through inner joins; the output restores NULL.
+    caps = docs.groupBy(
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL_GROUP))
+        .alias("group")
+    ).agg(
         F.coalesce(F.sum(token_col), F.lit(0)).cast("long")
         .alias("avail_tokens")
     ).withColumn("__cap", F.col("avail_tokens") * max_epochs)
@@ -367,7 +398,7 @@ def unimax_allocation(
         base + (F.col("__idx") - F.col("__n_full") <= rem).cast("long")
     )
     return g.select(
-        "group",
+        _restore_null_group(F.col("group")).alias("group"),
         "avail_tokens",
         F.greatest(alloc, F.lit(0)).cast("long").alias("alloc_tokens"),
     )
@@ -412,12 +443,17 @@ def unimax_mixture(
     base = _ckpt(
         docs.select(
             F.col(key_col),
-            F.col(group_col).alias("group"),
+            # NULL group -> sentinel so the inner joins below keep the
+            # rows (restored to NULL in the output select)
+            F.coalesce(F.col(group_col).cast("string"),
+                       F.lit(_NULL_GROUP)).alias("group"),
             F.col(token_col).cast("long").alias("n_tokens"),
         )
     )
     alloc = unimax_allocation(
         base, total_budget, "group", "n_tokens", max_epochs
+    ).withColumn(  # allocation restores NULL at its boundary; re-key
+        "group", F.coalesce(F.col("group"), F.lit(_NULL_GROUP))
     )
     d = base.withColumn("__h", h).withColumn(
         "__b", F.substring("__h", 1, bucket_hex_width)
@@ -482,7 +518,7 @@ def unimax_mixture(
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return out.select(
         F.col(key_col),
-        "group",
+        _restore_null_group(F.col("group")).alias("group"),
         "n_tokens",
         (F.col("__full_ep") + F.col("__in").cast("long"))
         .cast("long")

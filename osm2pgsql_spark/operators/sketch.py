@@ -202,10 +202,14 @@ def bloom_contains(
     # min(hit) == 1, not sum(hit) == k: a probe key appearing on more
     # than one input row contributes k rows PER occurrence, and the
     # all-positions-set test must stay occurrence-count-invariant
-    # (the SQL twin's bool_and has the same semantics)
+    # (the SQL twin's bool_and has the same semantics).  A NULL value
+    # hashes to NULL positions and would aggregate to NULL — coalesce
+    # to False so NULL values answer "never seen" and pass through
+    # downstream dedup instead of silently vanishing (NULL was never
+    # inserted: bloom_registers filters value IS NOT NULL).
     return (
         j.groupBy(*key_cols)
-        .agg((F.min(hit) == 1).alias("maybe_member"))
+        .agg(F.coalesce(F.min(hit) == 1, F.lit(False)).alias("maybe_member"))
     )
 
 
@@ -243,7 +247,7 @@ def bloom_probe_sql(
     h = S.hash32_sql(f"concat(CAST({value_expr} AS VARCHAR), ':', i)")
     return f"""
     SELECT {key_exprs},
-           bool_and(coalesce(bits, 0) & m = m) AS maybe_member
+           coalesce(bool_and(coalesce(bits, 0) & m = m), false) AS maybe_member
     FROM (SELECT {key_exprs},
                  (({h}) % {m_bits}) // 32 AS word,
                  CAST(1 AS BIGINT) << ((({h}) % {m_bits}) % 32) AS m

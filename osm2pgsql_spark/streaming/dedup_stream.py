@@ -59,6 +59,32 @@ def dedup_stream(
     return out.drop("__dk")
 
 
+def _read_bloom_state(spark, state_dir: str):
+    """(registers_df, have_state) for the persistent Bloom state.
+
+    Recovers from a crash mid-swap (state parked at `.old` by
+    bloom_dedup_batch's rename-aside) and treats ONLY a genuinely
+    missing path as 'first batch'; any other read error (corrupt
+    files, permissions) raises instead of silently re-admitting every
+    previously-seen duplicate."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    old = state_dir.rstrip("/") + ".old"
+    if not os.path.exists(state_dir) and os.path.exists(old):
+        # crashed between the rename-aside and the promote: the
+        # previous batch's complete state is intact at .old
+        os.rename(old, state_dir)
+    try:
+        return spark.read.parquet(state_dir), True
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], "word long, bits long"), False
+        raise
+
+
 def bloom_dedup_batch(
     spark,
     batch: DataFrame,
@@ -89,12 +115,7 @@ def bloom_dedup_batch(
         bloom_contains, bloom_registers,
     )
 
-    try:
-        reg = spark.read.parquet(state_dir)
-        have_state = True
-    except Exception:  # first batch: no state yet
-        reg = spark.createDataFrame([], "word long, bits long")
-        have_state = False
+    reg, have_state = _read_bloom_state(spark, state_dir)
 
     # exact intra-batch dedup (keep the smallest key per value), then
     # probe the accumulated filter
@@ -115,17 +136,23 @@ def bloom_dedup_batch(
         .groupBy("word")
         .agg(F.bit_or("bits").alias("bits"))
     )
-    # state swap: write the merged registers beside the old state and
-    # atomically rename over it (overwrite-in-place would read and
-    # clobber the same files)
+    # state swap via rename-aside: the previous registers are parked
+    # at `.old` until the new ones are promoted, so a crash at ANY
+    # point leaves a complete state on disk (either at state_dir or at
+    # .old, recovered by _read_bloom_state) — never zero state
     import os
     import shutil
 
     tmp = state_dir.rstrip("/") + ".tmp"
+    old = state_dir.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
     if have_state:
-        shutil.rmtree(state_dir)
+        if os.path.exists(old):  # leftover of an interrupted cleanup
+            shutil.rmtree(old)
+        os.rename(state_dir, old)
     os.rename(tmp, state_dir)
+    if have_state:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def bloom_dedup_stream(

@@ -113,6 +113,21 @@ def test_bloom_no_false_negatives(spark, keys):
             assert res[r["s"]], r["s"]
 
 
+def test_bloom_null_probe_is_never_seen(spark, keys):
+    """A NULL probe value answers maybe_member = False (NULL is never
+    inserted — bloom_registers filters it), NOT NULL: downstream
+    dedup's where(~maybe_member) must pass the row through, not
+    silently drop it (r10 ADVICE)."""
+    reg = sketch.bloom_registers(keys.where("in_build"), "s", M, K)
+    probe = spark.createDataFrame(
+        [("key-1", 1), (None, 2), (None, 3)], "s string, pid int"
+    )
+    res = {r["pid"]: r["maybe_member"] for r in
+           sketch.bloom_contains(reg, probe, "s", ["pid"], M, K).collect()}
+    assert res[1] is True
+    assert res[2] is False and res[3] is False
+
+
 def test_bloom_merge_by_bit_or(spark, keys):
     """filter(A ∪ B) == per-word bit-OR of filter(A), filter(B) — the
     property that makes per-shard / per-batch filters combinable."""
