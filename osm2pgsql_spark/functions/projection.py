@@ -73,6 +73,12 @@ ELLIPSOIDS = {
     "evrst67": (6377298.556, 300.8017),
     # Clarke 1866 (NAD27, Jamaica 1969)
     "clrk66": (6378206.4, 294.978698214),
+    # Clarke 1880 (Benoit) (Palestine 1923)
+    "clrk80b": (6378300.789, 293.46630765563),
+    # Clarke 1858 in Clarke's links (Trinidad 1903 — the EPSG GN7-2
+    # Cassini-Soldner worked example publishes a directly in links;
+    # the formulas scale by a, so E/N come out in links)
+    "clrk58_links": (31706587.88, 294.2606764),
 }
 
 
@@ -531,6 +537,107 @@ class TmSoParams(TmercParams):
         )
 
 
+@dataclass(frozen=True)
+class KrovakParams:
+    """Krovak oblique conformal conic parameters (EPSG method 9819) —
+    the S-JTSK grids covering the Czech and Slovak Republics
+    (EPSG:5514 East North, EPSG:2065 Ferro southing/westing).
+    Formulas: EPSG Guidance Note 7 part 2, Krovak section (the
+    reference reaches these CRSs through PROJ,
+    src/reprojection-generic-proj6.cpp).
+
+    `lon0` is the longitude of origin in degrees EAST OF GREENWICH
+    (EPSG publishes 24d50' for the Greenwich-based 5514 and the same
+    physical meridian as 42d30' east of Ferro for 2065 — identical
+    once both the origin and the input longitudes use one prime
+    meridian, since only λO − λ enters the formulas).
+
+    `east_north` selects the axis convention of the returned (x, y):
+    True (5514) gives x = −westing, y = −southing (both negative over
+    Czechia — the PROJ/GIS normalization); False (2065) gives
+    x = westing + FE, y = southing + FN (both positive)."""
+
+    a: float
+    inv_f: float
+    lon0: float    # longitude of origin, degrees east of Greenwich
+    latc: float    # latitude of projection centre
+    alphac: float  # co-latitude of the cone axis (azimuth), degrees
+    latp: float    # latitude of the pseudo standard parallel
+    kp: float      # scale on the pseudo standard parallel
+    fe: float
+    fn: float
+    east_north: bool = False
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _derived(self) -> tuple[float, float, float, float, float, float]:
+        """(A, B, gamma0, t0, n, r0) — the GN7-2 Krovak constants."""
+        e = self.e
+        e2 = e * e
+        phic = math.radians(self.latc)
+        s = math.sin(phic)
+        big_a = self.a * math.sqrt(1.0 - e2) / (1.0 - e2 * s * s)
+        big_b = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+        gamma0 = math.asin(s / big_b)
+        t0 = (
+            math.tan(math.pi / 4.0 + gamma0 / 2.0)
+            * ((1.0 + e * s) / (1.0 - e * s)) ** (e * big_b / 2.0)
+            / math.tan(math.pi / 4.0 + phic / 2.0) ** big_b
+        )
+        n = math.sin(math.radians(self.latp))
+        r0 = self.kp * big_a / math.tan(math.radians(self.latp))
+        return big_a, big_b, gamma0, t0, n, r0
+
+
+@dataclass(frozen=True)
+class CassiniParams:
+    """Cassini-Soldner parameters (EPSG method 9806) — the historic
+    Caribbean / Middle-East / Asian national grids (Trinidad 1903
+    EPSG:30200 — the GN7-2 worked example, in Clarke's links;
+    Palestine 1923 EPSG:28191).  Snyder's ellipsoidal series via the
+    meridian-arc expansion (GN7-2 §3.2.4)."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def m0(self) -> float:
+        return float(_merid_arc(self.a, self.e ** 2,
+                                np.asarray(math.radians(self.lat0))))
+
+
+def _merid_arc(a: float, e2: float, phi):
+    """Meridian arc length M(phi) — the standard e^6 series (Snyder
+    3-21), numpy-vectorized; exact enough for double at any latitude."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * (
+        (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+        * np.sin(2.0 * phi)
+        + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * np.sin(4.0 * phi)
+        - (35.0 * e6 / 3072.0) * np.sin(6.0 * phi)
+    )
+
+
 def _q_auth(e: float, sphi):
     """Authalic q(phi) — numpy-vectorized; also valid on scalars."""
     es = e * sphi
@@ -588,6 +695,17 @@ def _ps(code, ell, lon0, k0, fe, fn, south=False, lat_ts=None):
 def _me(code, ell, lon0, k0, fe, fn, lat_ts=None):
     a, inv_f = ELLIPSOIDS[ell]
     _NAMED[code] = MercParams(a, inv_f, lon0, k0, fe, fn, lat_ts=lat_ts)
+
+
+def _kv(code, ell, lon0, latc, alphac, latp, kp, fe, fn, east_north=False):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = KrovakParams(a, inv_f, lon0, latc, alphac, latp, kp,
+                                fe, fn, east_north=east_north)
+
+
+def _cs(code, ell, lon0, lat0, fe, fn):
+    a, inv_f = ELLIPSOIDS[ell]
+    _NAMED[code] = CassiniParams(a, inv_f, lon0, lat0, fe, fn)
 
 
 def _dms(d, m=0.0, s=0.0):
@@ -652,6 +770,23 @@ _ps(3413, "WGS84", -45.0, 1.0, 0.0, 0.0, lat_ts=70.0)
 # example CRS (Makassar / NEIEZ, Bessel)
 _me(3395, "WGS84", 0.0, 1.0, 0.0, 0.0)
 _me(3002, "bessel", 110.0, 0.997, 3900000.0, 900000.0)
+# --- round-11 registry tail ---
+# S-JTSK / Krovak East North (every Czech/Slovak import) and the
+# Ferro-axes original.  Longitude of origin 24d50' east of Greenwich
+# (= 42d30' east of Ferro); azimuth 30d17'17.30311"; pseudo standard
+# parallel 78d30' at k = 0.9999 (EPSG method 9819, GN7-2 Krovak
+# worked example pinned in test_projection)
+_kv(5514, "bessel", _dms(24, 50), 49.5, _dms(30, 17, 17.30311),
+    78.5, 0.9999, 0.0, 0.0, east_north=True)
+_kv(2065, "bessel", _dms(24, 50), 49.5, _dms(30, 17, 17.30311),
+    78.5, 0.9999, 0.0, 0.0)
+# Trinidad 1903 / Trinidad Grid — the GN7-2 Cassini-Soldner worked
+# example (Clarke 1858; a and the coordinates in Clarke's links)
+_cs(30200, "clrk58_links", _dms(-61, 20), _dms(10, 26, 30),
+    430000.0, 325000.0)
+# Palestine 1923 / Palestine Grid (Clarke 1880 Benoit)
+_cs(28191, "clrk80b", _dms(35, 12, 43.490), _dms(31, 44, 2.749),
+    170251.555, 126867.909)
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -1042,6 +1177,141 @@ def hom_inverse(E: np.ndarray, N: np.ndarray, p: HomParams):
     return lon, np.degrees(phi)
 
 
+# ------------------------------------------------------ Krovak kernels
+
+def krovak_forward(lon: np.ndarray, lat: np.ndarray, p: KrovakParams):
+    """(x, y) — Krovak forward (EPSG 9819, GN7-2).  Axis convention
+    per p.east_north (see KrovakParams)."""
+    e = p.e
+    big_a, big_b, gamma0, t0, n, r0 = p._derived
+    alphac = math.radians(p.alphac)
+    latp = math.radians(p.latp)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    big_u = 2.0 * (
+        np.arctan(
+            t0
+            * np.tan(phi / 2.0 + np.pi / 4.0) ** big_b
+            / ((1.0 + e * s) / (1.0 - e * s)) ** (e * big_b / 2.0)
+        )
+        - np.pi / 4.0
+    )
+    big_v = big_b * np.radians(p.lon0 - lon)
+    big_t = np.arcsin(
+        math.cos(alphac) * np.sin(big_u)
+        + math.sin(alphac) * np.cos(big_u) * np.cos(big_v)
+    )
+    big_d = np.arcsin(np.cos(big_u) * np.sin(big_v) / np.cos(big_t))
+    theta = n * big_d
+    r = (
+        r0
+        * math.tan(math.pi / 4.0 + latp / 2.0) ** n
+        / np.tan(big_t / 2.0 + np.pi / 4.0) ** n
+    )
+    southing = r * np.cos(theta) + p.fn
+    westing = r * np.sin(theta) + p.fe
+    if p.east_north:
+        return -westing, -southing
+    return westing, southing
+
+
+def krovak_inverse(x: np.ndarray, y: np.ndarray, p: KrovakParams):
+    """(lon, lat) — 9819 inverse; conformal-latitude fixed point (8
+    iterations: double-precision converged)."""
+    e = p.e
+    big_a, big_b, gamma0, t0, n, r0 = p._derived
+    alphac = math.radians(p.alphac)
+    latp = math.radians(p.latp)
+    if p.east_north:
+        westing = -np.asarray(x, dtype="f8") - p.fe
+        southing = -np.asarray(y, dtype="f8") - p.fn
+    else:
+        westing = np.asarray(x, dtype="f8") - p.fe
+        southing = np.asarray(y, dtype="f8") - p.fn
+    r = np.hypot(southing, westing)
+    theta = np.arctan2(westing, southing)
+    big_d = theta / n
+    big_t = 2.0 * (
+        np.arctan(
+            (r0 / r) ** (1.0 / n) * math.tan(math.pi / 4.0 + latp / 2.0)
+        )
+        - np.pi / 4.0
+    )
+    big_u = np.arcsin(
+        math.cos(alphac) * np.sin(big_t)
+        - math.sin(alphac) * np.cos(big_t) * np.cos(big_d)
+    )
+    big_v = np.arcsin(np.cos(big_t) * np.sin(big_d) / np.cos(big_u))
+    base = t0 ** (-1.0 / big_b) * np.tan(
+        big_u / 2.0 + np.pi / 4.0
+    ) ** (1.0 / big_b)
+    phi = big_u
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = 2.0 * (
+            np.arctan(base * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0))
+            - np.pi / 4.0
+        )
+    lon = p.lon0 - np.degrees(big_v / big_b)
+    return lon, np.degrees(phi)
+
+
+# ----------------------------------------------- Cassini-Soldner kernels
+
+def cassini_forward(lon: np.ndarray, lat: np.ndarray, p: CassiniParams):
+    """(E, N) — Cassini-Soldner forward (EPSG 9806, GN7-2 series)."""
+    e2 = p.e ** 2
+    phi = np.radians(lat)
+    lam = np.radians(lon - p.lon0)
+    s, c = np.sin(phi), np.cos(phi)
+    tanphi = np.tan(phi)
+    big_a = lam * c
+    big_t = tanphi * tanphi
+    big_c = e2 * c * c / (1.0 - e2)
+    nu = p.a / np.sqrt(1.0 - e2 * s * s)
+    a2 = big_a * big_a
+    E = p.fe + nu * big_a * (
+        1.0 - big_t * a2 / 6.0
+        - (8.0 - big_t + 8.0 * big_c) * big_t * a2 * a2 / 120.0
+    )
+    N = p.fn + _merid_arc(p.a, e2, phi) - p.m0 + nu * tanphi * a2 * (
+        0.5 + (5.0 - big_t + 6.0 * big_c) * a2 / 24.0
+    )
+    return E, N
+
+
+def cassini_inverse(E: np.ndarray, N: np.ndarray, p: CassiniParams):
+    """(lon, lat) — 9806 inverse: rectifying-latitude series for the
+    footpoint, then the GN7-2 closed series."""
+    e2 = p.e ** 2
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    m1 = p.m0 + (np.asarray(N, dtype="f8") - p.fn)
+    mu1 = m1 / (p.a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0
+                       - 5.0 * e2 ** 3 / 256.0))
+    phi1 = (
+        mu1
+        + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu1)
+        + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu1)
+        + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu1)
+        + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu1)
+    )
+    s1 = np.sin(phi1)
+    t1 = np.tan(phi1) ** 2
+    nu1 = p.a / np.sqrt(1.0 - e2 * s1 * s1)
+    rho1 = p.a * (1.0 - e2) / (1.0 - e2 * s1 * s1) ** 1.5
+    big_d = (np.asarray(E, dtype="f8") - p.fe) / nu1
+    d2 = big_d * big_d
+    phi = phi1 - (nu1 * np.tan(phi1) / rho1) * d2 * (
+        0.5 - (1.0 + 3.0 * t1) * d2 / 24.0
+    )
+    lam = (
+        big_d
+        - t1 * big_d * d2 / 3.0
+        + (1.0 + 3.0 * t1) * t1 * big_d * d2 * d2 / 15.0
+    ) / np.cos(phi1)
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 # ------------------------------------------------------------ geometry API
 
 def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
@@ -1065,6 +1335,10 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return polar_forward(lon, lat, p)
     if isinstance(p, MercParams):
         return merc_forward(lon, lat, p)
+    if isinstance(p, KrovakParams):
+        return krovak_forward(lon, lat, p)
+    if isinstance(p, CassiniParams):
+        return cassini_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
 
 
@@ -1265,6 +1539,73 @@ def hom_forward_sql(lon_expr: str, lat_expr: str, p: HomParams) -> tuple[str, st
         f"(({v})*{_r(math.cos(gc))} + ({u})*{_r(math.sin(gc))} + {_r(p.fe)})",
         f"(({u})*{_r(math.cos(gc))} - ({v})*{_r(math.sin(gc))} + {_r(p.fn)})",
     )
+
+
+def krovak_forward_sql(
+    lon_expr: str, lat_expr: str, p: KrovakParams
+) -> tuple[str, str]:
+    """(x_sql, y_sql) — DuckDB twin of krovak_forward (axis convention
+    per p.east_north)."""
+    e = p.e
+    big_a, big_b, gamma0, t0, n, r0 = p._derived
+    alphac = math.radians(p.alphac)
+    latp = math.radians(p.latp)
+    sphi = f"sin(radians({lat_expr}))"
+    es = f"({_r(e)}*({sphi}))"
+    u = (
+        f"(2.0*(atan({_r(t0)}*pow(tan(radians({lat_expr})/2.0 + pi()/4.0), "
+        f"{_r(big_b)})/pow((1.0+({es}))/(1.0-({es})), {_r(e * big_b / 2.0)}))"
+        f" - pi()/4.0))"
+    )
+    v = f"({_r(big_b)}*radians({_r(p.lon0)} - ({lon_expr})))"
+    t = (
+        f"asin({_r(math.cos(alphac))}*sin({u})"
+        f" + {_r(math.sin(alphac))}*cos({u})*cos({v}))"
+    )
+    d = f"asin(cos({u})*sin({v})/cos({t}))"
+    theta = f"({_r(n)}*({d}))"
+    rk = _r(r0 * math.tan(math.pi / 4.0 + latp / 2.0) ** n)
+    r = f"({rk}/pow(tan(({t})/2.0 + pi()/4.0), {_r(n)}))"
+    southing = f"(({r})*cos({theta}) + {_r(p.fn)})"
+    westing = f"(({r})*sin({theta}) + {_r(p.fe)})"
+    if p.east_north:
+        return f"(-{westing})", f"(-{southing})"
+    return westing, southing
+
+
+def cassini_forward_sql(
+    lon_expr: str, lat_expr: str, p: CassiniParams
+) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of cassini_forward."""
+    e2 = p.e ** 2
+    e4, e6 = e2 * e2, e2 ** 3
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    c = f"cos({phi})"
+    tanphi = f"tan({phi})"
+    big_a = f"(radians(({lon_expr}) - {_r(p.lon0)})*({c}))"
+    a2 = f"(({big_a})*({big_a}))"
+    big_t = f"(({tanphi})*({tanphi}))"
+    big_c = f"({_r(e2 / (1.0 - e2))}*({c})*({c}))"
+    nu = f"({_r(p.a)}/sqrt(1.0 - {_r(e2)}*({s})*({s})))"
+    m = (
+        f"({_r(p.a)}*({_r(c0)}*({phi}) - {_r(c2)}*sin(2.0*({phi}))"
+        f" + {_r(c4)}*sin(4.0*({phi})) - {_r(c6)}*sin(6.0*({phi}))))"
+    )
+    easting = (
+        f"({_r(p.fe)} + ({nu})*({big_a})*(1.0 - ({big_t})*({a2})/6.0"
+        f" - (8.0 - ({big_t}) + 8.0*({big_c}))*({big_t})"
+        f"*({a2})*({a2})/120.0))"
+    )
+    northing = (
+        f"({_r(p.fn - p.m0)} + ({m}) + ({nu})*({tanphi})*({a2})"
+        f"*(0.5 + (5.0 - ({big_t}) + 6.0*({big_c}))*({a2})/24.0))"
+    )
+    return easting, northing
 
 
 def sterea_forward_sql(lon_expr: str, lat_expr: str, p: StereaParams) -> tuple[str, str]:

@@ -3492,6 +3492,10 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
         return PJ.polar_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.MercParams):
         return PJ.merc_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.KrovakParams):
+        return PJ.krovak_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.CassiniParams):
+        return PJ.cassini_forward_sql("lon", "lat", p)
     return PJ.laea_forward_sql("lon", "lat", p)
 
 
@@ -3607,6 +3611,22 @@ _EPSG_GRATICULES_R10 = {
         "cast((p_partkey * 7) % 4 AS double) + 17.0e0",
         "cast((p_partkey * 5) % 7 AS double) - 34.0e0",
     ),
+    # --- round-11 additions (Krovak 9819, Cassini-Soldner 9806) ---
+    "krovak_sjtsk": (  # S-JTSK / Krovak East North (Czech + Slovak)
+        5514,
+        "cast((p_partkey * 7) % 7 AS double) + 12.0e0",
+        "cast((p_partkey * 5) % 4 AS double) + 47.5e0",
+    ),
+    "cassini_palestine": (  # Palestine 1923 / Palestine Grid
+        28191,
+        "cast((p_partkey * 3) % 2 AS double) + 34.0e0",
+        "cast((p_partkey * 11) % 3 AS double) + 30.5e0",
+    ),
+    "cassini_trinidad": (  # Trinidad 1903 grid (Clarke's links)
+        30200,
+        "cast((p_partkey * 5) % 2 AS double) - 62.0e0",
+        "cast((p_partkey * 7) % 2 AS double) + 10.0e0",
+    ),
 }
 
 
@@ -3620,13 +3640,15 @@ def _epsg_registry_tail_oracle() -> str:
 
 @register("epsg_registry_tail", oracle=_epsg_registry_tail_oracle())
 def q_epsg_registry_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 EPSG registry tail (projection.py registry rows for
-    Belgian Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, a
+    """EPSG registry tail (projection.py registry rows for Belgian
+    Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, a
     Gauss-Krueger zone, Jamaica National Grid (LCC 1SP), Antarctic
-    Polar Stereographic, and World Mercator) — the reference
-    reprojects to these via PROJ (src/reprojection-generic-proj6.cpp);
-    here each family kernel is checked against a DuckDB twin generated
-    from the same params object."""
+    Polar Stereographic, World Mercator, and — round 11 — Krovak
+    S-JTSK 5514 plus Cassini-Soldner Palestine/Trinidad grids) — the
+    reference reprojects to these via PROJ
+    (src/reprojection-generic-proj6.cpp); here each family kernel is
+    checked against a DuckDB twin generated from the same params
+    object."""
     return _geom_epsg_fused(spark, sf_dir, _EPSG_GRATICULES_R10)
 
 

@@ -831,6 +831,30 @@ class TestProjectionFlags:
                 assert pts[osm_id] == (float(x[0]), float(y[0])), \
                     (code, osm_id)
 
+    def test_proj_krovak_5514_e2e(self, tmp_path, spark):
+        """-E 5514 (S-JTSK / Krovak East North — every Czech/Slovak
+        import, EPSG method 9819) imports end-to-end and matches the
+        direct registry transform; the coordinates land in the
+        negative-easting/northing belt the CRS defines."""
+        import numpy as np
+
+        from osm2pgsql_spark.functions import projection as PJ
+
+        src = tmp_path / "in.opl"
+        src.write_text(OPL)
+        out = tmp_path / "db5514"
+        r = _run([str(src), str(out), "-O", "pgsql",
+                  "-S", DEFAULT_STYLE, "-E", "5514"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        pts = {row["osm_id"]: (row["lon"], row["lat"]) for row in
+               spark.read.parquet(
+                   str(out / "tables" / "planet_osm_point")).collect()}
+        p = PJ.epsg_params(5514)
+        for osm_id, (lon, lat) in {1: (9.0, 50.0), 10: (9.2, 50.2)}.items():
+            x, y = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
+            assert pts[osm_id] == (float(x[0]), float(y[0])), osm_id
+            assert pts[osm_id][0] < 0 and pts[osm_id][1] < 0
+
     def test_merc_flag_equals_default(self, tmp_path, spark):
         src = tmp_path / "in.opl"
         src.write_text(OPL)

@@ -656,3 +656,123 @@ def test_tmso_sql_twin_matches_kernel():
     W, S = PJ.forward_xy(np.array([lon]), np.array([lat]), p)
     assert abs(got[0] - W[0]) < 1e-6
     assert abs(got[1] - S[0]) < 1e-6
+
+
+def test_krovak_gn72_worked_example():
+    """Krovak (EPSG 9819) pinned to the GN7-2 worked example:
+    phi 50d12'32.4416"N, lambda 16d50'59.1790"E of Greenwich ->
+    southing 1050538.643, westing 568990.997 (S-JTSK, Bessel; the
+    reference reaches 5514/2065 via PROJ,
+    src/reprojection-generic-proj6.cpp)."""
+    lat = np.array([50 + 12 / 60 + 32.4416 / 3600])
+    lon = np.array([16 + 50 / 60 + 59.1790 / 3600])
+    p = PJ.epsg_params(2065)
+    assert isinstance(p, PJ.KrovakParams)
+    W, S = PJ.forward_xy(lon, lat, p)
+    assert W[0] == pytest.approx(568990.997, abs=5e-3)
+    assert S[0] == pytest.approx(1050538.643, abs=5e-3)
+    # 5514 (East North): negated axes, same magnitudes
+    x, y = PJ.forward_xy(lon, lat, PJ.epsg_params(5514))
+    assert x[0] == pytest.approx(-W[0], abs=1e-9)
+    assert y[0] == pytest.approx(-S[0], abs=1e-9)
+
+
+def test_krovak_roundtrip_and_conformality():
+    """Round-trip over the Czech/Slovak belt < 1e-9 deg; local scale
+    isotropy (conformal projection) to 1e-7."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(12.0, 22.5, 60)
+    lat = rng.uniform(47.7, 51.0, 60)
+    for code in (5514, 2065):
+        p = PJ.epsg_params(code)
+        x, y = PJ.krovak_forward(lon, lat, p)
+        lo, la = PJ.krovak_inverse(x, y, p)
+        assert np.abs(lo - lon).max() < 1e-9
+        assert np.abs(la - lat).max() < 1e-9
+    # conformal: scale east-west == scale north-south at a point
+    # (central differences at d=1e-5 deg: one-sided 1e-7 steps sit in
+    # float cancellation noise on ~1e6-magnitude coordinates)
+    p = PJ.epsg_params(5514)
+    d = 1e-5
+    for lon0, lat0 in ((14.42, 50.09), (17.11, 48.15), (21.25, 48.72)):
+        xe1, ye1 = PJ.krovak_forward(np.array([lon0 - d]), np.array([lat0]), p)
+        xe2, ye2 = PJ.krovak_forward(np.array([lon0 + d]), np.array([lat0]), p)
+        xn1, yn1 = PJ.krovak_forward(np.array([lon0]), np.array([lat0 - d]), p)
+        xn2, yn2 = PJ.krovak_forward(np.array([lon0]), np.array([lat0 + d]), p)
+        a, e2 = p.a, p.e ** 2
+        s = math.sin(math.radians(lat0))
+        nu = a / math.sqrt(1 - e2 * s * s)
+        rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        k_ew = math.hypot(xe2[0] - xe1[0], ye2[0] - ye1[0]) / (
+            nu * math.cos(math.radians(lat0)) * math.radians(2 * d))
+        k_ns = math.hypot(xn2[0] - xn1[0], yn2[0] - yn1[0]) / (
+            rho * math.radians(2 * d))
+        assert k_ew == pytest.approx(k_ns, rel=1e-7)
+
+
+def test_cassini_gn72_worked_example():
+    """Cassini-Soldner (EPSG 9806) pinned to the GN7-2 worked example
+    (Trinidad 1903 / Trinidad Grid, Clarke 1858, Clarke's links):
+    phi 10N, lambda 62W -> E 66644.94, N 82536.22 links."""
+    p = PJ.epsg_params(30200)
+    assert isinstance(p, PJ.CassiniParams)
+    E, N = PJ.forward_xy(np.array([-62.0]), np.array([10.0]), p)
+    assert E[0] == pytest.approx(66644.94, abs=5e-3)
+    assert N[0] == pytest.approx(82536.22, abs=5e-3)
+    lo, la = PJ.cassini_inverse(E, N, p)
+    assert lo[0] == pytest.approx(-62.0, abs=1e-9)
+    assert la[0] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_cassini_palestine_grid_properties():
+    """Palestine 1923 / Palestine Grid (28191): natural origin maps to
+    the false origin exactly; round-trip < 1e-9 deg over the belt;
+    scale along the central meridian == 1 (Cassini's defining
+    property: true scale along the CM)."""
+    p = PJ.epsg_params(28191)
+    E, N = PJ.cassini_forward(np.array([p.lon0]), np.array([p.lat0]), p)
+    assert E[0] == pytest.approx(p.fe, abs=1e-9)
+    assert N[0] == pytest.approx(p.fn, abs=1e-9)
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(34.2, 35.9, 60)
+    lat = rng.uniform(29.5, 33.3, 60)
+    E, N = PJ.cassini_forward(lon, lat, p)
+    lo, la = PJ.cassini_inverse(E, N, p)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # true scale along the central meridian (central difference — a
+    # small one-sided step sits in float cancellation noise)
+    d = 1e-4
+    x1, y1 = PJ.cassini_forward(np.array([p.lon0]), np.array([31.0 - d]), p)
+    x2, y2 = PJ.cassini_forward(np.array([p.lon0]), np.array([31.0 + d]), p)
+    a, e2 = p.a, p.e ** 2
+    s = math.sin(math.radians(31.0))
+    rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+    assert math.hypot(x2[0] - x1[0], y2[0] - y1[0]) / (
+        rho * math.radians(2 * d)) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_krovak_cassini_sql_twins_match_kernel():
+    import duckdb
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(13)
+    cases = [
+        (5514, PJ.krovak_forward, PJ.krovak_forward_sql, (12.0, 19.0), (48.5, 51.0)),
+        (2065, PJ.krovak_forward, PJ.krovak_forward_sql, (12.0, 19.0), (48.5, 51.0)),
+        (28191, PJ.cassini_forward, PJ.cassini_forward_sql, (34.0, 36.0), (29.5, 33.3)),
+        (30200, PJ.cassini_forward, PJ.cassini_forward_sql, (-62.0, -60.9), (10.0, 11.0)),
+    ]
+    for code, fwd, sql_fn, lon_rng, lat_rng in cases:
+        p = PJ.epsg_params(code)
+        lon = rng.uniform(*lon_rng, 40)
+        lat = rng.uniform(*lat_rng, 40)
+        E, N = fwd(lon, lat, p)
+        e_sql, n_sql = sql_fn("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        cols = list(got)
+        assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
+        assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
