@@ -679,61 +679,57 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classifier_oracle() -> str:
-    from osm2pgsql_spark.operators.curation import hashed_linear_score_sql
+    from osm2pgsql_spark import frozen
+    from osm2pgsql_spark.operators.curation import (
+        hashed_linear_score_sql, trained_linear_score_sql,
+    )
 
-    score, ntok = hashed_linear_score_sql("text")
-    return f"""
-    SELECT doc_id,
-           CAST({ntok} AS BIGINT) AS n_scored_tokens,
-           CAST({score} AS BIGINT) AS score_e6,
-           {score} > 0 AS is_kept
-    FROM documents
-    """
+    h_score, h_ntok = hashed_linear_score_sql("text")
+    t_score, t_ntok = trained_linear_score_sql(
+        frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS, frozen.QUALITY_BIAS)
+    parts = []
+    for clf, score, ntok in (("hashed", h_score, h_ntok),
+                             ("trained", t_score, t_ntok)):
+        parts.append(f"""
+        SELECT '{clf}' AS clf, doc_id,
+               CAST({ntok} AS BIGINT) AS n_scored_tokens,
+               CAST({score} AS BIGINT) AS score_e6,
+               {score} > 0 AS is_kept
+        FROM documents
+        """)
+    return " UNION ALL ".join(parts)
 
 
 @register("quality_classifier", oracle=_classifier_oracle())
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the fastText-wiki-ref stage
-    of the GPT-3/LLaMA pipelines): linear score over hashed
-    bag-of-words features, integer-exact, as ONE shuffle-free
-    projection — F.aggregate folds the token array per row
-    (operators/curation.py)."""
-    from osm2pgsql_spark.operators.curation import hashed_linear_score
+    of the GPT-3/LLaMA pipelines), both variants as one gate (r10
+    VERDICT #3 gate consolidation — `clf` selects the branch):
+
+    - hashed: linear score over hashed bag-of-words features with
+      generator weights — integer-exact, ONE shuffle-free projection
+      (F.aggregate folds the token array per row,
+      operators/curation.py).
+    - trained: the same zero-Exchange plan with a REAL trained
+      artifact — frozen.QUALITY_WEIGHTS is an integer perceptron
+      trained offline by tools/freeze_artifacts.py
+      (train_hashed_linear; test_frozen pins retraining bit-equal),
+      shipped into the plan as a map literal."""
+    from osm2pgsql_spark import frozen
+    from osm2pgsql_spark.operators.curation import (
+        hashed_linear_score, trained_linear_score,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return hashed_linear_score(docs)
-
-
-def _classifier_trained_oracle() -> str:
-    from osm2pgsql_spark import frozen
-    from osm2pgsql_spark.operators.curation import trained_linear_score_sql
-
-    score, ntok = trained_linear_score_sql(
-        frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS, frozen.QUALITY_BIAS)
-    return f"""
-    SELECT doc_id,
-           CAST({ntok} AS BIGINT) AS n_scored_tokens,
-           CAST({score} AS BIGINT) AS score_e6,
-           {score} > 0 AS is_kept
-    FROM documents
-    """
-
-
-@register("quality_classifier_trained", oracle=_classifier_trained_oracle())
-def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality_classifier with a REAL trained artifact (round-10):
-    frozen.QUALITY_WEIGHTS is an integer perceptron trained offline by
-    tools/freeze_artifacts.py (train_hashed_linear; test_frozen pins
-    retraining bit-equal), shipped into the plan as a map literal —
-    same zero-Exchange projection, weights now data, not a hash
-    function."""
-    from osm2pgsql_spark import frozen
-    from osm2pgsql_spark.operators.curation import trained_linear_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    return trained_linear_score(
+    h = hashed_linear_score(docs).select(
+        F.lit("hashed").alias("clf"), "doc_id", "n_scored_tokens",
+        "score_e6", "is_kept")
+    t = trained_linear_score(
         docs, frozen.QUALITY_WEIGHTS, frozen.QUALITY_BUCKETS,
-        frozen.QUALITY_BIAS)
+        frozen.QUALITY_BIAS).select(
+        F.lit("trained").alias("clf"), "doc_id", "n_scored_tokens",
+        "score_e6", "is_kept")
+    return h.unionByName(t)
 
 
 _PACK_WINDOW = 2048
@@ -796,7 +792,6 @@ def _hll_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@register("hll_distinct_counts", oracle=_hll_oracle())
 def q_hll_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog cardinality sketch (operators/sketch.py):
     register table + estimate reproduce bit-for-bit in DuckDB because
@@ -862,7 +857,6 @@ def _bloom_oracle() -> str:
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
-@register("bloom_membership", oracle=_bloom_oracle())
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom-filter membership (operators/sketch.py): the
     ingest-time "seen before?" primitive — build the filter on four
@@ -924,7 +918,6 @@ def _cms_oracle() -> str:
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
 
 
-@register("cms_heavy_hitters", oracle=_cms_oracle())
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable count-min sketch (operators/sketch.py, Cormode &
     Muthukrishnan 2005): per-token frequency estimates from a
@@ -954,6 +947,67 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def _sketch_suite_oracle() -> str:
+    hll = (
+        f"SELECT 'hll' AS fam, src AS key,"
+        f" CAST(n_registers_set AS DOUBLE) AS v1,"
+        f" CAST(hll_estimate AS DOUBLE) AS v2,"
+        f" CAST(exact_ndv AS DOUBLE) AS v3 FROM ({_hll_oracle()})"
+    )
+    bloom = (
+        f"SELECT 'bloom_' || filter AS fam,"
+        f" CAST(doc_id AS VARCHAR) AS key,"
+        f" CAST(CAST(in_build AS INT) AS DOUBLE) AS v1,"
+        f" CAST(CAST(maybe_member AS INT) AS DOUBLE) AS v2,"
+        f" -1.0e0 AS v3 FROM ({_bloom_oracle()})"
+    )
+    cms = (
+        f"SELECT 'cms_' || sketch AS fam, tok AS key,"
+        f" CAST(cms_count AS DOUBLE) AS v1,"
+        f" CAST(exact_count AS DOUBLE) AS v2,"
+        f" -1.0e0 AS v3 FROM ({_cms_oracle()})"
+    )
+    return " UNION ALL ".join((hll, bloom, cms))
+
+
+@register("sketch_suite", oracle=_sketch_suite_oracle())
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The portable-sketch family (operators/sketch.py) as ONE gate
+    with a `fam` branch column (r10 VERDICT #3 gate consolidation —
+    the driver's 50-slot budget samples the whole family through this
+    row): HyperLogLog cardinality (3 value sets incl. the
+    linear-counting branch), Bloom membership (sized + deliberately
+    undersized filters — false positives are part of the contract),
+    and count-min frequency (wide + narrow — collision overcounts
+    included).  All three sketches hash with the cross-engine md5
+    hash32, so registers AND estimates reproduce bit-for-bit in the
+    DuckDB twin.  Long-form normalization: (fam, key, v1, v2, v3)
+    with -1 for branch-absent values (all sketch counts are exact
+    doubles far below 2^53)."""
+    hll = q_hll_distinct_counts(spark, sf_dir).select(
+        F.lit("hll").alias("fam"),
+        F.col("src").alias("key"),
+        F.col("n_registers_set").cast("double").alias("v1"),
+        F.col("hll_estimate").cast("double").alias("v2"),
+        F.col("exact_ndv").cast("double").alias("v3"),
+    )
+    bloom = q_bloom_membership(spark, sf_dir).select(
+        F.concat(F.lit("bloom_"), F.col("filter")).alias("fam"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("in_build").cast("double").alias("v1"),
+        F.col("maybe_member").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    cms = q_cms_heavy_hitters(spark, sf_dir).select(
+        F.concat(F.lit("cms_"), F.col("sketch")).alias("fam"),
+        F.col("tok").alias("key"),
+        F.col("cms_count").cast("double").alias("v1"),
+        F.col("exact_count").cast("double").alias("v2"),
+        F.lit(-1.0).alias("v3"),
+    )
+    return hll.unionByName(bloom).unionByName(cms)
 
 
 _UNIMAX_BUDGET = 40_000
@@ -1978,7 +2032,6 @@ def _pq_oracle() -> str:
     """
 
 
-@register("ann_pq_topk", oracle=_pq_oracle())
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators import pq
 
@@ -2392,7 +2445,6 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS IVFADC shape): coarse cells + residual PQ codes;
     the probe join carries M-byte codes only.  The codebooks are the
@@ -2412,6 +2464,32 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.search_ivfpq(
         ix, queries_df, cents, books, k=_ANN_K, nprobe=_IVF_NPROBE
     )
+
+
+def _ann_pq_suite_oracle() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{codec}' AS codec, query_id, neighbor_id, rank, "
+        f"adist_e6 FROM ({orc})"
+        for codec, orc in (("pq", _pq_oracle()), ("ivfpq", _ivfpq_oracle()))
+    )
+
+
+@register("ann_pq_suite", oracle=_ann_pq_suite_oracle())
+def q_ann_pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-ANN family as ONE gate with a `codec` branch
+    column (r10 VERDICT #3 gate consolidation): product quantization
+    ADC search (codec='pq') and IVF-PQ residual search
+    (codec='ivfpq') — both integerized distances against
+    literal-codebook DuckDB twins.  The uncompressed ANN paths keep
+    their own gates (ann_cosine/lsh/ivf_topk — lsh and ivf are
+    benched individually)."""
+    pq_df = q_ann_pq_topk(spark, sf_dir).select(
+        F.lit("pq").alias("codec"), "query_id", "neighbor_id", "rank",
+        "adist_e6")
+    ivfpq_df = q_ann_ivfpq_topk(spark, sf_dir).select(
+        F.lit("ivfpq").alias("codec"), "query_id", "neighbor_id", "rank",
+        "adist_e6")
+    return pq_df.unionByName(ivfpq_df)
 
 
 def _bpe_oracle() -> str:
@@ -2954,6 +3032,47 @@ def q_relation_multipoint_collection(spark: SparkSession, sf_dir: str) -> DataFr
     return mp_out.unionByName(coll_out)
 
 
+# r10 VERDICT #3 gate consolidation: line_merge + multipoint +
+# geometrycollection assembly fold into ONE driver-sampled composite
+# (the multipoint gate already carried a kind column; line_merge rows
+# join it as kind='lmerge' in the same 8-column shape)
+_REL_LMERGE_FN = _QUERIES.pop("relation_line_merge")
+_REL_LMERGE_ORC = _ORACLES.pop("relation_line_merge")
+_REL_MPCOLL_FN = _QUERIES.pop("relation_multipoint_collection")
+_REL_MPCOLL_ORC = _ORACLES.pop("relation_multipoint_collection")
+
+
+def _relation_collect_suite_oracle() -> str:
+    lm = (
+        f"SELECT 'lmerge' AS kind, rel_id, 'LINEMERGE' AS gtype,"
+        f" CAST(n_parts AS BIGINT) AS n_geoms, n_points,"
+        f" cast(NULL AS double) AS cx, cast(NULL AS double) AS cy,"
+        f" length FROM ({_REL_LMERGE_ORC})"
+    )
+    return f"SELECT * FROM ({_REL_MPCOLL_ORC}) UNION ALL {lm}"
+
+
+@register("relation_collect_suite", oracle=_relation_collect_suite_oracle())
+def q_relation_collect_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 relation collection assembly as ONE gate with a `kind`
+    branch column (r10 VERDICT #3 gate consolidation): multipoint
+    (kind='mp'), geometrycollection (kind='coll') and line_merge
+    through the real relation_multilinestrings kernel
+    (kind='lmerge').  Multipolygon ring assembly keeps its own gate
+    (relation_multipolygon_rings — benched)."""
+    lm = _REL_LMERGE_FN(spark, sf_dir).select(
+        F.lit("lmerge").alias("kind"),
+        "rel_id",
+        F.lit("LINEMERGE").alias("gtype"),
+        F.col("n_parts").cast("bigint").alias("n_geoms"),
+        "n_points",
+        F.lit(None).cast("double").alias("cx"),
+        F.lit(None).cast("double").alias("cy"),
+        "length",
+    )
+    return _REL_MPCOLL_FN(spark, sf_dir).unionByName(lm)
+
+
 # ---------------------------------------------------------------------------
 # §2.5 relation geometrycollection assembly (geom-from-osm.cpp:253-279):
 # corner nodes as points + side ways as linestrings, member order.
@@ -3184,6 +3303,55 @@ def q_pgsql_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(merc, "osm_id")
         .select("osm_id", "way_area", "way_area_merc")
     )
+
+
+# r10 VERDICT #3 gate consolidation: the two legacy-pgsql gates fold
+# into ONE driver-sampled composite; the original registrations above
+# stay intact as the branch implementations + oracles (popped here so
+# the total gate count shrinks without touching their code)
+_PGSQL_ZORDER_FN = _QUERIES.pop("pgsql_line_zorder")
+_PGSQL_ZORDER_ORC = _ORACLES.pop("pgsql_line_zorder")
+_PGSQL_POLY_FN = _QUERIES.pop("pgsql_polygon_area")
+_PGSQL_POLY_ORC = _ORACLES.pop("pgsql_polygon_area")
+
+
+def _pgsql_legacy_suite_oracle() -> str:
+    z = (
+        f"SELECT 'line_zorder' AS chk, osm_id,"
+        f" coalesce(highway, '') AS s,"
+        f" CAST(z_order AS DOUBLE) AS v1, -1.0e0 AS v2"
+        f" FROM ({_PGSQL_ZORDER_ORC})"
+    )
+    p = (
+        f"SELECT 'polygon_area' AS chk, osm_id, '' AS s,"
+        f" CAST(way_area AS DOUBLE) AS v1,"
+        f" CAST(way_area_merc AS DOUBLE) AS v2"
+        f" FROM ({_PGSQL_POLY_ORC})"
+    )
+    return f"{z} UNION ALL {p}"
+
+
+@register("pgsql_legacy_suite", oracle=_pgsql_legacy_suite_oracle())
+def q_pgsql_legacy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy pgsql output's two gated table shapes as ONE gate
+    with a `chk` branch column (r10 VERDICT #3 gate consolidation):
+    planet_osm_line z_order/roads classification and
+    planet_osm_polygon ring-validity + area (+ --reproject-area
+    mercator branch).  Long-form normalization (chk, osm_id, s, v1,
+    v2) with -1 for branch-absent values."""
+    z = _PGSQL_ZORDER_FN(spark, sf_dir).select(
+        F.lit("line_zorder").alias("chk"), "osm_id",
+        F.coalesce(F.col("highway"), F.lit("")).alias("s"),
+        F.col("z_order").cast("double").alias("v1"),
+        F.lit(-1.0).alias("v2"),
+    )
+    p = _PGSQL_POLY_FN(spark, sf_dir).select(
+        F.lit("polygon_area").alias("chk"), "osm_id",
+        F.lit("").alias("s"),
+        F.col("way_area").cast("double").alias("v1"),
+        F.col("way_area_merc").cast("double").alias("v2"),
+    )
+    return z.unionByName(p)
 
 
 # ---------------------------------------------------------------------------
@@ -4315,9 +4483,47 @@ def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public surface for __spark_entry__
 # ---------------------------------------------------------------------------
 
+# The external driver's correctness budget samples the FIRST 50
+# registered gates; this window is chosen so those 50 span every
+# operator family (r10 VERDICT #3) — the composites (sketch_suite,
+# quality_classifier, ann_pq_suite, pgsql_legacy_suite,
+# relation_collect_suite) carry their whole family in one row, and
+# every gate left outside the window is a same-family variant of an
+# in-window gate (e.g. way_length vs way_node_join, ngram_jaccard vs
+# minhash, river_width_* vs river_contraction).  All 63 gates keep
+# their oracles and run in the full sweep
+# (tools/check_correctness.py --json -> CORRECTNESS_full_rN.json).
+_DRIVER_WINDOW = [
+    "pricing_summary", "bbox_filter", "merge_dedup", "way_node_join",
+    "way_polygon_area", "tag_filter_json", "tile_expiry_rollup",
+    "reverse_deps", "locator_all_intersecting", "dedup_exact_fingerprint",
+    "text_stats", "text_quality_signals", "quality_classifier",
+    "sequence_packing", "sketch_suite", "unimax_mixture",
+    "ccnet_ppl_buckets", "minhash_near_dups", "ann_cosine_topk",
+    "sessionize", "discrete_isolation", "relation_member_join",
+    "importance_rank", "quadkey_buckets", "flex_casts",
+    "simhash_hamming_pairs", "expire_line_tiles", "ann_lsh_topk",
+    "relation_multiline_merge", "ann_ivf_topk", "ann_pq_suite",
+    "embedding_near_dups", "input_validation", "dedup_decisions",
+    "token_budget_mix", "decontam_spans", "dsir_selection", "bpe_encode",
+    "semdedup_decisions", "relation_multipolygon_rings",
+    "relation_collect_suite", "append_diff_fold", "flex_generic_lines",
+    "pgsql_legacy_suite", "river_contraction", "epsg_registry_tail",
+    "geom_suite", "vector_tile_cut", "copy_encoding", "polylabel",
+]
+
+
+def _window_order(d: dict) -> dict:
+    missing = [n for n in _DRIVER_WINDOW if n not in _QUERIES]
+    assert not missing, f"_DRIVER_WINDOW names unknown gates: {missing}"
+    out = {n: d[n] for n in _DRIVER_WINDOW if n in d}
+    out.update({n: v for n, v in d.items() if n not in out})
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _window_order(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _window_order(_ORACLES)
