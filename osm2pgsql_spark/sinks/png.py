@@ -67,6 +67,96 @@ def png_decode_gray(data: bytes) -> np.ndarray:
     return out
 
 
+def _tile_mask(g, zoom: int, tx: int, ty: int, resolution: int):
+    """Rasterize a (multi)polygon geometry into a boolean mask for
+    tile (zoom, tx, ty), or None for non-areal geometry."""
+    from osm2pgsql_spark.operators.raster_union import rasterize_polygon
+    from osm2pgsql_spark.operators.vector_tiles import tile_envelope
+
+    xmin, ymin, xmax, ymax = tile_envelope(zoom, tx, ty)
+    sx = resolution / (xmax - xmin)
+    sy = resolution / (ymax - ymin)
+
+    def to_px(ring: np.ndarray) -> np.ndarray:
+        out = np.empty_like(ring)
+        out[:, 0] = (ring[:, 0] - xmin) * sx
+        out[:, 1] = (ring[:, 1] - ymin) * sy
+        return out
+
+    polys = (
+        [g[1]] if g[0] == "polygon"
+        else g[1] if g[0] == "multipolygon"
+        else []
+    )
+    if not polys:
+        return None
+    mask = np.zeros((resolution, resolution), dtype=bool)
+    for rings in polys:
+        rasterize_polygon(mask, rings, to_px)
+    return mask
+
+
+def render_raster_tiles(
+    tiles: DataFrame,
+    zoom: int,
+    resolution: int = 256,
+    type_name: str = "",
+) -> DataFrame:
+    """(x, y, geom multipolygon WKB) -> (type, zoom, x, y, rast):
+    the reference's raster tile-table rows
+    (src/gen/gen-tile-raster.cpp:62-76 INSERT INTO <img_table>_{i,o}
+    (type, zoom, x, y, rast)) with `rast` as PNG bytes in a bytea
+    column — the container has no PostGIS, so the RASTER type is
+    replaced by the PNG encoding the reference's canvas would carry
+    (documented deviation, same z/x/y addressing and pixel content).
+
+    Rasterization + PNG encoding happen executor-side (groupBy(tile) +
+    applyInPandas — the reference's per-tile canvas draw loop shape);
+    a tile with several input rows ORs their masks into one canvas, so
+    the same function renders the 'i' variant (many cut features per
+    tile) and the 'o' variant (one union geometry per tile).  Rows
+    feed sinks/pg_live.pg_load_tables' exactly-once COPY path (bytea
+    hex encoding) or any parquet sink unchanged.  Tiles whose
+    geometries are all empty/non-areal are skipped, like the file
+    sink."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from osm2pgsql_spark.functions import geometry as G
+
+        tx, ty = int(key[0]), int(key[1])
+        mask = None
+        for wkb in pdf["geom"]:
+            if wkb is None:
+                continue
+            g = G.from_wkb(bytes(wkb))
+            if g is None:
+                continue
+            m = _tile_mask(g, zoom, tx, ty, resolution)
+            if m is None:
+                continue
+            mask = m if mask is None else (mask | m)
+        if mask is None:
+            return pd.DataFrame(columns=["x", "y", "rast"])
+        return pd.DataFrame(
+            [{"x": tx, "y": ty,
+              "rast": png_encode_gray(mask[::-1])}]  # rows top-down
+        )
+
+    out = tiles.select("x", "y", "geom").groupBy("x", "y").applyInPandas(
+        per_tile, "x bigint, y bigint, rast binary"
+    )
+    return out.select(
+        F.lit(type_name).alias("type"),
+        F.lit(zoom).cast("int").alias("zoom"),
+        F.col("x").cast("int").alias("x"),
+        F.col("y").cast("int").alias("y"),
+        "rast",
+    )
+
+
 def write_raster_tiles(
     tiles: DataFrame,
     out_dir: str,

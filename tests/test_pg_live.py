@@ -649,3 +649,88 @@ def test_import_tool_pg_schema_flag(spark, pg):
     # (an earlier test in this module may have created public middle
     # tables; only assert the osm10 copies exist independently)
     assert int(pub[0][0]) >= 0
+
+
+def test_gen_raster_tiles_into_live_pg(spark, pg):
+    """gen_tool raster-union --pg --img-table: PNG tile tables land in
+    a live PostgreSQL like the reference's gen raster sink
+    (src/gen/gen-tile-raster.cpp:62-76 — (type, zoom, x, y, rast)
+    into <img_table>_{i,o}; rast here is PNG bytea, no PostGIS RASTER
+    in this container).  Tiles read back from the server decode and
+    pixel-match an in-process render of the same inputs."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from osm2pgsql_spark.functions import geometry as G
+    from osm2pgsql_spark.operators import gen, raster_union
+    from osm2pgsql_spark.operators.expire import EARTH_CIRCUMFERENCE
+    from osm2pgsql_spark.sinks.png import png_decode_gray, render_raster_tiles
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zoom, res = 10, 64
+    extent = EARTH_CIRCUMFERENCE / (1 << zoom)
+    half = EARTH_CIRCUMFERENCE / 2.0
+    cx = -half + 512.5 * extent
+    cy = half - 512.5 * extent
+    s = extent / 4
+
+    def wkb(x0, y0, x1, y1):
+        return G.to_wkb(("polygon", [np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+            dtype="f8")]))
+
+    rows = [
+        (1, wkb(cx, cy, cx + 2 * s, cy + 2 * s)),
+        (2, wkb(cx + s, cy + s, cx + 3 * s, cy + 3 * s)),
+    ]
+    inp = os.path.join(BASE, "gen_raster_in.parquet")
+    outp = os.path.join(BASE, "gen_raster_out.parquet")
+    spark.createDataFrame(rows, "id bigint, geom binary").write.mode(
+        "overwrite").parquet(inp)
+    conninfo = (f"host={pg['host']} port={pg['port']} "
+                f"user={pg['user']} dbname={pg['dbname']}")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "gen_tool.py"),
+         "raster-union", "--input", inp, "--output", outp,
+         "--zoom", str(zoom), "--resolution", str(res),
+         "--pg", conninfo, "--img-table", "gen_forests"],
+        capture_output=True, text=True, cwd=repo, timeout=900,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # expected tiles rendered in-process from the same inputs
+    feats = spark.read.parquet(inp)
+    tiles = gen.tiles_to_process(zoom, features=feats, wkb_col="geom")
+    cut = gen.cut_to_dirty_tiles(feats, zoom, tiles, wkb_col="geom")
+    union = raster_union.tile_raster_union(cut, zoom, resolution=res)
+    want = {
+        ("gen_forests_i", r2["x"], r2["y"]): bytes(r2["rast"])
+        for r2 in render_raster_tiles(cut, zoom, resolution=res).collect()
+    }
+    want.update({
+        ("gen_forests_o", r2["x"], r2["y"]): bytes(r2["rast"])
+        for r2 in render_raster_tiles(union, zoom, resolution=res).collect()
+    })
+    assert want, "expected at least one rendered tile"
+
+    got = {}
+    for variant in ("gen_forests_i", "gen_forests_o"):
+        for tp, z, x, y, hexv in pg_live.query(
+                pg, f'SELECT type, zoom, x, y, rast FROM "{variant}"'):
+            assert tp == "" and int(z) == zoom
+            got[(variant, int(x), int(y))] = bytes.fromhex(
+                hexv.removeprefix("\\x"))
+    assert set(got) == set(want)
+    for key, blob in want.items():
+        a = png_decode_gray(got[key])
+        b = png_decode_gray(blob)
+        assert np.array_equal(a, b), key
+    # the union canvas is at least as covered as any single input draw
+    ix = [k for k in got if k[0] == "gen_forests_i"]
+    for _, x, y in ix:
+        i_px = png_decode_gray(got[("gen_forests_i", x, y)])
+        o_px = png_decode_gray(got[("gen_forests_o", x, y)])
+        assert (o_px >= i_px).all()

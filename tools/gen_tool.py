@@ -162,6 +162,13 @@ def main() -> None:
     ap.add_argument("--grid-cell", type=float, default=None,
                     help="rivers: spatial grid cell (m) for the "
                     "line/area pairing join (default: broadcast areas)")
+    ap.add_argument("--pg", metavar="CONNINFO",
+                    help="raster-union: also write PNG tile tables to "
+                    "a live PostgreSQL server (libpq conninfo)")
+    ap.add_argument("--img-table",
+                    help="raster-union --pg: tile table prefix; writes "
+                    "<prefix>_i (input canvas) and <prefix>_o (output "
+                    "canvas) like gen-tile-raster.cpp:62-76")
     args = ap.parse_args()
 
     if args.strategy == "style":
@@ -316,6 +323,29 @@ def main() -> None:
             cut, args.zoom, resolution=args.resolution,
             close_size=args.close_size, margin=args.margin,
         )
+        if args.pg and args.img_table:
+            # the reference's raster tile tables (img_table param,
+            # src/gen/gen-tile-raster.cpp:62-76): <prefix>_i holds the
+            # drawn input canvas (all cut features ORed per tile),
+            # <prefix>_o the processed output canvas — here PNG bytes
+            # in a bytea `rast` column (no PostGIS RASTER type in this
+            # environment), loaded via the exactly-once COPY path
+            from osm2pgsql_spark.sinks.pg_live import (
+                parse_conninfo, pg_load_tables,
+            )
+            from osm2pgsql_spark.sinks.png import render_raster_tiles
+
+            dsn = parse_conninfo(args.pg)
+            out = out.localCheckpoint(eager=True)  # consumed twice
+            png_tables = {
+                f"{args.img_table}_i": render_raster_tiles(
+                    cut, args.zoom, resolution=args.resolution),
+                f"{args.img_table}_o": render_raster_tiles(
+                    out, args.zoom, resolution=args.resolution),
+            }
+            counts = pg_load_tables(png_tables, dsn)
+            for t, n in counts.items():
+                print(f"gen raster: wrote {n} tiles to {t}")
     else:  # builtup
         buffers = {}
         for spec in args.buffer:
