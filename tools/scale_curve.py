@@ -66,6 +66,30 @@ def build_corpus(spark, out_dir: str, copies: int) -> None:
     part_n.write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet"))
     li_n.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
+    # --- orders + customer, replicated with offset keys ---------------
+    # the rivers operators derive their edge lists from orders (each
+    # customer's orders form one waterway chain), so scaling them
+    # needs N-fold CHAINS (same diameter, 10x rows — exactly the shape
+    # pointer-jumping must survive); o_orderkey shares lineitem's
+    # offset so order joins stay consistent, o_custkey/c_custkey share
+    # theirs for the customer joins
+    od = spark.read.parquet(os.path.join(SF01, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(SF01, "customer.parquet"))
+    cmax = cu.agg(F.max("c_custkey")).collect()[0][0]
+    od_n = (
+        od.crossJoin(F.broadcast(cdf))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("copy") * (omax + 1))
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("copy") * (cmax + 1))
+        .drop("copy")
+    )
+    cu_n = (
+        cu.crossJoin(F.broadcast(cdf))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("copy") * (cmax + 1))
+        .drop("copy")
+    )
+    od_n.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    cu_n.write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+
     # --- embeddings, regenerated at N-fold size ----------------------
     emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
     n_base = emb.count()
@@ -117,8 +141,7 @@ def build_corpus(spark, out_dir: str, copies: int) -> None:
         os.path.join(out_dir, "documents.parquet"))
 
     # small lookup tables some loaders touch — pass through unchanged
-    for t in ("region", "nation", "orders", "customer", "supplier",
-              "events"):
+    for t in ("region", "nation", "supplier", "events"):
         src = os.path.join(SF01, t + ".parquet")
         if os.path.exists(src):
             dst = os.path.join(out_dir, t + ".parquet")
