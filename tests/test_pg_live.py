@@ -734,3 +734,156 @@ def test_gen_raster_tiles_into_live_pg(spark, pg):
         i_px = png_decode_gray(got[("gen_forests_i", x, y)])
         o_px = png_decode_gray(got[("gen_forests_o", x, y)])
         assert (o_px >= i_px).all()
+
+
+@pytest.mark.slow
+def test_pg_soak_10x_liechtenstein_import_append(spark, pg):
+    """Live-PG soak at real partition counts (r10 VERDICT #7): the
+    full `--pg` import + append cycle on a 10x-replicated
+    Liechtenstein extract (~657k nodes / ~71k ways), exercising the
+    per-partition staging-ledger promote and the middle replay at a
+    scale where many COPY partitions run concurrently.  Asserts row
+    counts track the replication factor, the copy ledger holds
+    exactly one promote per (table, partition), and no staging
+    tables survive."""
+    import subprocess
+    import sys
+
+    from osm2pgsql_spark.sources.pbf import read_pbf
+
+    pbf = "/root/reference/tests/data/liechtenstein-2013-08-03.osm.pbf"
+    if not os.path.exists(pbf):
+        pytest.skip("no Liechtenstein fixture in this environment")
+    copies = 10
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conninfo = (f"host={pg['host']} port={pg['port']} "
+                f"user={pg['user']} dbname={pg['dbname']}")
+
+    nodes, ways, _rels = read_pbf(spark, pbf)
+    nmax = nodes.agg(F.max("id")).collect()[0][0]
+    wmax = ways.agg(F.max("id")).collect()[0][0]
+    cdf = spark.range(copies).withColumnRenamed("id", "copy")
+
+    def esc(s):
+        # OPL escaping: %<hex codepoint>% per special character
+        # (libosmium format — sources/opl.py decodes the same way)
+        return "".join(
+            f"%{ord(ch):x}%" if (ch in " ,=%@" or ord(ch) < 0x21)
+            else ch
+            for ch in s)
+
+    def tag_str(tags):
+        if not tags:
+            return ""
+        enc = ",".join(f"{esc(k)}={esc(v)}"
+                       for k, v in sorted(tags.items()))
+        return f" T{enc}"
+
+    # 10x replication with id offsets, written as one OPL extract
+    # (ordering by type+id satisfies the input-ordering check)
+    n_rep = (
+        nodes.crossJoin(F.broadcast(cdf))
+        .withColumn("id", F.col("id") + F.col("copy") * (nmax + 1))
+        .select("id", "lon", "lat", "tags")
+    ).collect()
+    w_rep = (
+        ways.crossJoin(F.broadcast(cdf))
+        .withColumn("id", F.col("id") + F.col("copy") * (wmax + 1))
+        .select(
+            "id", "tags",
+            F.transform(
+                "refs", lambda r: r + F.col("copy") * (nmax + 1)
+            ).alias("refs"),
+        )
+    ).collect()
+    opl = os.path.join(BASE, "soak10x.opl")
+    with open(opl, "w") as f:
+        for r in sorted(n_rep, key=lambda r: r["id"]):
+            f.write(f"n{r['id']}{tag_str(r['tags'])}"
+                    f" x{r['lon']!r} y{r['lat']!r}\n")
+        for r in sorted(w_rep, key=lambda r: r["id"]):
+            refs = ",".join(f"n{x}" for x in r["refs"])
+            f.write(f"w{r['id']}{tag_str(r['tags'])} N{refs}\n")
+
+    out = os.path.join(BASE, "soak10x_db")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "16"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_tool.py"),
+         opl, out, "-O", "pgsql", "-S", "/root/reference/default.style",
+         "--pg", conninfo],
+        capture_output=True, text=True, cwd=repo, timeout=3000, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # counts track the replication factor exactly: every copy maps to
+    # fresh ids, tags unchanged -> 10x each output table.  The 1x
+    # baseline imports the SAME node/way extract (copy 0 of the OPL —
+    # relations are not replicated, so the raw PBF would overcount
+    # via relation-derived polygon rows)
+    opl1 = os.path.join(BASE, "soak1x.opl")
+    with open(opl1, "w") as f:
+        for r in sorted(n_rep, key=lambda r: r["id"]):
+            if r["id"] <= nmax:
+                f.write(f"n{r['id']}{tag_str(r['tags'])}"
+                        f" x{r['lon']!r} y{r['lat']!r}\n")
+        for r in sorted(w_rep, key=lambda r: r["id"]):
+            if r["id"] <= wmax:
+                refs = ",".join(f"n{x}" for x in r["refs"])
+                f.write(f"w{r['id']}{tag_str(r['tags'])} N{refs}\n")
+    single = os.path.join(BASE, "soak1x_db")
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_tool.py"),
+         opl1, single, "-O", "pgsql",
+         "-S", "/root/reference/default.style"],
+        capture_output=True, text=True, cwd=repo, timeout=3000, env=env)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    for tbl in ("planet_osm_point", "planet_osm_line",
+                "planet_osm_polygon", "planet_osm_roads"):
+        got = int(pg_live.query(pg, f"SELECT count(*) FROM {tbl}")[0][0])
+        want = spark.read.parquet(
+            os.path.join(single, "tables", tbl)).count() * copies
+        assert got == want, (tbl, got, want)
+    # middle at 10x
+    assert int(pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_nodes")[0][0]) == \
+        len(n_rep)
+    assert int(pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_ways")[0][0]) == len(w_rep)
+
+    # exactly-once ledger: one promote per (table, partition), no dups
+    dup = pg_live.query(
+        pg,
+        f'SELECT count(*) FROM (SELECT tbl, part, count(*) AS c '
+        f'FROM "{pg_live.COPY_LEDGER}" GROUP BY 1, 2 HAVING count(*) > 1) d')
+    assert dup[0][0] == "0"
+    led = int(pg_live.query(
+        pg, f'SELECT count(*) FROM "{pg_live.COPY_LEDGER}" '
+            f"WHERE tbl = 'planet_osm_point'")[0][0])
+    assert led >= 1
+    # no staging tables survive the sweep
+    stg = pg_live.query(
+        pg, "SELECT count(*) FROM pg_tables "
+            "WHERE tablename LIKE '%~_~_stg~_%' ESCAPE '~'")
+    assert stg[0][0] == "0"
+
+    # --- append a small diff on top of the 10x base -------------------
+    osc = os.path.join(BASE, "soak10x.osc")
+    with open(osc, "w") as f:
+        f.write(
+            '<osmChange version="0.6">'
+            '<create><node id="999999001" lat="47.1" lon="9.5">'
+            '<tag k="amenity" v="pub"/><tag k="name" v="Soak"/></node>'
+            "</create></osmChange>")
+    before = int(pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_point")[0][0])
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "import_tool.py"),
+         osc, out, "--append", "-O", "pgsql",
+         "-S", "/root/reference/default.style", "--pg", conninfo],
+        capture_output=True, text=True, cwd=repo, timeout=3000, env=env)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    after = int(pg_live.query(
+        pg, "SELECT count(*) FROM planet_osm_point")[0][0])
+    assert after == before + 1
+    assert pg_live.query(
+        pg, "SELECT name FROM planet_osm_point "
+            "WHERE osm_id = 999999001")[0][0] == "Soak"
