@@ -625,6 +625,57 @@ class CassiniParams:
                                 np.asarray(math.radians(self.lat0))))
 
 
+@dataclass(frozen=True)
+class NzmgParams:
+    """New Zealand Map Grid parameters (EPSG method 9811) — the
+    historic NZGD49 / NZMG (EPSG:27200).  A sixth-order complex
+    polynomial of (isometric-latitude-difference, longitude-difference)
+    — conformal BY CONSTRUCTION (any complex-analytic map is) — with
+    the published LINZ series constants (LINZG25700; the same
+    tpsi/tphi/B tables PROJ's nzmg ships).  Validation in
+    test_projection: exactness at the (173E, 41S) origin, scale
+    within NZMG's designed +-0.02% band across New Zealand,
+    conformality to 1e-10, round-trip < 1e-9 deg.  The reference
+    reaches 27200 through PROJ (src/reprojection-generic-proj6.cpp)."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+
+#: psi(dphi) series — dphi in units of (arc-seconds * 1e-5)
+_NZMG_TPSI = (
+    0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
+    -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034,
+)
+#: dphi(psi) inverse series (initial guess; Newton-refined against TPSI)
+_NZMG_TPHI = (
+    1.5627014243, 0.5185406398, -0.03333098, -0.1052906, -0.0368594,
+    0.007317, 0.01220, 0.00394, -0.0013,
+)
+#: complex polynomial coefficients B_1..B_6 (zeta = sum B_k z^k)
+_NZMG_BF = (
+    complex(0.7557853228, 0.0),
+    complex(0.249204646, 0.003371507),
+    complex(-0.001541739, 0.041058560),
+    complex(-0.10162907, 0.01727609),
+    complex(-0.26623489, -0.36249218),
+    complex(-0.6870983, -1.1651967),
+)
+_NZMG_SEC5 = 3600.0e-5  # degrees -> arc-seconds * 1e-5
+
+
 def _merid_arc(a: float, e2: float, phi):
     """Meridian arc length M(phi) — the standard e^6 series (Snyder
     3-21), numpy-vectorized; exact enough for double at any latitude."""
@@ -787,6 +838,17 @@ _cs(30200, "clrk58_links", _dms(-61, 20), _dms(10, 26, 30),
 # Palestine 1923 / Palestine Grid (Clarke 1880 Benoit)
 _cs(28191, "clrk80b", _dms(35, 12, 43.490), _dms(31, 44, 2.749),
     170251.555, 126867.909)
+# Palestine 1923 / Palestine Belt — the TM (9807) twin of the Cassini
+# grid: same origin and FE, FN + 1e6
+_tm(28192, "clrk80b", _dms(35, 12, 43.490), _dms(31, 44, 2.749), 1.0,
+    170251.555, 1126867.909)
+# S-JTSK / Krovak (Greenwich datum, southing/westing axes — the same
+# projected numbers as the Ferro-axes 2065)
+_kv(5513, "bessel", _dms(24, 50), 49.5, _dms(30, 17, 17.30311),
+    78.5, 0.9999, 0.0, 0.0)
+# NZGD49 / New Zealand Map Grid (EPSG method 9811, International 1924)
+_NAMED[27200] = NzmgParams(6378388.0, 297.0, 173.0, -41.0,
+                           2510000.0, 6023150.0)
 
 
 def epsg_params(code: int) -> TmercParams | LaeaParams:
@@ -1312,6 +1374,109 @@ def cassini_inverse(E: np.ndarray, N: np.ndarray, p: CassiniParams):
     return p.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+# ---------------------------------------------------------- NZMG kernels
+
+def _nzmg_psi(dphi):
+    """psi series (numpy-safe): sum tpsi_k * dphi^k, k = 1..10."""
+    psi = np.zeros_like(np.asarray(dphi, dtype="f8"))
+    for t in reversed(_NZMG_TPSI):
+        psi = (psi + t) * dphi
+    return psi
+
+
+def nzmg_forward(lon: np.ndarray, lat: np.ndarray, p: NzmgParams):
+    """(E, N) — New Zealand Map Grid forward (EPSG 9811): complex
+    Horner over z = psi + i*dlambda."""
+    dphi = (np.asarray(lat, dtype="f8") - p.lat0) * _NZMG_SEC5
+    z = _nzmg_psi(dphi) + 1j * np.radians(
+        np.asarray(lon, dtype="f8") - p.lon0
+    )
+    zeta = np.full_like(z, _NZMG_BF[-1])
+    for b in reversed(_NZMG_BF[:-1]):
+        zeta = zeta * z + b
+    zeta = zeta * z
+    return p.fe + p.a * zeta.imag, p.fn + p.a * zeta.real
+
+
+def nzmg_inverse(E: np.ndarray, N: np.ndarray, p: NzmgParams):
+    """(lon, lat) — 9811 inverse: Newton on the complex polynomial to
+    recover z, the published inverse series for the first latitude
+    guess, then Newton against the forward psi series (double
+    converged)."""
+    zeta = (
+        (np.asarray(N, dtype="f8") - p.fn)
+        + 1j * (np.asarray(E, dtype="f8") - p.fe)
+    ) / p.a
+    z = zeta / _NZMG_BF[0]
+    for _ in range(10):
+        pz = np.full_like(z, _NZMG_BF[-1])
+        dp = np.zeros_like(z)
+        for b in reversed(_NZMG_BF[:-1]):
+            dp = dp * z + pz
+            pz = pz * z + b
+        dp = dp * z + pz  # d/dz of (poly(z) * z)
+        pz = pz * z
+        z = z - (pz - zeta) / dp
+    psi, lam = z.real, z.imag
+    dphi = np.zeros_like(psi)
+    for t in reversed(_NZMG_TPHI):
+        dphi = (dphi + t) * psi
+    for _ in range(4):  # Newton against the forward series
+        f = _nzmg_psi(dphi) - psi
+        df = np.zeros_like(dphi)
+        for k in range(len(_NZMG_TPSI), 0, -1):
+            df = df * dphi + k * _NZMG_TPSI[k - 1]
+        dphi = dphi - f / df
+    return p.lon0 + np.degrees(lam), p.lat0 + dphi / _NZMG_SEC5
+
+
+def nzmg_forward_sql(
+    lon_expr: str, lat_expr: str, p: NzmgParams
+) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of nzmg_forward: the
+    complex polynomial expanded into real (psi^a * lam^b) monomials
+    (binomial expansion of B_k z^k, coefficients folded numerically
+    from the same constants), so the twin needs no complex
+    arithmetic and stays a scalar expression."""
+    # zeta = sum_k B_k z^k, z = psi + i lam:
+    # z^k = sum_j C(k,j) psi^(k-j) (i lam)^j
+    re_c: dict[tuple[int, int], float] = {}
+    im_c: dict[tuple[int, int], float] = {}
+    for k, b in enumerate(_NZMG_BF, 1):
+        for j in range(k + 1):
+            c = math.comb(k, j)
+            i_pow = 1j ** j
+            coef = b * c * i_pow
+            key = (k - j, j)  # psi^(k-j) lam^j
+            re_c[key] = re_c.get(key, 0.0) + coef.real
+            im_c[key] = im_c.get(key, 0.0) + coef.imag
+    dphi = f"((({lat_expr}) - {_r(p.lat0)}) * {_r(_NZMG_SEC5)})"
+    psi_terms = [
+        f"{_r(t)}*pow({dphi}, {k})"
+        for k, t in enumerate(_NZMG_TPSI, 1)
+    ]
+    psi = "(" + " + ".join(psi_terms) + ")"
+    lam = f"radians(({lon_expr}) - {_r(p.lon0)})"
+
+    def poly(coeffs: dict) -> str:
+        terms = []
+        for (a_, b_), c in sorted(coeffs.items()):
+            if c == 0.0:
+                continue
+            factors = [_r(c)]
+            if a_:
+                factors.append(f"pow({psi}, {a_})")
+            if b_:
+                factors.append(f"pow({lam}, {b_})")
+            terms.append("*".join(factors))
+        return "(" + " + ".join(terms) + ")"
+
+    return (
+        f"({_r(p.fe)} + {_r(p.a)}*{poly(im_c)})",
+        f"({_r(p.fn)} + {_r(p.a)}*{poly(re_c)})",
+    )
+
+
 # ------------------------------------------------------------ geometry API
 
 def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
@@ -1339,6 +1504,8 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return krovak_forward(lon, lat, p)
     if isinstance(p, CassiniParams):
         return cassini_forward(lon, lat, p)
+    if isinstance(p, NzmgParams):
+        return nzmg_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
 
 

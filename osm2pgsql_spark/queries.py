@@ -3664,6 +3664,8 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
         return PJ.krovak_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.CassiniParams):
         return PJ.cassini_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.NzmgParams):
+        return PJ.nzmg_forward_sql("lon", "lat", p)
     return PJ.laea_forward_sql("lon", "lat", p)
 
 
@@ -3794,6 +3796,11 @@ _EPSG_GRATICULES_R10 = {
         30200,
         "cast((p_partkey * 5) % 2 AS double) - 62.0e0",
         "cast((p_partkey * 7) % 2 AS double) + 10.0e0",
+    ),
+    "nzmg": (  # NZGD49 / New Zealand Map Grid (9811, complex series)
+        27200,
+        "cast((p_partkey * 13) % 11 AS double) + 167.0e0",
+        "cast((p_partkey * 7) % 13 AS double) - 47.0e0",
     ),
 }
 

@@ -776,3 +776,90 @@ def test_krovak_cassini_sql_twins_match_kernel():
         cols = list(got)
         assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
         assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
+
+
+def test_nzmg_physical_invariants():
+    """New Zealand Map Grid (EPSG 9811, 27200 — the published LINZ
+    series constants).  No GN7-2 worked example is available in this
+    container, so the pin is the projection's defining physical
+    properties: exactness at the (173E, 41S) origin, scale inside
+    NZMG's designed +-0.02% band across New Zealand, conformality
+    (complex-analytic by construction — checked numerically), and
+    round-trip < 1e-9 deg."""
+    p = PJ.epsg_params(27200)
+    assert isinstance(p, PJ.NzmgParams)
+    E, N = PJ.forward_xy(np.array([173.0]), np.array([-41.0]), p)
+    assert E[0] == pytest.approx(2510000.0, abs=1e-6)
+    assert N[0] == pytest.approx(6023150.0, abs=1e-6)
+
+    a, e2 = p.a, p.e ** 2
+    d = 1e-5
+    for lon0, lat0 in ((174.77, -36.85), (174.78, -41.29),
+                       (172.64, -43.53), (168.66, -45.03),
+                       (178.0, -37.7)):
+        xe1, ye1 = PJ.nzmg_forward(np.array([lon0 - d]), np.array([lat0]), p)
+        xe2, ye2 = PJ.nzmg_forward(np.array([lon0 + d]), np.array([lat0]), p)
+        xn1, yn1 = PJ.nzmg_forward(np.array([lon0]), np.array([lat0 - d]), p)
+        xn2, yn2 = PJ.nzmg_forward(np.array([lon0]), np.array([lat0 + d]), p)
+        s = math.sin(math.radians(lat0))
+        nu = a / math.sqrt(1 - e2 * s * s)
+        rho = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        k_ew = math.hypot(xe2[0] - xe1[0], ye2[0] - ye1[0]) / (
+            nu * math.cos(math.radians(lat0)) * math.radians(2 * d))
+        k_ns = math.hypot(xn2[0] - xn1[0], yn2[0] - yn1[0]) / (
+            rho * math.radians(2 * d))
+        assert k_ew == pytest.approx(k_ns, rel=1e-7), (lon0, lat0)
+        assert 0.9997 < k_ew < 1.0003, (lon0, lat0, k_ew)
+
+    rng = np.random.default_rng(14)
+    lon = rng.uniform(166.5, 178.5, 80)
+    lat = rng.uniform(-47.0, -34.5, 80)
+    E, N = PJ.nzmg_forward(lon, lat, p)
+    lo, la = PJ.nzmg_inverse(E, N, p)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_nzmg_sql_twin_matches_kernel():
+    import duckdb
+
+    p = PJ.epsg_params(27200)
+    rng = np.random.default_rng(15)
+    lon = rng.uniform(167.0, 178.0, 40)
+    lat = rng.uniform(-46.5, -35.0, 40)
+    E, N = PJ.nzmg_forward(lon, lat, p)
+    e_sql, n_sql = PJ.nzmg_forward_sql("lon", "lat", p)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+    got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+    cols = list(got)
+    assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4
+    assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4
+
+
+def test_registry_tail_round11_variants():
+    """Round-11 parameter-only registry rows: 5513 (Greenwich-datum
+    Krovak, southing/westing) equals 2065's projected numbers; 28192
+    (Palestine Belt, the TM twin of the Cassini grid) shares the
+    origin with FN + 1e6."""
+    lon = np.array([14.42, 17.5])
+    lat = np.array([50.09, 48.8])
+    a = PJ.forward_xy(lon, lat, PJ.epsg_params(5513))
+    b = PJ.forward_xy(lon, lat, PJ.epsg_params(2065))
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+    p_belt = PJ.epsg_params(28192)
+    p_cas = PJ.epsg_params(28191)
+    assert isinstance(p_belt, PJ.TmercParams)
+    E, N = PJ.forward_xy(np.array([p_belt.lon0]), np.array([p_belt.lat0]),
+                         p_belt)
+    assert E[0] == pytest.approx(170251.555, abs=1e-6)
+    assert N[0] == pytest.approx(1126867.909, abs=1e-6)
+    # TM and Cassini agree ON the central meridian (both true scale
+    # there), modulo the 1e6 northing offset — to the agreement of
+    # their meridian-arc series (Krueger n^6 vs Snyder e^6, ~1e-5 m)
+    Ec, Nc = PJ.forward_xy(np.array([p_cas.lon0]), np.array([32.5]), p_cas)
+    Eb, Nb = PJ.forward_xy(np.array([p_belt.lon0]), np.array([32.5]), p_belt)
+    assert Eb[0] == pytest.approx(Ec[0], abs=1e-6)
+    assert Nb[0] - 1e6 == pytest.approx(Nc[0], abs=1e-4)
