@@ -678,6 +678,54 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(gq, "doc_id").join(bq, "doc_id")
 
 
+# PII probe text: the synthetic documents carry no natural PII, so
+# the gate plants a deterministic per-doc payload (email + IP + phone
+# derived from doc_id, identical expressions on both engines) — the
+# counts and the redacted-text hash are then a real test of the
+# pattern semantics, not a sea of zeros.
+def _pii_probe_sql(cast_ty: str) -> str:
+    did = f"CAST(doc_id AS {cast_ty})"
+    return (
+        f"concat(text, ' contact user', {did}, '@example.com or ',"
+        f" {did}, '.mail@sub.example.co.uk ip 10.',"
+        f" CAST(doc_id % 200 AS {cast_ty}), '.0.',"
+        f" CAST(doc_id % 250 AS {cast_ty}), ' tel 555-',"
+        f" CAST(100 + doc_id % 900 AS {cast_ty}), '-',"
+        f" CAST(1000 + doc_id % 9000 AS {cast_ty}), ' end')"
+    )
+
+
+def _pii_oracle() -> str:
+    from osm2pgsql_spark.operators.pii import pii_counts_sql, pii_redact_sql
+
+    probe = _pii_probe_sql("VARCHAR")
+    counts = ", ".join(pii_counts_sql("probe"))
+    return f"""
+    SELECT doc_id, {counts}, md5({pii_redact_sql('probe')}) AS red_md5
+    FROM (SELECT doc_id, {probe} AS probe FROM documents)
+    """
+
+
+@register("pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py) — the
+    privacy-scrubbing curation stage: per-document email/IPv4/phone
+    counts and the md5 of the redacted text, all computed by JVM
+    regexp functions in one shuffle-free projection.  The patterns
+    live in the Java-RE2 common regex subset, so counts AND the
+    redacted text reproduce bit-for-bit in the DuckDB twin."""
+    from osm2pgsql_spark.operators.pii import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_pii_probe_sql("STRING")).alias("text")
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted")).alias("red_md5"),
+    )
+
+
 def _classifier_oracle() -> str:
     from osm2pgsql_spark import frozen
     from osm2pgsql_spark.operators.curation import (
@@ -4497,8 +4545,9 @@ def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation_collect_suite) carry their whole family in one row, and
 # every gate left outside the window is a same-family variant of an
 # in-window gate (e.g. way_length vs way_node_join, ngram_jaccard vs
-# minhash, river_width_* vs river_contraction).  All 63 gates keep
-# their oracles and run in the full sweep
+# minhash, river_width_* vs river_contraction, quadkey_buckets vs the
+# in-window tile_expiry_rollup/expire_line_tiles tile family).  All
+# gates keep their oracles and run in the full sweep
 # (tools/check_correctness.py --json -> CORRECTNESS_full_rN.json).
 _DRIVER_WINDOW = [
     "pricing_summary", "bbox_filter", "merge_dedup", "way_node_join",
@@ -4508,7 +4557,7 @@ _DRIVER_WINDOW = [
     "sequence_packing", "sketch_suite", "unimax_mixture",
     "ccnet_ppl_buckets", "minhash_near_dups", "ann_cosine_topk",
     "sessionize", "discrete_isolation", "relation_member_join",
-    "importance_rank", "quadkey_buckets", "flex_casts",
+    "importance_rank", "pii_scrub", "flex_casts",
     "simhash_hamming_pairs", "expire_line_tiles", "ann_lsh_topk",
     "relation_multiline_merge", "ann_ivf_topk", "ann_pq_suite",
     "embedding_near_dups", "input_validation", "dedup_decisions",

@@ -133,3 +133,64 @@ class TestBM25:
         plan = (bm25_scores(sdf, self.TERMS)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from osm2pgsql_spark.operators.pii import pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-am.ple.org and 10.0.3.1 "
+                    "call 555-123-4567 or 555 1234 5678"),
+                (2, "no pii here"),
+                (3, None),
+                (4, "edge 1.2.3.4.5 and x@y.io"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        r1 = rows[1]
+        assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (1, 1, 2)
+        assert "<EMAIL>" in r1["redacted"] and "<IP>" in r1["redacted"]
+        assert r1["redacted"].count("<PHONE>") == 2
+        assert "@" not in r1["redacted"]
+        r2 = rows[2]
+        assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+        assert r2["redacted"] == "no pii here"
+        r3 = rows[3]
+        assert (r3["n_email"], r3["n_ipv4"], r3["n_phone"]) == (0, 0, 0)
+        assert r3["redacted"] is None
+        # dotted run longer than an IPv4: the first 4 octets match
+        # (\b holds between digit and dot) — pinned cross-engine
+        assert rows[4]["n_ipv4"] == 1
+        assert rows[4]["redacted"].startswith("edge <IP>.5")
+
+    def test_cross_engine_parity(self, spark):
+        """Counts and redacted text agree with DuckDB on adversarial
+        inputs (boundary cases of \\b and the RE2/Java common
+        subset)."""
+        import duckdb
+
+        from osm2pgsql_spark.operators.pii import (
+            pii_counts_sql, pii_redact_sql, pii_scrub,
+        )
+
+        texts = [
+            "a@b.co c@d.museum 999.999.999.999 000-000-0000",
+            "x55-123-4567 1234-567-8901 .10.0.0.1. v1.2.3",
+            "mail@sub.domain.example.co.uk, (555-123-4567)",
+            "@nope.com no@tld 10.0.0 10.0.0.1.2.3 555 12345 6789",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_phone"],
+                             r["redacted"])
+               for r in pii_scrub(docs).collect()}
+        con = duckdb.connect()
+        counts = ", ".join(pii_counts_sql("t"))
+        for i, t in enumerate(texts):
+            row = con.execute(
+                f"SELECT {counts}, {pii_redact_sql('t')} "
+                f"FROM (SELECT ? AS t)", [t]).fetchone()
+            assert got[i] == row, (i, got[i], row)
