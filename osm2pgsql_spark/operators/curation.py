@@ -255,6 +255,92 @@ def trained_linear_score_sql(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_id, start_tok, n_tokens, chunk): sliding-window
+    document chunking — the RAG / long-context training prep stage
+    that cuts each document into `chunk_tokens`-token windows with
+    `overlap` tokens of context carried between consecutive chunks
+    (stride = chunk_tokens - overlap).  A trailing partial window is
+    kept (training wants the tail; dedup of overlap happens at the
+    packing stage).  Empty / NULL documents yield zero chunks.
+
+    Scale shape: split -> explode over a per-row sequence -> slice —
+    all JVM built-ins, narrow operations only (explode is not a
+    shuffle), so the stage is scan-bound at any corpus size and the
+    output is partition-aligned with the input for the downstream
+    packing join."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    d = docs.select(F.col(id_col), toks.alias("__t"))
+    n = F.size("__t")
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / stride) + 1
+    ).cast("int")
+    # guard the empty case explicitly: F.sequence(0, -1) DESCENDS
+    # ([0, -1]) rather than yielding an empty array
+    d = d.withColumn(
+        "chunk_id",
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("__t"), start + 1, chunk_tokens)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of chunk_documents (same tokenization, same window
+    arithmetic; list_slice end is inclusive)."""
+    stride = chunk_tokens - overlap
+    toks = (
+        f"list_filter(string_split_regex(lower(trim(coalesce("
+        f"{text_col}, ''))), '\\s+'), t -> t <> '')"
+    )
+    return f"""
+    SELECT {id_col},
+           CAST(g.i AS BIGINT) AS chunk_id,
+           CAST(g.i * {stride} AS BIGINT) AS start_tok,
+           CAST(len(list_slice(toks, g.i * {stride} + 1,
+                    g.i * {stride} + {chunk_tokens})) AS BIGINT)
+               AS n_tokens,
+           array_to_string(list_slice(toks, g.i * {stride} + 1,
+                    g.i * {stride} + {chunk_tokens}), ' ') AS chunk
+    FROM (SELECT {id_col}, {toks} AS toks FROM {relation}) t,
+         LATERAL (SELECT unnest(range(0,
+             CASE WHEN len(t.toks) <= 0 THEN 0
+                  ELSE (len(t.toks) - 1) // {stride} + 1 END)) AS i) g
+    """
+
+
 def pack_sequences(
     docs: DataFrame,
     window: int,

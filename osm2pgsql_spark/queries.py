@@ -815,6 +815,29 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, window=_PACK_WINDOW, token_col="n_chars")
 
 
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 48, 12
+
+
+def _doc_chunks_oracle() -> str:
+    from osm2pgsql_spark.operators.curation import chunk_documents_sql
+
+    return chunk_documents_sql(_CHUNK_TOKENS, _CHUNK_OVERLAP)
+
+
+@register("doc_chunks", oracle=_doc_chunks_oracle())
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/curation.py
+    chunk_documents) — RAG / long-context training prep: fixed-size
+    token windows with overlap carried between consecutive chunks.
+    Narrow JVM plan (split -> explode -> slice, no shuffle); the
+    DuckDB twin replays the same window arithmetic with
+    list_slice/range."""
+    from osm2pgsql_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, _CHUNK_TOKENS, _CHUNK_OVERLAP)
+
+
 def _hll_oracle() -> str:
     from osm2pgsql_spark.operators.sketch import hll_sql
 

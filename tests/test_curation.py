@@ -446,3 +446,52 @@ class TestUnimax:
             curation.unimax_allocation(d, -1, "lang", "n_tokens", 1)
         with _pt.raises(ValueError, match="max_epochs"):
             curation.unimax_allocation(d, 10, "lang", "n_tokens", 0)
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))),
+             (2, "one two"), (3, ""), (4, None)],
+            "doc_id long, text string")
+        out = {(r["doc_id"], r["chunk_id"]): r for r in
+               curation.chunk_documents(docs, 4, 1).collect()}
+        # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+        ids = sorted(k[1] for k in out if k[0] == 1)
+        assert ids == [0, 1, 2, 3]
+        assert out[(1, 0)]["chunk"] == "t0 t1 t2 t3"
+        assert out[(1, 1)]["chunk"] == "t3 t4 t5 t6"  # 1-token overlap
+        assert out[(1, 3)]["chunk"] == "t9"           # partial tail kept
+        assert out[(1, 3)]["n_tokens"] == 1
+        assert out[(1, 3)]["start_tok"] == 9
+        # doc 2 fits in one window
+        assert [k[1] for k in out if k[0] == 2] == [0]
+        # empty / NULL yield zero chunks
+        assert not [k for k in out if k[0] in (3, 4)]
+
+    def test_reconstruction(self, spark):
+        """Concatenating chunk tails (dropping each chunk's overlap
+        prefix after the first) reconstructs the token stream."""
+        text = " ".join(f"w{i}" for i in range(57))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(curation.chunk_documents(docs, 16, 4).collect(),
+                      key=lambda r: r["chunk_id"])
+        toks = rows[0]["chunk"].split()
+        for r in rows[1:]:
+            toks += r["chunk"].split()[4:]
+        assert toks == text.split()
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="overlap"):
+            curation.chunk_documents(docs, 4, 4)
+        with _pt.raises(ValueError, match="chunk_tokens"):
+            curation.chunk_documents(docs, 0, 0)
+
+    def test_no_shuffle_plan(self, spark):
+        docs = spark.createDataFrame([(1, "a b c")],
+                                     "doc_id long, text string")
+        plan = curation.chunk_documents(docs, 4, 1)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
