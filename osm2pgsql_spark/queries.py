@@ -678,6 +678,52 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(gq, "doc_id").join(bq, "doc_id")
 
 
+# URL probe: the documents table has no url column, so the gate
+# derives one deterministically from (doc_id, source) — same
+# expression on both engines — exercising exact-domain, subdomain,
+# non-blocked, pattern, and no-host branches.
+_URL_PROBE = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat('https://ads.example.com/x/', "
+    "CAST(doc_id AS {ty})) "
+    "WHEN doc_id % 7 = 1 THEN concat('https://sub.tracker.net/p?id=', "
+    "CAST(doc_id AS {ty})) "
+    "WHEN doc_id % 7 = 2 THEN concat('http://good.org/a/', "
+    "CAST(doc_id AS {ty})) "
+    "WHEN doc_id % 7 = 3 THEN concat('https://notracker.net/', "
+    "CAST(doc_id AS {ty})) "
+    "WHEN doc_id % 7 = 4 THEN concat('https://example.com/download.exe?q=', "
+    "CAST(doc_id AS {ty})) "
+    "WHEN doc_id % 7 = 5 THEN 'not a url' "
+    "ELSE concat('https://', source, '.example.org/ok') END"
+)
+_URL_BLOCKED_DOMAINS = ["ads.example.com", "tracker.net"]
+_URL_BLOCKED_PATTERNS = [r"\.exe(\?|$)"]
+
+
+def _url_filter_oracle() -> str:
+    from osm2pgsql_spark.operators.url_filter import url_filter_sql
+
+    return url_filter_sql(
+        _URL_BLOCKED_DOMAINS, _URL_BLOCKED_PATTERNS,
+        url_expr=_URL_PROBE.format(ty="VARCHAR"),
+    )
+
+
+@register("url_filter_decisions", oracle=_url_filter_oracle())
+def q_url_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL / domain blocklist filtering (operators/url_filter.py) —
+    the first stage of every crawl-derived corpus build: host
+    extraction (regexp, same pattern both engines), broadcast
+    blocked-domain join with the subdomain-suffix test, and blocked
+    URL patterns.  Keep decisions hash-exact vs the DuckDB twin."""
+    from osm2pgsql_spark.operators.url_filter import url_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_PROBE.format(ty="STRING")).alias("url")
+    )
+    return url_filter(docs, _URL_BLOCKED_DOMAINS, _URL_BLOCKED_PATTERNS)
+
+
 # PII probe text: the synthetic documents carry no natural PII, so
 # the gate plants a deterministic per-doc payload (email + IP + phone
 # derived from doc_id, identical expressions on both engines) — the

@@ -194,3 +194,43 @@ class TestPiiScrub:
                 f"SELECT {counts}, {pii_redact_sql('t')} "
                 f"FROM (SELECT ? AS t)", [t]).fetchone()
             assert got[i] == row, (i, got[i], row)
+
+
+class TestUrlFilter:
+    def test_domain_subdomain_pattern_and_edge(self, spark):
+        from osm2pgsql_spark.operators.url_filter import url_filter
+
+        docs = spark.createDataFrame(
+            [
+                (1, "https://ads.example.com/banner"),     # exact domain
+                (2, "https://a.b.tracker.net/pixel"),      # deep subdomain
+                (3, "https://nottracker.net/x"),           # suffix NON-match
+                (4, "https://good.org/file.exe?download"), # pattern
+                (5, "no scheme here"),                     # hostless: keep
+                (6, None),                                 # NULL url: keep
+                (7, "https://Example.COM/ok"),             # case-folded host
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in url_filter(
+            docs, ["ads.example.com", "tracker.net"],
+            [r"\.exe(\?|$)"]).collect()}
+        assert out[1]["blocked_domain"] == "ads.example.com"
+        assert out[2]["blocked_domain"] == "tracker.net"
+        assert not out[1]["is_kept"] and not out[2]["is_kept"]
+        # 'nottracker.net' must NOT suffix-match 'tracker.net'
+        assert out[3]["blocked_domain"] is None and out[3]["is_kept"]
+        assert out[4]["blocked_pattern"] and not out[4]["is_kept"]
+        assert out[5]["host"] == "" and out[5]["is_kept"]
+        assert out[6]["is_kept"]
+        assert out[7]["host"] == "example.com" and out[7]["is_kept"]
+
+    def test_blocklist_broadcasts(self, spark):
+        from osm2pgsql_spark.operators.url_filter import url_filter
+
+        docs = spark.createDataFrame(
+            [(i, f"https://h{i}.org/") for i in range(50)],
+            "doc_id long, url string")
+        plan = url_filter(docs, ["x.com"], [])._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
