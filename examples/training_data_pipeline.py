@@ -108,6 +108,27 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         "doc_id")
     counts["after_decontamination"] = kept.count()
 
+    # 5c2. PII scrub: redact emails/IPs/phone numbers in the surviving
+    # text (one shuffle-free regexp projection; counts kept as audit
+    # columns) — every published crawl corpus runs this before release.
+    # checkpoint first: `kept` carries the whole 9-stage lineage by
+    # now, and this stage fans it out again (select + join-back) —
+    # without the cut, Catalyst re-analysis of the multiplied subtree
+    # dominates (the r10 analyzer trap; same cut unimax_mixture does
+    # internally)
+    from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt2
+    from osm2pgsql_spark.operators.pii import pii_scrub
+
+    kept = _ckpt2(kept)
+    scrubbed = pii_scrub(kept.select("doc_id", "text"))
+    kept = kept.drop("text").join(
+        scrubbed.withColumnRenamed("redacted", "text"), "doc_id")
+    counts["pii_redactions"] = int(
+        kept.agg(F.sum(F.col("n_email") + F.col("n_ipv4")
+                       + F.col("n_phone"))).first()[0]
+    )
+    kept = kept.drop("n_email", "n_ipv4", "n_phone")
+
     # 5d. DSIR: keep the half of the corpus most like the target
     # domain (hashed n-gram importance log-ratios, pure Catalyst)
     from osm2pgsql_spark.operators import dsir
@@ -174,6 +195,13 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         sketch.cms_estimate(reg, toks_nz, "t", depth=4, width=1 << 12)
         .agg(F.max("cms_count")).first()[0]
     )
+
+    # 6b. sliding-window chunking (the RAG-style alternative to
+    # packing): overlapping fixed-token windows, narrow plan only —
+    # counted here as an audit of the chunked view of the corpus
+    chunks = curation.chunk_documents(
+        kept.select("doc_id", "text"), chunk_tokens=256, overlap=32)
+    counts["rag_chunks"] = chunks.count()
 
     # 7. pack into fixed training windows (distributed prefix sum) and
     # write the curated corpus with pack assignments + embeddings

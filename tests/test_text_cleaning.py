@@ -135,5 +135,11 @@ def test_training_data_pipeline_example(spark, tmp_path):
     # CMS heavy hitter: the hottest token appears at least as often
     # as a uniform share (one-sided estimate never under-counts)
     assert counts["top_token_cms"] > 0
+    # PII scrub is an audit stage (no row drops; count non-negative)
+    assert counts["pii_redactions"] >= 0
+    # chunked view covers the kept docs (docs whose text was fully
+    # span-stripped legitimately yield zero chunks, so >= is over the
+    # non-empty subset, not the full kept count)
+    assert 0 < counts["rag_chunks"]
     # every kept doc gets a pack assignment
     assert counts["written"] == counts["after_unimax"] > 0
