@@ -267,8 +267,14 @@ def chunk_documents(
     that cuts each document into `chunk_tokens`-token windows with
     `overlap` tokens of context carried between consecutive chunks
     (stride = chunk_tokens - overlap).  A trailing partial window is
-    kept (training wants the tail; dedup of overlap happens at the
-    packing stage).  Empty / NULL documents yield zero chunks.
+    kept only when it adds tokens beyond the previous chunk's end
+    (i.e. chunk i (i>=1) is emitted iff i*stride + overlap < n) — a
+    final window fully contained in its predecessor would duplicate
+    content into RAG/training output.  The last emitted chunk always
+    reaches the end of the document (if chunk i+1 is dropped then
+    i*stride + chunk_tokens >= n), so reconstruction by dropping each
+    chunk's overlap prefix is exact.  Empty / NULL documents yield
+    zero chunks.
 
     Scale shape: split -> explode over a per-row sequence -> slice —
     all JVM built-ins, narrow operations only (explode is not a
@@ -287,9 +293,10 @@ def chunk_documents(
     )
     d = docs.select(F.col(id_col), toks.alias("__t"))
     n = F.size("__t")
-    # chunk starts: 0, stride, 2*stride, ... while start < n
+    # chunk starts: 0, stride, 2*stride, ... while the window adds
+    # tokens beyond the previous chunk's end (start + overlap < n)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.floor((n - 1) / stride) + 1
+        F.greatest(F.floor((n - overlap - 1) / stride), F.lit(0)) + 1
     ).cast("int")
     # guard the empty case explicitly: F.sequence(0, -1) DESCENDS
     # ([0, -1]) rather than yielding an empty array
@@ -337,7 +344,8 @@ def chunk_documents_sql(
     FROM (SELECT {id_col}, {toks} AS toks FROM {relation}) t,
          LATERAL (SELECT unnest(range(0,
              CASE WHEN len(t.toks) <= 0 THEN 0
-                  ELSE (len(t.toks) - 1) // {stride} + 1 END)) AS i) g
+                  ELSE greatest((len(t.toks) - {overlap} - 1)
+                                // {stride}, 0) + 1 END)) AS i) g
     """
 
 

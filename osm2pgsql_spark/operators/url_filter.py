@@ -82,20 +82,32 @@ def url_filter_sql(
     relation: str = "documents",
 ) -> str:
     """DuckDB twin of url_filter over `relation` (which must expose
-    the id and url expressions)."""
+    the id and url expressions).  Blocklist entries are escaped as
+    SQL literals (single quotes doubled); an empty domain list yields
+    an empty inline relation rather than a bare `VALUES `."""
+    def _lit(s: str) -> str:
+        return s.replace("'", "''")
+
     host = url_host_sql("url")
-    doms = ", ".join(f"('{d.lower()}')" for d in blocked_domains)
+    if blocked_domains:
+        doms_rel = "(VALUES " + ", ".join(
+            f"('{_lit(d.lower())}')" for d in blocked_domains
+        ) + ") AS b(domain)"
+    else:
+        doms_rel = ("(SELECT CAST(NULL AS VARCHAR) AS domain "
+                    "WHERE FALSE) AS b")
     pats_raw = " OR ".join(
-        f"regexp_matches(url, '{p}')" for p in (blocked_patterns or [])
+        f"regexp_matches(url, '{_lit(p)}')"
+        for p in (blocked_patterns or [])
     ) or "FALSE"
     pats = f"coalesce({pats_raw}, FALSE)"  # NULL url: no match
     return f"""
     SELECT doc_id, url, host,
-           (SELECT min(domain) FROM (VALUES {doms}) AS b(domain)
+           (SELECT min(domain) FROM {doms_rel}
             WHERE host = domain
                OR suffix(host, '.' || domain)) AS blocked_domain,
            ({pats}) AS blocked_pattern,
-           ((SELECT min(domain) FROM (VALUES {doms}) AS b(domain)
+           ((SELECT min(domain) FROM {doms_rel}
              WHERE host = domain
                 OR suffix(host, '.' || domain)) IS NULL
             AND NOT ({pats})) AS is_kept

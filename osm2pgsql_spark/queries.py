@@ -4609,38 +4609,67 @@ def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver's correctness budget samples the FIRST 50
 # registered gates; this window is chosen so those 50 span every
-# operator family (r10 VERDICT #3) — the composites (sketch_suite,
-# quality_classifier, ann_pq_suite, pgsql_legacy_suite,
-# relation_collect_suite) carry their whole family in one row, and
-# every gate left outside the window is a same-family variant of an
-# in-window gate (e.g. way_length vs way_node_join, ngram_jaccard vs
-# minhash, river_width_* vs river_contraction, quadkey_buckets vs the
-# in-window tile_expiry_rollup/expire_line_tiles tile family).  All
-# gates keep their oracles and run in the full sweep
-# (tools/check_correctness.py --json -> CORRECTNESS_full_rN.json).
+# operator family (r10 VERDICT #3) and is ROTATED each round so every
+# gate gets a driver-checked row at least every other round (r11
+# VERDICT #4): the 16 gates that rode the r11 tail are all in-window
+# this round, and the 16 rotated out are each same-family redundant
+# with a gate that stays (see _DRIVER_TAIL).  All gates keep their
+# oracles and run in the full sweep (tools/check_correctness.py
+# --json -> CORRECTNESS_full_rN.json).
 _DRIVER_WINDOW = [
-    "pricing_summary", "bbox_filter", "merge_dedup", "way_node_join",
-    "way_polygon_area", "tag_filter_json", "tile_expiry_rollup",
+    "way_length", "bbox_filter", "merge_dedup", "z_order",
+    "way_polygon_area", "wildcard_tag_filter", "quadkey_buckets",
     "reverse_deps", "locator_all_intersecting", "dedup_exact_fingerprint",
-    "text_stats", "text_quality_signals", "quality_classifier",
-    "sequence_packing", "sketch_suite", "unimax_mixture",
-    "ccnet_ppl_buckets", "minhash_near_dups", "ann_cosine_topk",
-    "sessionize", "discrete_isolation", "relation_member_join",
-    "importance_rank", "pii_scrub", "flex_casts",
-    "simhash_hamming_pairs", "expire_line_tiles", "ann_lsh_topk",
-    "relation_multiline_merge", "ann_ivf_topk", "ann_pq_suite",
+    "url_filter_decisions", "text_quality_signals", "quality_classifier",
+    "doc_chunks", "sketch_suite", "unimax_mixture",
+    "exact_quantiles", "ngram_jaccard", "ann_cosine_topk",
+    "events_hourly", "discrete_isolation", "relation_member_join",
+    "topk_per_group", "pii_scrub", "flex_casts",
+    "user_table", "expire_line_tiles", "stratified_sample",
+    "two_stage_refs", "flex_route_relations", "ann_pq_suite",
     "embedding_near_dups", "input_validation", "dedup_decisions",
-    "token_budget_mix", "decontam_spans", "dsir_selection", "bpe_encode",
-    "semdedup_decisions", "relation_multipolygon_rings",
-    "relation_collect_suite", "append_diff_fold", "flex_generic_lines",
+    "token_budget_mix", "river_width_propagation", "dsir_selection",
+    "bpe_encode", "semdedup_decisions", "relation_multipolygon_rings",
+    "relation_collect_suite", "append_diff_fold", "river_width_from_areas",
     "pgsql_legacy_suite", "river_contraction", "epsg_registry_tail",
     "geom_suite", "vector_tile_cut", "copy_encoding", "polylabel",
 ]
 
+# Gates outside the driver's 50-slot window THIS round, each with the
+# in-window gate that keeps its family driver-checked.  Rotated with
+# _DRIVER_WINDOW every round; the full sweep still runs all of them.
+_DRIVER_TAIL = {
+    "pricing_summary": "user_table",            # stats/agg family
+    "way_node_join": "way_length",              # way->node assembly join
+    "tag_filter_json": "wildcard_tag_filter",   # style tag filtering
+    "tile_expiry_rollup": "expire_line_tiles",  # tile expiry family
+    "text_stats": "text_quality_signals",       # text signal family
+    "minhash_near_dups": "ngram_jaccard",       # shingle-set near-dup
+    "simhash_hamming_pairs": "dedup_decisions", # banded near-dup family
+    "ann_lsh_topk": "ann_cosine_topk",          # ANN family
+    "ann_ivf_topk": "ann_pq_suite",             # ANN (IVF inside PQ suite)
+    "sessionize": "events_hourly",              # streaming family
+    "importance_rank": "topk_per_group",        # window/rank family
+    "ccnet_ppl_buckets": "exact_quantiles",     # de-skewed rank family
+    "sequence_packing": "token_budget_mix",     # two-phase prefix family
+    "flex_generic_lines": "flex_route_relations",  # flex DSL family
+    "relation_multiline_merge": "relation_collect_suite",  # lmerge branch
+    "decontam_spans": "stratified_sample",      # decontam/sampling family
+}
+
 
 def _window_order(d: dict) -> dict:
     missing = [n for n in _DRIVER_WINDOW if n not in _QUERIES]
-    assert not missing, f"_DRIVER_WINDOW names unknown gates: {missing}"
+    if missing:
+        raise KeyError(
+            f"_DRIVER_WINDOW names unknown gates: {missing}")
+    untriaged = [n for n in _QUERIES
+                 if n not in _DRIVER_WINDOW and n not in _DRIVER_TAIL]
+    if untriaged:
+        raise KeyError(
+            "registered gates neither in _DRIVER_WINDOW nor documented "
+            f"in _DRIVER_TAIL: {untriaged} — triage them so the driver "
+            "window stays deliberate")
     out = {n: d[n] for n in _DRIVER_WINDOW if n in d}
     out.update({n: v for n, v in d.items() if n not in out})
     return out

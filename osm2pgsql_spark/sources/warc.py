@@ -9,11 +9,17 @@ property that makes the format splittable: a reader can start at any
 member boundary.  Response records carry an HTTP message as payload
 (status line + headers + body).
 
-Scale shape: files parallelize across executors (one task per file —
-the Common Crawl layout is many ~1 GB segment files, so file-level
-parallelism IS record-level parallelism at corpus scale); each task
-streams its file record-by-record without materializing the archive.
-No driver-side parsing; the driver only lists paths.
+Scale shape: `.warc.gz` inputs split WITHIN a file as well as across
+files — a file larger than `split_size` is sharded into byte ranges,
+and each task scans from its range start to the first gzip member
+boundary (validated by decompressing to a `WARC/` version line) and
+owns every member that STARTS inside its range (the standard
+input-split ownership rule, so shards partition the file's records
+exactly).  One multi-TB archive therefore parallelizes like any
+splittable format; the many-segment Common Crawl layout additionally
+gives file-level parallelism for free.  Each task streams
+record-by-record without materializing the archive; no driver-side
+parsing — the driver only lists paths and sizes.
 
 This is a public-spec reimplementation (no warcio dependency — the
 container has none); tests round-trip through the writer below and
@@ -57,6 +63,11 @@ def _read_record(stream) -> dict | None:
         headers[k.strip().lower()] = v.strip()
     length = int(headers.get("content-length", "0"))
     payload = stream.read(length)
+    if len(payload) < length:
+        # truncated trailing record (torn plain-.warc tail): drop it
+        # whole, mirroring the gzip path's whole-member drop — a
+        # silently short payload must never surface as a record
+        return None
     return {"headers": headers, "payload": payload}
 
 
@@ -151,6 +162,128 @@ def _gzip_member_chunks(f, chunk: int = 1 << 20):
             return  # incomplete trailing member dropped
 
 
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _member_starts_warc(f, off: int) -> bool:
+    """True when a gzip member starting at byte `off` decompresses to
+    plaintext beginning with a WARC version line — the validation
+    that separates a real member boundary from the magic bytes
+    occurring inside compressed data."""
+    save = f.tell()
+    try:
+        f.seek(off)
+        d = zlib.decompressobj(wbits=31)
+        got = b""
+        while len(got) < 5:
+            data = f.read(1 << 16)
+            if not data:
+                return False  # torn tail: not a usable boundary
+            try:
+                got += d.decompress(data)
+            except zlib.error:
+                return False
+            if d.eof and len(got) < 5:
+                return False
+        return got.startswith(b"WARC/")
+    finally:
+        f.seek(save)
+
+
+def _find_member_start(f, start: int, end: int) -> int | None:
+    """Smallest validated gzip-member boundary in [start, end), or
+    None.  Scans the compressed bytes for the gzip magic and accepts
+    a candidate only when `_member_starts_warc` confirms it; a member
+    straddling `start` thus stays with the previous shard."""
+    chunk = 1 << 20
+    f.seek(start)
+    buf = f.read(chunk)
+    base = start  # absolute offset of buf[0]
+    search_from = 0
+    while buf:
+        i = buf.find(_GZ_MAGIC, search_from)
+        if i < 0:
+            if base + len(buf) >= end + 2:
+                return None
+            more = f.read(chunk)
+            if not more:
+                return None
+            # keep 2 trailing bytes so a magic split across chunk
+            # boundaries is still found
+            search_from = max(0, len(buf) - 2)
+            buf += more
+            continue
+        cand = base + i
+        if cand >= end:
+            return None
+        if _member_starts_warc(f, cand):
+            return cand
+        search_from = i + 1
+    return None
+
+
+def _gzip_member_chunks_range(f, start: int, end: int,
+                              chunk: int = 1 << 20):
+    """Decompressed bytes of the gzip members whose COMPRESSED start
+    offset lies in [start, end), one complete member per yield.  `f`
+    is seeked to `start`, which must be a member boundary.  Member
+    start offsets are tracked exactly through decompressobj's
+    unused_data, so shard ownership never double-reads or drops a
+    member.  Torn/corrupt trailing members drop whole, as in
+    `_gzip_member_chunks`."""
+    f.seek(start)
+    member_start = start
+    fed = 0  # compressed bytes consumed since member_start
+    d = zlib.decompressobj(wbits=31)
+    member: list[bytes] = []
+    while True:
+        data = f.read(chunk)
+        input_done = not data
+        src = data
+        while True:
+            try:
+                out = d.decompress(src)
+            except zlib.error:
+                return  # corrupt member: keep only completed ones
+            member.append(out)
+            if d.eof:
+                fed += len(src) - len(d.unused_data)
+                yield b"".join(member)
+                member = []
+                member_start += fed
+                fed = 0
+                if member_start >= end:
+                    return  # next member belongs to the next shard
+                src = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                if not src:
+                    break
+                continue
+            fed += len(src)
+            break  # member needs more input
+        if input_done:
+            return  # incomplete trailing member dropped
+
+
+def _iter_gz_shard(path: str, start: int, end: int):
+    """Record dicts from the byte-range shard [start, end) of a
+    .warc.gz: scan to the first owned member boundary, then stream
+    members until one starts at/after `end`."""
+    with open(path, "rb") as f:
+        if start == 0:
+            off = 0
+        else:
+            off = _find_member_start(f, start, end)
+            if off is None:
+                return
+        stream = _PullStream(_gzip_member_chunks_range(f, off, end))
+        while True:
+            rec = _read_record(stream)
+            if rec is None:
+                break
+            yield rec
+
+
 def _file_chunks(f, chunk: int = 1 << 20):
     while True:
         data = f.read(chunk)
@@ -183,13 +316,19 @@ def read_warc(
     spark: SparkSession,
     paths: str | list[str],
     warc_types: tuple[str, ...] | None = None,
+    split_size: int | None = 128 << 20,
 ) -> DataFrame:
     """Distributed WARC read -> DataFrame[WARC_SCHEMA].
 
     `paths` is a file, a directory (all .warc/.warc.gz inside), or an
     explicit list.  `warc_types` filters record types executor-side
-    (('response',) for crawl text; None keeps all).  Files must be
-    visible to executors (shared fs / object store; local[*] here)."""
+    (('response',) for crawl text; None keeps all).  `.warc.gz` files
+    larger than `split_size` bytes are split into byte-range shards
+    (one task each) at gzip member boundaries — a single huge archive
+    parallelizes; pass split_size=None for strictly one task per
+    file.  Plain `.warc` files are not split (no self-synchronizing
+    boundary to scan for).  Files must be visible to executors
+    (shared fs / object store; local[*] here)."""
     if isinstance(paths, str):
         if os.path.isdir(paths):
             files = sorted(
@@ -205,9 +344,25 @@ def read_warc(
     sc = spark.sparkContext
     want = tuple(t.lower() for t in warc_types) if warc_types else None
 
-    def decode(path: str):
+    # shard plan: (path, start, end) with end=None meaning "whole
+    # file, format-autodetected" (plain .warc or unsplit gzip)
+    shards: list[tuple[str, int, int | None]] = []
+    for p in files:
+        size = os.path.getsize(p) if os.path.exists(p) else 0
+        if (split_size and p.endswith(".gz") and size > split_size):
+            n = (size + split_size - 1) // split_size
+            step = (size + n - 1) // n  # even-sized shards
+            for s in range(0, size, step):
+                shards.append((p, s, min(s + step, size)))
+        else:
+            shards.append((p, 0, None))
+
+    def decode(shard: tuple[str, int, int | None]):
+        path, start, end = shard
         base = os.path.basename(path)
-        for rec in _iter_file(path):
+        it = (_iter_file(path) if end is None
+              else _iter_gz_shard(path, start, end))
+        for rec in it:
             h = rec["headers"]
             wt = h.get("warc-type", "")
             if want is not None and wt.lower() not in want:
@@ -225,7 +380,7 @@ def read_warc(
                 body,
             )
 
-    rdd = sc.parallelize(files, len(files)).flatMap(decode)
+    rdd = sc.parallelize(shards, len(shards)).flatMap(decode)
     return spark.createDataFrame(rdd, WARC_SCHEMA)
 
 

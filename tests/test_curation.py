@@ -456,14 +456,15 @@ class TestChunkDocuments:
             "doc_id long, text string")
         out = {(r["doc_id"], r["chunk_id"]): r for r in
                curation.chunk_documents(docs, 4, 1).collect()}
-        # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9
+        # doc 1: 10 tokens, stride 3 -> starts 0,3,6; a window at 9
+        # ("t9") is fully contained in the chunk at 6 and is dropped
         ids = sorted(k[1] for k in out if k[0] == 1)
-        assert ids == [0, 1, 2, 3]
+        assert ids == [0, 1, 2]
         assert out[(1, 0)]["chunk"] == "t0 t1 t2 t3"
         assert out[(1, 1)]["chunk"] == "t3 t4 t5 t6"  # 1-token overlap
-        assert out[(1, 3)]["chunk"] == "t9"           # partial tail kept
-        assert out[(1, 3)]["n_tokens"] == 1
-        assert out[(1, 3)]["start_tok"] == 9
+        assert out[(1, 2)]["chunk"] == "t6 t7 t8 t9"  # reaches doc end
+        assert out[(1, 2)]["n_tokens"] == 4
+        assert out[(1, 2)]["start_tok"] == 6
         # doc 2 fits in one window
         assert [k[1] for k in out if k[0] == 2] == [0]
         # empty / NULL yield zero chunks
@@ -480,6 +481,28 @@ class TestChunkDocuments:
         for r in rows[1:]:
             toks += r["chunk"].split()[4:]
         assert toks == text.split()
+
+    def test_contained_tail_dropped(self, spark):
+        """A final window fully contained in its predecessor is not
+        emitted; the last emitted chunk always reaches the doc end."""
+        for n, chunk, ov in [(10, 4, 1), (8, 4, 0), (5, 4, 3),
+                             (9, 4, 2), (4, 4, 1), (1, 4, 1)]:
+            docs = spark.createDataFrame(
+                [(1, " ".join(f"t{i}" for i in range(n)))],
+                "doc_id long, text string")
+            rows = sorted(curation.chunk_documents(docs, chunk, ov)
+                          .collect(), key=lambda r: r["chunk_id"])
+            # each non-first chunk adds tokens beyond its predecessor
+            for r in rows[1:]:
+                assert r["start_tok"] + ov < n
+            # last chunk reaches the end of the document
+            last = rows[-1]
+            assert last["start_tok"] + last["n_tokens"] == n
+            # reconstruction is exact
+            toks = rows[0]["chunk"].split()
+            for r in rows[1:]:
+                toks += r["chunk"].split()[ov:]
+            assert toks == [f"t{i}" for i in range(n)]
 
     def test_validation(self, spark):
         docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")

@@ -234,3 +234,38 @@ class TestUrlFilter:
         plan = url_filter(docs, ["x.com"], [])._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_sql_twin_empty_and_quoted_blocklist(self, spark):
+        """The DuckDB twin must not emit a bare `VALUES ` for an empty
+        blocklist, and quoted entries must be escaped as literals —
+        both engines agree on keep decisions either way."""
+        import duckdb
+
+        from osm2pgsql_spark.operators.url_filter import (
+            url_filter, url_filter_sql)
+
+        rows = [
+            (1, "https://o'brien.example/x"),
+            (2, "https://keep.org/page"),
+            (3, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, " + ("NULL" if u is None
+                             else "'" + u.replace("'", "''") + "'") + ")"
+                for i, u in rows)
+            + ") AS t(doc_id, url)")
+        for doms, pats in [([], []),
+                           (["o'brien.example"], ["pa'ge"]),
+                           ([], [r"keep\.org"])]:
+            got = {r["doc_id"]: (r["blocked_domain"], r["is_kept"])
+                   for r in url_filter(docs, doms, pats).collect()}
+            want = {r[0]: (r[3], r[5]) for r in con.execute(
+                url_filter_sql(doms, pats)).fetchall()}
+            assert got == want, (doms, pats, got, want)
+        # empty blocklist keeps everything
+        out = url_filter(docs, [], []).collect()
+        assert all(r["is_kept"] for r in out) and len(out) == 3

@@ -84,6 +84,56 @@ def test_plain_warc_and_truncated_tail(spark, tmp_path):
     assert got == 3  # the 3 intact members survive; the torn tail drops
 
 
+def test_within_file_split_row_identical(spark, tmp_path):
+    """One .warc.gz read as N byte-range shards must yield exactly
+    the rows of the serial (unsplit) read — shard ownership at gzip
+    member boundaries partitions the file's records."""
+    recs = _mk_records(120)
+    p = str(tmp_path / "big.warc.gz")
+    W.write_warc_gz(recs, p)
+    size = __import__("os").path.getsize(p)
+    serial = sorted(
+        (r["record_id"], r["warc_type"], bytes(r["payload"]))
+        for r in W.read_warc(spark, p, split_size=None).collect())
+    assert len(serial) == 121
+    for split in (size // 7, size // 3, 64):
+        df = W.read_warc(spark, p, split_size=split)
+        assert df.rdd.getNumPartitions() > 1
+        got = sorted((r["record_id"], r["warc_type"], bytes(r["payload"]))
+                     for r in df.collect())
+        assert got == serial, f"split_size={split}"
+
+
+def test_split_with_torn_tail_and_plain_truncation(spark, tmp_path):
+    # torn trailing member under split reading: intact records survive
+    recs = _mk_records(40)
+    gz = str(tmp_path / "torn.warc.gz")
+    W.write_warc_gz(recs, gz)
+    import gzip as _g
+    whole = _g.compress(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                        b"Content-Length: 100\r\n\r\nshort")
+    with open(gz, "ab") as f:
+        f.write(whole[: len(whole) // 2])
+    size = __import__("os").path.getsize(gz)
+    assert W.read_warc(spark, gz, split_size=size // 4).count() == 41
+
+    # truncated plain .warc: the short trailing record drops whole
+    plain = str(tmp_path / "trunc.warc")
+    with open(plain, "wb") as f:
+        for r in recs[:3]:
+            payload = r["payload"]
+            f.write(b"WARC/1.0\r\nWARC-Type: " + r["warc_type"].encode()
+                    + b"\r\nWARC-Record-ID: " + r["record_id"].encode()
+                    + b"\r\nContent-Length: " + str(len(payload)).encode()
+                    + b"\r\n\r\n" + payload + b"\r\n\r\n")
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:torn>\r\n"
+                b"Content-Length: 500\r\n\r\nonly a few bytes")
+    rows = W.read_warc(spark, plain).collect()
+    assert len(rows) == 3
+    assert all(r["record_id"] != "<urn:uuid:torn>" for r in rows)
+
+
 def test_warc_to_documents_pipeline_head(spark, tmp_path):
     from osm2pgsql_spark.operators.pii import pii_scrub
 

@@ -90,6 +90,10 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    # registry census up front so docs can't silently diverge from
+    # the code (r11 VERDICT #5): this line is the source of truth
+    print(f"registry: {len(qs)} gates ({len(oracles)} with oracles); "
+          f"driver window = first 50")
     unknown = only - set(qs)
     if unknown:
         # an unmatched filter (typo, or flags passed after sf_dir) would
