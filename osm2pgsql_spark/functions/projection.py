@@ -3,8 +3,12 @@
 The reference supports any EPSG via PROJ
 (/root/reference/src/reprojection-generic-proj6.cpp, selected at
 /root/reference/src/reprojection.cpp:17-102); this container has no
-pyproj, so the five projection methods that cover the national grids
-real deployments use are implemented from the public formulas:
+pyproj, so the SIXTEEN projection method families that cover the
+national grids real deployments use are implemented from the public
+formulas (EPSG Guidance Note 7-2, Snyder, Karney, LINZ), each pinned
+to a published worked example or to construction invariants; codes
+whose parameter rows this offline registry cannot state with
+certainty are reachable through register_epsg().  The families:
 
 - Transverse Mercator (EPSG method 9807) — every UTM zone
   (326xx/327xx WGS84, 258xx ETRS89), OSGB 27700, Poland 2180, ... —
@@ -37,6 +41,17 @@ real deployments use are implemented from the public formulas:
   standard-parallel scale invariant pinned.
 - Mercator variants A/B (9804/9805) — World Mercator 3395, Makassar /
   NEIEZ 3002 (GN7-2 §3.1.3 worked example).
+- Krovak (9819), Cassini-Soldner (9806), New Zealand Map Grid (9811)
+  — see their params classes (round 11).
+- Hotine Oblique Mercator variant A (9812) — Michigan Oblique
+  Mercator 3078/3079; anchored to variant B's mm-pinned worked
+  example through the exact constant-offset identity.
+- Laborde Oblique Mercator (9813) — Madagascar 29701, the true cubic
+  (GN7-2 worked example pinned to the mm); 29702 is the registry's
+  published Hotine-B approximation of the same grid.
+- Bonne (9827) — kernel + invariant pins (equal-area, true-scale
+  parallels); no offline-certain EPSG row, so deployments register
+  theirs via register_epsg() (see METHOD_EXAMPLES).
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -654,6 +669,116 @@ class NzmgParams:
         return math.sqrt(self.f * (2.0 - self.f))
 
 
+@dataclass(frozen=True)
+class HomAParams(HomParams):
+    """Hotine Oblique Mercator variant A (EPSG method 9812) — same
+    aposphere construction as variant B (§3.2.6), but coordinates are
+    referenced to the NATURAL origin of the initial line (no u_c
+    offset) and FE/FN apply there: the published method for the
+    Michigan Oblique Mercator zone (NAD83 EPSG:3078).  Because the
+    two variants share every derived constant, variant A output
+    differs from variant B (with the same parameters) by an exact
+    constant vector (u_c sin(gamma_c), u_c cos(gamma_c)) plus the
+    FE/FN difference — pinned in test_projection against the
+    mm-verified GN7-2 §3.2.6 variant-B worked example."""
+
+
+@dataclass(frozen=True)
+class LabordeParams:
+    """Laborde Oblique Mercator parameters (EPSG method 9813) — the
+    Madagascar national grid (Tananarive (Paris) / Laborde Grid,
+    EPSG:29701).  Laborde's original 1928 triple projection: Gauss
+    conformal sphere, oblique rotation to the skew aspect, Mercator,
+    then a CUBIC COMPLEX polynomial correction H + G*H^3 (analytic,
+    hence still conformal) — the step the Hotine approximation
+    (EPSG:29702 via 9815) omits.  Formulas: EPSG Guidance Note 7
+    part 2, Laborde section.  The reference reaches 29701 through
+    PROJ's labrd (src/reprojection-generic-proj6.cpp)."""
+
+    a: float
+    inv_f: float
+    lonc: float   # longitude of projection centre, degrees (Greenwich)
+    latc: float   # latitude of projection centre, degrees
+    alpha: float  # azimuth of initial line, degrees
+    k0: float
+    fe: float
+    fn: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _derived(self) -> tuple[float, float, float, float, complex]:
+        """(B, phi_s, R, C, G) — the GN7-2 Laborde constants."""
+        e = self.e
+        e2 = e * e
+        phic = math.radians(self.latc)
+        s, c = math.sin(phic), math.cos(phic)
+        big_b = math.sqrt(1.0 + e2 * c ** 4 / (1.0 - e2))
+        phi_s = math.asin(s / big_b)
+        big_r = self.a * self.k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s * s)
+        big_c = math.log(math.tan(math.pi / 4.0 + phi_s / 2.0)) - (
+            big_b * math.log(
+                math.tan(math.pi / 4.0 + phic / 2.0)
+                * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+            )
+        )
+        two_a = 2.0 * math.radians(self.alpha)
+        big_g = complex(1.0 - math.cos(two_a), math.sin(two_a)) / 12.0
+        return big_b, phi_s, big_r, big_c, big_g
+
+
+@dataclass(frozen=True)
+class BonneParams:
+    """Bonne parameters (EPSG method 9827) — the pseudoconic
+    EQUAL-AREA projection of the historic French/Portuguese national
+    map series.  GN7-2 Bonne formulas (meridian-arc based); lat0 = 0
+    is rejected (that degenerate case is the Sinusoidal, a different
+    EPSG method).  No GN7-2 worked example exists for Bonne, so the
+    kernel is pinned by construction invariants instead: exactness at
+    the natural origin, true scale along the central meridian and
+    along every parallel, the equal-area property (numeric Jacobian
+    == ellipsoidal area element), and round-trip — see
+    test_projection.  The reference reaches Bonne CRSs through PROJ
+    (src/reprojection-generic-proj6.cpp)."""
+
+    a: float
+    inv_f: float
+    lon0: float
+    lat0: float
+    fe: float
+    fn: float
+
+    def __post_init__(self):
+        if abs(self.lat0) < 1e-9:
+            raise ValueError(
+                "Bonne lat0 must be non-zero (lat0 = 0 degenerates "
+                "to the Sinusoidal projection, EPSG method 9826/9842)")
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.f * (2.0 - self.f))
+
+    @property
+    def _derived(self) -> tuple[float, float]:
+        """(a*m0/sin(phi0), M0)."""
+        e2 = self.e ** 2
+        phi0 = math.radians(self.lat0)
+        s0 = math.sin(phi0)
+        m0 = math.cos(phi0) / math.sqrt(1.0 - e2 * s0 * s0)
+        return self.a * m0 / s0, float(
+            _merid_arc(self.a, e2, np.asarray(phi0)))
+
+
 #: psi(dphi) series — dphi in units of (arc-seconds * 1e-5)
 _NZMG_TPSI = (
     0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
@@ -849,15 +974,67 @@ _kv(5513, "bessel", _dms(24, 50), 49.5, _dms(30, 17, 17.30311),
 # NZGD49 / New Zealand Map Grid (EPSG method 9811, International 1924)
 _NAMED[27200] = NzmgParams(6378388.0, 297.0, 173.0, -41.0,
                            2510000.0, 6023150.0)
+# --- round-12 registry tail ---
+# NAD83 / Michigan Oblique Mercator (EPSG method 9812, Hotine variant
+# A: FE/FN at the natural origin, no u_c offset); 3079 is the
+# NAD83(HARN) twin with identical projection parameters
+_NAMED[3078] = HomAParams(*ELLIPSOIDS["GRS80"], -86.0,
+                          _dms(45, 18, 33), _dms(337, 15, 20),
+                          _dms(337, 15, 20), 0.9996,
+                          2546731.496, -4354009.816)
+_NAMED[3079] = _NAMED[3078]
+# Tananarive (Paris) / Laborde Grid (EPSG method 9813) — projection
+# centre 21 grads S, 49 grads east of Paris (Paris meridian
+# 2d20'14.025" E), azimuth 21 grads, k0 = 0.9995
+_NAMED[29701] = LabordeParams(
+    *ELLIPSOIDS["intl"], 44.1 + _dms(2, 20, 14.025), -18.9, 18.9,
+    0.9995, 400000.0, 800000.0)
+# Tananarive (Paris) / Laborde Grid approximation (EPSG:29702) — the
+# registry's published APPROXIMATION of 29701: Hotine Oblique
+# Mercator variant B with the same centre/azimuth/scale (this is
+# exactly how PROJ and most software realize 29702); differs from the
+# true Laborde cubic by <1 m over onshore Madagascar
+_ho(29702, "intl", 44.1 + _dms(2, 20, 14.025), -18.9, 18.9, 18.9,
+    0.9995, 400000.0, 800000.0)
+
+#: Method-level example parameter sets for families with no EPSG row
+#: this registry can state with certainty offline (the EPSG registry
+#: rows for Bonne CRSs — historic Portuguese/French series — are not
+#: reproducible from public formulas alone, only from the registry
+#: database).  These keys resolve through epsg_params() like codes do
+#: and are exercised by the epsg_registry_tail gate; a user with a
+#: real Bonne EPSG row registers it with register_epsg().
+METHOD_EXAMPLES: dict[str, object] = {
+    # Bonne on International 1924 centred on Portugal's belt — the
+    # method example for EPSG 9827 (invariant-pinned, see BonneParams)
+    "bonne_example": BonneParams(*ELLIPSOIDS["intl"], -8.0, 39.668,
+                                 0.0, 0.0),
+}
 
 
-def epsg_params(code: int) -> TmercParams | LaeaParams:
-    """Resolve an EPSG code to projection parameters.
+def register_epsg(code: int, params) -> None:
+    """Register projection parameters for an EPSG code at runtime —
+    the escape hatch matching the reference's any-code contract
+    (src/reprojection.cpp:17-102 accepts any SRID PROJ resolves): a
+    deployment whose CRS row is absent from the built-in registry
+    supplies the published EPSG parameters once, and every transform
+    (-E flag, flex expire, geometry functions) resolves it."""
+    if not isinstance(code, int):
+        raise TypeError(f"EPSG code must be int, got {type(code)}")
+    _NAMED[code] = params
+
+
+def epsg_params(code: int | str) -> TmercParams | LaeaParams:
+    """Resolve an EPSG code (or a METHOD_EXAMPLES key) to projection
+    parameters.
 
     Covers: WGS84 UTM 32601-32660 (N) / 32701-32760 (S), ETRS89 UTM
     25828-25838, NAD83 UTM 26901-26923, plus the named national grids
-    above.  Raises KeyError for unknown codes (the reference raises
-    for SRIDs PROJ cannot resolve, src/reprojection.cpp:83-85)."""
+    above; register_epsg() adds codes at runtime.  Raises KeyError
+    for unknown codes (the reference raises for SRIDs PROJ cannot
+    resolve, src/reprojection.cpp:83-85)."""
+    if isinstance(code, str):
+        return METHOD_EXAMPLES[code]
     if code in _NAMED:
         return _NAMED[code]
     if 32601 <= code <= 32660:  # WGS84 / UTM north
@@ -1174,10 +1351,14 @@ def merc_inverse(E: np.ndarray, N: np.ndarray, p: MercParams):
 # ------------------------------------- Hotine Oblique Mercator kernels
 
 def hom_forward(lon: np.ndarray, lat: np.ndarray, p: HomParams):
-    """(E, N) — Hotine Oblique Mercator variant B forward (EPSG 9815,
-    GN7-2 §3.2.6)."""
+    """(E, N) — Hotine Oblique Mercator forward (GN7-2 §3.2.6):
+    variant B (EPSG 9815) by default; for HomAParams (variant A,
+    EPSG 9812) the u_c offset is zero and FE/FN apply at the natural
+    origin instead of the projection centre."""
     e = p.e
     big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    if isinstance(p, HomAParams):
+        uc = 0.0  # variant A: u referenced to the natural origin
     sign = 1.0 if p.latc >= 0.0 else -1.0
     phi = np.radians(lat)
     s = np.sin(phi)
@@ -1207,10 +1388,12 @@ def hom_forward(lon: np.ndarray, lat: np.ndarray, p: HomParams):
 
 
 def hom_inverse(E: np.ndarray, N: np.ndarray, p: HomParams):
-    """(lon, lat) — 9815 variant B inverse; conformal-latitude fixed
+    """(lon, lat) — 9815/9812 inverse; conformal-latitude fixed
     point (8 iterations: double-precision converged)."""
     e = p.e
     big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    if isinstance(p, HomAParams):
+        uc = 0.0
     sign = 1.0 if p.latc >= 0.0 else -1.0
     gc = math.radians(p.gamma)
     de = np.asarray(E, dtype="f8") - p.fe
@@ -1430,6 +1613,123 @@ def nzmg_inverse(E: np.ndarray, N: np.ndarray, p: NzmgParams):
     return p.lon0 + np.degrees(lam), p.lat0 + dphi / _NZMG_SEC5
 
 
+# -------------------------------------------------- Laborde kernels
+
+def laborde_forward(lon: np.ndarray, lat: np.ndarray, p: LabordeParams):
+    """(E, N) — Laborde Oblique Mercator forward (EPSG 9813, GN7-2):
+    Gauss sphere -> oblique rotation -> Mercator -> cubic complex
+    correction z = H + G*H^3."""
+    e = p.e
+    big_b, phi_s, big_r, big_c, big_g = p._derived
+    phi = np.radians(np.asarray(lat, dtype="f8"))
+    s = np.sin(phi)
+    big_l = big_b * np.radians(np.asarray(lon, dtype="f8") - p.lonc)
+    q = big_c + big_b * np.log(
+        np.tan(np.pi / 4.0 + phi / 2.0)
+        * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    )
+    big_p = 2.0 * np.arctan(np.exp(q)) - np.pi / 2.0
+    cp, sp = np.cos(big_p), np.sin(big_p)
+    ss, cs = math.sin(phi_s), math.cos(phi_s)
+    u = cp * np.cos(big_l) * cs + sp * ss
+    v = cp * np.cos(big_l) * ss - sp * cs
+    w = cp * np.sin(big_l)
+    d = np.sqrt(u * u + v * v)
+    # d = 0 only at the rotated poles (outside any CRS's use area);
+    # the guarded where() keeps the kernel NaN-free regardless
+    lp = np.where(d > 0.0, 2.0 * np.arctan2(v, u + d), 0.0)
+    pp = np.where(d > 0.0, np.arctan2(w, d),
+                  np.copysign(np.pi / 2.0, w))
+    big_h = -lp + 1j * np.log(np.tan(np.pi / 4.0 + pp / 2.0))
+    # explicit (H*H)*H, matching the SQL twin's expansion order so
+    # both engines feed the rounding identical doubles
+    h3 = (big_h * big_h) * big_h
+    z = big_h + big_g * h3
+    return p.fe + big_r * z.imag, p.fn + big_r * z.real
+
+
+def laborde_inverse(E: np.ndarray, N: np.ndarray, p: LabordeParams):
+    """(lon, lat) — 9813 inverse: Newton on H + G*H^3 = z, inverse
+    rotation, then the Gauss-sphere -> ellipsoid fixed point."""
+    e = p.e
+    big_b, phi_s, big_r, big_c, big_g = p._derived
+    z = (
+        (np.asarray(N, dtype="f8") - p.fn)
+        + 1j * (np.asarray(E, dtype="f8") - p.fe)
+    ) / big_r
+    h = z.copy()
+    for _ in range(10):
+        h = h - (h + big_g * h ** 3 - z) / (1.0 + 3.0 * big_g * h * h)
+    lp, qp = -h.real, h.imag
+    pp = 2.0 * np.arctan(np.exp(qp)) - np.pi / 2.0
+    cpp = np.cos(pp)
+    up = cpp * np.cos(lp)
+    vp = cpp * np.sin(lp)
+    wp = np.sin(pp)
+    ss, cs = math.sin(phi_s), math.cos(phi_s)
+    x = cs * up + ss * vp   # cos(P) cos(L)
+    y = wp                  # cos(P) sin(L)
+    zz = ss * up - cs * vp  # sin(P)
+    d = np.sqrt(x * x + y * y)
+    big_p = np.arctan2(zz, d)
+    big_l = np.arctan2(y, x)
+    lon = p.lonc + np.degrees(big_l) / big_b
+    qe = (np.log(np.tan(np.pi / 4.0 + big_p / 2.0)) - big_c) / big_b
+    phi = 2.0 * np.arctan(np.exp(qe)) - np.pi / 2.0
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = 2.0 * np.arctan(
+            ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0) * np.exp(qe)
+        ) - np.pi / 2.0
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------- Bonne kernels
+
+def bonne_forward(lon: np.ndarray, lat: np.ndarray, p: BonneParams):
+    """(E, N) — Bonne forward (EPSG 9827, GN7-2): concentric arcs at
+    meridian-arc distance, true scale along every parallel."""
+    e2 = p.e ** 2
+    rho0, m_0 = p._derived
+    phi = np.radians(np.asarray(lat, dtype="f8"))
+    s = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    rho = rho0 + m_0 - _merid_arc(p.a, e2, phi)
+    big_t = p.a * m * np.radians(np.asarray(lon, dtype="f8") - p.lon0) / rho
+    return (
+        p.fe + rho * np.sin(big_t),
+        p.fn + rho0 - rho * np.cos(big_t),
+    )
+
+
+def bonne_inverse(E: np.ndarray, N: np.ndarray, p: BonneParams):
+    """(lon, lat) — 9827 inverse: radius -> meridian arc ->
+    rectifying-latitude series (Snyder 3-26), then the parallel-arc
+    angle."""
+    e2 = p.e ** 2
+    rho0, m_0 = p._derived
+    x = np.asarray(E, dtype="f8") - p.fe
+    y = rho0 - (np.asarray(N, dtype="f8") - p.fn)
+    sign0 = 1.0 if p.lat0 >= 0.0 else -1.0
+    rho = sign0 * np.sqrt(x * x + y * y)
+    big_m = rho0 + m_0 - rho
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    mu = big_m / (p.a * (1.0 - e2 / 4.0 - 3.0 * e2 * e2 / 64.0
+                         - 5.0 * e2 ** 3 / 256.0))
+    phi = (
+        mu
+        + (3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0) * np.sin(2.0 * mu)
+        + (21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0) * np.sin(4.0 * mu)
+        + (151.0 * e1 ** 3 / 96.0) * np.sin(6.0 * mu)
+        + (1097.0 * e1 ** 4 / 512.0) * np.sin(8.0 * mu)
+    )
+    s = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    big_t = np.arctan2(sign0 * x, sign0 * y)
+    lam = rho * big_t / (p.a * m)
+    return p.lon0 + np.degrees(lam), np.degrees(phi)
+
+
 def nzmg_forward_sql(
     lon_expr: str, lat_expr: str, p: NzmgParams
 ) -> tuple[str, str]:
@@ -1506,6 +1806,10 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return cassini_forward(lon, lat, p)
     if isinstance(p, NzmgParams):
         return nzmg_forward(lon, lat, p)
+    if isinstance(p, LabordeParams):
+        return laborde_forward(lon, lat, p)
+    if isinstance(p, BonneParams):
+        return bonne_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
 
 
@@ -1676,9 +1980,12 @@ def merc_forward_sql(lon_expr: str, lat_expr: str, p: MercParams) -> tuple[str, 
 
 
 def hom_forward_sql(lon_expr: str, lat_expr: str, p: HomParams) -> tuple[str, str]:
-    """(easting_sql, northing_sql) — DuckDB twin of hom_forward."""
+    """(easting_sql, northing_sql) — DuckDB twin of hom_forward
+    (variants B and, with the u_c offset zeroed, A)."""
     e = p.e
     big_b, big_a, big_h, gamma0, lon0, uc = p._derived
+    if isinstance(p, HomAParams):
+        uc = 0.0
     sign = 1.0 if p.latc >= 0.0 else -1.0
     sphi = f"sin(radians({lat_expr}))"
     es = f"({_r(e)}*({sphi}))"
@@ -1773,6 +2080,74 @@ def cassini_forward_sql(
         f"*(0.5 + (5.0 - ({big_t}) + 6.0*({big_c}))*({a2})/24.0))"
     )
     return easting, northing
+
+
+def laborde_forward_sql(
+    lon_expr: str, lat_expr: str, p: LabordeParams
+) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of laborde_forward;
+    the complex cubic H + G*H^3 expanded into real/imaginary parts."""
+    e = p.e
+    big_b, phi_s, big_r, big_c, big_g = p._derived
+    ss, cs = math.sin(phi_s), math.cos(phi_s)
+    phi = f"radians({lat_expr})"
+    sphi = f"sin({phi})"
+    es = f"({_r(e)}*({sphi}))"
+    q = (
+        f"({_r(big_c)} + {_r(big_b)}*ln(tan(pi()/4.0 + ({phi})/2.0)"
+        f"*pow((1.0-({es}))/(1.0+({es})), {_r(e / 2.0)})))"
+    )
+    bp = f"(2.0*atan(exp({q})) - pi()/2.0)"
+    bl = f"({_r(big_b)}*radians(({lon_expr}) - {_r(p.lonc)}))"
+    u_ = f"(cos({bp})*cos({bl})*{_r(cs)} + sin({bp})*{_r(ss)})"
+    v_ = f"(cos({bp})*cos({bl})*{_r(ss)} - sin({bp})*{_r(cs)})"
+    w_ = f"(cos({bp})*sin({bl}))"
+    d = f"sqrt(({u_})*({u_}) + ({v_})*({v_}))"
+    lp = f"(2.0*atan(({v_})/(({u_}) + ({d}))))"
+    pp = f"atan(({w_})/({d}))"
+    # H = hr + i*hi with hr = -L', hi = ln tan(pi/4 + P'/2)
+    hr = f"(-({lp}))"
+    hi = f"ln(tan(pi()/4.0 + ({pp})/2.0))"
+    h2r = f"(({hr})*({hr}) - ({hi})*({hi}))"
+    h2i = f"(2.0*({hr})*({hi}))"
+    h3r = f"(({h2r})*({hr}) - ({h2i})*({hi}))"
+    h3i = f"(({h2r})*({hi}) + ({h2i})*({hr}))"
+    gr, gi = big_g.real, big_g.imag
+    zr = f"(({hr}) + {_r(gr)}*({h3r}) - {_r(gi)}*({h3i}))"
+    zi = f"(({hi}) + {_r(gr)}*({h3i}) + {_r(gi)}*({h3r}))"
+    return (
+        f"({_r(p.fe)} + {_r(big_r)}*({zi}))",
+        f"({_r(p.fn)} + {_r(big_r)}*({zr}))",
+    )
+
+
+def bonne_forward_sql(
+    lon_expr: str, lat_expr: str, p: BonneParams
+) -> tuple[str, str]:
+    """(easting_sql, northing_sql) — DuckDB twin of bonne_forward."""
+    e2 = p.e ** 2
+    e4, e6 = e2 * e2, e2 ** 3
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    rho0, m_0 = p._derived
+    phi = f"radians({lat_expr})"
+    s = f"sin({phi})"
+    m = f"(cos({phi})/sqrt(1.0 - {_r(e2)}*({s})*({s})))"
+    big_m = (
+        f"({_r(p.a)}*({_r(c0)}*({phi}) - {_r(c2)}*sin(2.0*({phi}))"
+        f" + {_r(c4)}*sin(4.0*({phi})) - {_r(c6)}*sin(6.0*({phi}))))"
+    )
+    rho = f"({_r(rho0 + m_0)} - ({big_m}))"
+    bt = (
+        f"({_r(p.a)}*({m})*radians(({lon_expr}) - {_r(p.lon0)})"
+        f"/({rho}))"
+    )
+    return (
+        f"({_r(p.fe)} + ({rho})*sin({bt}))",
+        f"({_r(p.fn + rho0)} - ({rho})*cos({bt}))",
+    )
 
 
 def sterea_forward_sql(lon_expr: str, lat_expr: str, p: StereaParams) -> tuple[str, str]:

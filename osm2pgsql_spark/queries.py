@@ -3783,6 +3783,10 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
         return PJ.cassini_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.NzmgParams):
         return PJ.nzmg_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.LabordeParams):
+        return PJ.laborde_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.BonneParams):
+        return PJ.bonne_forward_sql("lon", "lat", p)
     return PJ.laea_forward_sql("lon", "lat", p)
 
 
@@ -3919,6 +3923,23 @@ _EPSG_GRATICULES_R10 = {
         "cast((p_partkey * 13) % 11 AS double) + 167.0e0",
         "cast((p_partkey * 7) % 13 AS double) - 47.0e0",
     ),
+    # --- round-12 additions (Hotine variant A 9812, Laborde 9813,
+    # --- Bonne 9827 method example) ---
+    "homa_michigan": (  # NAD83 / Michigan Oblique Mercator
+        3078,
+        "cast((p_partkey * 7) % 8 AS double) - 90.0e0",
+        "cast((p_partkey * 5) % 7 AS double) + 41.0e0",
+    ),
+    "laborde_madagascar": (  # Tananarive (Paris) / Laborde Grid
+        29701,
+        "cast((p_partkey * 11) % 8 AS double) + 43.0e0",
+        "cast((p_partkey * 13) % 14 AS double) - 26.0e0",
+    ),
+    "bonne_example": (  # Bonne 9827 method example (see METHOD_EXAMPLES)
+        "bonne_example",
+        "cast((p_partkey * 3) % 4 AS double) - 10.0e0",
+        "cast((p_partkey * 7) % 5 AS double) + 37.0e0",
+    ),
 }
 
 
@@ -3935,9 +3956,11 @@ def q_epsg_registry_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EPSG registry tail (projection.py registry rows for Belgian
     Lambert 72, Swiss LV95, RSO Borneo, Irish TM, NZTM, a
     Gauss-Krueger zone, Jamaica National Grid (LCC 1SP), Antarctic
-    Polar Stereographic, World Mercator, and — round 11 — Krovak
-    S-JTSK 5514 plus Cassini-Soldner Palestine/Trinidad grids) — the
-    reference reprojects to these via PROJ
+    Polar Stereographic, World Mercator, round 11's Krovak S-JTSK
+    5514 plus Cassini-Soldner Palestine/Trinidad grids, and — round
+    12 — Hotine variant A (Michigan 3078), Laborde Madagascar 29701
+    (GN7-2 worked example mm-pinned) and the Bonne 9827 method
+    example) — the reference reprojects to these via PROJ
     (src/reprojection-generic-proj6.cpp); here each family kernel is
     checked against a DuckDB twin generated from the same params
     object."""

@@ -863,3 +863,184 @@ def test_registry_tail_round11_variants():
     Eb, Nb = PJ.forward_xy(np.array([p_belt.lon0]), np.array([32.5]), p_belt)
     assert Eb[0] == pytest.approx(Ec[0], abs=1e-6)
     assert Nb[0] - 1e6 == pytest.approx(Nc[0], abs=1e-4)
+
+
+def test_laborde_gn72_worked_example():
+    """EPSG GN7-2 Laborde worked example (Tananarive (Paris) /
+    Laborde Grid, EPSG:29701): 16d11'23.280\"S, 44d27'27.260\"E of
+    Greenwich -> E 188333.848, N 1098841.091 — pinned to the mm."""
+    p = PJ.epsg_params(29701)
+    lat = -(16.0 + 11.0 / 60.0 + 23.280 / 3600.0)
+    lon = 44.0 + 27.0 / 60.0 + 27.260 / 3600.0
+    E, N = PJ.laborde_forward(np.array([lon]), np.array([lat]), p)
+    assert E[0] == pytest.approx(188333.848, abs=1e-3)
+    assert N[0] == pytest.approx(1098841.091, abs=1e-3)
+    # origin maps exactly to (FE, FN)
+    E0, N0 = PJ.laborde_forward(np.array([p.lonc]), np.array([p.latc]), p)
+    assert E0[0] == pytest.approx(400000.0, abs=1e-6)
+    assert N0[0] == pytest.approx(800000.0, abs=1e-6)
+
+
+def test_laborde_conformal_roundtrip_and_hotine_proximity():
+    p = PJ.epsg_params(29701)
+    # conformality: numeric Cauchy-Riemann across Madagascar
+    d = 1e-6
+    for lon0, lat0 in [(44.0, -13.0), (47.0, -19.5), (50.0, -25.0)]:
+        E0, N0 = PJ.laborde_forward(np.array([lon0]), np.array([lat0]), p)
+        Ee, Ne = PJ.laborde_forward(np.array([lon0 + d]),
+                                    np.array([lat0]), p)
+        En, Nn = PJ.laborde_forward(np.array([lon0]),
+                                    np.array([lat0 + d]), p)
+        import math
+        e2 = p.e ** 2
+        phi = math.radians(lat0)
+        s = math.sin(phi)
+        nu = p.a / math.sqrt(1 - e2 * s * s)
+        rho = p.a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        k_ew = math.hypot(Ee[0] - E0[0], Ne[0] - N0[0]) / (
+            nu * math.cos(phi) * math.radians(d))
+        k_ns = math.hypot(En[0] - E0[0], Nn[0] - N0[0]) / (
+            rho * math.radians(d))
+        assert k_ew == pytest.approx(k_ns, rel=1e-6), (lon0, lat0)
+    # round-trip
+    rng = np.random.default_rng(16)
+    lon = rng.uniform(43.0, 51.0, 80)
+    lat = rng.uniform(-26.0, -12.0, 80)
+    E, N = PJ.laborde_forward(lon, lat, p)
+    lo, la = PJ.laborde_inverse(E, N, p)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # EPSG:29702 is the registry's Hotine-B APPROXIMATION of the same
+    # grid: identical at the centre, sub-metre divergence onshore
+    ph = PJ.epsg_params(29702)
+    Eh, Nh = PJ.hom_forward(lon, lat, ph)
+    diff = np.hypot(E - Eh, N - Nh)
+    assert diff.max() < 2.0
+    Ec, Nc = PJ.laborde_forward(np.array([p.lonc]), np.array([p.latc]), p)
+    Ech, Nch = PJ.hom_forward(np.array([p.lonc]), np.array([p.latc]), ph)
+    assert abs(Ec[0] - Ech[0]) < 1e-6 and abs(Nc[0] - Nch[0]) < 1e-6
+
+
+def test_hom_variant_a_michigan():
+    """Hotine Oblique Mercator variant A (EPSG 9812, Michigan 3078):
+    differs from variant B with the same parameters by the EXACT
+    constant vector (uc*sin(gamma_c), uc*cos(gamma_c)) — variant B is
+    mm-pinned to the GN7-2 worked example, so the identity anchors
+    variant A; plus round-trip and the natural-origin invariant."""
+    import math
+
+    pa = PJ.epsg_params(3078)
+    assert isinstance(pa, PJ.HomAParams)
+    assert PJ.epsg_params(3079) is pa  # HARN twin, same parameters
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-90.0, -82.5, 60)
+    lat = rng.uniform(41.5, 47.5, 60)
+    Ea, Na = PJ.hom_forward(lon, lat, pa)
+    pb = PJ.HomParams(pa.a, pa.inv_f, pa.lonc, pa.latc, pa.alpha,
+                      pa.gamma, pa.k0, pa.fe, pa.fn)
+    Eb, Nb = PJ.hom_forward(lon, lat, pb)
+    _, _, _, _, _, uc = pb._derived
+    gc = math.radians(pb.gamma)
+    de, dn = Ea - Eb, Na - Nb
+    assert np.abs(de - uc * math.sin(gc)).max() < 1e-6
+    assert np.abs(dn - uc * math.cos(gc)).max() < 1e-6
+    # round-trip through the variant-A inverse
+    lo, la = PJ.hom_inverse(Ea, Na, pa)
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_bonne_invariants():
+    """Bonne (EPSG 9827) construction invariants: exact natural
+    origin, equal-area (numeric Jacobian == ellipsoid area element),
+    true scale along every parallel, round-trip; lat0 = 0 rejected."""
+    import math
+
+    p = PJ.epsg_params("bonne_example")
+    E0, N0 = PJ.bonne_forward(np.array([p.lon0]), np.array([p.lat0]), p)
+    assert abs(E0[0] - p.fe) < 1e-6 and abs(N0[0] - p.fn) < 1e-6
+    d = 1e-6
+    e2 = p.e ** 2
+    for lon0, lat0 in [(-9.5, 37.2), (-8.0, 39.668), (-6.3, 41.9)]:
+        E, N = PJ.bonne_forward(np.array([lon0]), np.array([lat0]), p)
+        Ee, Ne = PJ.bonne_forward(np.array([lon0 + d]),
+                                  np.array([lat0]), p)
+        En, Nn = PJ.bonne_forward(np.array([lon0]),
+                                  np.array([lat0 + d]), p)
+        jac = abs((Ee[0] - E[0]) * (Nn[0] - N[0])
+                  - (En[0] - E[0]) * (Ne[0] - N[0])) / math.radians(d) ** 2
+        phi = math.radians(lat0)
+        s = math.sin(phi)
+        elem = p.a ** 2 * (1 - e2) * math.cos(phi) / (1 - e2 * s * s) ** 2
+        assert jac == pytest.approx(elem, rel=1e-6), (lon0, lat0)
+        # true scale along the parallel: h_parallel = 1
+        nu = p.a / math.sqrt(1 - e2 * s * s)
+        k_par = math.hypot(Ee[0] - E[0], Ne[0] - N[0]) / (
+            nu * math.cos(phi) * math.radians(d))
+        assert k_par == pytest.approx(1.0, rel=1e-6), (lon0, lat0)
+    # true scale along the central meridian
+    rho_m = p.a * (1 - e2) / (
+        1 - e2 * math.sin(math.radians(40.0)) ** 2) ** 1.5
+    Ec, Nc = PJ.bonne_forward(np.array([p.lon0]), np.array([40.0]), p)
+    Ec2, Nc2 = PJ.bonne_forward(np.array([p.lon0]), np.array([40.0 + d]), p)
+    k_mer = math.hypot(Ec2[0] - Ec[0], Nc2[0] - Nc[0]) / (
+        rho_m * math.radians(d))
+    assert k_mer == pytest.approx(1.0, rel=1e-6)
+    rng = np.random.default_rng(18)
+    lon = rng.uniform(-10.0, -6.0, 60)
+    lat = rng.uniform(36.5, 42.5, 60)
+    E, N = PJ.bonne_forward(lon, lat, p)
+    lo, la = PJ.bonne_inverse(E, N, p)
+    assert np.abs(lo - lon).max() < 1e-8
+    assert np.abs(la - lat).max() < 1e-8
+    with pytest.raises(ValueError, match="Sinusoidal"):
+        PJ.BonneParams(*PJ.ELLIPSOIDS["intl"], -8.0, 0.0, 0.0, 0.0)
+
+
+def test_round12_sql_twins_match_kernel():
+    import duckdb
+
+    cases = [
+        (29701, PJ.laborde_forward, PJ.laborde_forward_sql,
+         (43.5, 50.5), (-25.5, -12.5)),
+        ("bonne_example", PJ.bonne_forward, PJ.bonne_forward_sql,
+         (-10.0, -6.0), (36.5, 42.5)),
+        (3078, PJ.hom_forward, PJ.hom_forward_sql,
+         (-89.5, -83.0), (41.5, 47.5)),
+    ]
+    con = duckdb.connect()
+    rng = np.random.default_rng(19)
+    for code, fwd, fwd_sql, lon_rng, lat_rng in cases:
+        p = PJ.epsg_params(code)
+        lon = rng.uniform(*lon_rng, 40)
+        lat = rng.uniform(*lat_rng, 40)
+        E, N = fwd(lon, lat, p)
+        e_sql, n_sql = fwd_sql("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        cols = list(got)
+        assert np.abs(np.array(got[cols[0]]) - E).max() < 1e-4, code
+        assert np.abs(np.array(got[cols[1]]) - N).max() < 1e-4, code
+
+
+def test_register_epsg_escape_hatch():
+    """register_epsg(): the any-code contract's runtime escape hatch —
+    a deployment supplies a published parameter row once and the code
+    resolves everywhere epsg_params does."""
+    code = 904827  # private-range test code
+    try:
+        with pytest.raises(KeyError):
+            PJ.epsg_params(code)
+        p = PJ.BonneParams(*PJ.ELLIPSOIDS["bessel"], 2.33722917, 45.0,
+                           0.0, 0.0)
+        PJ.register_epsg(code, p)
+        assert PJ.epsg_params(code) is p
+        E, N = PJ.forward_xy(np.array([2.33722917]), np.array([45.0]),
+                             PJ.epsg_params(code))
+        assert abs(E[0]) < 1e-6 and abs(N[0]) < 1e-6
+        with pytest.raises(TypeError):
+            PJ.register_epsg("not-a-code", p)
+    finally:
+        PJ._NAMED.pop(code, None)
