@@ -291,6 +291,88 @@ def test_copy_partition_replay_is_exactly_once(spark, pg):
     assert stg == []
 
 
+def test_copy_promote_crash_recovery(spark, pg, monkeypatch):
+    """Kill-mid-promote fault injection (r11 VERDICT #7, mirroring
+    test_bloom_state_swap_crash_recovery): a writer killed (a) after
+    the staging COPY but before the promote, and (b) INSIDE the
+    promote transaction after the ledger insert, must on retry land
+    the rows exactly once — the single-transaction promote makes the
+    ledger insert and the INSERT..SELECT atomic, so no crash point
+    can duplicate or lose rows."""
+    def reset():
+        pg_live.run_psql_script(
+            pg,
+            'DROP TABLE IF EXISTS eo_crash;'
+            'CREATE TABLE eo_crash (id int8, name text);'
+            f'CREATE TABLE IF NOT EXISTS "{pg_live.COPY_LEDGER}" '
+            "(tbl text, part int, PRIMARY KEY (tbl, part));"
+            f"DELETE FROM \"{pg_live.COPY_LEDGER}\" "
+            "WHERE tbl = 'eo_crash';",
+        )
+
+    def counts():
+        n = int(pg_live.query(pg, "SELECT count(*) FROM eo_crash")[0][0])
+        led = int(pg_live.query(
+            pg, f"SELECT count(*) FROM \"{pg_live.COPY_LEDGER}\" "
+                "WHERE tbl = 'eo_crash'")[0][0])
+        return n, led
+
+    rows = [{"id": i, "name": f"n{i}"} for i in range(40)]
+    writer = pg_live._CopyPartition(pg, "eo_crash", ["id", "name"])
+    real = pg_live.run_psql_script
+    promote_marker = f'INSERT INTO "{pg_live.COPY_LEDGER}"'
+
+    # (a) process dies between staging load and promote
+    reset()
+
+    def kill_before_promote(dsn, script, **kw):
+        if promote_marker in script:
+            raise RuntimeError("injected kill before promote")
+        return real(dsn, script, **kw)
+
+    monkeypatch.setattr(pg_live, "run_psql_script", kill_before_promote)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        writer(iter(rows))
+    assert counts() == (0, 0)  # staged only: nothing visible
+    monkeypatch.setattr(pg_live, "run_psql_script", real)
+    writer(iter(rows))  # the retried attempt
+    assert counts() == (40, 1)
+    writer(iter(rows))  # and a spurious replay on top
+    assert counts() == (40, 1)
+
+    # (b) promote transaction dies AFTER the ledger insert statement
+    # but before the staged rows are inserted: atomicity must roll
+    # the ledger row back so the retry is not a silent data loss
+    reset()
+
+    def crash_mid_promote(dsn, script, **kw):
+        if promote_marker in script:
+            lines = script.split("\n")
+            injected = "\n".join(
+                [lines[0],
+                 "DO $$ BEGIN RAISE EXCEPTION "
+                 "'injected mid-promote kill'; END $$;"]
+                + lines[1:])
+            return real(dsn, injected, **kw)
+        return real(dsn, script, **kw)
+
+    monkeypatch.setattr(pg_live, "run_psql_script", crash_mid_promote)
+    with pytest.raises(RuntimeError, match="mid-promote"):
+        writer(iter(rows))
+    assert counts() == (0, 0)  # the whole promote rolled back
+    monkeypatch.setattr(pg_live, "run_psql_script", real)
+    writer(iter(rows))
+    assert counts() == (40, 1)
+    assert pg_live.query(
+        pg, "SELECT count(DISTINCT id) FROM eo_crash")[0][0] == "40"
+    # no staging tables left behind after the successful promote
+    stg = pg_live.query(
+        pg,
+        "SELECT tablename FROM pg_tables "
+        "WHERE tablename LIKE 'eo~_crash~_~_stg~_%' ESCAPE '~'")
+    assert stg == []
+
+
 def test_pg_load_tables_hstore_column(spark, pg):
     """map<string,string> output columns (the -k/--hstore shapes) land
     as REAL hstore: extension created, "k"=>"v" literals decoded by
