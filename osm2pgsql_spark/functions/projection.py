@@ -49,9 +49,10 @@ certainty are reachable through register_epsg().  The families:
 - Laborde Oblique Mercator (9813) — Madagascar 29701, the true cubic
   (GN7-2 worked example pinned to the mm); 29702 is the registry's
   published Hotine-B approximation of the same grid.
-- Bonne (9827) — kernel + invariant pins (equal-area, true-scale
-  parallels); no offline-certain EPSG row, so deployments register
-  theirs via register_epsg() (see METHOD_EXAMPLES).
+- Bonne (9827) + Bonne South Orientated (9828) — kernels + invariant
+  pins (equal-area, true-scale parallels, exact axes-flip identity);
+  no offline-certain EPSG row, so deployments register theirs via
+  register_epsg() (see METHOD_EXAMPLES).
 
 All kernels are vectorized numpy over coordinate arrays (Arrow-batch
 friendly: the pandas-UDF path hands them (N,2) float64 arrays), no
@@ -779,6 +780,15 @@ class BonneParams:
             _merid_arc(self.a, e2, np.asarray(phi0)))
 
 
+@dataclass(frozen=True)
+class BonneSoParams(BonneParams):
+    """Bonne South Orientated (EPSG method 9828) — the axes-flipped
+    twin used by the historic Portuguese grids: westing
+    W = FE - rho*sin(T), southing S = FN - (a*m0/sin(phi0) -
+    rho*cos(T)) (GN7-2; same construction as TM South Orientated's
+    relation to TM)."""
+
+
 #: psi(dphi) series — dphi in units of (arc-seconds * 1e-5)
 _NZMG_TPSI = (
     0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
@@ -1009,6 +1019,10 @@ METHOD_EXAMPLES: dict[str, object] = {
     # method example for EPSG 9827 (invariant-pinned, see BonneParams)
     "bonne_example": BonneParams(*ELLIPSOIDS["intl"], -8.0, 39.668,
                                  0.0, 0.0),
+    # the South Orientated twin (EPSG method 9828, the historic
+    # Portuguese axes convention)
+    "bonne_so_example": BonneSoParams(*ELLIPSOIDS["bessel"], -8.0,
+                                      39.668, 0.0, 0.0),
 }
 
 
@@ -1702,6 +1716,22 @@ def bonne_forward(lon: np.ndarray, lat: np.ndarray, p: BonneParams):
     )
 
 
+def bonne_so_forward(lon: np.ndarray, lat: np.ndarray, p: BonneSoParams):
+    """(W, S) — Bonne South Orientated forward (EPSG 9828): the 9827
+    surface with westing/southing axes."""
+    p27 = BonneParams(p.a, p.inv_f, p.lon0, p.lat0, 0.0, 0.0)
+    e, n = bonne_forward(lon, lat, p27)
+    return p.fe - e, p.fn - n
+
+
+def bonne_so_inverse(W: np.ndarray, S: np.ndarray, p: BonneSoParams):
+    """(lon, lat) — 9828 inverse via the 9827 inverse on flipped
+    axes."""
+    p27 = BonneParams(p.a, p.inv_f, p.lon0, p.lat0, 0.0, 0.0)
+    return bonne_inverse(p.fe - np.asarray(W, dtype="f8"),
+                         p.fn - np.asarray(S, dtype="f8"), p27)
+
+
 def bonne_inverse(E: np.ndarray, N: np.ndarray, p: BonneParams):
     """(lon, lat) — 9827 inverse: radius -> meridian arc ->
     rectifying-latitude series (Snyder 3-26), then the parallel-arc
@@ -1808,6 +1838,8 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return nzmg_forward(lon, lat, p)
     if isinstance(p, LabordeParams):
         return laborde_forward(lon, lat, p)
+    if isinstance(p, BonneSoParams):  # subclass: before 9827
+        return bonne_so_forward(lon, lat, p)
     if isinstance(p, BonneParams):
         return bonne_forward(lon, lat, p)
     return laea_forward(lon, lat, p)
@@ -2148,6 +2180,15 @@ def bonne_forward_sql(
         f"({_r(p.fe)} + ({rho})*sin({bt}))",
         f"({_r(p.fn + rho0)} - ({rho})*cos({bt}))",
     )
+
+
+def bonne_so_forward_sql(
+    lon_expr: str, lat_expr: str, p: BonneSoParams
+) -> tuple[str, str]:
+    """(westing_sql, southing_sql) — DuckDB twin of bonne_so_forward."""
+    p27 = BonneParams(p.a, p.inv_f, p.lon0, p.lat0, 0.0, 0.0)
+    e_sql, n_sql = bonne_forward_sql(lon_expr, lat_expr, p27)
+    return f"({_r(p.fe)} - {e_sql})", f"({_r(p.fn)} - {n_sql})"
 
 
 def sterea_forward_sql(lon_expr: str, lat_expr: str, p: StereaParams) -> tuple[str, str]:

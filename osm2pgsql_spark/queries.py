@@ -3785,6 +3785,8 @@ def _epsg_forward_sql(code: int) -> tuple[str, str]:
         return PJ.nzmg_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.LabordeParams):
         return PJ.laborde_forward_sql("lon", "lat", p)
+    if isinstance(p, PJ.BonneSoParams):  # subclass: before 9827
+        return PJ.bonne_so_forward_sql("lon", "lat", p)
     if isinstance(p, PJ.BonneParams):
         return PJ.bonne_forward_sql("lon", "lat", p)
     return PJ.laea_forward_sql("lon", "lat", p)
@@ -3939,6 +3941,11 @@ _EPSG_GRATICULES_R10 = {
         "bonne_example",
         "cast((p_partkey * 3) % 4 AS double) - 10.0e0",
         "cast((p_partkey * 7) % 5 AS double) + 37.0e0",
+    ),
+    "bonne_so_example": (  # Bonne South Orientated (9828) twin
+        "bonne_so_example",
+        "cast((p_partkey * 5) % 4 AS double) - 10.0e0",
+        "cast((p_partkey * 11) % 5 AS double) + 37.0e0",
     ),
 }
 

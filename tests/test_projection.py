@@ -1044,3 +1044,44 @@ def test_register_epsg_escape_hatch():
             PJ.register_epsg("not-a-code", p)
     finally:
         PJ._NAMED.pop(code, None)
+
+
+def test_bonne_south_orientated():
+    """Bonne South Orientated (EPSG 9828): exact axes-flip of the
+    9827 surface (W = FE - E27, S = FN - N27 with FE = FN = 0 on the
+    27-side), round-trip, and the dispatch/SQL-twin wiring."""
+    import duckdb
+
+    pso = PJ.epsg_params("bonne_so_example")
+    assert isinstance(pso, PJ.BonneSoParams)
+    p27 = PJ.BonneParams(pso.a, pso.inv_f, pso.lon0, pso.lat0, 0.0, 0.0)
+    rng = np.random.default_rng(20)
+    lon = rng.uniform(-10.0, -6.0, 50)
+    lat = rng.uniform(36.5, 42.5, 50)
+    W, S = PJ.forward_xy(lon, lat, pso)
+    E, N = PJ.bonne_forward(lon, lat, p27)
+    assert np.array_equal(W, -E) and np.array_equal(S, -N)
+    lo, la = PJ.bonne_so_inverse(W, S, pso)
+    assert np.abs(lo - lon).max() < 1e-8
+    assert np.abs(la - lat).max() < 1e-8
+    e_sql, n_sql = PJ.bonne_so_forward_sql("lon", "lat", pso)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+    got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+    cols = list(got)
+    assert np.abs(np.array(got[cols[0]]) - W).max() < 1e-4
+    assert np.abs(np.array(got[cols[1]]) - S).max() < 1e-4
+
+
+def test_unsupported_epsg_keyerror_wording():
+    """The unsupported-code KeyError names the supported ranges and
+    registered codes (the reference's PROJ-failure message names the
+    SRID, src/reprojection.cpp:83-85) — the wording the SURVEY §2.9
+    closure decision promises."""
+    with pytest.raises(KeyError) as ei:
+        PJ.epsg_params(999999)
+    msg = str(ei.value)
+    assert "EPSG:999999 not supported" in msg
+    assert "32601-32660" in msg and "named codes:" in msg
+    assert "29701" in msg and "3078" in msg  # round-12 rows listed
