@@ -381,6 +381,115 @@ def dedup_decisions(
 # ---------------------------------------------------------------------------
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_chars: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text, n_lines, n_kept_lines): corpus-global line-level
+    deduplication — the C4 §2.2 / RefinedWeb-style stage that keeps
+    only the FIRST occurrence of each repeated line (boilerplate
+    navigation, cookie banners, license footers) and rebuilds every
+    document from its surviving lines in order.
+
+    First occurrence = minimal (id, line_position) over the whole
+    corpus, a total deterministic order, so the result is independent
+    of partitioning and engine.  Lines shorter than `min_chars` after
+    trim (blank separators, bullets) are never deduplicated — C4
+    keeps them too; dropping every empty line would glue paragraphs.
+    Documents are preserved 1:1 (a fully-boilerplate doc comes back
+    with text '' and n_kept_lines 0 — the caller filters).
+
+    Scale shape: one explode (narrow) -> ONE corpus-scale groupBy on
+    md5(line) with min(struct(id, pos)) — partial-aggregated
+    map-side, so a line repeated 10^9 times (the skew case that kills
+    a window/ROW_NUMBER formulation) combines per-partition before
+    the shuffle — then a join back on the same key and one
+    per-document groupBy to reassemble.  Only 16-byte line hashes
+    shuffle in the winners table, never the line text."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    ).withColumn("k", F.md5("line")).withColumn(
+        "elig", F.length(F.trim("line")) >= min_chars)
+    winners = (
+        lines.where("elig")
+        .groupBy("k")
+        .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                            F.col("pos").alias("p"))).alias("w"))
+    )
+    kept = lines.join(winners, "k", "left").where(
+        (~F.col("elig"))
+        | ((F.col(id_col) == F.col("w.d")) & (F.col("pos") == F.col("w.p")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept_lines"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1))
+        .cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+    )
+
+
+def line_dedup_sql(
+    min_chars: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of line_dedup (same first-occurrence order; the
+    oracle may use ROW_NUMBER since it only needs the same RESULT,
+    not the skew-robust plan)."""
+    return f"""
+    WITH lines AS (
+        SELECT {id_col} AS d, CAST(g.i AS BIGINT) AS pos,
+               ls[g.i + 1] AS line
+        FROM (SELECT {id_col}, string_split(coalesce({text_col}, ''),
+                     chr(10)) AS ls FROM {relation}) t,
+             LATERAL (SELECT unnest(range(0, len(t.ls))) AS i) g
+    ),
+    kept AS (
+        SELECT d, pos, line FROM lines
+        WHERE len(trim(line)) < {min_chars}
+        UNION ALL
+        SELECT d, pos, line FROM (
+            SELECT d, pos, line,
+                   ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                      ORDER BY d, pos) AS rn
+            FROM lines WHERE len(trim(line)) >= {min_chars})
+        WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT d, string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept_lines
+        FROM kept GROUP BY d
+    )
+    SELECT b.{id_col},
+           coalesce(r.text, '') AS text,
+           CAST(len(string_split(coalesce(b.{text_col}, ''), chr(10)))
+                AS BIGINT) AS n_lines,
+           coalesce(r.n_kept_lines, 0) AS n_kept_lines
+    FROM {relation} b LEFT JOIN rebuilt r ON r.d = b.{id_col}
+    """
+
+
 def duplicated_spans(
     docs: DataFrame,
     k: int = 8,

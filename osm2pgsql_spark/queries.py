@@ -559,6 +559,43 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(fp).unionByName(sp)
 
 
+# multi-line view of the corpus for the line-dedup gate: a repeated
+# header (the source tag), the body, and a 7-way shared footer — the
+# boilerplate shape C4-style line dedup exists to strip
+_LINE_DEDUP_DOC_SQL = (
+    "SELECT doc_id, source || chr(10) || text || chr(10) || "
+    "'shared footer line number ' || CAST(doc_id % 7 AS VARCHAR) "
+    "AS text FROM documents"
+)
+
+
+def _line_dedup_oracle() -> str:
+    from osm2pgsql_spark.operators.dedup import line_dedup_sql
+
+    return line_dedup_sql(min_chars=4,
+                          relation=f"({_LINE_DEDUP_DOC_SQL})")
+
+
+@register("line_dedup", oracle=_line_dedup_oracle())
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-level dedup (C4 §2.2 / RefinedWeb
+    boilerplate stripping; operators/dedup.line_dedup): keep the
+    first occurrence of every repeated line, rebuild documents from
+    surviving lines — one skew-robust hash groupBy on md5(line), no
+    window over the corpus."""
+    from osm2pgsql_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "source", "text",
+            F.concat(F.lit("shared footer line number "),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_chars=4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis: token counts, quality, language guess
 # ---------------------------------------------------------------------------
@@ -4685,6 +4722,7 @@ _DRIVER_TAIL = {
     "flex_generic_lines": "flex_route_relations",  # flex DSL family
     "relation_multiline_merge": "relation_collect_suite",  # lmerge branch
     "decontam_spans": "stratified_sample",      # decontam/sampling family
+    "line_dedup": "dedup_exact_fingerprint",    # exact-hash dedup family
 }
 
 

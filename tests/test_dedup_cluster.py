@@ -76,3 +76,51 @@ def test_duplicated_spans_merges_overlaps(spark):
         for r in duplicated_spans(docs, k=8).collect()
     )
     assert got == [(1, 3, 32), (2, 1, 30)]
+
+
+def test_line_dedup_semantics(spark):
+    """C4-style line dedup: global first occurrence by (doc_id, pos)
+    wins, short lines are never deduplicated, documents rebuild in
+    order, a fully-boilerplate doc survives as an empty row."""
+    from osm2pgsql_spark.operators.dedup import line_dedup
+
+    boiler = "accept our cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{boiler}\n--\nunique beta"),
+            (2, f"{boiler}\nunique gamma\n--"),
+            (3, boiler),            # fully boilerplate
+            (4, ""),                # empty
+            (5, None),              # NULL
+            (6, f"--\n{boiler}"),   # only short + duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_chars=4).collect()}
+    assert len(out) == 6  # rows preserved 1:1
+    # doc 1 holds the first occurrence of the boilerplate line
+    assert out[1]["text"] == f"unique alpha\n{boiler}\n--\nunique beta"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept_lines"] == 4
+    # later occurrences drop; short '--' separators always survive
+    assert out[2]["text"] == "unique gamma\n--"
+    assert out[2]["n_kept_lines"] == 2
+    assert out[3]["text"] == "" and out[3]["n_kept_lines"] == 0
+    # empty / NULL text: one empty line, short, kept
+    assert out[4]["text"] == "" and out[4]["n_kept_lines"] == 1
+    assert out[5]["text"] == "" and out[5]["n_lines"] == 1
+    assert out[6]["text"] == "--"
+
+
+def test_line_dedup_skew_robust_plan(spark):
+    """The winners aggregation must be a partial-agg'd hash groupBy
+    (map-side combine before the shuffle), NOT a Window over the
+    corpus — a boilerplate line repeated 10^9 times would serialize
+    through a single window partition otherwise."""
+    from osm2pgsql_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\nline b{i}") for i in range(30)],
+        "doc_id long, text string")
+    plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan and "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
