@@ -4675,70 +4675,125 @@ def q_polylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The external driver's correctness budget samples the FIRST 50
-# registered gates; this window is chosen so those 50 span every
-# operator family (r10 VERDICT #3) and is ROTATED each round so every
-# gate gets a driver-checked row at least every other round (r11
-# VERDICT #4): the 16 gates that rode the r11 tail are all in-window
-# this round, and the 16 rotated out are each same-family redundant
-# with a gate that stays (see _DRIVER_TAIL).  All gates keep their
-# oracles and run in the full sweep (tools/check_correctness.py
-# --json -> CORRECTNESS_full_rN.json).
-_DRIVER_WINDOW = [
-    "way_length", "bbox_filter", "merge_dedup", "z_order",
-    "way_polygon_area", "wildcard_tag_filter", "quadkey_buckets",
-    "reverse_deps", "locator_all_intersecting", "dedup_exact_fingerprint",
-    "url_filter_decisions", "text_quality_signals", "quality_classifier",
+# registered gates; the window spans every operator family (r10
+# VERDICT #3) and is ROTATED each round so every gate gets a
+# driver-checked row at least every other round (r11 VERDICT #4).
+# r13 VERDICT #1 made the rotation MECHANICAL: the window is derived
+# from the round number's parity, not hand-edited.  33 gates are
+# permanent window residents; the remaining 34 form 17 same-family
+# pairs whose members alternate between window and tail each round.
+# All gates keep their oracles and run in the full sweep
+# (tools/check_correctness.py --json -> CORRECTNESS_full_rN.json).
+
+# Slot template for the 50-gate window.  Plain names are permanent;
+# integers are slots filled from _ROTATING_PAIRS[i] by round parity.
+_WINDOW_SLOTS = [
+    0, "bbox_filter", "merge_dedup", "z_order",
+    "way_polygon_area", 1, "quadkey_buckets",
+    "reverse_deps", "locator_all_intersecting", 2,
+    "url_filter_decisions", 3, "quality_classifier",
     "doc_chunks", "sketch_suite", "unimax_mixture",
-    "exact_quantiles", "ngram_jaccard", "ann_cosine_topk",
-    "events_hourly", "discrete_isolation", "relation_member_join",
-    "topk_per_group", "pii_scrub", "flex_casts",
-    "user_table", "expire_line_tiles", "stratified_sample",
-    "two_stage_refs", "flex_route_relations", "ann_pq_suite",
-    "embedding_near_dups", "input_validation", "dedup_decisions",
-    "token_budget_mix", "river_width_propagation", "dsir_selection",
+    4, 5, 6,
+    7, "discrete_isolation", "relation_member_join",
+    8, "pii_scrub", "flex_casts",
+    9, 10, 11,
+    "two_stage_refs", 12, 13,
+    "embedding_near_dups", "input_validation", 14,
+    15, "river_width_propagation", "dsir_selection",
     "bpe_encode", "semdedup_decisions", "relation_multipolygon_rings",
-    "relation_collect_suite", "append_diff_fold", "river_width_from_areas",
+    16, "append_diff_fold", "river_width_from_areas",
     "pgsql_legacy_suite", "river_contraction", "epsg_registry_tail",
     "geom_suite", "vector_tile_cut", "copy_encoding", "polylabel",
 ]
 
-# Gates outside the driver's 50-slot window THIS round, each with the
-# in-window gate that keeps its family driver-checked.  Rotated with
-# _DRIVER_WINDOW every round; the full sweep still runs all of them.
-_DRIVER_TAIL = {
-    "pricing_summary": "user_table",            # stats/agg family
-    "way_node_join": "way_length",              # way->node assembly join
-    "tag_filter_json": "wildcard_tag_filter",   # style tag filtering
-    "tile_expiry_rollup": "expire_line_tiles",  # tile expiry family
-    "text_stats": "text_quality_signals",       # text signal family
-    "minhash_near_dups": "ngram_jaccard",       # shingle-set near-dup
-    "simhash_hamming_pairs": "dedup_decisions", # banded near-dup family
-    "ann_lsh_topk": "ann_cosine_topk",          # ANN family
-    "ann_ivf_topk": "ann_pq_suite",             # ANN (IVF inside PQ suite)
-    "sessionize": "events_hourly",              # streaming family
-    "importance_rank": "topk_per_group",        # window/rank family
-    "ccnet_ppl_buckets": "exact_quantiles",     # de-skewed rank family
-    "sequence_packing": "token_budget_mix",     # two-phase prefix family
-    "flex_generic_lines": "flex_route_relations",  # flex DSL family
-    "relation_multiline_merge": "relation_collect_suite",  # lmerge branch
-    "decontam_spans": "stratified_sample",      # decontam/sampling family
-    "line_dedup": "dedup_exact_fingerprint",    # exact-hash dedup family
-}
+# Same-family pairs: pair[round % 2] is in-window that round, the
+# other member rides the tail with its partner as family rep.  Index
+# i fills slot value i in _WINDOW_SLOTS.  On EVEN rounds element 0 is
+# in-window (the r12 layout); on ODD rounds element 1 is (the r12
+# tail set — all 17 driver-checked in r13 per r12 VERDICT #1).
+_ROTATING_PAIRS = [
+    ("way_length", "way_node_join"),            # way->node assembly join
+    ("wildcard_tag_filter", "tag_filter_json"), # style tag filtering
+    ("dedup_exact_fingerprint", "line_dedup"),  # exact-hash dedup family
+    ("text_quality_signals", "text_stats"),     # text signal family
+    ("exact_quantiles", "ccnet_ppl_buckets"),   # de-skewed rank family
+    ("ngram_jaccard", "minhash_near_dups"),     # shingle-set near-dup
+    ("ann_cosine_topk", "ann_lsh_topk"),        # ANN family
+    ("events_hourly", "sessionize"),            # streaming family
+    ("topk_per_group", "importance_rank"),      # window/rank family
+    ("user_table", "pricing_summary"),          # stats/agg family
+    ("expire_line_tiles", "tile_expiry_rollup"),  # tile expiry family
+    ("stratified_sample", "decontam_spans"),    # decontam/sampling family
+    ("flex_route_relations", "flex_generic_lines"),  # flex DSL family
+    ("ann_pq_suite", "ann_ivf_topk"),           # ANN (IVF inside PQ suite)
+    ("dedup_decisions", "simhash_hamming_pairs"),  # banded near-dup family
+    ("token_budget_mix", "sequence_packing"),   # two-phase prefix family
+    ("relation_collect_suite", "relation_multiline_merge"),  # lmerge branch
+]
+
+# Gates that are ALWAYS tail (window is capped at 50): each maps to a
+# permanent-window family rep.  Empty today; new gates land here (or
+# extend _ROTATING_PAIRS) so the window stays deliberate.
+_PERMANENT_TAIL: dict = {}
+
+
+def _current_round() -> int:
+    """The build round, derived from the newest CORRECTNESS_r*.json
+    the driver has written at the repo root: current = max + 1 (the
+    driver writes round N's file only after running round N's
+    queries).  SPARK_GRAFT_ROUND env overrides for tests.  Falls back
+    to 13 (the round this helper shipped) when no files are found,
+    e.g. a bare checkout."""
+    import os
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = 0
+    try:
+        for fn in os.listdir(root):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+            if m:
+                best = max(best, int(m.group(1)))
+    except OSError:
+        pass
+    return best + 1 if best else 13
+
+
+def _window_for_round(round_no: int) -> tuple[list, dict]:
+    """(window, tail) for a given round: the 50 in-window gate names
+    in slot order, and {tail gate -> in-window family rep}."""
+    par = round_no % 2
+    window = [
+        _ROTATING_PAIRS[s][par] if isinstance(s, int) else s
+        for s in _WINDOW_SLOTS
+    ]
+    tail = {pair[1 - par]: pair[par] for pair in _ROTATING_PAIRS}
+    tail.update(_PERMANENT_TAIL)
+    return window, tail
+
+
+def _driver_layout() -> tuple[list, dict]:
+    return _window_for_round(_current_round())
 
 
 def _window_order(d: dict) -> dict:
-    missing = [n for n in _DRIVER_WINDOW if n not in _QUERIES]
+    window, tail = _driver_layout()
+    missing = [n for n in window if n not in _QUERIES]
     if missing:
         raise KeyError(
-            f"_DRIVER_WINDOW names unknown gates: {missing}")
+            f"driver window names unknown gates: {missing}")
     untriaged = [n for n in _QUERIES
-                 if n not in _DRIVER_WINDOW and n not in _DRIVER_TAIL]
+                 if n not in window and n not in tail]
     if untriaged:
         raise KeyError(
-            "registered gates neither in _DRIVER_WINDOW nor documented "
-            f"in _DRIVER_TAIL: {untriaged} — triage them so the driver "
-            "window stays deliberate")
-    out = {n: d[n] for n in _DRIVER_WINDOW if n in d}
+            "registered gates neither in the driver window nor in the "
+            f"documented tail: {untriaged} — triage them (add to "
+            "_ROTATING_PAIRS or _PERMANENT_TAIL) so the driver window "
+            "stays deliberate")
+    out = {n: d[n] for n in window if n in d}
     out.update({n: v for n, v in d.items() if n not in out})
     return out
 
