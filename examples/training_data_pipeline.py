@@ -69,6 +69,17 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     kept = kept.drop("text").join(stripped, "doc_id")
     counts["after_span_strip"] = kept.count()
 
+    # 2d. corpus-global line dedup (C4 §2.2 / RefinedWeb): every
+    # repeated line keeps only its first occurrence corpus-wide
+    # (boilerplate headers/footers), documents rebuild from surviving
+    # lines; a doc left with no real line drops out.  Decision path
+    # shuffles only hashes + positions, text joins back once per doc.
+    lined = dedup.line_dedup(kept.select("doc_id", "text"), min_chars=4)
+    kept = kept.drop("text").join(
+        lined.where(F.col("n_kept_lines") >= 1).select("doc_id", "text"),
+        "doc_id")
+    counts["after_line_dedup"] = kept.count()
+
     # 3. exact dedup: keep the lowest doc_id per md5 group
     exact_keep = dedup.exact_groups(docs).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(exact_keep, "doc_id", "leftsemi")

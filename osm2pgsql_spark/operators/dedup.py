@@ -401,50 +401,42 @@ def line_dedup(
     Documents are preserved 1:1 (a fully-boilerplate doc comes back
     with text '' and n_kept_lines 0 — the caller filters).
 
-    Scale shape: one explode (narrow) -> ONE corpus-scale groupBy on
-    md5(line) with min(struct(id, pos)) — partial-aggregated
-    map-side, so a line repeated 10^9 times (the skew case that kills
-    a window/ROW_NUMBER formulation) combines per-partition before
-    the shuffle — then a join back on the same key and one
-    per-document groupBy to reassemble.  Only 16-byte line hashes
-    shuffle in the winners table, never the line text."""
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
-        ).alias("pos", "line"),
-    ).withColumn("k", F.md5("line")).withColumn(
-        "elig", F.length(F.trim("line")) >= min_chars)
-    winners = (
-        lines.where("elig")
-        .groupBy("k")
-        .agg(F.min(F.struct(F.col(id_col).alias("d"),
-                            F.col("pos").alias("p"))).alias("w"))
+    Scale shape (r12 VERDICT #2 — decisions shuffle, text does not):
+    the dedup decision path is TEXT-FREE.  One explode computes
+    (id, pos, md5(line)) for eligible lines and drops the line string
+    immediately; ONE corpus-scale groupBy on the 16-byte hash with
+    min(struct(id, pos)) — partial-aggregated map-side, so a line
+    repeated 10^9 times (the skew case that kills a window/ROW_NUMBER
+    formulation) combines per-partition before the shuffle — then a
+    hash⋈hash join marks non-winner occurrences and a per-doc ints-only
+    groupBy collects each document's DROPPED positions.  Document text
+    shuffles exactly once, in the final one-row-per-doc join of the
+    drop lists back to `docs`; the rebuild filters split(text) by
+    position document-locally (no second text shuffle, no skewed-key
+    probe carrying payload)."""
+    parts = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+    meta = (
+        docs.select(F.col(id_col), F.posexplode(parts).alias("pos", "line"))
+        .where(F.length(F.trim("line")) >= min_chars)
+        .select(id_col, "pos", F.md5("line").alias("k"))
     )
-    kept = lines.join(winners, "k", "left").where(
-        (~F.col("elig"))
-        | ((F.col(id_col) == F.col("w.d")) & (F.col("pos") == F.col("w.p")))
+    winners = meta.groupBy("k").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("pos").alias("p"))).alias("w")
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text"),
-        F.count("*").cast("long").alias("n_kept_lines"),
+    drops = (
+        meta.join(winners, "k")
+        .where((F.col(id_col) != F.col("w.d")) | (F.col("pos") != F.col("w.p")))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("drop_pos"))
     )
-    base = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1))
-        .cast("long").alias("n_lines"),
-    )
-    return base.join(rebuilt, id_col, "left").select(
+    dp = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
+    kept_lines = F.filter(parts, lambda x, i: ~F.array_contains(dp, i))
+    return docs.join(drops, id_col, "left").select(
         id_col,
-        F.coalesce("text", F.lit("")).alias("text"),
-        "n_lines",
-        F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+        F.array_join(kept_lines, "\n").alias("text"),
+        F.size(parts).cast("long").alias("n_lines"),
+        (F.size(parts) - F.size(dp)).cast("long").alias("n_kept_lines"),
     )
 
 

@@ -562,9 +562,11 @@ def q_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-line view of the corpus for the line-dedup gate: a repeated
 # header (the source tag), the body, and a 7-way shared footer — the
 # boilerplate shape C4-style line dedup exists to strip
+# concat_ws (NULL-skipping, like Spark's) rather than `||` (NULL-
+# propagating) so both engines agree on NULL source/text (r12 ADVICE)
 _LINE_DEDUP_DOC_SQL = (
-    "SELECT doc_id, source || chr(10) || text || chr(10) || "
-    "'shared footer line number ' || CAST(doc_id % 7 AS VARCHAR) "
+    "SELECT doc_id, concat_ws(chr(10), source, text, "
+    "'shared footer line number ' || CAST(doc_id % 7 AS VARCHAR)) "
     "AS text FROM documents"
 )
 

@@ -124,3 +124,36 @@ def test_line_dedup_skew_robust_plan(spark):
     plan = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan and "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_line_dedup_decisions_shuffle_text_does_not(spark):
+    """r12 VERDICT #2 pin: the dedup decision path is text-free —
+    every shuffle Exchange except the final one-row-per-doc join of
+    drop lists back to `docs` must carry only ids/positions/16-byte
+    hashes, never a line or document text column.  A boilerplate line
+    repeated 10^9 times must never drag its text through the skewed
+    md5-key join."""
+    from osm2pgsql_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\nline b{i}") for i in range(30)],
+        "doc_id long, text string")
+
+    def exchange_outputs(node, acc):
+        if "ShuffleExchange" in node.getClass().getSimpleName():
+            out = node.output()
+            acc.append([out.apply(i).name() for i in range(out.size())])
+        ch = node.children()
+        for i in range(ch.size()):
+            exchange_outputs(ch.apply(i), acc)
+        return acc
+
+    jplan = line_dedup(docs)._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in jplan.getClass().getSimpleName():
+        jplan = jplan.initialPlan()  # sparkPlan() predates EnsureRequirements
+    shuffles = exchange_outputs(jplan, [])
+    assert len(shuffles) >= 3  # winners agg, drops agg, final doc join
+    texty = [cols for cols in shuffles
+             if any(c in ("line", "text") for c in cols)]
+    # exactly one text-bearing shuffle: docs into the final id join
+    assert len(texty) == 1 and "text" in texty[0], shuffles

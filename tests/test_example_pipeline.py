@@ -1,6 +1,7 @@
 """examples/training_data_pipeline.py pinned end-to-end (r11 VERDICT
 #6): the showcase curation composition (clean -> quality + perplexity
-filters -> span strip -> exact/near/embedding/semantic dedup ->
+filters -> span strip -> line dedup (r12 VERDICT #4) ->
+exact/near/embedding/semantic dedup ->
 decontamination -> PII scrub -> DSIR -> budgets -> packing) must keep
 producing byte-stable decisions on the sf0.001 corpus, so example rot
 fails CI instead of surfacing at demo time.
@@ -24,6 +25,7 @@ EXPECTED_COUNTS = {
     "after_quality_filter": 465,
     "after_perplexity_filter": 444,
     "after_span_strip": 444,
+    "after_line_dedup": 444,
     "after_exact_dedup": 444,
     "after_near_dedup": 425,
     "after_embedding_dedup": 425,
