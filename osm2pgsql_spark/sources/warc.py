@@ -165,22 +165,41 @@ def _gzip_member_chunks(f, chunk: int = 1 << 20):
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def _member_starts_warc(f, off: int) -> bool:
+_PROBE_MAX_COMPRESSED = 1 << 20
+
+
+def _member_starts_warc(f, off: int,
+                        max_compressed: int = _PROBE_MAX_COMPRESSED) -> bool:
     """True when a gzip member starting at byte `off` decompresses to
     plaintext beginning with a WARC version line — the validation
     that separates a real member boundary from the magic bytes
-    occurring inside compressed data."""
+    occurring inside compressed data.
+
+    The probe is BOUNDED (r12 VERDICT #6): it consumes at most
+    `max_compressed` compressed bytes and decompresses at most the 5
+    plaintext bytes it needs (max_length), so an adversarial member
+    whose header/first block defers output (e.g. a multi-MB FNAME
+    field) costs O(bound) instead of O(member).  Overflow counts as
+    not-a-boundary; exactly-once shard ownership still holds because
+    `_gzip_member_chunks_range` applies the SAME probe to its stop
+    rule — a rejected boundary stays inside the previous shard."""
     save = f.tell()
     try:
         f.seek(off)
         d = zlib.decompressobj(wbits=31)
         got = b""
+        consumed = 0
         while len(got) < 5:
-            data = f.read(1 << 16)
+            if consumed >= max_compressed:
+                return False  # pathological member: refuse to split here
+            data = f.read(min(1 << 16, max_compressed - consumed))
             if not data:
                 return False  # torn tail: not a usable boundary
+            consumed += len(data)
             try:
-                got += d.decompress(data)
+                got += d.decompress(data, 5 - len(got))
+                while len(got) < 5 and d.unconsumed_tail:
+                    got += d.decompress(d.unconsumed_tail, 5 - len(got))
             except zlib.error:
                 return False
             if d.eof and len(got) < 5:
@@ -194,7 +213,12 @@ def _find_member_start(f, start: int, end: int) -> int | None:
     """Smallest validated gzip-member boundary in [start, end), or
     None.  Scans the compressed bytes for the gzip magic and accepts
     a candidate only when `_member_starts_warc` confirms it; a member
-    straddling `start` thus stays with the previous shard."""
+    straddling `start` thus stays with the previous shard.
+
+    Memory is bounded: the scan buffer slides (scanned prefix dropped,
+    2-byte overlap kept for a magic split across chunks), so a shard
+    range with no boundary costs O(chunk), not O(range) with quadratic
+    memcpy (r12 ADVICE)."""
     chunk = 1 << 20
     f.seek(start)
     buf = f.read(chunk)
@@ -208,10 +232,12 @@ def _find_member_start(f, start: int, end: int) -> int | None:
             more = f.read(chunk)
             if not more:
                 return None
-            # keep 2 trailing bytes so a magic split across chunk
-            # boundaries is still found
-            search_from = max(0, len(buf) - 2)
-            buf += more
+            # slide: drop the scanned prefix, keep a 2-byte overlap
+            # tail so a magic split across chunk boundaries is found
+            keep = max(0, len(buf) - 2)
+            base += keep
+            buf = buf[keep:] + more
+            search_from = 0
             continue
         cand = base + i
         if cand >= end:
@@ -230,7 +256,16 @@ def _gzip_member_chunks_range(f, start: int, end: int,
     start offsets are tracked exactly through decompressobj's
     unused_data, so shard ownership never double-reads or drops a
     member.  Torn/corrupt trailing members drop whole, as in
-    `_gzip_member_chunks`."""
+    `_gzip_member_chunks`.
+
+    Stop rule mirrors `_find_member_start`'s bounded probe: the
+    reader stops at the first member start >= `end` that
+    `_member_starts_warc` ACCEPTS — exactly the offset the next
+    shard's boundary scan will pick as its first owned member.  A
+    pathological member the probe refuses (oversized header, output
+    deferred past the probe bound) therefore stays with THIS shard
+    instead of being skipped by the next one; every member is read
+    exactly once whichever side of a split it lands on."""
     f.seek(start)
     member_start = start
     fed = 0  # compressed bytes consumed since member_start
@@ -252,7 +287,8 @@ def _gzip_member_chunks_range(f, start: int, end: int,
                 member = []
                 member_start += fed
                 fed = 0
-                if member_start >= end:
+                if member_start >= end and _member_starts_warc(
+                        f, member_start):
                     return  # next member belongs to the next shard
                 src = d.unused_data
                 d = zlib.decompressobj(wbits=31)
