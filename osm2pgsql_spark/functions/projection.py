@@ -1026,6 +1026,17 @@ METHOD_EXAMPLES: dict[str, object] = {
 }
 
 
+#: every params class forward_xy can dispatch (subclasses — TmSo,
+#: HomA, BonneSo — are covered through their bases); register_epsg
+#: validates against this union so an unknown params object fails
+#: loudly at registration, not as garbage coordinates later
+_PARAM_TYPES = (
+    TmercParams, LaeaParams, LccParams, AlbersParams, StereaParams,
+    Lcc1Params, PolarParams, MercParams, HomParams, KrovakParams,
+    CassiniParams, NzmgParams, LabordeParams, BonneParams,
+)
+
+
 def register_epsg(code: int, params) -> None:
     """Register projection parameters for an EPSG code at runtime —
     the escape hatch matching the reference's any-code contract
@@ -1035,6 +1046,12 @@ def register_epsg(code: int, params) -> None:
     (-E flag, flex expire, geometry functions) resolves it."""
     if not isinstance(code, int):
         raise TypeError(f"EPSG code must be int, got {type(code)}")
+    if not isinstance(params, _PARAM_TYPES):
+        raise TypeError(
+            f"register_epsg({code}): params must be one of the "
+            f"registry's parameter classes "
+            f"({', '.join(t.__name__ for t in _PARAM_TYPES)}), got "
+            f"{type(params).__name__}")
     _NAMED[code] = params
 
 
@@ -1709,7 +1726,15 @@ def bonne_forward(lon: np.ndarray, lat: np.ndarray, p: BonneParams):
     s = np.sin(phi)
     m = np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
     rho = rho0 + m_0 - _merid_arc(p.a, e2, phi)
-    big_t = p.a * m * np.radians(np.asarray(lon, dtype="f8") - p.lon0) / rho
+    # rho = 0 only at the apex latitude (lat0's antipodal arc centre,
+    # outside any CRS's use area); guard keeps the kernel NaN-free
+    # and the formulas then collapse to the apex point (fe, fn+rho0)
+    big_t = np.where(
+        rho != 0.0,
+        p.a * m * np.radians(np.asarray(lon, dtype="f8") - p.lon0)
+        / np.where(rho != 0.0, rho, 1.0),
+        0.0,
+    )
     return (
         p.fe + rho * np.sin(big_t),
         p.fn + rho0 - rho * np.cos(big_t),
@@ -1842,7 +1867,12 @@ def forward_xy(lon: np.ndarray, lat: np.ndarray, p):
         return bonne_so_forward(lon, lat, p)
     if isinstance(p, BonneParams):
         return bonne_forward(lon, lat, p)
-    return laea_forward(lon, lat, p)
+    if isinstance(p, LaeaParams):
+        return laea_forward(lon, lat, p)
+    raise TypeError(
+        f"unsupported projection params type {type(p).__name__}; "
+        "register_epsg() accepts only the registry's params classes "
+        "(TmercParams, LaeaParams, ..., BonneParams)")
 
 
 def transform_epsg(geom, code: int):
@@ -2135,8 +2165,17 @@ def laborde_forward_sql(
     v_ = f"(cos({bp})*cos({bl})*{_r(ss)} - sin({bp})*{_r(cs)})"
     w_ = f"(cos({bp})*sin({bl}))"
     d = f"sqrt(({u_})*({u_}) + ({v_})*({v_}))"
-    lp = f"(2.0*atan(({v_})/(({u_}) + ({d}))))"
-    pp = f"atan(({w_})/({d}))"
+    # same d=0 rotated-pole guards as the numpy kernel's np.where
+    # (r12 ADVICE): unreachable from any registered CRS's use area,
+    # but the twin must stay NaN-free wherever the kernel is
+    lp = (
+        f"(CASE WHEN ({d}) > 0.0"
+        f" THEN 2.0*atan(({v_})/(({u_}) + ({d}))) ELSE 0.0 END)"
+    )
+    pp = (
+        f"(CASE WHEN ({d}) > 0.0 THEN atan(({w_})/({d}))"
+        f" WHEN ({w_}) >= 0.0 THEN pi()/2.0 ELSE -pi()/2.0 END)"
+    )
     # H = hr + i*hi with hr = -L', hi = ln tan(pi/4 + P'/2)
     hr = f"(-({lp}))"
     hi = f"ln(tan(pi()/4.0 + ({pp})/2.0))"
@@ -2172,9 +2211,11 @@ def bonne_forward_sql(
         f" + {_r(c4)}*sin(4.0*({phi})) - {_r(c6)}*sin(6.0*({phi}))))"
     )
     rho = f"({_r(rho0 + m_0)} - ({big_m}))"
+    # same rho=0 apex guard as the numpy kernel (r12 ADVICE)
     bt = (
-        f"({_r(p.a)}*({m})*radians(({lon_expr}) - {_r(p.lon0)})"
-        f"/({rho}))"
+        f"(CASE WHEN ({rho}) <> 0.0"
+        f" THEN {_r(p.a)}*({m})*radians(({lon_expr}) - {_r(p.lon0)})"
+        f"/({rho}) ELSE 0.0 END)"
     )
     return (
         f"({_r(p.fe)} + ({rho})*sin({bt}))",

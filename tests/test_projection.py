@@ -1085,3 +1085,58 @@ def test_unsupported_epsg_keyerror_wording():
     assert "EPSG:999999 not supported" in msg
     assert "32601-32660" in msg and "named codes:" in msg
     assert "29701" in msg and "3078" in msg  # round-12 rows listed
+
+
+def test_round13_twin_guards_extreme_inputs():
+    """r12 ADVICE: the laborde/bonne SQL twins carry the same
+    d=0 / rho=0 guards as the numpy kernels, so engine and oracle
+    stay finite AND identical over a global grid far outside each
+    CRS's use area (rotated poles, apex latitude included in the
+    sweep's neighbourhood)."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        (29701, PJ.laborde_forward, PJ.laborde_forward_sql),
+        ("bonne_example", PJ.bonne_forward, PJ.bonne_forward_sql),
+    ]
+    lon = np.repeat(np.arange(-180.0, 181.0, 30.0), 13)
+    lat = np.tile(np.arange(-89.9, 90.0, 14.98), 13)[: len(lon)]
+    for code, fwd, fwd_sql in cases:
+        p = PJ.epsg_params(code)
+        E, N = fwd(lon, lat, p)
+        assert np.isfinite(E).all() and np.isfinite(N).all(), code
+        e_sql, n_sql = fwd_sql("lon", "lat", p)
+        con.execute("CREATE OR REPLACE TABLE pts (lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)",
+                        list(zip(lon, lat)))
+        got = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+        cols = list(got)
+        ge = np.array(got[cols[0]], dtype="f8")
+        gn = np.array(got[cols[1]], dtype="f8")
+        assert np.isfinite(ge).all() and np.isfinite(gn).all(), code
+        # identical to the kernel relative to magnitude (planetary
+        # coordinates far outside the use area grow to ~1e7 m)
+        scale = np.maximum(1.0, np.abs(E))
+        assert (np.abs(ge - E) / scale).max() < 1e-9, code
+        scale = np.maximum(1.0, np.abs(N))
+        assert (np.abs(gn - N) / scale).max() < 1e-9, code
+
+
+def test_register_epsg_rejects_unknown_params_type():
+    """r12 ADVICE: an unrecognized params object must fail loudly at
+    registration (and forward_xy must reject it too), never fall
+    through to the LAEA branch as garbage coordinates."""
+    class NotParams:
+        pass
+
+    with pytest.raises(TypeError, match="params must be one of"):
+        PJ.register_epsg(904999, NotParams())
+    with pytest.raises(TypeError, match="unsupported projection"):
+        PJ.forward_xy(np.array([0.0]), np.array([0.0]), NotParams())
+    # LAEA itself still dispatches (the old implicit fallback is now
+    # an explicit isinstance branch)
+    p = PJ.epsg_params(3035)
+    assert isinstance(p, PJ.LaeaParams)
+    E, N = PJ.forward_xy(np.array([10.0]), np.array([52.0]), p)
+    assert np.isfinite(E[0]) and np.isfinite(N[0])
