@@ -157,3 +157,35 @@ def test_line_dedup_decisions_shuffle_text_does_not(spark):
              if any(c in ("line", "text") for c in cols)]
     # exactly one text-bearing shuffle: docs into the final id join
     assert len(texty) == 1 and "text" in texty[0], shuffles
+
+
+def test_line_dedup_null_text_matches_duckdb_twin(spark):
+    """r12 ADVICE: NULL source/text must give identical results on
+    both engines.  The gate corpus carries no NULLs, so this pins the
+    latent case directly: a NULL-bearing frame through line_dedup vs
+    line_dedup_sql on the same rows in DuckDB."""
+    import duckdb
+
+    from osm2pgsql_spark.operators.dedup import line_dedup, line_dedup_sql
+
+    rows = [
+        (1, "shared header line\nunique one"),
+        (2, None),
+        (3, "shared header line\nunique three"),
+        (4, ""),
+        (5, "unique five\nshared header line"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_lines"], r["n_kept_lines"])
+        for r in line_dedup(docs, min_chars=4).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        line_dedup_sql(min_chars=4)).fetchall()))
+    assert got == want
+    # and the NULL doc specifically: one empty (short, kept) line
+    by_id = dict((t[0], t) for t in got)
+    assert by_id[2] == (2, "", 1, 1)
