@@ -61,10 +61,12 @@ HEAVY = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
-def _run_set(spark, qs, names, sf_dir, timings, first_run, errors):
+def _run_set(spark, qs, names, sf_dir, timings, first_run, errors,
+             all_runs):
     """Per query: RUNS timed executions; record the MEDIAN (the box is
-    noisy — single-run totals swing +-17%, drowning real trends) and
-    the first run separately for continuity with rounds 1-4."""
+    noisy — single-run totals swing +-17%, drowning real trends), the
+    first run separately for continuity with rounds 1-4, and the full
+    sample list so run-to-run spread is auditable from the JSON."""
     for name in names:
         if name not in qs:
             continue
@@ -79,6 +81,7 @@ def _run_set(spark, qs, names, sf_dir, timings, first_run, errors):
             samples_sorted = sorted(samples)
             timings[name] = round(samples_sorted[len(samples_sorted) // 2], 3)
             first_run[name] = round(samples[0], 3)
+            all_runs[name] = [round(s, 3) for s in samples]
             print(
                 f"# {name}: {n} rows median {timings[name]}s "
                 f"(runs {[round(s, 3) for s in samples]})",
@@ -119,8 +122,11 @@ def main() -> None:
     heavy_timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
-    _run_set(spark, qs, HEADLINE, sf_dir, timings, first_run, errors)
-    _run_set(spark, qs, HEAVY, sf_dir, heavy_timings, first_run, errors)
+    all_runs: dict[str, list] = {}
+    _run_set(spark, qs, HEADLINE, sf_dir, timings, first_run, errors,
+             all_runs)
+    _run_set(spark, qs, HEAVY, sf_dir, heavy_timings, first_run, errors,
+             all_runs)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -132,6 +138,7 @@ def main() -> None:
         "heavy_total": round(sum(heavy_timings.values()), 3),
         "runs_per_query": RUNS,
         "first_run": first_run,
+        "runs": all_runs,
         "sf": sf,
     }
     if errors:
