@@ -120,8 +120,9 @@ class ParquetMergeTable:
             for b in touched
             if os.path.isdir(os.path.join(tmp, f"{_BUCKET}={b}"))
         ]
-        with open(self._marker_path(), "w", encoding="utf-8") as fh:
-            json.dump({"touched": [int(b) for b in touched], "staged": staged}, fh)
+        self._write_marker(
+            {"touched": [int(b) for b in touched], "staged": staged}
+        )
         self._swap_from_tmp(tmp, touched, set(staged))
         return [int(b) for b in touched]
 
@@ -172,13 +173,28 @@ class ParquetMergeTable:
             for b in touched
             if os.path.isdir(os.path.join(tmp, f"{_BUCKET}={b}"))
         ]
-        with open(self._marker_path(), "w", encoding="utf-8") as fh:
-            json.dump({"touched": [int(b) for b in touched], "staged": staged}, fh)
+        self._write_marker(
+            {"touched": [int(b) for b in touched], "staged": staged}
+        )
         self._swap_from_tmp(tmp, touched, set(staged))
         return [int(b) for b in touched]
 
     def _marker_path(self) -> str:
         return os.path.join(self.path, "_merge_inprogress.json")
+
+    def _write_marker(self, payload: dict) -> None:
+        """Journal marker commit is write-beside + atomic rename: a
+        crash at ANY byte of the write leaves `marker.tmp` (which
+        recover() discards) — never a torn marker at the journal path.
+        os.replace is atomic on POSIX, so the marker is either fully
+        durable or absent, and no bucket moves before it is durable
+        (the swap loop runs strictly after this returns)."""
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._marker_path())
 
     def _swap_from_tmp(self, tmp: str, touched, staged: set) -> None:
         for b in touched:
@@ -204,10 +220,26 @@ class ParquetMergeTable:
         the swap loop is idempotent, so re-running it from the journal
         finishes the commit regardless of where the crash hit."""
         marker = self._marker_path()
+        stale = marker + ".tmp"
+        if os.path.exists(stale):
+            # crash mid-marker-write: the rename never happened, so the
+            # journal was never durable and no bucket was moved — the
+            # half-written tmp is garbage from an aborted commit.
+            os.remove(stale)
         if not os.path.exists(marker):
             return False
-        with open(marker, encoding="utf-8") as fh:
-            j = json.load(fh)
+        try:
+            with open(marker, encoding="utf-8") as fh:
+                j = json.load(fh)
+        except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
+            # Torn/corrupt marker (pre-atomic writer, fs damage).  The
+            # swap loop starts only after the marker is durable, so an
+            # unparseable marker means the swap never began: the table
+            # still holds the intact OLD state.  Discard the marker and
+            # the staging dir; the caller re-applies the batch.
+            os.remove(marker)
+            shutil.rmtree(self.path + ".merge-tmp", ignore_errors=True)
+            return True
         self._swap_from_tmp(
             self.path + ".merge-tmp", j["touched"], set(j.get("staged", []))
         )

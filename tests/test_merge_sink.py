@@ -288,3 +288,116 @@ def test_merge_refresh_planet_shaped(spark, tmp_path):
     assert got.count() == expected.count() == 1_000_000
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_torn_journal_marker_recovery(spark, tmp_path):
+    """r13 VERDICT #1: recover() must survive an UNPARSEABLE marker
+    (torn write from a pre-atomic-rename writer, or fs corruption).
+    The swap starts only after the marker is durable, so a torn marker
+    means the swap never began: recovery keeps the intact OLD state,
+    discards marker + staging dir, and never raises."""
+    base = _nodes(spark)
+    t = ParquetMergeTable(str(tmp_path / "snap"), num_buckets=8)
+    t.write_full(base)
+    want_old = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+
+    # staged tmp dir + torn marker (truncated mid-JSON)
+    merged = t._bucketed(
+        base.select("id", (F.col("lon") + 1.0).alias("lon"), "lat")
+    )
+    merged.write.partitionBy("__bucket").mode("overwrite").parquet(
+        t.path + ".merge-tmp"
+    )
+    with open(t._marker_path(), "w", encoding="utf-8") as fh:
+        fh.write('{"touched": [0, 1, 2, 3')  # torn mid-write
+
+    assert t.recover() is True  # handled, not raised
+    assert not os.path.exists(t._marker_path())
+    assert not os.path.isdir(t.path + ".merge-tmp")
+    got = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+    assert got == want_old  # old state intact — swap never began
+
+
+def test_kill_mid_journal_write(spark, tmp_path):
+    """Kill injected DURING the marker write: with the write-beside +
+    os.replace commit, the journal path never holds partial bytes —
+    only marker.tmp does.  recover() discards it, the table reads back
+    the OLD state, and a clean re-run of the merge lands the NEW
+    state.  Either-old-or-new, never a crash."""
+    base = _nodes(spark)
+    t = ParquetMergeTable(str(tmp_path / "snap"), num_buckets=8)
+    t.write_full(base)
+    want_old = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+    diff = base.select(
+        "id", (F.col("lon") + 1.0).alias("lon"), "lat"
+    ).withColumn("op", F.lit("modify"))
+
+    class Killed(RuntimeError):
+        pass
+
+    real_replace = os.replace
+
+    def kill_before_replace(src, dst):  # power cut before the rename
+        if dst == t._marker_path():
+            raise Killed("kill injected between tmp write and rename")
+        return real_replace(src, dst)
+
+    os.replace = kill_before_replace
+    try:
+        try:
+            t.merge_diff(spark, diff)
+            raise AssertionError("kill injection did not fire")
+        except Killed:
+            pass
+    finally:
+        os.replace = real_replace
+
+    # crash state: partial/complete marker.tmp, NO marker, staged tmp dir
+    assert os.path.exists(t._marker_path() + ".tmp")
+    assert not os.path.exists(t._marker_path())
+    t.recover()
+    assert not os.path.exists(t._marker_path() + ".tmp")
+    got = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+    assert got == want_old  # OLD state — marker never became durable
+
+    # retry of the batch succeeds and lands the NEW state
+    t.merge_diff(spark, diff)
+    got2 = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}
+    assert got2 == {i: (lon + 1.0, lat) for i, (lon, lat) in want_old.items()}
+
+
+def test_kill_after_marker_before_swap(spark, tmp_path):
+    """Kill injected AFTER the atomic marker rename but before any
+    bucket move: the journal is durable, so recover() completes the
+    swap to the NEW state."""
+    base = _nodes(spark)
+    t = ParquetMergeTable(str(tmp_path / "snap"), num_buckets=8)
+    t.write_full(base)
+    diff = base.select(
+        "id", (F.col("lon") + 1.0).alias("lon"), "lat"
+    ).withColumn("op", F.lit("modify"))
+
+    class Killed(RuntimeError):
+        pass
+
+    real_swap = ParquetMergeTable._swap_from_tmp
+
+    def kill_before_swap(self, tmp, touched, staged):
+        raise Killed("kill injected after journal commit, before swap")
+
+    ParquetMergeTable._swap_from_tmp = kill_before_swap
+    try:
+        try:
+            t.merge_diff(spark, diff)
+            raise AssertionError("kill injection did not fire")
+        except Killed:
+            pass
+    finally:
+        ParquetMergeTable._swap_from_tmp = real_swap
+
+    assert os.path.exists(t._marker_path())  # durable journal
+    got = {r.id: (r.lon, r.lat) for r in t.read(spark).collect()}  # auto-recover
+    want_new = {
+        r.id: (r.lon + 1.0, r.lat) for r in base.collect()
+    }
+    assert got == want_new  # swap completed from the journal
