@@ -431,7 +431,16 @@ def line_dedup(
         .agg(F.collect_list("pos").alias("drop_pos"))
     )
     dp = F.coalesce(F.col("drop_pos"), F.array().cast("array<int>"))
-    kept_lines = F.filter(parts, lambda x, i: ~F.array_contains(dp, i))
+    # Rebuild is near-linear per document (r13 ADVICE): array_except
+    # builds a hash set over drop_pos (vs the previous per-line
+    # array_contains scan, O(n_lines x n_dropped) on boilerplate-heavy
+    # docs), and element_at on an array is O(1).  drop_pos holds one
+    # entry per (doc, pos) by construction, and array_except keeps the
+    # left array's order, so kept positions stay ascending.
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(parts) - 1), dp
+    )
+    kept_lines = F.transform(keep_pos, lambda i: F.element_at(parts, i + 1))
     return docs.join(drops, id_col, "left").select(
         id_col,
         F.array_join(kept_lines, "\n").alias("text"),
