@@ -2167,10 +2167,18 @@ def laborde_forward_sql(
     d = f"sqrt(({u_})*({u_}) + ({v_})*({v_}))"
     # same d=0 rotated-pole guards as the numpy kernel's np.where
     # (r12 ADVICE): unreachable from any registered CRS's use area,
-    # but the twin must stay NaN-free wherever the kernel is
+    # but the twin must stay NaN-free wherever the kernel is.
+    # d >= |u| always, so u+d >= 0 and atan(v/(u+d)) equals the
+    # kernel's arctan2(v, u+d) — EXCEPT on the u+d=0 line (v=0, u<0
+    # up to rounding), where DuckDB's atan(0/0) is NULL; the extra
+    # branches emulate arctan2 there too (r13 ADVICE):
+    # arctan2(v, 0) = sign(v)*pi/2 -> lp = +-pi; arctan2(0, 0) = 0.
     lp = (
-        f"(CASE WHEN ({d}) > 0.0"
-        f" THEN 2.0*atan(({v_})/(({u_}) + ({d}))) ELSE 0.0 END)"
+        f"(CASE WHEN ({d}) > 0.0 AND (({u_}) + ({d})) <> 0.0"
+        f" THEN 2.0*atan(({v_})/(({u_}) + ({d})))"
+        f" WHEN ({d}) > 0.0 AND ({v_}) > 0.0 THEN pi()"
+        f" WHEN ({d}) > 0.0 AND ({v_}) < 0.0 THEN -pi()"
+        f" ELSE 0.0 END)"
     )
     pp = (
         f"(CASE WHEN ({d}) > 0.0 THEN atan(({w_})/({d}))"

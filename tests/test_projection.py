@@ -1140,3 +1140,64 @@ def test_register_epsg_rejects_unknown_params_type():
     assert isinstance(p, PJ.LaeaParams)
     E, N = PJ.forward_xy(np.array([10.0]), np.array([52.0]), p)
     assert np.isfinite(E[0]) and np.isfinite(N[0])
+
+
+def test_round14_laborde_lp_guard_u_plus_d_zero():
+    """r13 ADVICE: laborde_forward_sql's lp branch covered d=0 but not
+    the u+d=0 singular line (v=0, u<0), where DuckDB's atan(0.0/0.0)
+    is NULL while the kernel's arctan2(v, u+d) is finite.  The CASE
+    now emulates arctan2 exactly; verified (a) as a formula against
+    numpy on exact singular inputs, (b) present in the generated SQL,
+    (c) functionally along the antipodal meridian bl=pi."""
+    import math
+
+    import duckdb
+
+    p = PJ.epsg_params(29701)
+    e_sql, n_sql = PJ.laborde_forward_sql("lon", "lat", p)
+    for s in (e_sql, n_sql):  # atan2 emulation present in the SQL
+        assert ") <> 0.0" in s and "THEN pi()" in s and "THEN -pi()" in s
+
+    # (a) branch formula == 2*arctan2(v, u+d) on the singular line
+    # itself: (u=-1, v=+-0 or subnormal-squared v) give d exactly 1.0
+    # and u+d exactly 0.0 — the inputs the old twin mapped to NULL
+    con = duckdb.connect()
+    lp_case = (
+        "(CASE WHEN d > 0.0 AND (u + d) <> 0.0"
+        " THEN 2.0*atan(v/(u + d))"
+        " WHEN d > 0.0 AND v > 0.0 THEN pi()"
+        " WHEN d > 0.0 AND v < 0.0 THEN -pi()"
+        " ELSE 0.0 END)"
+    )
+    uv = [(-1.0, 0.0), (-1.0, -0.0), (0.0, 0.0), (1.0, 0.0),
+          (-1.0, 1e-300), (-1.0, -1e-300), (0.5, -0.5), (-0.7, 0.2)]
+    rows = [(u, v, math.hypot(u, v)) for u, v in uv]
+    assert any(u + d == 0.0 and d > 0.0 for u, v, d in rows)
+    con.execute("CREATE TABLE g (u DOUBLE, v DOUBLE, d DOUBLE)")
+    con.executemany("INSERT INTO g VALUES (?,?,?)", rows)
+    got = [r[0] for r in con.execute(f"SELECT {lp_case} FROM g").fetchall()]
+    want = [2.0 * np.arctan2(v, u + d) if d > 0.0 else 0.0
+            for u, v, d in rows]
+    for g, w in zip(got, want):
+        assert g is not None and math.isfinite(g)
+        assert abs(g - w) < 1e-15
+
+    # (c) the meridian containing the rotated antipole: engine NULL-free
+    # and identical to the kernel through the near-singular column
+    big_b = p._derived[0]
+    lon_star = p.lonc + math.degrees(math.pi) / big_b
+    lat = np.arange(-89.9, 90.0, 1.7)
+    lon = np.full_like(lat, lon_star)
+    E, N = PJ.laborde_forward(lon, lat, p)
+    assert np.isfinite(E).all() and np.isfinite(N).all()
+    con.execute("CREATE TABLE pts (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+    got2 = con.execute(f"SELECT {e_sql}, {n_sql} FROM pts").fetchnumpy()
+    cols = list(got2)
+    ge = np.array(got2[cols[0]], dtype="f8")
+    gn = np.array(got2[cols[1]], dtype="f8")
+    assert np.isfinite(ge).all() and np.isfinite(gn).all()
+    scale = np.maximum(1.0, np.abs(E))
+    assert (np.abs(ge - E) / scale).max() < 1e-9
+    scale = np.maximum(1.0, np.abs(N))
+    assert (np.abs(gn - N) / scale).max() < 1e-9
