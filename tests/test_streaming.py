@@ -378,3 +378,104 @@ def test_bloom_state_read_raises_on_corrupt_state(spark, tmp_path):
     with _pt.raises(Exception) as ei:
         _read_bloom_state(spark, str(state))
     assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_bloom_swap_kill_between_write_and_rename(spark, tmp_path):
+    """r13 VERDICT #8: kill injected after the new registers land at
+    `.tmp` but before ANY rename: the live state is untouched, the
+    stale tmp is overwritten by the retry, and the retry converges to
+    the post-batch state — either-old-or-new, never zero state."""
+    import os
+
+    from osm2pgsql_spark.streaming import dedup_stream as DS
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [(1, "doc a"), (2, "doc b")], "doc_id long, text string")
+    DS.bloom_dedup_batch(spark, b1, out, state, m_bits=1 << 12, k=4)
+    reg_before = {
+        (r["word"], r["bits"])
+        for r in spark.read.parquet(state).collect()
+    }
+
+    class Killed(RuntimeError):
+        pass
+
+    real_rename = os.rename
+
+    def kill_on_rename(src, dst):
+        if src.endswith(".tmp") or dst.endswith(".old"):
+            raise Killed("kill injected between tmp write and rename")
+        return real_rename(src, dst)
+
+    b2 = spark.createDataFrame(
+        [(3, "doc a"), (4, "doc c")], "doc_id long, text string")
+    os.rename = kill_on_rename
+    try:
+        try:
+            DS.bloom_dedup_batch(spark, b2, out, state, m_bits=1 << 12, k=4)
+            raise AssertionError("kill injection did not fire")
+        except Killed:
+            pass
+    finally:
+        os.rename = real_rename
+
+    # crash state: live registers untouched, complete tmp beside them
+    assert os.path.exists(state) and os.path.exists(state + ".tmp")
+    reg, have = DS._read_bloom_state(spark, state)
+    assert have
+    got = {(r["word"], r["bits"]) for r in reg.collect()}
+    assert got == reg_before  # OLD state — the swap never began
+
+    # retry of the batch (foreachBatch re-delivery) converges: doc 4
+    # admitted once, doc 3 still a duplicate, tmp consumed
+    DS.bloom_dedup_batch(spark, b2, out, state, m_bits=1 << 12, k=4)
+    assert not os.path.exists(state + ".tmp")
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert {1, 2, 4}.issubset(kept) and 3 not in kept
+
+
+def test_bloom_swap_kill_before_first_promote(spark, tmp_path):
+    """Kill before the FIRST batch's promote (no prior state): both
+    state and .old are absent, so the next read is a clean first
+    batch and the retry lands the full state."""
+    import os
+
+    from osm2pgsql_spark.streaming import dedup_stream as DS
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+
+    class Killed(RuntimeError):
+        pass
+
+    real_rename = os.rename
+
+    def kill_on_promote(src, dst):
+        if src.endswith(".tmp"):
+            raise Killed("kill injected before first promote")
+        return real_rename(src, dst)
+
+    b1 = spark.createDataFrame(
+        [(1, "doc a"), (2, "doc b")], "doc_id long, text string")
+    os.rename = kill_on_promote
+    try:
+        try:
+            DS.bloom_dedup_batch(spark, b1, out, state, m_bits=1 << 12, k=4)
+            raise AssertionError("kill injection did not fire")
+        except Killed:
+            pass
+    finally:
+        os.rename = real_rename
+
+    reg, have = DS._read_bloom_state(spark, state)
+    assert not have  # genuinely first-batch state, not an error
+    DS.bloom_dedup_batch(spark, b1, out, state, m_bits=1 << 12, k=4)
+    assert os.path.exists(state) and not os.path.exists(state + ".tmp")
+    b2 = spark.createDataFrame(
+        [(3, "doc a")], "doc_id long, text string")
+    DS.bloom_dedup_batch(spark, b2, out, state, m_bits=1 << 12, k=4)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 3 not in kept and {1, 2}.issubset(set(kept))
