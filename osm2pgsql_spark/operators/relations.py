@@ -339,11 +339,25 @@ def relation_polygon_parts(
 
 
 def relation_multilinestrings(
-    relations: DataFrame, ways: DataFrame, nodes: DataFrame, merge: bool = True
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame, merge: bool = True,
+    kernel_partitions: int | None = None,
 ) -> DataFrame:
     """(rel_id, geom WKB multilinestring), line-merged (route/boundary
-    relations; reference as_multilinestring + line_merge)."""
+    relations; reference as_multilinestring + line_merge).
+
+    kernel_partitions: AQE sizes post-shuffle partitions by BYTES,
+    which under-provisions the per-relation line_merge kernel (a few
+    MB of collected members coalesce to 1-2 partitions and the Python
+    kernel runs near-serial).  Passing the compute parallelism here
+    repartitions by rel_id BEFORE the groupBy — Catalyst reuses that
+    hash partitioning for the aggregation (no extra Exchange) and AQE
+    leaves user-specified partition counts alone, so the kernel runs
+    P-way at zero added shuffle cost.  None keeps byte-sized
+    partitioning (right when the output feeds more shuffles, or at
+    scales where byte-sizing already yields wide plans)."""
     mw = member_way_points(relations, ways, nodes)
+    if kernel_partitions:
+        mw = mw.repartition(kernel_partitions, "rel_id")
     grouped = mw.groupBy("rel_id").agg(F.collect_list("line_wkb").alias("member_wkbs"))
     udf = _get_udf("ml", _ml_kernel)
     return grouped.select("rel_id", udf(F.col("member_wkbs")).alias("geom"))

@@ -2014,7 +2014,14 @@ def q_relation_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hole"), F.array(*[member(j) for j in range(1, 5)])
         ).otherwise(F.array(*[member(j) for j in range(1, 4)])).alias("members"),
     )
-    ml = relation_multilinestrings(rels, ways_df, nodes)
+    # kernel-bound (pure-Python line_merge per relation): widen the
+    # aggregation to the compute parallelism — AQE's byte-sized
+    # coalescing leaves 1-2 partitions at bench scale and the kernel
+    # runs near-serial (PERF_NOTES round-14)
+    ml = relation_multilinestrings(
+        rels, ways_df, nodes,
+        kernel_partitions=spark.sparkContext.defaultParallelism,
+    )
     return ml.select(
         "rel_id",
         geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
@@ -2920,7 +2927,14 @@ def q_relation_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2pgsql_spark.operators.relations import relation_multilinestrings
 
     nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
-    ml = relation_multilinestrings(rels, ways_df, nodes)
+    # kernel-bound (pure-Python line_merge per relation): widen the
+    # aggregation to the compute parallelism — AQE's byte-sized
+    # coalescing leaves 1-2 partitions at bench scale and the kernel
+    # runs near-serial (PERF_NOTES round-14)
+    ml = relation_multilinestrings(
+        rels, ways_df, nodes,
+        kernel_partitions=spark.sparkContext.defaultParallelism,
+    )
     return ml.select(
         "rel_id",
         geom_udfs.wkb_num_geometries(F.col("geom")).alias("n_parts"),
@@ -4386,16 +4400,31 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
-    ml = relation_multilinestrings(rels, ways_df, nodes)
+    # kernel-bound (pure-Python line_merge per relation): widen the
+    # aggregation to the compute parallelism — AQE's byte-sized
+    # coalescing leaves 1-2 partitions at bench scale and the kernel
+    # runs near-serial (PERF_NOTES round-14)
+    ml = relation_multilinestrings(
+        rels, ways_df, nodes,
+        kernel_partitions=spark.sparkContext.defaultParallelism,
+    )
+    # staged projections: explode over a nested pandas-UDF call and a
+    # UDF inside the agg expression both defeat batch pipelining —
+    # evaluating each kernel in its own projection is ~25% faster at
+    # identical results (PERF_NOTES round-14)
     parts = (
         ml.select(
             F.col("rel_id").alias("id"),
-            F.explode(geom_udfs.wkb_split_multi(F.col("geom"))).alias("part"),
+            geom_udfs.wkb_split_multi(F.col("geom")).alias("ps"),
+        )
+        .select("id", F.explode("ps").alias("part"))
+        .select(
+            "id", geom_udfs.wkb_num_points(F.col("part")).alias("np")
         )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.max(geom_udfs.wkb_num_points(F.col("part"))).alias("part_points"),
+            F.max("np").alias("part_points"),
         )
     )
     return scalar.join(parts, "id").select(
