@@ -235,14 +235,23 @@ def _get_udf(name: str, kernel) -> object:
 
 
 def grouped_member_wkbs(
-    relations: DataFrame, ways: DataFrame, nodes: DataFrame
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame,
+    kernel_partitions: int | None = None,
 ) -> DataFrame:
     """(rel_id, member_wkbs ARRAY<BINARY>) — the assembled member-way
     lines per relation.  The shared input of every ring-assembly
     operator; callers running several of them over the same relations
     should build this once (and localCheckpoint it) instead of paying
-    the member->way->node join per operator."""
+    the member->way->node join per operator.
+
+    kernel_partitions: same contract as relation_multilinestrings —
+    repartition by rel_id before the groupBy so the downstream
+    ring-assembly kernels inherit compute-sized partitions instead of
+    AQE's byte-sized 1-2 at small data (no extra Exchange: Catalyst
+    reuses the user partitioning for the aggregation)."""
     mw = member_way_points(relations, ways, nodes)
+    if kernel_partitions:
+        mw = mw.repartition(kernel_partitions, "rel_id")
     return mw.groupBy("rel_id").agg(
         F.collect_list("line_wkb").alias("member_wkbs")
     )

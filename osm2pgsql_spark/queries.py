@@ -2883,8 +2883,13 @@ def q_relation_multipolygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame
     nodes, ways_df, rels = osm_synth.square_relations(spark, sf_dir)
     # both assembly paths consume the same member lines: build (and
     # materialize) them once — the join would otherwise recompute the
-    # member->way->node assembly per branch
-    grouped = checkpoint(grouped_member_wkbs(rels, ways_df, nodes))
+    # member->way->node assembly per branch.  kernel_partitions: the
+    # checkpoint freezes the partitioning the ring kernels see; widen
+    # it to the compute parallelism (PERF_NOTES round-14)
+    grouped = checkpoint(grouped_member_wkbs(
+        rels, ways_df, nodes,
+        kernel_partitions=spark.sparkContext.defaultParallelism,
+    ))
     mp = relation_multipolygons(None, grouped=grouped)
     parts = (
         relation_polygon_parts(None, grouped=grouped)
