@@ -110,12 +110,14 @@ def minhash_value_sql(h_expr: str, a: int, b: int) -> str:
 
 # ------------------------------------------------------------- simhash
 
-def simhash32(text: Column) -> Column:
-    """32-bit SimHash over whitespace tokens: for each bit j, sum
-    (+1/-1) of token-hash bit j; result bit j set iff sum > 0.
-    Pure integer expression -> bit-exact oracle."""
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: hash32(t))
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash over a *materialized* token-hash array column
+    (hash32 per token).  IMPORTANT: pass a plain column reference, not
+    an inline transform(tokens(...), hash32) expression — the Column
+    DSL copies the subtree into every per-bit aggregate and Catalyst
+    does no CSE inside lambda functions, so the inline form pays the
+    split + 32 md5-per-token passes PER BIT (the shingles_from_tokens
+    lesson; measured on text_stats, plans/r14)."""
     bits = []
     for j in range(32):
         vote = F.aggregate(
@@ -128,6 +130,18 @@ def simhash32(text: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens: for each bit j, sum
+    (+1/-1) of token-hash bit j; result bit j set iff sum > 0.
+    Pure integer expression -> bit-exact oracle.  Hot paths should
+    materialize transform(tokens(text), hash32) in a column and call
+    simhash32_from_hashes on the reference instead (see its CSE
+    warning)."""
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: hash32(t))
+    return simhash32_from_hashes(hashes)
 
 
 def simhash32_sql(col: str = "text") -> str:

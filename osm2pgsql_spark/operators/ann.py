@@ -182,6 +182,13 @@ def rp_near_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # materialize once: the candidate pipeline (signature kernel +
+        # band self-join + distinct) feeds TWO broadcast subtrees below,
+        # and broadcast exchanges of different projections share nothing
+        # — without this the whole pipeline executes twice per action
+        # (verified_near_dups uses the same eager-localCheckpoint
+        # pattern; blocks are reclaimed by the ContextCleaner)
+        .localCheckpoint()
     )
     # candidates << corpus: broadcast ONLY the bare id pairs into the
     # two vector joins so the embedding table streams shuffle-free

@@ -122,6 +122,13 @@ def verified_near_dups(
     sigs = minhash_signatures(
         docs, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
     ).localCheckpoint()
+    # NOTE (r14, measured): cand feeds two broadcast subtrees, but a
+    # localCheckpoint here made the gate SLOWER (1.85s -> 2.8s median
+    # at sf0.1) — with sigs already checkpointed the re-run band
+    # self-join is cheap, and the checkpoint adds a serial barrier
+    # before either broadcast can start.  Contrast rp_near_dup_pairs,
+    # where the un-checkpointed candidate pipeline contains the
+    # signature kernel and the same checkpoint halved the query.
     cand = lsh_candidate_pairs(sigs, k=k, rows_per_band=rows_per_band, id_col=id_col)
     toks2 = docs.select(F.col(id_col), S.tokens(F.col(text_col)).alias("toks"))
     sh = toks2.select(

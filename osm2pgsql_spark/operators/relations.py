@@ -330,9 +330,16 @@ def relation_polygon_parts(
 
     key = f"mp_parts_{bool(enable_multi)}"
     if key not in _UDF_CACHE:
+        # asNondeterministic: the kernel runs a full ring assembly per
+        # relation, and both the pushed-down `parts IS NOT NULL` filter
+        # and InferFiltersFromGenerate's size(parts)>0 guard otherwise
+        # re-evaluate it below its own output filter — two assembly
+        # passes per relation for one result (spark_optimization_guide
+        # §4.4; plans/r14/relation_multipolygon_rings_before.txt nodes
+        # 9+12).  The kernel is pure; the flag only pins one evaluation.
         _UDF_CACHE[key] = pandas_udf(
             _parts_kernel(bool(enable_multi)), "array<binary>"
-        )
+        ).asNondeterministic()
     wkb_udf = _UDF_CACHE[key]
 
     if grouped is None:

@@ -662,6 +662,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tri").alias("n_tri3"),
         round4(F.col("ppl3")).alias("ppl3"),
     )
+    # NOTE (r14, measured): hoisting the token-hash array into its own
+    # projection and feeding simhash32_from_hashes a column reference
+    # was TRIED and made the query 1.6x slower (1.08s -> 1.71s median
+    # at sf0.1): runtime subexpression elimination already evaluates
+    # the identical top-level transform(split+md5) subtree once across
+    # the 32 per-bit aggregates, and the explicit column materialized
+    # an array per doc for no saved work.  (CSE cannot help *inside* a
+    # lambda body — the shingles_from_tokens case — but these repeats
+    # are at projection top level.)  Keeping the inline form.
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),

@@ -249,3 +249,17 @@ def test_dsir_plan_no_cross_join_and_no_python(spark):
     plan = _physical_plan(dsir.dsir_select(src, tgt, top_k=5))
     for op in _FORBIDDEN + ("BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan
+
+
+def test_embedding_candidate_pipeline_runs_once(spark):
+    """r14: rp_near_dup_pairs materializes the candidate set once
+    (localCheckpoint) before its two broadcast subtrees — otherwise the
+    signature kernel + band self-join + distinct execute twice per
+    action (measured 2x CPU on the sf0.1 gate).  The final plan must
+    carry NO Python signature evaluation (it ran inside the checkpoint)
+    and both broadcasts must read the checkpointed RDD."""
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ann.rp_near_dup_pairs(vecs, threshold=0.3, n_bands=4, bits_per_band=4)
+    plan = _physical_plan(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "ExistingRDD" in plan, plan

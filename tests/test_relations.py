@@ -313,3 +313,33 @@ def test_mega_relation_at_member_cap(spark):
     # validity check sweeps instead of all-pairs since round 8); a
     # quadratic regression would blow far past this
     assert elapsed < 60, elapsed
+
+
+def test_polygon_parts_kernel_evaluated_once(spark):
+    """r14: the split-polygon kernel runs a full ring assembly per
+    relation; the pushed-down parts-IS-NOT-NULL filter (and
+    InferFiltersFromGenerate's size guard) used to duplicate the
+    ArrowEvalPython below its own output filter — two assembly passes
+    for one result.  asNondeterministic pins a single evaluation."""
+    from osm2pgsql_spark.operators.relations import relation_polygon_parts
+
+    coords = {1: (0.0, 0.0), 2: (1.0, 0.0), 3: (1.0, 1.0), 4: (0.0, 1.0)}
+    nodes = spark.createDataFrame(
+        [(i, y, x, None, None, None, None, None, None, None)
+         for i, (x, y) in coords.items()],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 1], {"building": "yes"},
+          None, None, None, None, None, None)],
+        WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame(
+        [(77, [("w", 10, "outer")], {"type": "multipolygon"},
+          None, None, None, None, None, None)],
+        RELATION_SCHEMA,
+    )
+    df = relation_polygon_parts(rels, ways, nodes)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_kernel_evals = plan.count("wkbs(")
+    assert n_kernel_evals == 1, f"parts kernel evaluated {n_kernel_evals}x:\n{plan}"
