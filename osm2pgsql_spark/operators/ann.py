@@ -33,14 +33,39 @@ def brute_force_topk(
 
     queries is expected small (broadcast); corpus streams through one
     stage, per-query top-k via window over (query_id)."""
+    # norms are per-ROW: compute them on each side BEFORE the cross
+    # join, so each of the |q| x |corpus| pairs pays one zip_with dot
+    # instead of dot + two norm re-aggregations (~3x array work; the
+    # lsh_topk hoist).  Identical IEEE values — same sqrt(sum(x^2))
+    # left-to-right fold, evaluated once per row instead of per pair.
+    def _norm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        ))
+
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "sim",
+            F.when((F.col("qn") > 0) & (F.col("nn") > 0),
+                   dot / (F.col("qn") * F.col("nn"))).otherwise(F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -143,7 +168,13 @@ def _band_sigs_kernel(comps: list[list[list[float]]]):
         sigs = sig_bits.reshape(m.shape[0], n_bands, bits).sum(axis=2)
         return pd.Series(list(sigs))
 
-    return pandas_udf(kernel, "array<bigint>")
+    # asNondeterministic: the derived band/bucket column becomes a join
+    # key, and the pushed isnotnull filter (lsh_topk both sides) or
+    # InferFiltersFromGenerate's size guard (posexplode in
+    # rp_near_dup_pairs) otherwise duplicates the dim x planes matmul
+    # below its own output filter (guide §4.4;
+    # plans/r14/ann_lsh_topk_before.txt showed 4 evals for 2).
+    return pandas_udf(kernel, "array<bigint>").asNondeterministic()
 
 
 def rp_near_dup_pairs(

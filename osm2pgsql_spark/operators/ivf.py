@@ -36,7 +36,13 @@ def _assign_udf(centroids: np.ndarray):
         sims = m @ c.T
         return pd.Series(np.argmax(sims, axis=1).astype("int64"))
 
-    return pandas_udf(kernel, "bigint")
+    # asNondeterministic: `cluster` becomes a join key downstream and
+    # the inferred isnotnull(cluster) filter otherwise duplicates the
+    # k*dim-matmul assignment below its own output filter — the corpus
+    # paid two assignment passes per search/build (guide §4.4;
+    # plans/r14/ann_ivf_topk_before.txt nodes 10+13).  Pure kernel;
+    # the flag only pins single evaluation.
+    return pandas_udf(kernel, "bigint").asNondeterministic()
 
 
 def train_kmeans(

@@ -164,7 +164,12 @@ def width_from_areas(
             out.append(line_in_polygon_length(lg[1], pg))
         return pd.Series(out, dtype="float64")
 
-    inlen_udf = pandas_udf(kernel, "double")
+    # asNondeterministic: the __inlen > 0 filter below is otherwise
+    # pushed under the projection and the exact clipping kernel runs
+    # TWICE per candidate pair (guide §4.4; seen in the
+    # river_width_from_areas gate plan, r14 audit).  Pure kernel; the
+    # flag only pins single evaluation.
+    inlen_udf = pandas_udf(kernel, "double").asNondeterministic()
     scored = paired.withColumn("__inlen", inlen_udf(F.col("__lwkb"), F.col("__awkb")))
     agg = (
         scored.where(F.col("__inlen") > 0)

@@ -125,7 +125,12 @@ def polygon_all_intersecting(
             out.append(",".join(hits) if hits else None)
         return pd.Series(out, dtype=object)
 
-    udf = pandas_udf(kernel, "string")
+    # asNondeterministic: the isNotNull filter on the kernel's own
+    # output is otherwise pushed below the projection and the grid
+    # probe (bbox + point-in-polygon per point) evaluates TWICE per
+    # point (guide §4.4; plans/r14/locator_all_intersecting_before.txt
+    # had two ArrowEvalPython nodes for this one kernel).
+    udf = pandas_udf(kernel, "string").asNondeterministic()
     return (
         points.select(F.col(point_id), udf(F.col(x), F.col(y)).alias("regions"))
         .where(F.col("regions").isNotNull())
