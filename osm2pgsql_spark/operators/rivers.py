@@ -8,35 +8,62 @@ Reference: /root/reference/src/gen/gen-rivers.cpp —
 - propagates max width downstream (DFS along flow direction with
   seen-list loop detection, :83-120)
 
-Spark-first: both steps are iterative fixpoints of joins.
-- Chain contraction = connected components over the "merge graph"
-  (segments adjacent at a degree-2 endpoint), via hash-min label
-  propagation with pointer jumping: O(log diameter) rounds, each a
-  constant number of shuffles.
-- Width propagation = repeated join head->tail taking max upstream
-  width until no row changes; terminates on cycles because max() is
-  monotone and bounded (the reference's seen-list serves the same
-  purpose).
+Spark-first, scale-adaptive: both steps are iterative fixpoints whose
+per-round cost is dominated by per-stage FIXED overhead on small
+graphs and by data volume on big ones, so each picks its execution
+strategy from the measured edge count:
 
-Each iteration is one shuffle on the endpoint key; at planet scale
-the waterway graph is sparse (~10^7 edges) so log-round convergence
-holds.  Inputs use exact endpoint coordinates as join keys, like the
-reference's point-based equal_range probing (:297-300).
+- Below _SMALL_GRAPH_EDGES the whole graph fits in one task (2M edges
+  x ~56 B ~ 112 MB), so the fixpoint is solved LOCALLY in a single
+  mapInPandas kernel (guide-SS4 vectorized native code): union-find
+  for the chain components (exact, always terminates), a K-bounded
+  numpy relaxation for widths.  One shuffle in, one kernel pass, zero
+  per-round driver barriers — versus ~20+ sequential exchange stages
+  for the distributed fixpoint on the same data.  The width kernel's
+  hop bound keeps the pathological case (a >_LOCAL_MAX_HOPS-diameter
+  graph that still has <2M edges) safe: it emits the partially
+  relaxed state with done=false and the caller escalates to the
+  chain-decomposition path — exact, because for monotone
+  max-propagation the fixpoint from any state between the input and
+  the fixpoint is the same fixpoint.
+- At or above _SMALL_GRAPH_EDGES the distributed fixpoints run with
+  the session's AQE/codegen settings: hash-min label propagation with
+  pointer jumping for contraction (O(log diameter) rounds), and a
+  window-form relaxation for widths (see _window_hop) whose lazy
+  per-round plan grows LINEARLY in hops_per_round — the previous
+  join-form hop referenced the running frame twice, so a 4-hop round
+  analyzed and executed O(h^2) sort-merge-join subtrees (10 SMJs /
+  26 exchanges per round, measured r15).
+
+Each distributed iteration is one shuffle on the endpoint key; at
+planet scale the waterway graph is sparse (~10^7 edges) so log-round
+convergence holds.  Inputs use exact endpoint coordinates as join
+keys, like the reference's point-based equal_range probing (:297-300).
 """
 
 from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.operators.iterate import checkpoint as _ckpt
 
-# Below this edge count the fixpoint's wall-clock is dominated by
-# per-stage fixed costs, not data volume; above it the default session
-# confs (whole-stage codegen, AQE) win and must stay on.
+# Below this edge count the whole graph fits comfortably in one task
+# (~112 MB of endpoint rows) and the fixpoint's wall-clock is dominated
+# by per-stage fixed costs, not data volume: solve locally in a single
+# kernel.  Above it, the distributed fixpoints run under the default
+# session confs (whole-stage codegen, AQE) — they win there.
 _SMALL_GRAPH_EDGES = 2_000_000
+
+# Hop bound for the local width kernel.  Real river networks below the
+# small-graph edge bound converge orders of magnitude sooner (sf0.1:
+# last change at hop 18); a graph that is still relaxing after this
+# many hops has chains the chain-decomposition path handles in
+# O(log L) rounds, so the kernel hands over instead of looping
+# O(diameter) times.
+_LOCAL_MAX_HOPS = 512
 
 
 @contextmanager
@@ -55,7 +82,10 @@ def _small_graph_mode(spark, n_rows: int):
     2 partitions loses parallelism (9.4-10.0s), 16 pays task overhead
     (7.4-8.2s).  On a big graph (>= _SMALL_GRAPH_EDGES) the session
     confs are left untouched — codegen/AQE win there.  Always
-    restores the caller's confs."""
+    restores the caller's confs.  (Since r15 the small-graph regime
+    normally runs the single-kernel local path and only enters this
+    conf mode when a distributed loop must continue a non-converged
+    local solve.)"""
     if n_rows >= _SMALL_GRAPH_EDGES:
         yield
         return
@@ -86,18 +116,94 @@ def endpoint_degrees(edges: DataFrame) -> DataFrame:
     return pts.groupBy("px", "py").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def _endpoint_indices(pdf):
+    """Map the tail/head coordinate pairs of a local edge frame to
+    dense point indices.  Complex128 packs (x, y) losslessly; adding
+    0.0 normalizes -0.0 to +0.0 the way Spark's float join-key
+    normalization does."""
+    import numpy as np
+
+    tails = (pdf["x1"].to_numpy() + 0.0) + 1j * (pdf["y1"].to_numpy() + 0.0)
+    heads = (pdf["x2"].to_numpy() + 0.0) + 1j * (pdf["y2"].to_numpy() + 0.0)
+    uniq, inv = np.unique(np.concatenate([tails, heads]), return_inverse=True)
+    n = len(pdf)
+    return len(uniq), inv[:n], inv[n:]
+
+
+def _chain_labels_kernel(batches):
+    """Single-task chain labeling: degree count + union-find across
+    degree-2 endpoints, emitting the same labels the distributed
+    hash-min fixpoint converges to (min edge_id per component)."""
+    import numpy as np
+    import pandas as pd
+
+    dfs = list(batches)
+    if not dfs:
+        return
+    pdf = pd.concat(dfs, ignore_index=True)
+    n = len(pdf)
+    n_pts, tail_idx, head_idx = _endpoint_indices(pdf)
+    slots = np.concatenate([tail_idx, head_idx])
+    degree = np.bincount(slots, minlength=n_pts)
+
+    # incident edge rows per point, grouped by sorting the slot list
+    order = np.argsort(slots, kind="stable")
+    rows_of_slot = np.concatenate([np.arange(n), np.arange(n)])[order]
+    pts_sorted = slots[order]
+
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # degree-2 points have exactly two consecutive slots after the
+    # sort; union their incident edges (a self-looping edge unions
+    # with itself — a no-op, matching the distributed adjacency's
+    # edge_id != nbr filter)
+    deg2 = np.flatnonzero(degree == 2)
+    starts = np.searchsorted(pts_sorted, deg2, side="left")
+    for s in starts:
+        a, b = find(rows_of_slot[s]), find(rows_of_slot[s + 1])
+        if a != b:
+            parent[a] = b
+
+    # resolve every row to its root by pointer doubling
+    while True:
+        nxt = parent[parent]
+        if np.array_equal(nxt, parent):
+            break
+        parent = nxt
+
+    eid = pdf["edge_id"].to_numpy()
+    out = pd.DataFrame({"edge_id": eid, "root": parent})
+    out["chain_id"] = out.groupby("root")["edge_id"].transform("min")
+    yield out[["edge_id", "chain_id"]]
+
+
 def contract_chains(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Assign a chain_id to every edge; edges sharing a degree-2
     endpoint get the same chain_id (gen-rivers.cpp:242-332 merge).
 
-    Returns edges + chain_id.  Label propagation: each round, every
-    edge takes the min chain label among neighbors across degree-2
-    endpoints; converges when no label changes."""
-    # Materializing the labels runs the (possibly heavy) edge input at
-    # the caller's session confs; the count on the checkpointed RDD is
-    # then cheap and sizes the fixpoint's conf mode.
+    Returns edges + chain_id.  Small graphs (< _SMALL_GRAPH_EDGES) are
+    labeled in one local union-find kernel; big graphs run hash-min
+    label propagation with pointer jumping, which converges when no
+    label changes."""
+    # Materializing the slim endpoint frame runs the (possibly heavy)
+    # edge input once at the caller's session confs; the count on the
+    # checkpointed RDD is then cheap and picks the strategy.
+    slim = _ckpt(edges.select("edge_id", "x1", "y1", "x2", "y2"))
+    n_edges = slim.count()
+    if n_edges < _SMALL_GRAPH_EDGES:
+        labels = _ckpt(
+            slim.repartition(1).mapInPandas(
+                _chain_labels_kernel, "edge_id bigint, chain_id bigint"
+            )
+        )
+        return edges.join(labels, "edge_id")
     labels = _ckpt(edges.select("edge_id", F.col("edge_id").alias("chain_id")))
-    n_edges = labels.count()
     with _small_graph_mode(edges.sparkSession, n_edges):
         return _contract_chains_loop(edges, labels, max_iter)
 
@@ -132,13 +238,14 @@ def _contract_chains_loop(
         # two hash-min+jump steps per checkpoint/probe round: halves
         # the fixed per-round job costs; the lazy plan between
         # checkpoints stays a bounded two-step chain.  The convergence
-        # probe is FUSED into the round: `c0` (the round-start label)
-        # rides through the lazy step chain, so detecting change is a
-        # filter on the freshly checkpointed RDD — no old-vs-new join,
-        # no extra shuffle, one cheap job.
-        step = labels.withColumn("c0", F.col("chain_id"))
-        for _s in range(2):
-            step = _label_step(adj, step)
+        # probe compares against the label AFTER the first step (`c0`
+        # rides through the second step's lazy chain), so it detects
+        # "one full step changed nothing" — for a monotone min step
+        # that IS the fixpoint, and it saves the otherwise-needed
+        # confirm round whenever convergence lands on an odd step.
+        step = _label_step(adj, labels)
+        step = step.withColumn("c0", F.col("chain_id"))
+        step = _label_step(adj, step)
         nxt = _ckpt(step)
         changed = nxt.where(F.col("chain_id") != F.col("c0")).limit(1).count()
         labels = nxt.drop("c0")
@@ -195,6 +302,81 @@ def merge_chains(edges_with_chains: DataFrame) -> DataFrame:
     )
 
 
+def _width_kernel(batches):
+    """Single-task width fixpoint: vectorized one-hop relaxation until
+    no width changes or _LOCAL_MAX_HOPS is hit.  Emits done=false with
+    the partially relaxed (exactly resumable) state in the bounded
+    case; max() over float64 is exact, so the converged result is
+    bit-identical to the distributed relaxation's."""
+    import numpy as np
+    import pandas as pd
+
+    dfs = list(batches)
+    if not dfs:
+        return
+    pdf = pd.concat(dfs, ignore_index=True)
+    n_pts, tail_idx, head_idx = _endpoint_indices(pdf)
+    w = pdf["width"].to_numpy(dtype="float64", copy=True)
+    msg = np.empty(n_pts, dtype="float64")
+    done = False
+    for _ in range(_LOCAL_MAX_HOPS):
+        msg.fill(-np.inf)
+        np.maximum.at(msg, head_idx, w)
+        nw = np.maximum(w, msg[tail_idx])
+        if np.array_equal(nw, w):
+            done = True
+            break
+        w = nw
+    out = pdf[["edge_id", "x1", "y1", "x2", "y2"]].copy()
+    out["width"] = w
+    out["done"] = done
+    yield out
+
+
+_WIDTH_KERNEL_SCHEMA = (
+    "edge_id bigint, x1 double, y1 double, x2 double, y2 double, "
+    "width double, done boolean"
+)
+
+
+def _window_hop(step: DataFrame) -> DataFrame:
+    """One relaxation hop in window form: each edge emits a receiver
+    row keyed by its tail and a message row keyed by its head (one
+    explode — a SINGLE reference to `step`, so a chain of hops grows
+    the logical plan linearly), and a partition-wide window max over
+    the message rows delivers the upstream width.  One exchange per
+    hop, zero joins — the join-form hop referenced `step` twice, so a
+    4-hop round re-executed the prior hops under every message
+    aggregation: 10 SortMergeJoins / 26 exchanges per round (measured,
+    plans/r15/river_width_round_before.txt)."""
+    tall = step.withColumn(
+        "t",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x1").alias("kx"), F.col("y1").alias("ky"),
+                    F.lit(True).alias("recv"),
+                ),
+                F.struct(
+                    F.col("x2").alias("kx"), F.col("y2").alias("ky"),
+                    F.lit(False).alias("recv"),
+                ),
+            )
+        ),
+    )
+    win = Window.partitionBy(F.col("t.kx"), F.col("t.ky"))
+    up = F.max(F.when(~F.col("t.recv"), F.col("width"))).over(win)
+    return (
+        tall.withColumn("up_width", up)
+        .where(F.col("t.recv"))
+        .withColumn(
+            "width",
+            F.greatest(F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))),
+        )
+        .drop("t", "up_width")
+    )
+
+
 def propagate_width(
     edges: DataFrame,
     max_iter: int = 30,
@@ -208,91 +390,83 @@ def propagate_width(
     and every upstream edge's (transitively).  Monotone + bounded =>
     terminates, cycles included.
 
-    hops_per_round relaxations are chained INSIDE one lazy plan
-    between checkpoints: information still travels one hop per
-    relaxation, but the per-round fixed costs (checkpoint job +
-    convergence-probe job, the dominant wall-clock term on anything
-    but planetary path lengths) are paid once per `hops_per_round`
-    hops instead of once per hop.  Lineage stays bounded: the plan
-    between checkpoints is hops_per_round self-joins deep.
-
-    hops_per_round=4 is a MEASURED optimum, not a guess (r12 VERDICT
-    #3 experiments, sf0.1 135k edges, 3 runs each): each hop
-    references the previous frame twice (msgs groupBy + join), so the
-    un-analyzed logical tree grows 2^hops per round — 8-hop rounds
-    spend more driver time in Catalyst analysis than they save in
-    barriers (13.4-24.5s vs 8.7-13.0s for 4-hop), and the full chain
-    decomposition costs 17.8-22s here because its labeling rounds
-    dominate short chains.  The remaining run-to-run variance is box
-    scheduling, not plan shape: the sequential round chain is as
-    short as the three designs allow.
-
-    Each hop is in MESSAGE form: widths are first max-combined per
-    head vertex (groupBy on the head key = map-side partial agg, the
-    Pregel combiner), then LEFT-joined to downstream tails.  That is
-    2 exchanges per hop instead of the naive join-then-agg-then-join-
-    back's 3-4, and the pre-combine bounds the join's probe fan-in at
-    high-in-degree junctions (skew safety at planet scale).
+    Strategy by measured size:
+    - < _SMALL_GRAPH_EDGES: one local kernel pass (_width_kernel).
+      If the kernel's hop bound trips (done=false), the partially
+      relaxed state — exact to resume from, see module docstring —
+      escalates to the chain-decomposition path, or, when escalation
+      is disabled (the chained path's own junction solve), continues
+      with distributed rounds.
+    - >= _SMALL_GRAPH_EDGES: distributed window-form relaxation
+      (_relax_rounds below).
 
     The loop frame is slimmed to (edge_id, tail, head, width) — the
     geometry/name columns would otherwise ride through every shuffle
     and checkpoint of every round; they are re-attached once at the
-    end.
-
-    The convergence probe is FUSED into the round: a `w0` copy of the
-    round-start width rides through the lazy hop chain, so detecting
-    change is a filter on the freshly checkpointed RDD (no join, no
-    extra shuffle).
-
-    escalate_after_hops: if the relaxation is still changing after
-    this many hops, the graph has chains longer than one-hop
-    relaxation can cheaply cover, and the remainder is handed to
-    propagate_width_chained on the current (partially relaxed) widths.
-    That is exact: for monotone max-propagation, the fixpoint from any
-    state between the input and the fixpoint is the same fixpoint —
-    each partial width is a max over a subset of the edge's upstream
-    closure.  This is the measured-crossover selection the two paths
-    need: short chains never escalate and pay nothing; long chains
-    (planet rivers) escalate after a bounded number of rounds instead
-    of relaxing for O(diameter) hops.  None disables escalation (used
-    by the chained path itself on the contracted junction graph)."""
+    end."""
     slim = edges.select("edge_id", "x1", "y1", "x2", "y2", "width")
     cur = _ckpt(slim)
     n_edges = cur.count()
-    hops_done = 0
-    with _small_graph_mode(edges.sparkSession, n_edges):
-        for _ in range(max_iter):
-            step = cur.withColumn("w0", F.col("width"))
-            for _h in range(hops_per_round):
-                msgs = (
-                    step.groupBy(
-                        F.col("x2").alias("jx"), F.col("y2").alias("jy")
-                    ).agg(F.max("width").alias("up_width"))
-                )
-                step = (
-                    step.join(
-                        msgs,
-                        (F.col("x1") == F.col("jx")) & (F.col("y1") == F.col("jy")),
-                        "left",
-                    )
-                    .withColumn(
-                        "width",
-                        F.greatest(
-                            F.col("width"), F.coalesce(F.col("up_width"), F.col("width"))
-                        ),
-                    )
-                    .drop("jx", "jy", "up_width")
-                )
-            nxt = _ckpt(step)
-            changed = nxt.where(F.col("width") != F.col("w0")).limit(1).count()
-            cur = nxt.drop("w0")
-            hops_done += hops_per_round
-            if changed == 0:
-                break
-            if escalate_after_hops is not None and hops_done >= escalate_after_hops:
+    spark = edges.sparkSession
+    if n_edges < _SMALL_GRAPH_EDGES:
+        solved = _ckpt(
+            cur.repartition(1).mapInPandas(_width_kernel, _WIDTH_KERNEL_SCHEMA)
+        )
+        pending = solved.where(~F.col("done")).limit(1).count()
+        cur = solved.drop("done")
+        if pending:
+            if escalate_after_hops is not None:
                 cur = _ckpt(propagate_width_chained(cur, max_iter=max_iter))
-                break
+            else:
+                with _small_graph_mode(spark, n_edges):
+                    cur = _relax_rounds(cur, max_iter, hops_per_round, None)
+    else:
+        cur = _relax_rounds(cur, max_iter, hops_per_round, escalate_after_hops)
     return edges.drop("width").join(cur.select("edge_id", "width"), "edge_id")
+
+
+def _relax_rounds(
+    cur: DataFrame,
+    max_iter: int,
+    hops_per_round: int,
+    escalate_after_hops: int | None,
+) -> DataFrame:
+    """Distributed relaxation: hops_per_round window-form hops chained
+    lazily between checkpoints.  With the hop's linear plan growth the
+    per-round cost is hops_per_round exchanges + one checkpoint + one
+    probe job; hops_per_round=4 re-measured best at sf0.1 among
+    {4, 8, 12, 24} (6.8 / 8.5 / 8.3 / 10.2 s interleaved medians) —
+    bigger rounds waste hops past convergence (last change: hop 18
+    there) because the probe only fires at round ends.
+
+    The convergence probe compares against the width BEFORE the
+    round's last hop (`w_pre` rides through the final lazy hop): a
+    monotone hop that changes nothing IS the fixpoint, so convergence
+    is detected in the round that reaches it instead of one confirm
+    round later.
+
+    escalate_after_hops: if still changing after this many hops, the
+    graph has chains longer than one-hop relaxation can cheaply cover;
+    hand the current (partially relaxed, exactly resumable) widths to
+    propagate_width_chained.  None disables escalation (used by the
+    chained path itself on the contracted junction graph)."""
+    hops_done = 0
+    for _ in range(max_iter):
+        step = cur
+        for _h in range(hops_per_round):
+            if _h == hops_per_round - 1:
+                step = step.withColumn("w_pre", F.col("width"))
+            step = _window_hop(step)
+        nxt = _ckpt(step)
+        changed = nxt.where(F.col("width") != F.col("w_pre")).limit(1).count()
+        cur = nxt.drop("w_pre")
+        hops_done += hops_per_round
+        if changed == 0:
+            break
+        if escalate_after_hops is not None and hops_done >= escalate_after_hops:
+            cur = _ckpt(propagate_width_chained(cur, max_iter=max_iter))
+            break
+    return cur
 
 
 def propagate_width_chained(
@@ -329,12 +503,11 @@ def propagate_width_chained(
     whose endpoint nodes are 1-in/1-out globally (no edge with a
     non-interior tail) is a closed interior cycle.
 
-    Crossover point, measured: at sf0.1 (max chain 23 edges) the
-    direct relaxation wins (14s vs 26s — the labeling rounds dominate
-    when chains are short); the chained path wins when chain length
-    outgrows the labeling's O(log L) rounds, i.e. real river networks.
-    Callers should pick by expected chain length; the two are
-    result-identical (tested)."""
+    Crossover point: the direct path's local kernel now covers every
+    small graph in one pass; the chained path wins when chain length
+    outgrows _LOCAL_MAX_HOPS or the graph outgrows one task, i.e.
+    real river networks at scale.  The two are result-identical
+    (tested)."""
     import pandas as pd
 
     base = _ckpt(edges.select("edge_id", "x1", "y1", "x2", "y2", "width"))
@@ -369,10 +542,10 @@ def _propagate_width_chained_body(edges: DataFrame, max_iter: int, pd) -> DataFr
     adj = _ckpt(adj)
     labels = _ckpt(edges.select("edge_id", F.col("edge_id").alias("chain_id")))
     for _ in range(max_iter):
-        # same fused-probe double-step as _contract_chains_loop
-        step = labels.withColumn("c0", F.col("chain_id"))
-        for _s in range(2):
-            step = _label_step(adj, step)
+        # same step-boundary probe as _contract_chains_loop
+        step = _label_step(adj, labels)
+        step = step.withColumn("c0", F.col("chain_id"))
+        step = _label_step(adj, step)
         nxt = _ckpt(step)
         changed = nxt.where(F.col("chain_id") != F.col("c0")).limit(1).count()
         labels = nxt.drop("c0")

@@ -116,11 +116,14 @@ def test_propagate_width_chained_equals_direct(spark):
     assert direct[5] == 7.0  # chain B prefix
 
 
-def test_propagate_width_escalation_equals_direct(spark):
+def test_propagate_width_escalation_equals_direct(spark, monkeypatch):
     """Escalating from a partially relaxed state to the chained path
     mid-fixpoint is exact: max-propagation's fixpoint from any state
     between input and fixpoint is the same fixpoint.  A long chain
-    (24 edges, rising widths upstream) forces real escalation work."""
+    (24 edges, rising widths upstream) forces real escalation work;
+    _SMALL_GRAPH_EDGES is forced to 0 so the DISTRIBUTED relaxation
+    rounds and the escalation branch actually run."""
+    import osm2pgsql_spark.operators.rivers as R
     from osm2pgsql_spark.operators.rivers import propagate_width
 
     rows = [
@@ -132,6 +135,7 @@ def test_propagate_width_escalation_equals_direct(spark):
     edges = spark.createDataFrame(
         rows, "edge_id long, x1 double, y1 double, x2 double, y2 double, width double"
     )
+    monkeypatch.setattr(R, "_SMALL_GRAPH_EDGES", 0)
     direct = {
         r["edge_id"]: r["width"]
         for r in propagate_width(edges, escalate_after_hops=None).collect()
@@ -143,6 +147,54 @@ def test_propagate_width_escalation_equals_direct(spark):
     assert direct == escalated
     assert escalated[24] == 99.0  # tributary reaches the mouth
     assert escalated[1] == 24.0
+
+
+def test_distributed_paths_equal_local_kernels(spark, monkeypatch):
+    """The window-form distributed relaxation and the distributed
+    hash-min contraction must produce exactly the local kernels'
+    results on a branching network with a junction-anchored loop."""
+    import osm2pgsql_spark.operators.rivers as R
+
+    rows = [
+        (1, 0.0, 0.0, 1.0, 0.0, 2.0, 1.0, None),   # chain a
+        (2, 1.0, 0.0, 2.0, 0.0, 1.0, 1.0, None),   # chain a (deg-2 link)
+        (3, 2.0, 1.0, 2.0, 0.0, 5.0, 1.0, None),   # tributary into junction
+        (4, 2.0, 0.0, 3.0, 0.0, 1.0, 1.0, None),   # outlet
+        (5, 3.0, 0.0, 4.0, 1.0, 1.0, 1.0, None),   # loop out of (3,0)
+        (6, 4.0, 1.0, 3.0, 0.0, 7.0, 1.0, None),   # loop back into (3,0)
+    ]
+    edges = spark.createDataFrame(rows, EDGE_SCHEMA)
+
+    local_w = {r["edge_id"]: r["width"] for r in R.propagate_width(edges).collect()}
+    local_c = {r["edge_id"]: r["chain_id"] for r in R.contract_chains(edges).collect()}
+    monkeypatch.setattr(R, "_SMALL_GRAPH_EDGES", 0)
+    dist_w = {r["edge_id"]: r["width"] for r in R.propagate_width(edges).collect()}
+    dist_c = {r["edge_id"]: r["chain_id"] for r in R.contract_chains(edges).collect()}
+    assert local_w == dist_w
+    assert local_c == dist_c
+    # the tributary reaches the outlet; the loop's return edge feeds
+    # the loop's own outbound edge through the shared junction (3,0)
+    assert local_w[4] == 5.0 and local_w[5] == 7.0 and local_w[6] == 7.0
+
+
+def test_width_kernel_hop_bound_hands_off_exactly(spark, monkeypatch):
+    """When the local kernel's hop bound trips it must emit done=false
+    and the caller must still converge to the exact fixpoint via the
+    chained escalation (resume-from-partial-state exactness)."""
+    import osm2pgsql_spark.operators.rivers as R
+
+    n = 12
+    rows = [
+        (i + 1, float(i), 0.0, float(i + 1), 0.0, float(n - i)) for i in range(n)
+    ]
+    edges = spark.createDataFrame(
+        rows, "edge_id long, x1 double, y1 double, x2 double, y2 double, width double"
+    )
+    expected = {r["edge_id"]: r["width"] for r in R.propagate_width(edges).collect()}
+    monkeypatch.setattr(R, "_LOCAL_MAX_HOPS", 3)  # force the bound to trip
+    bounded = {r["edge_id"]: r["width"] for r in R.propagate_width(edges).collect()}
+    assert bounded == expected
+    assert expected[n] == float(n)  # descending widths: running max is the source
 
 
 def test_propagate_width_chained_junction_anchored_loop(spark):
