@@ -128,20 +128,33 @@ def _polygon_kernel(pts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def pts_to_linestring_wkb(col: Column) -> Column:
+def pts_to_linestring_wkb(col: Column, single_eval: bool = False) -> Column:
     """ARRAY<STRUCT<x,y>> -> linestring WKB (consecutive-dup removal +
-    <2 points -> null, reference src/geom-from-osm.cpp:53-101)."""
-    if "line" not in _UDF_CACHE:
-        _UDF_CACHE["line"] = pandas_udf(_linestring_kernel, "binary")
-    return _UDF_CACHE["line"](col)
+    <2 points -> null, reference src/geom-from-osm.cpp:53-101).
+
+    single_eval=True returns a nondeterministic-marked instance of the
+    same pure kernel: callers that filter on the kernel's own output
+    (flex not_null) and then feed it to another kernel otherwise get
+    the whole linestring assembly evaluated twice (guide §4.4 — the
+    filter is pushed below one copy while CollapseProject inlines a
+    second).  Kept opt-in because the mark also blocks pushing
+    *other* filters through the projection."""
+    key = "line_nd" if single_eval else "line"
+    if key not in _UDF_CACHE:
+        udf = pandas_udf(_linestring_kernel, "binary")
+        _UDF_CACHE[key] = udf.asNondeterministic() if single_eval else udf
+    return _UDF_CACHE[key](col)
 
 
-def pts_to_polygon_wkb(col: Column) -> Column:
+def pts_to_polygon_wkb(col: Column, single_eval: bool = False) -> Column:
     """ARRAY<STRUCT<x,y>> -> polygon WKB for closed rings, else null
-    (reference src/geom-from-osm.cpp:104-133)."""
-    if "poly" not in _UDF_CACHE:
-        _UDF_CACHE["poly"] = pandas_udf(_polygon_kernel, "binary")
-    return _UDF_CACHE["poly"](col)
+    (reference src/geom-from-osm.cpp:104-133).  single_eval: see
+    pts_to_linestring_wkb."""
+    key = "poly_nd" if single_eval else "poly"
+    if key not in _UDF_CACHE:
+        udf = pandas_udf(_polygon_kernel, "binary")
+        _UDF_CACHE[key] = udf.asNondeterministic() if single_eval else udf
+    return _UDF_CACHE[key](col)
 
 
 def way_lines(

@@ -49,13 +49,22 @@ def member_way_points(
     nloc = nodes.select(F.col("id").alias("node_id"), "lon", "lat")
     wpts = assembly.assemble_points(
         refs, nloc, way_id="way_id", pos="pos", ref="ref", node_id="node_id", x="lon", y="lat"
-    ).select(
-        "way_id", assembly.pts_to_linestring_wkb(F.col("pts")).alias("line_wkb")
-    )
+    ).select("way_id", "pts")
     # member geometry travels as WKB binary: Arrow round-trips flat
     # binary lists cheaply, while ragged array<array<struct>> nesting
     # is both slower and unsupported in pandas-UDF conversion.
-    return m.join(wpts, "way_id", "left")
+    # The WKB kernel runs AFTER the join: an ArrowEvalPython node does
+    # not propagate its child's outputPartitioning, so kernel-above-agg
+    # made EnsureRequirements re-shuffle the assembled geometry by
+    # way_id a second time just to satisfy this join.  Post-join, the
+    # join reuses the aggregation's exchange and the kernel output
+    # flows straight into the downstream rel_id exchange (the kernel
+    # maps null pts -> null, preserving left-join semantics).
+    joined = m.join(wpts, "way_id", "left")
+    return joined.select(
+        "way_id", "rel_id", "member_pos", "role",
+        assembly.pts_to_linestring_wkb(F.col("pts")).alias("line_wkb"),
+    )
 
 
 # ------------------------------------------------------ ring assembly
