@@ -22,10 +22,20 @@ _CACHE: dict[str, object] = {}
 
 
 def _lazy(name: str, fn: Callable, rtype: str):
-    def wrapper(*cols: Column) -> Column:
-        if name not in _CACHE:
-            _CACHE[name] = pandas_udf(fn, rtype)
-        return _CACHE[name](*cols)
+    def wrapper(*cols: Column, single_eval: bool = False) -> Column:
+        # single_eval=True returns a nondeterministic-marked instance of
+        # the same pure kernel.  Use it when the kernel's output column
+        # is consumed by SEVERAL downstream expressions: Python UDFs
+        # nested inside other UDFs are fused per consuming chain (no
+        # common-subexpression sharing), so a geometry built once but
+        # measured three ways otherwise runs the build kernel three
+        # times (guide §4.4).  The mark forces the kernel into its own
+        # eval node whose output attribute all consumers share.
+        key = name + ("_nd" if single_eval else "")
+        if key not in _CACHE:
+            udf = pandas_udf(fn, rtype)
+            _CACHE[key] = udf.asNondeterministic() if single_eval else udf
+        return _CACHE[key](*cols)
 
     return wrapper
 
@@ -86,19 +96,19 @@ pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
 pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
 
 
-def pts_linestring_wkb(col: Column) -> Column:
+def pts_linestring_wkb(col: Column, single_eval: bool = False) -> Column:
     """4326 variant — delegates to assembly.pts_to_linestring_wkb (the
     single owner of the dup-removal / <2-points-null semantics)."""
     from osm2pgsql_spark.operators import assembly
 
-    return assembly.pts_to_linestring_wkb(col)
+    return assembly.pts_to_linestring_wkb(col, single_eval=single_eval)
 
 
-def pts_polygon_wkb(col: Column) -> Column:
+def pts_polygon_wkb(col: Column, single_eval: bool = False) -> Column:
     """4326 variant — delegates to assembly.pts_to_polygon_wkb."""
     from osm2pgsql_spark.operators import assembly
 
-    return assembly.pts_to_polygon_wkb(col)
+    return assembly.pts_to_polygon_wkb(col, single_eval=single_eval)
 
 
 # ------------------------------------------------------ scalar measures
@@ -219,10 +229,10 @@ def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
 _simplify_udf = _lazy("simplify", _simplify, "binary")
 
 
-def wkb_simplify(wkb: Column, tolerance: float) -> Column:
+def wkb_simplify(wkb: Column, tolerance: float, single_eval: bool = False) -> Column:
     from pyspark.sql import functions as F
 
-    return _simplify_udf(wkb, F.lit(float(tolerance)))
+    return _simplify_udf(wkb, F.lit(float(tolerance)), single_eval=single_eval)
 
 
 def _segmentize(wkb: pd.Series, maxlen: pd.Series) -> pd.Series:
@@ -238,10 +248,14 @@ def _segmentize(wkb: pd.Series, maxlen: pd.Series) -> pd.Series:
 _segmentize_udf = _lazy("segmentize", _segmentize, "binary")
 
 
-def wkb_segmentize(wkb: Column, max_segment_length: float) -> Column:
+def wkb_segmentize(
+    wkb: Column, max_segment_length: float, single_eval: bool = False
+) -> Column:
     from pyspark.sql import functions as F
 
-    return _segmentize_udf(wkb, F.lit(float(max_segment_length)))
+    return _segmentize_udf(
+        wkb, F.lit(float(max_segment_length)), single_eval=single_eval
+    )
 
 
 def _split_multi(wkb: pd.Series) -> pd.Series:

@@ -238,8 +238,16 @@ def _ml_kernel(wkb_list: pd.Series) -> pd.Series:
 def _get_udf(name: str, kernel) -> object:
     from pyspark.sql.functions import pandas_udf
 
+    # Nondeterministic-marked like the rings parts kernel below: these
+    # assembly kernels (line_merge / multipolygon / multipoint /
+    # collection) are the expensive per-relation work, and their output
+    # column is routinely consumed by several downstream measure kernels
+    # or filtered on (flex not_null).  Chained Python UDFs share nothing
+    # between consumer chains, so without the mark each consumer re-runs
+    # the whole assembly (guide §4.4).  The kernels are pure; the mark
+    # only pins single evaluation.
     if name not in _UDF_CACHE:
-        _UDF_CACHE[name] = pandas_udf(kernel, "binary")
+        _UDF_CACHE[name] = pandas_udf(kernel, "binary").asNondeterministic()
     return _UDF_CACHE[name]
 
 

@@ -3665,7 +3665,11 @@ def q_geom_centroid_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         _xy(cx - s, cy - s), _xy(cx + s, cy - s), _xy(cx + s, cy + s),
         _xy(cx - s, cy + s), _xy(cx - s, cy - s),
     )
-    g = base.select("id", geom_udfs.pts_linestring_wkb(ring).alias("geom"))
+    # single_eval: geom feeds centroid + bbox + n_points — without the
+    # pin each consumer chain re-runs the linestring build (§4.4)
+    g = base.select(
+        "id", geom_udfs.pts_linestring_wkb(ring, single_eval=True).alias("geom")
+    )
     c = geom_udfs.wkb_centroid_xy(F.col("geom"))
     b = geom_udfs.wkb_bbox(F.col("geom"))
     return g.select(
@@ -3708,9 +3712,12 @@ def q_geom_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = F.array(
         _xy(cx - s, cy), _xy(cx, cy + F.col("bend")), _xy(cx + s, cy)
     )
+    # single_eval: geom feeds n_points + length (§4.4 multi-consumer)
     g = base.select(
         "id",
-        geom_udfs.wkb_simplify(geom_udfs.pts_linestring_wkb(pts), 0.1).alias("geom"),
+        geom_udfs.wkb_simplify(
+            geom_udfs.pts_linestring_wkb(pts), 0.1, single_eval=True
+        ).alias("geom"),
     )
     return g.select(
         "id",
@@ -3734,10 +3741,11 @@ def q_geom_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _square_base(spark, sf_dir)
     cx, cy, s = F.col("cx"), F.col("cy"), F.col("s")
     pts = F.array(_xy(cx - s, cy - s), _xy(cx + s, cy - s))
+    # single_eval: geom feeds n_parts + n_points + length (§4.4)
     g = base.select(
         "id",
         geom_udfs.wkb_segmentize(
-            geom_udfs.pts_linestring_wkb(pts), 0.375
+            geom_udfs.pts_linestring_wkb(pts), 0.375, single_eval=True
         ).alias("geom"),
     )
     return g.select(
@@ -4142,10 +4150,13 @@ def q_river_width_from_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
             _xy(mx - h, my + h), _xy(mx - h, my - h),
         )
 
+    # single_eval: width_from_areas consumes geom twice (grid bbox +
+    # exact clip kernel) — without the pin the line build runs per
+    # consumer chain (§4.4)
     lines = base.select(
         F.col("id").alias("edge_id"),
         geom_udfs.pts_linestring_wkb(
-            F.array(_xy(cx - 2 * s, cy), _xy(cx + 3 * s, cy))
+            F.array(_xy(cx - 2 * s, cy), _xy(cx + 3 * s, cy)), single_eval=True
         ).alias("geom"),
     )
     areas = base.select(
@@ -4404,7 +4415,9 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag = geom_udfs.pts_linestring_wkb(
         F.array(_xy(cx - s, cy - s), _xy(cx + s, cy + s))
     )
-    rev = geom_udfs.wkb_reverse(diag)
+    # single_eval: rev feeds geometry_type + interpolate — the pin keeps
+    # the reverse (and the diag build fused inside it) at one eval (§4.4)
+    rev = geom_udfs.wkb_reverse(diag, single_eval=True)
     ip = geom_udfs.wkb_interpolate_xy(rev, 0.25)
     scalar = base.select(
         "id",
