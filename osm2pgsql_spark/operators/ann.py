@@ -188,7 +188,16 @@ def rp_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, sim) — cosine near-dup pairs via multi-band random
-    projection candidates + exact verification.  The 100 TB shape:
+    projection candidates + exact verification.  NOTE: calling this
+    function EXECUTES the candidate pipeline (signature kernel + band
+    self-join + distinct) eagerly via localCheckpoint before returning
+    the lazy result — construction triggers Spark jobs.  The
+    checkpointed blocks are executor-local (not fault-tolerant): on a
+    cluster, an executor loss after lineage truncation fails the job
+    and the caller must re-invoke.  persist() would keep lineage but
+    pins storage in the CacheManager forever (this API has no
+    unpersist point); checkpoint blocks are reclaimed by the
+    ContextCleaner when the frame is unreferenced.  The 100 TB shape:
     the only corpus-sized shuffle is the (band, sig) equi-join; the
     cross product never materializes.  Recall < 1 by construction
     (sign-LSH misses some borderline pairs); a probe with the same

@@ -119,8 +119,33 @@ def verified_near_dups(
     frame is unreferenced (persist() would pin executor storage
     forever; without either, the upstream pipeline runs once per
     branch — measured ~2x wall on the dedup bench)."""
-    sigs = minhash_signatures(
-        docs, k=k, shingle_n=shingle_n, id_col=id_col, text_col=text_col
+    # The shingle table is built FIRST and the signatures derived from
+    # it (r15): previously the corpus was tokenized + shingled twice —
+    # once inside minhash_signatures (explode + 8-way min groupBy) and
+    # once for the verification shingle arrays.  Deriving the k mins
+    # with array_min(transform(...)) over the checkpointed arrays does
+    # the same md5-per-shingle work once, drops the explode + aggregate
+    # machinery, and keeps values bit-identical (min over the same
+    # distinct-shingle multiset; docs with no shingles are filtered
+    # like explode dropped them).  The md5 hash pass is materialized as
+    # its own top-level array column so the k permutation transforms
+    # share it (Catalyst does no CSE inside lambda bodies).
+    toks = docs.select(F.col(id_col), S.tokens(F.col(text_col)).alias("toks"))
+    sh = toks.select(
+        F.col(id_col), S.shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
+    ).localCheckpoint()
+    params = S.minhash_params(k)
+    hs = sh.where(F.size("sh") > 0).select(
+        F.col(id_col), F.transform(F.col("sh"), S.hash32).alias("hs")
+    )
+    sigs = hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: S.minhash_value(h, a, b))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ],
     ).localCheckpoint()
     # NOTE (r14, measured): cand feeds two broadcast subtrees, but a
     # localCheckpoint here made the gate SLOWER (1.85s -> 2.8s median
@@ -130,10 +155,6 @@ def verified_near_dups(
     # where the un-checkpointed candidate pipeline contains the
     # signature kernel and the same checkpoint halved the query.
     cand = lsh_candidate_pairs(sigs, k=k, rows_per_band=rows_per_band, id_col=id_col)
-    toks2 = docs.select(F.col(id_col), S.tokens(F.col(text_col)).alias("toks"))
-    sh = toks2.select(
-        F.col(id_col), S.shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
-    ).localCheckpoint()
     # Join order for scale: the broadcast hint wraps ONLY the bare
     # (doc_a, doc_b) id pairs — never a relation carrying shingle
     # payloads, whose size is O(candidates x doc length) and OOMs on a

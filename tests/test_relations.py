@@ -341,5 +341,12 @@ def test_polygon_parts_kernel_evaluated_once(spark):
     )
     df = relation_polygon_parts(rels, ways, nodes)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_kernel_evals = plan.count("wkbs(")
+    # count Python-eval NODES that invoke the parts kernel, not raw
+    # substring hits — UDF-name rendering inside a node may change
+    # across Spark versions (0 or >1 occurrences per node)
+    n_kernel_evals = sum(
+        1
+        for line in plan.splitlines()
+        if "EvalPython" in line and "wkbs(" in line
+    )
     assert n_kernel_evals == 1, f"parts kernel evaluated {n_kernel_evals}x:\n{plan}"

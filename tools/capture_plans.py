@@ -4,8 +4,10 @@ Usage:
     python tools/capture_plans.py OUT_DIR SUFFIX [sf_dir] [query ...]
 
 Writes OUT_DIR/<query>_<SUFFIX>.txt for each named query (default: the
-bench HEADLINE+HEAVY set).  Explain only — nothing is executed, so this
-is safe to run beside other jobs.  With AQE on the dump shows the
+bench HEADLINE+HEAVY set).  Explain only for most queries — but
+building a query whose operators materialize eagerly (rp_near_dup_pairs
+/ verified_near_dups use localCheckpoint) executes that part of the
+pipeline at construction time.  With AQE on the dump shows the
 initial plan (isFinalPlan=false); shape claims (Exchange count, join
 strategy, PushedFilters, Python-eval nodes) are readable regardless.
 """

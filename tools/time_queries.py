@@ -22,7 +22,7 @@ def main() -> None:
         sf_dir = args[0]
         args = args[1:]
     names = args
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     import bench
     from osm2pgsql_spark import queries as Q
@@ -31,6 +31,10 @@ def main() -> None:
     spark = get_spark("osm2pgsql-spark-timeq")
     spark.sparkContext.setLogLevel("ERROR")
     qs = Q.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(qs)}", file=sys.stderr)
+        sys.exit(2)
     jvm_pid = bench._jvm_pid()
 
     warm_dir = "/root/testdata/sf0.001"
