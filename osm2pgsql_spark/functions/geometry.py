@@ -154,18 +154,30 @@ def make_point(x: float, y: float):
     return ("point", (float(x), float(y)))
 
 
-def make_linestring(pts: Iterable[tuple[float, float]]):
-    """Linestring with consecutive-duplicate removal (invariant of the
-    reference point_list_t, src/geom.hpp:124-150); null if <2 points
-    remain (src/geom-from-osm.cpp:53-67 skip-missing semantics)."""
-    a = np.asarray(list(pts), dtype="f8").reshape(-1, 2)
+def dedupe_consecutive(a: np.ndarray) -> np.ndarray:
+    """Consecutive-duplicate removal (invariant of the reference
+    point_list_t, src/geom.hpp:124-150) over an (n,2) float array."""
     if a.shape[0] >= 2:
         keep = np.ones(a.shape[0], dtype=bool)
         keep[1:] = (a[1:] != a[:-1]).any(axis=1)
         a = a[keep]
+    return a
+
+
+def make_linestring_from_array(a: np.ndarray):
+    """make_linestring over an already-built (n,2) float array."""
+    a = dedupe_consecutive(np.asarray(a, dtype="f8").reshape(-1, 2))
     if a.shape[0] < 2:
         return None
     return ("linestring", a)
+
+
+def make_linestring(pts: Iterable[tuple[float, float]]):
+    """Linestring with consecutive-duplicate removal; null if <2 points
+    remain (src/geom-from-osm.cpp:53-67 skip-missing semantics)."""
+    return make_linestring_from_array(
+        np.asarray(list(pts), dtype="f8").reshape(-1, 2)
+    )
 
 
 def create_multipoint(points: Iterable[tuple[float, float] | None]):
@@ -281,12 +293,9 @@ def ring_self_intersects(a: np.ndarray) -> bool:
     return False
 
 
-def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
-    """Closed-way polygon (reference src/geom-from-osm.cpp:104-133):
-    way must be closed (first==last) and have >=4 points after dedup;
-    self-intersecting rings are rejected like the osmium area
-    assembler does (invalid-geometries.feature)."""
-    ls = make_linestring(pts)
+def make_polygon_from_array(a: np.ndarray):
+    """make_polygon_from_way over an already-built (n,2) float array."""
+    ls = make_linestring_from_array(a)
     if ls is None:
         return None
     a = ls[1]
@@ -295,6 +304,16 @@ def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
     if ring_self_intersects(a):
         return None
     return ("polygon", [a])
+
+
+def make_polygon_from_way(pts: Iterable[tuple[float, float]]):
+    """Closed-way polygon (reference src/geom-from-osm.cpp:104-133):
+    way must be closed (first==last) and have >=4 points after dedup;
+    self-intersecting rings are rejected like the osmium area
+    assembler does (invalid-geometries.feature)."""
+    return make_polygon_from_array(
+        np.asarray(list(pts), dtype="f8").reshape(-1, 2)
+    )
 
 
 # ------------------------------------------------------------ measures

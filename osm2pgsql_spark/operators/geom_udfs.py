@@ -66,34 +66,50 @@ def point_wkb(lon: Column, lat: Column, srid: int = 4326) -> Column:
 
 # ------------------------------------- assembled way points -> geometry
 
-def _pts_line_3857(pts: pd.Series) -> pd.Series:
+# 3857 kernels take the interleaved array<double> form like the 4326
+# assembly kernels (see operators/assembly.py _flat_pts — dict-free
+# numpy per row, §4.2)
+
+def _pts_line_3857(flat: pd.Series) -> pd.Series:
     out = []
-    for arr in pts:
-        if arr is None or len(arr) == 0:
+    for v in flat:
+        if v is None or len(v) == 0:
             out.append(None)
             continue
-        g = G.make_linestring([(p["x"], p["y"]) for p in arr])
+        g = G.make_linestring_from_array(np.asarray(v, dtype="f8").reshape(-1, 2))
         if g is not None:
             g = G.transform_4326_to_3857(g)
         out.append(G.to_wkb(g))
     return pd.Series(out, dtype=object)
 
 
-def _pts_poly_3857(pts: pd.Series) -> pd.Series:
+def _pts_poly_3857(flat: pd.Series) -> pd.Series:
     out = []
-    for arr in pts:
-        if arr is None or len(arr) == 0:
+    for v in flat:
+        if v is None or len(v) == 0:
             out.append(None)
             continue
-        g = G.make_polygon_from_way([(p["x"], p["y"]) for p in arr])
+        g = G.make_polygon_from_array(np.asarray(v, dtype="f8").reshape(-1, 2))
         if g is not None:
             g = G.transform_4326_to_3857(g)
         out.append(G.to_wkb(g))
     return pd.Series(out, dtype=object)
 
 
-pts_linestring_wkb_3857 = _lazy("line3857", _pts_line_3857, "binary")
-pts_polygon_wkb_3857 = _lazy("poly3857", _pts_poly_3857, "binary")
+_pts_line_3857_udf = _lazy("line3857", _pts_line_3857, "binary")
+_pts_poly_3857_udf = _lazy("poly3857", _pts_poly_3857, "binary")
+
+
+def pts_linestring_wkb_3857(col: Column, single_eval: bool = False) -> Column:
+    from osm2pgsql_spark.operators.assembly import _flat_pts
+
+    return _pts_line_3857_udf(_flat_pts(col), single_eval=single_eval)
+
+
+def pts_polygon_wkb_3857(col: Column, single_eval: bool = False) -> Column:
+    from osm2pgsql_spark.operators.assembly import _flat_pts
+
+    return _pts_poly_3857_udf(_flat_pts(col), single_eval=single_eval)
 
 
 def pts_linestring_wkb(col: Column, single_eval: bool = False) -> Column:

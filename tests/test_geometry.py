@@ -283,3 +283,52 @@ def test_distance_point_inside_polygon_is_zero():
     # line with a vertex inside the polygon
     line = G.make_linestring([(2, 2), (10, 2)])
     assert G.distance(poly, line) == 0.0
+
+
+# ------------------------------------------------- batch WKB kernels
+
+def _flat(pts):
+    if pts is None:
+        return None
+    return [c for p in pts for c in p]
+
+
+def test_linestring_batch_kernel_matches_scalar_path():
+    """The vectorized assembly kernel must stay byte-exact with
+    to_wkb(make_linestring(...)) — same dedupe, same <2-points->null,
+    no dedupe bleeding across row boundaries."""
+    import pandas as pd
+    from osm2pgsql_spark.operators.assembly import _linestring_kernel
+
+    rows = [
+        [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)],          # plain
+        [(0.0, 0.0), (0.0, 0.0), (1.0, 1.0)],          # consecutive dup
+        [(3.0, 3.0)],                                   # <2 points -> null
+        [(2.0, 2.0), (2.0, 2.0)],                       # dups collapse -> null
+        None,                                           # null row
+        [],                                             # empty row
+        [(5.0, 5.0), (5.0, 6.0)],                       # row after null/empty
+        [(5.0, 6.0), (7.0, 8.0)],                       # equal boundary points
+        [(float("nan"), 1.0), (float("nan"), 1.0)],     # NaN never dedupes
+    ]
+    got = _linestring_kernel(pd.Series([_flat(r) for r in rows], dtype=object))
+    want = [
+        G.to_wkb(G.make_linestring(r)) if r is not None and len(r) else None
+        for r in rows
+    ]
+    assert list(got) == want
+
+
+def test_polygon_batch_kernel_matches_scalar_path():
+    import pandas as pd
+    from osm2pgsql_spark.operators.assembly import _polygon_kernel
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    bow = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]
+    rows = [sq, bow, sq[:-1], None, []]
+    got = _polygon_kernel(pd.Series([_flat(r) for r in rows], dtype=object))
+    want = [
+        G.to_wkb(G.make_polygon_from_way(r)) if r is not None and len(r) else None
+        for r in rows
+    ]
+    assert list(got) == want
