@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2pgsql_spark.functions.rounding import round6
-from osm2pgsql_spark.functions.similarity import cosine_similarity, minhash_params
+from osm2pgsql_spark.functions.similarity import minhash_params
 
 
 def brute_force_topk(
@@ -237,14 +237,32 @@ def rp_near_dup_pairs(
     # dup-heavy input and candidates x 64 floats would OOM executors.
     # The final pair-up joins two candidate-sized sides without a hint;
     # AQE picks the strategy from real sizes.
-    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).join(
-        F.broadcast(cand), "id_a"
-    )
-    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).join(
-        F.broadcast(cand.select("id_b").distinct()), "id_b"
-    )
+    # norms are per-ROW (brute_force_topk hoist, guide §2.3): each
+    # verified pair pays one zip_with dot instead of dot + two norm
+    # re-aggregations.  Identical IEEE values — same sqrt(sum(x^2))
+    # left-to-right fold, evaluated once per row instead of per pair.
+    def _norm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        ))
+
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    ).join(F.broadcast(cand), "id_a")
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    ).join(F.broadcast(cand.select("id_b").distinct()), "id_b")
     j = va.join(vb, ["id_b"])
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    sim = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))
+    ).otherwise(F.lit(0.0))
     return (
         j.withColumn("sim", sim)
         .where(F.col("sim") >= threshold)

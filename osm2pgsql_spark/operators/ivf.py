@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from osm2pgsql_spark.functions.rounding import round6
-from osm2pgsql_spark.functions.similarity import cosine_similarity
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -132,18 +131,38 @@ def search(
         return pd.Series([row.astype("int64").tolist() for row in order])
 
     probe = pandas_udf(probe_kernel, "array<bigint>")
+    # norms are per-ROW (brute_force_topk hoist, guide §2.3): each of
+    # the probed pairs pays one zip_with dot instead of dot + two norm
+    # re-aggregations.  Identical IEEE values — same sqrt(sum(x^2))
+    # left-to-right fold, evaluated once per row instead of per pair.
+    def _norm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        ))
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(probe(F.col(vec_col))).alias("cluster"),
     )
     cand = index.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"), "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
     )
     scored = (
         F.broadcast(q).join(cand, "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("qv"), F.col("nv")))
+        .withColumn(
+            "sim",
+            F.when((F.col("qn") > 0) & (F.col("nn") > 0),
+                   dot / (F.col("qn") * F.col("nn"))).otherwise(F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
