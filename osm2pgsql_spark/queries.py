@@ -4415,13 +4415,17 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag = geom_udfs.pts_linestring_wkb(
         F.array(_xy(cx - s, cy - s), _xy(cx + s, cy + s))
     )
-    # single_eval: rev feeds geometry_type + interpolate — the pin keeps
-    # the reverse (and the diag build fused inside it) at one eval (§4.4)
+    # single_eval + MATERIALIZED column: rev feeds geometry_type +
+    # interpolate.  The pin alone is not enough — nondeterministic
+    # expressions cannot be deduplicated, so using the `rev` expression
+    # twice in one projection would evaluate it twice; staged as a
+    # named column, consumers share the single eval's attribute (§4.4).
     rev = geom_udfs.wkb_reverse(diag, single_eval=True)
-    ip = geom_udfs.wkb_interpolate_xy(rev, 0.25)
-    scalar = base.select(
+    staged = base.select("id", rev.alias("rev"))
+    ip = geom_udfs.wkb_interpolate_xy(F.col("rev"), 0.25)
+    scalar = staged.select(
         "id",
-        geom_udfs.wkb_geometry_type(rev).alias("gtype"),
+        geom_udfs.wkb_geometry_type(F.col("rev")).alias("gtype"),
         ip["x"].alias("rx"),
         ip["y"].alias("ry"),
     )
@@ -4439,10 +4443,14 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF inside the agg expression both defeat batch pipelining —
     # evaluating each kernel in its own projection is ~25% faster at
     # identical results (PERF_NOTES round-14)
+    # single_eval on split_multi: with `geom` now a materialized column
+    # (the line_merge kernel is nondeterministic-pinned), the explode's
+    # inferred size()>0 guard would otherwise push below the split
+    # kernel and duplicate it (§4.4)
     parts = (
         ml.select(
             F.col("rel_id").alias("id"),
-            geom_udfs.wkb_split_multi(F.col("geom")).alias("ps"),
+            geom_udfs.wkb_split_multi(F.col("geom"), single_eval=True).alias("ps"),
         )
         .select("id", F.explode("ps").alias("part"))
         .select(
