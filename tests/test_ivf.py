@@ -42,3 +42,16 @@ def test_ivf_recall_vs_exact(spark, corpus):
     full = ivf.search(index, queries, cents, k=5, nprobe=8)
     f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_local_and_distributed_training_agree(spark, corpus, monkeypatch):
+    """The data-size-gated local Lloyd path must produce the same
+    grid-quantized centroids as the distributed path (the 1e-6
+    rounding absorbs summation-order ulps — the same argument that
+    makes the DuckDB oracle twin match)."""
+    local = ivf.train_kmeans(corpus, nlist=8, iters=3, round_decimals=6)
+    monkeypatch.setattr(ivf, "_LOCAL_TRAIN_MAX_ROWS", 0)
+    dist = ivf.train_kmeans(corpus, nlist=8, iters=3, round_decimals=6)
+    assert local.shape == dist.shape
+    import numpy as np
+    np.testing.assert_array_equal(local, dist)
