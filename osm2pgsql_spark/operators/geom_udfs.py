@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 
+from osm2pgsql_spark.functions import geombatch as GB
 from osm2pgsql_spark.functions import geometry as G
 
 _CACHE: dict[str, object] = {}
@@ -43,16 +44,9 @@ def _lazy(name: str, fn: Callable, rtype: str):
 # ------------------------------------------------------------- points
 
 def _point_wkb(lon: pd.Series, lat: pd.Series, srid: pd.Series) -> pd.Series:
-    out = []
-    for x, y, s in zip(lon, lat, srid):
-        if x is None or y is None or pd.isna(x) or pd.isna(y):
-            out.append(None)
-            continue
-        g = G.make_point(float(x), float(y))
-        if int(s) == 3857:
-            g = G.transform_4326_to_3857(g)
-        out.append(G.to_wkb(g))
-    return pd.Series(out, dtype=object)
+    # batch twin of: make_point(float(x), float(y)) [+ 3857 transform]
+    # -> to_wkb, with None/NaN inputs kept null (tests/test_geombatch.py)
+    return GB.batch_point_wkb(lon, lat, srid)
 
 
 _point_udf = _lazy("point", _point_wkb, "binary")
@@ -136,39 +130,46 @@ def _measure(fn):
     return inner
 
 
+# area kernels keep the per-row parse: polygon shoelace/authalic math
+# dominates their cost, not the parse.  The length/count/bbox family
+# goes through the batch twins (functions/geombatch.py, §4.2) — same
+# bits, one header scan + batch-wide math instead of a full per-row
+# parse (pinned identical by tests/test_geombatch.py).
 wkb_area = _lazy("area", _measure(G.area), "double")
 wkb_spherical_area = _lazy("sph_area", _measure(G.spherical_area), "double")
 wkb_spherical_area_sphere = _lazy(
     "sph_area_sphere", _measure(lambda g: G.spherical_area(g, ellipsoid=False)), "double"
 )
-wkb_length = _lazy("length", _measure(G.length), "double")
-wkb_spherical_length = _lazy("sph_len", _measure(G.spherical_length), "double")
+
+
+def _length(wkb: pd.Series) -> pd.Series:
+    return GB.batch_length(wkb.tolist())
+
+
+def _sph_length(wkb: pd.Series) -> pd.Series:
+    return GB.batch_spherical_length(wkb.tolist())
+
+
+wkb_length = _lazy("length", _length, "double")
+wkb_spherical_length = _lazy("sph_len", _sph_length, "double")
 
 
 def _npoints(wkb: pd.Series) -> pd.Series:
-    return pd.Series(
-        [G.n_points(G.from_wkb(w)) if w is not None else 0 for w in wkb], dtype="int64"
-    )
+    return GB.batch_npoints(wkb.tolist())
 
 
 wkb_num_points = _lazy("npoints", _npoints, "bigint")
 
 
 def _ngeoms(wkb: pd.Series) -> pd.Series:
-    return pd.Series(
-        [G.num_geometries(G.from_wkb(w)) if w is not None else 0 for w in wkb],
-        dtype="int64",
-    )
+    return GB.batch_ngeoms(wkb.tolist())
 
 
 wkb_num_geometries = _lazy("ngeoms", _ngeoms, "bigint")
 
 
 def _geom_type(wkb: pd.Series) -> pd.Series:
-    return pd.Series(
-        [G.geometry_type(G.from_wkb(w)) if w is not None else "NULL" for w in wkb],
-        dtype=object,
-    )
+    return GB.batch_geom_type(wkb.tolist())
 
 
 wkb_geometry_type = _lazy("gtype", _geom_type, "string")
@@ -189,11 +190,23 @@ def _unary_geom(fn):
     return inner
 
 
+def _reverse(wkb: pd.Series) -> pd.Series:
+    return GB.batch_reverse(wkb.tolist())
+
+
+def _to3857(wkb: pd.Series) -> pd.Series:
+    return GB.batch_transform_3857(wkb.tolist())
+
+
+def _to4326(wkb: pd.Series) -> pd.Series:
+    return GB.batch_transform_4326(wkb.tolist())
+
+
 wkb_centroid = _lazy("centroid", _unary_geom(G.centroid), "binary")
-wkb_reverse = _lazy("rev", _unary_geom(G.reverse), "binary")
+wkb_reverse = _lazy("rev", _reverse, "binary")
 wkb_line_merge = _lazy("lmerge", _unary_geom(G.line_merge), "binary")
-wkb_transform_3857 = _lazy("to3857", _unary_geom(G.transform_4326_to_3857), "binary")
-wkb_transform_4326 = _lazy("to4326", _unary_geom(G.transform_3857_to_4326), "binary")
+wkb_transform_3857 = _lazy("to3857", _to3857, "binary")
+wkb_transform_4326 = _lazy("to4326", _to4326, "binary")
 
 
 def _transform_epsg(wkb: pd.Series, code: pd.Series) -> pd.Series:
@@ -291,15 +304,7 @@ wkb_split_multi = _lazy("split", _split_multi, "array<binary>")
 
 
 def _bbox(wkb: pd.Series) -> pd.DataFrame:
-    rows = []
-    for w in wkb:
-        b = G.get_bbox(G.from_wkb(w)) if w is not None else None
-        rows.append(
-            {"min_x": None, "min_y": None, "max_x": None, "max_y": None}
-            if b is None
-            else {"min_x": b[0], "min_y": b[1], "max_x": b[2], "max_y": b[3]}
-        )
-    return pd.DataFrame(rows, dtype="float64")
+    return GB.batch_bbox(wkb.tolist())
 
 
 wkb_bbox = _lazy(
@@ -308,13 +313,7 @@ wkb_bbox = _lazy(
 
 
 def _centroid_xy(wkb: pd.Series) -> pd.DataFrame:
-    rows = []
-    for w in wkb:
-        c = G.centroid(G.from_wkb(w)) if w is not None else None
-        rows.append(
-            {"x": None, "y": None} if c is None else {"x": c[1][0], "y": c[1][1]}
-        )
-    return pd.DataFrame(rows, dtype="float64")
+    return GB.batch_centroid_xy(wkb.tolist())
 
 
 wkb_centroid_xy = _lazy("centroid_xy", _centroid_xy, "struct<x:double,y:double>")

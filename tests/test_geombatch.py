@@ -1,0 +1,280 @@
+"""Bit-exactness pins for the batch WKB measure/transform fast paths.
+
+Every batch kernel in functions/geombatch.py must return EXACTLY what
+the scalar per-row path (functions/geometry.py composed as the old
+operators/geom_udfs.py loops did) returns — same bytes, same float
+bits, same nulls — across an edge zoo that exercises the fast classes,
+the fallback classes, and the seams between them inside one batch.
+"""
+
+import math
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm2pgsql_spark.functions import geombatch as GB
+from osm2pgsql_spark.functions import geometry as G
+
+
+def _bswap_wkb_point(x: float, y: float) -> bytes:
+    """A big-endian point WKB (forces the fallback path)."""
+    return b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", x, y)
+
+
+def _ewkb_point(x: float, y: float, srid: int = 4326) -> bytes:
+    """EWKB with the SRID flag set (forces the fallback path)."""
+    return (
+        b"\x01"
+        + struct.pack("<I", 1 | 0x20000000)
+        + struct.pack("<I", srid)
+        + struct.pack("<dd", x, y)
+    )
+
+
+def _zoo() -> list:
+    """WKB rows covering every class the scan distinguishes."""
+    rng = np.random.RandomState(42)
+    rows: list = [None, b""]
+    # points, incl. NaN coords and trailing garbage
+    rows.append(G.to_wkb(("point", (1.5, -2.25))))
+    rows.append(G.to_wkb(("point", (float("nan"), 3.0))))
+    rows.append(G.to_wkb(("point", (-0.0, 0.0))) + b"\xde\xad")
+    # linestrings: straight, random, dup points, 2-pt, long, signed zeros
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [3.0, 4.0]]))))
+    for n in (2, 3, 5, 17, 200):
+        rows.append(G.to_wkb(("linestring", rng.uniform(-180, 85, (n, 2)))))
+    rows.append(
+        G.to_wkb(("linestring", np.array([[1.0, 1.0], [1.0, 1.0], [2.0, 2.0]])))
+    )
+    rows.append(
+        G.to_wkb(("linestring", np.array([[-0.0, 0.0], [0.0, -0.0], [1.0, 1.0]])))
+    )
+    rows.append(
+        G.to_wkb(("linestring", np.array([[np.nan, 0.0], [1.0, np.nan], [2.0, 2.0]])))
+    )
+    # degenerate linestrings from_wkb will happily parse
+    rows.append(G.to_wkb(("linestring", np.empty((0, 2)))))
+    rows.append(G.to_wkb(("linestring", np.array([[7.0, 8.0]]))))
+    # polygons: single ring, ring + hole
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]])
+    rows.append(G.to_wkb(("polygon", [sq])))
+    rows.append(G.to_wkb(("polygon", [sq, hole])))
+    rows.append(G.to_wkb(("polygon", [])))
+    # multipoint / multilinestring (incl. empty + 1-part)
+    rows.append(G.to_wkb(("multipoint", [(0.5, 0.5), (2.0, -1.0), (2.0, -1.0)])))
+    rows.append(G.to_wkb(("multipoint", [])))
+    seg = G.segmentize(("linestring", sq), 0.7)
+    rows.append(G.to_wkb(seg))
+    rows.append(G.to_wkb(("multilinestring", [sq[:3]])))
+    rows.append(G.to_wkb(("multilinestring", [])))
+    # multipolygon + collection (always fallback)
+    rows.append(G.to_wkb(("multipolygon", [[sq], [hole]])))
+    rows.append(
+        G.to_wkb(("collection", [("point", (1.0, 2.0)), ("linestring", sq[:3])]))
+    )
+    # exotic encodings -> fallback
+    rows.append(_bswap_wkb_point(3.5, -7.25))
+    rows.append(_ewkb_point(12.0, 55.0))
+    return rows
+
+
+ZOO = _zoo()
+
+
+def _assert_float_series_equal(got: pd.Series, want: list) -> None:
+    assert len(got) == len(want)
+    for i, w in enumerate(want):
+        g = got.iloc[i]
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), i
+        else:
+            assert struct.pack("<d", g) == struct.pack("<d", w), (i, g, w)
+
+
+def test_batch_length_bit_exact():
+    want = [G.length(G.from_wkb(w)) if w is not None else None for w in ZOO]
+    _assert_float_series_equal(GB.batch_length(ZOO), want)
+
+
+def test_batch_spherical_length_bit_exact():
+    want = [G.spherical_length(G.from_wkb(w)) if w is not None else None for w in ZOO]
+    _assert_float_series_equal(GB.batch_spherical_length(ZOO), want)
+
+
+def test_batch_npoints_bit_exact():
+    want = [G.n_points(G.from_wkb(w)) if w is not None else 0 for w in ZOO]
+    got = GB.batch_npoints(ZOO)
+    assert got.tolist() == want
+
+
+def test_batch_ngeoms_bit_exact():
+    want = [G.num_geometries(G.from_wkb(w)) if w is not None else 0 for w in ZOO]
+    got = GB.batch_ngeoms(ZOO)
+    assert got.tolist() == want
+
+
+def test_batch_geom_type_bit_exact():
+    want = [G.geometry_type(G.from_wkb(w)) if w is not None else "NULL" for w in ZOO]
+    got = GB.batch_geom_type(ZOO)
+    assert got.tolist() == want
+
+
+def test_batch_bbox_bit_exact():
+    got = GB.batch_bbox(ZOO)
+    for i, w in enumerate(ZOO):
+        b = G.get_bbox(G.from_wkb(w)) if w is not None else None
+        row = got.iloc[i]
+        if b is None:
+            assert row.isna().all(), i
+        else:
+            for col, v in zip(("min_x", "min_y", "max_x", "max_y"), b):
+                if math.isnan(v):
+                    assert math.isnan(row[col]), (i, col)
+                else:
+                    assert struct.pack("<d", row[col]) == struct.pack("<d", v), (i, col)
+
+
+def _rows_where_scalar_ok(fn) -> list:
+    """Zoo rows whose scalar path does not raise; rows where it DOES
+    raise are asserted to raise identically on the batch path by
+    test_scalar_raising_rows_raise_in_batch."""
+    ok = []
+    for w in ZOO:
+        try:
+            fn(G.from_wkb(w)) if w is not None else None
+        except Exception:
+            continue
+        ok.append(w)
+    return ok
+
+
+def test_batch_centroid_xy_bit_exact():
+    zoo = _rows_where_scalar_ok(G.centroid)
+    got = GB.batch_centroid_xy(zoo)
+    for i, w in enumerate(zoo):
+        c = G.centroid(G.from_wkb(w)) if w is not None else None
+        row = got.iloc[i]
+        if c is None:
+            assert row.isna().all(), i
+        else:
+            for col, v in zip(("x", "y"), c[1]):
+                if isinstance(v, float) and math.isnan(v):
+                    assert math.isnan(row[col]), (i, col)
+                else:
+                    assert struct.pack("<d", row[col]) == struct.pack("<d", v), (i, col)
+
+
+def test_batch_reverse_bit_exact():
+    want = [
+        G.to_wkb(G.reverse(G.from_wkb(w))) if w is not None else None for w in ZOO
+    ]
+    got = GB.batch_reverse(ZOO)
+    assert got.tolist() == want
+
+
+@pytest.mark.parametrize("fwd", [True, False])
+def test_batch_transform_bit_exact(fwd):
+    fn = G.transform_4326_to_3857 if fwd else G.transform_3857_to_4326
+    zoo = _rows_where_scalar_ok(fn)
+    want = [G.to_wkb(fn(G.from_wkb(w))) if w is not None else None for w in zoo]
+    got = GB._transform_batch(zoo, fwd=fwd)
+    assert got.tolist() == want
+
+
+def test_scalar_raising_rows_raise_in_batch():
+    """Rows whose SCALAR kernel raises (0-point-line centroid, empty
+    polygon centroid, empty multipoint transform) must raise on the
+    batch path too — errors stay owned by the scalar semantics."""
+    cases = [
+        (GB.batch_centroid_xy, G.centroid),
+        (lambda v: GB._transform_batch(v, fwd=True), G.transform_4326_to_3857),
+    ]
+    n_raising = 0
+    for batch_fn, scalar_fn in cases:
+        for w in ZOO:
+            if w is None:
+                continue
+            try:
+                scalar_fn(G.from_wkb(w))
+                continue
+            except Exception as e:
+                want_type = type(e)
+            n_raising += 1
+            with pytest.raises(want_type):
+                batch_fn([w])
+    assert n_raising >= 3  # the zoo must keep exercising this seam
+
+
+def test_batch_point_wkb_bit_exact():
+    lon = pd.Series([1.5, None, float("nan"), -0.0, 179.9], dtype="float64")
+    lat = pd.Series([-2.25, 3.0, 4.0, 0.0, -85.0], dtype="float64")
+    for srid in (4326, 3857):
+        srid_s = pd.Series([srid] * len(lon))
+        want = []
+        for x, y in zip(lon, lat):
+            if pd.isna(x) or pd.isna(y):
+                want.append(None)
+                continue
+            g = G.make_point(float(x), float(y))
+            if srid == 3857:
+                g = G.transform_4326_to_3857(g)
+            want.append(G.to_wkb(g))
+        got = GB.batch_point_wkb(lon, lat, srid_s)
+        assert got.tolist() == want
+
+
+def test_truncated_buffers_raise_like_scalar():
+    """A linestring whose header count overruns the buffer must raise
+    (the scalar frombuffer raises ValueError); the batch path routes
+    it through the scalar fallback, preserving the error."""
+    bad = b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 99) + b"\x00" * 32
+    with pytest.raises(ValueError):
+        GB.batch_length([bad])
+    with pytest.raises(ValueError):
+        GB.batch_npoints([bad])
+
+
+def test_mixed_batch_order_preserved():
+    """Fast and fallback rows interleaved keep positional alignment."""
+    rows = [
+        G.to_wkb(("point", (1.0, 2.0))),
+        _bswap_wkb_point(3.0, 4.0),
+        G.to_wkb(("linestring", np.array([[0.0, 0.0], [3.0, 4.0]]))),
+        None,
+        G.to_wkb(("multipolygon", [[np.array(
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+        )]])),
+    ]
+    got = GB.batch_npoints(rows)
+    assert got.tolist() == [1, 1, 2, 0, 5]
+    gt = GB.batch_geom_type(rows)
+    assert gt.tolist() == ["POINT", "POINT", "LINESTRING", "NULL", "MULTIPOLYGON"]
+
+
+def test_reduction_identities():
+    """Pins the three numpy reduction facts the batch design relies on
+    (see functions/geombatch.py module docstring): contiguous-gather
+    axis reductions are bit-identical to per-slice np.sum / .min(),
+    for sums via the same pairwise algorithm, for min/max because the
+    reduction is order-robust.  Runs on adversarial values (huge,
+    tiny, denormal, signed zeros)."""
+    rng = np.random.RandomState(3)
+    pool = np.concatenate([
+        rng.uniform(-1e300, 1e300, 1000), rng.uniform(-1, 1, 1000),
+        np.full(50, 5e-324), np.full(50, -0.0), np.full(50, 0.0),
+    ])
+    rng.shuffle(pool)
+    for c in (1, 2, 3, 5, 7, 8, 9, 16, 64, 127, 128, 129, 500):
+        M = rng.choice(pool, (20, c)).astype("f8")
+        s = M.sum(axis=1)
+        for r in range(20):
+            assert s[r].tobytes() == np.sum(M[r]).tobytes(), (c, r)
+        M3 = rng.choice(pool, (20, c, 2)).astype("f8")
+        s3 = M3.sum(axis=1)
+        mn = M3.min(axis=1)
+        for r in range(20):
+            assert s3[r].tobytes() == M3[r].sum(axis=0).tobytes(), (c, r)
+            assert mn[r, 0].tobytes() == M3[r][:, 0].min().tobytes(), (c, r)
