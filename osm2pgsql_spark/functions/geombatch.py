@@ -545,3 +545,158 @@ def batch_transform_3857(vals: Sequence) -> pd.Series:
 
 def batch_transform_4326(vals: Sequence) -> pd.Series:
     return _transform_batch(vals, fwd=False)
+
+
+# ---------------------------------------------- simplify / segmentize
+
+def batch_simplify(vals: Sequence, tol: pd.Series) -> pd.Series:
+    """Twin of _simplify (Douglas-Peucker, linestrings only -> else
+    null).  Fast path: 2-point lines are returned unchanged and
+    3-point lines evaluate the single DP distance test vectorized —
+    the elementwise products replicate the scalar path's 2-element
+    dot products bitwise (no FMA; pinned by test_reduction_identities'
+    sibling test_small_dot_identity).  Longer lines recurse in the
+    scalar kernel."""
+    sc = _Scan(vals)
+    out: list = [None] * sc.n
+    C = sc.coords
+    tolv = tol.to_numpy(dtype="f8")
+    fb = []
+    three = []
+    for i, c in enumerate(sc.cls):
+        if c == _NULL or c == _EMPTY or c in (1, 3, 4, 5):
+            continue  # non-linestrings simplify to the null geometry
+        if c == _FALLBACK:
+            fb.append(i)
+            continue
+        n = sc.row_end[i] - sc.row_start[i]
+        if n <= 2:
+            # scalar returns the geometry unchanged (even 0/1-point
+            # lines); to_wkb re-emits exactly the first 9+16n bytes
+            out[i] = bytes(vals[i][: 9 + 16 * n])
+        elif n == 3:
+            three.append(i)
+        else:
+            fb.append(i)
+    if three:
+        rows = np.asarray(three, dtype=np.int64)
+        s = sc.row_start[rows]
+        p0 = C[s]
+        p1 = C[s + 1]
+        p2 = C[s + 2]
+        seg = p2 - p0                    # _dp_mask: seg = pts[j] - pts[i]
+        rel = p1 - p0
+        seg_len2 = seg[:, 0] * seg[:, 0] + seg[:, 1] * seg[:, 1]
+        rel2 = rel[:, 0] * rel[:, 0] + rel[:, 1] * rel[:, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.clip((rel[:, 0] * seg[:, 0] + rel[:, 1] * seg[:, 1]) / seg_len2, 0.0, 1.0)
+        diff = rel - t[:, None] * seg    # proj = outer(t, seg)
+        d2 = np.where(
+            seg_len2 == 0.0, rel2, diff[:, 0] * diff[:, 0] + diff[:, 1] * diff[:, 1]
+        )
+        keep_mid = d2 > tolv[rows] * tolv[rows]
+        for k, i in enumerate(three):
+            w = vals[i]
+            if keep_mid[k]:
+                out[i] = bytes(w[:57])  # 9 + 3*16, unchanged
+            else:
+                out[i] = bytes(w[:5]) + _U32.pack(2) + bytes(w[9:25]) + bytes(w[41:57])
+    for i in fb:
+        out[i] = G.to_wkb(G.simplify(G.from_wkb(vals[i]), float(tolv[i])))
+    return pd.Series(out, dtype=object)
+
+
+_SEG_SUBHDR = np.frombuffer(b"\x01\x02\x00\x00\x00" + _U32.pack(2), dtype=np.uint8)
+
+
+def batch_segmentize(vals: Sequence, maxlen: pd.Series) -> pd.Series:
+    """Twin of _segmentize for 2-POINT linestrings (the common shape:
+    a straight edge split into <=maxlen pieces, every output piece a
+    2-point line).  Replicates _split_linestring exactly: the segment
+    length uses math.hypot per row (math.hypot and np.hypot differ in
+    the last ulp), split points are frac*(b-a)+a with
+    frac=(j+1)*maxlen/delta, and the final piece is dropped when the
+    last split point equals the endpoint valuewise.  Everything else
+    falls back to the scalar kernel."""
+    import math
+
+    sc = _Scan(vals)
+    out: list = [None] * sc.n
+    C = sc.coords
+    tolv = maxlen.to_numpy(dtype="f8")
+    fb = []
+    rows_l = []
+    for i, c in enumerate(sc.cls):
+        if c == _NULL or c == _EMPTY or c in (1, 3, 4):
+            continue  # non-(multi)linestrings segmentize to null
+        if (
+            c == 2
+            and sc.row_end[i] - sc.row_start[i] == 2
+            and tolv[i] > 0.0  # scalar raises ZeroDivisionError at 0
+        ):
+            rows_l.append(i)
+        else:
+            fb.append(i)
+    if rows_l:
+        rows = np.asarray(rows_l, dtype=np.int64)
+        s = sc.row_start[rows]
+        A = C[s]
+        B = C[s + 1]
+        split_at = tolv[rows]
+        # per-row math.hypot, exactly like _split_linestring's delta
+        dx = (B[:, 0] - A[:, 0]).tolist()
+        dy = (B[:, 1] - A[:, 1]).tolist()
+        delta = np.asarray([math.hypot(a, b) for a, b in zip(dx, dy)])
+        cond = delta > split_at
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(cond, delta / split_at, 0.0)
+        k = np.floor(ratio).astype(np.int64)
+        R = len(rows)
+        kcum = np.zeros(R, dtype=np.int64)
+        np.cumsum(k[:-1], out=kcum[1:])
+        total_i = int(k.sum())
+        row_of = np.repeat(np.arange(R), k)
+        j = np.arange(total_i) - np.repeat(kcum, k)
+        frac = ((j + 1) * split_at[row_of]) / delta[row_of]
+        I = frac[:, None] * (B[row_of] - A[row_of]) + A[row_of]
+        # last split point per row with k>0; drop the final piece when
+        # it equals the endpoint valuewise (scalar: this == ipoint)
+        has_k = k > 0
+        skip_final = np.zeros(R, dtype=bool)
+        if has_k.any():
+            last_idx = kcum[has_k] + k[has_k] - 1
+            li = I[last_idx]
+            tb = B[has_k]
+            skip_final[has_k] = (tb[:, 0] == li[:, 0]) & (tb[:, 1] == li[:, 1])
+        m = np.where(k == 0, 1, k + (~skip_final))
+        has_this = (k == 0) | (~skip_final)
+        # chain per row: A, interps..., [B]; pieces are adjacent pairs
+        clen = m + 1
+        cs = np.zeros(R, dtype=np.int64)
+        np.cumsum(clen[:-1], out=cs[1:])
+        chain = np.empty((int(clen.sum()), 2))
+        chain[cs] = A
+        chain[cs[row_of] + 1 + j] = I
+        chain[(cs + m)[has_this]] = B[has_this]
+        ps = np.zeros(R, dtype=np.int64)
+        np.cumsum(m[:-1], out=ps[1:])
+        total_p = int(m.sum())
+        prow = np.repeat(np.arange(R), m)
+        pj = np.arange(total_p) - np.repeat(ps, m)
+        PA = chain[cs[prow] + pj]
+        PB_ = chain[cs[prow] + pj + 1]
+        U = np.empty((total_p, 41), dtype=np.uint8)
+        U[:, :9] = _SEG_SUBHDR
+        U[:, 9:25] = np.ascontiguousarray(PA, dtype="<f8").view(np.uint8)
+        U[:, 25:41] = np.ascontiguousarray(PB_, dtype="<f8").view(np.uint8)
+        buf = U.tobytes()
+        counts = m.astype("<u4").tobytes()
+        hdr = b"\x01\x05\x00\x00\x00"  # little-endian MULTILINESTRING
+        psl = ps.tolist()
+        ml = m.tolist()
+        for r, i in enumerate(rows_l):
+            p = psl[r]
+            out[i] = hdr + counts[4 * r : 4 * r + 4] + buf[41 * p : 41 * (p + ml[r])]
+    for i in fb:
+        out[i] = G.to_wkb(G.segmentize(G.from_wkb(vals[i]), float(tolv[i])))
+    return pd.Series(out, dtype=object)

@@ -246,13 +246,7 @@ def wkb_transform_epsg(wkb: Column, code: int) -> Column:
 
 
 def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
-    out = []
-    for w, t in zip(wkb, tol):
-        if w is None:
-            out.append(None)
-            continue
-        out.append(G.to_wkb(G.simplify(G.from_wkb(w), float(t))))
-    return pd.Series(out, dtype=object)
+    return GB.batch_simplify(wkb.tolist(), tol)
 
 
 _simplify_udf = _lazy("simplify", _simplify, "binary")
@@ -265,13 +259,7 @@ def wkb_simplify(wkb: Column, tolerance: float, single_eval: bool = False) -> Co
 
 
 def _segmentize(wkb: pd.Series, maxlen: pd.Series) -> pd.Series:
-    out = []
-    for w, t in zip(wkb, maxlen):
-        if w is None:
-            out.append(None)
-            continue
-        out.append(G.to_wkb(G.segmentize(G.from_wkb(w), float(t))))
-    return pd.Series(out, dtype=object)
+    return GB.batch_segmentize(wkb.tolist(), maxlen)
 
 
 _segmentize_udf = _lazy("segmentize", _segmentize, "binary")

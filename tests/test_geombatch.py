@@ -278,3 +278,83 @@ def test_reduction_identities():
         for r in range(20):
             assert s3[r].tobytes() == M3[r].sum(axis=0).tobytes(), (c, r)
             assert mn[r, 0].tobytes() == M3[r][:, 0].min().tobytes(), (c, r)
+
+
+def test_small_dot_identity():
+    """Pins that numpy's tiny matvec/dot products carry no FMA: the
+    2-element products batch_simplify vectorizes are bit-identical to
+    the scalar _dp_mask's `rel @ seg` / `(diff * diff).sum(axis=1)`."""
+    rng = np.random.RandomState(11)
+    for _ in range(2000):
+        a = rng.uniform(-1e6, 1e6, 2)
+        b = rng.uniform(-1e6, 1e6, 2)
+        manual = np.float64(a[0] * b[0] + a[1] * b[1])
+        assert (a @ b).tobytes() == manual.tobytes()
+        rel = a.reshape(1, 2)
+        assert (rel @ b)[0].tobytes() == manual.tobytes()
+        d = rel - np.outer(0.25, b)
+        s_np = (d * d).sum(axis=1)[0]
+        s_man = np.float64(d[0, 0] * d[0, 0] + d[0, 1] * d[0, 1])
+        assert s_np.tobytes() == s_man.tobytes()
+
+
+def _simp_zoo():
+    rng = np.random.RandomState(5)
+    rows = [None, b""]
+    rows.append(G.to_wkb(("point", (1.0, 2.0))))
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [5.0, 0.0]]))))
+    rows.append(G.to_wkb(("linestring", np.array([[7.0, 8.0]]))))       # 1-pt
+    rows.append(G.to_wkb(("linestring", np.empty((0, 2)))))             # 0-pt
+    # 3-pt: collinear (drop), big bend (keep), zero-length seg,
+    # exactly-at-tolerance bend, NaN coords
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [2.0, 0.0], [4.0, 0.0]]))))
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [2.0, 3.0], [4.0, 0.0]]))))
+    rows.append(G.to_wkb(("linestring", np.array([[1.0, 1.0], [2.0, 5.0], [1.0, 1.0]]))))
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [2.0, 0.1], [4.0, 0.0]]))))
+    rows.append(G.to_wkb(("linestring", np.array([[0.0, 0.0], [np.nan, 1.0], [4.0, 0.0]]))))
+    # longer lines -> scalar fallback inside the kernel
+    rows.append(G.to_wkb(("linestring", rng.uniform(-10, 10, (9, 2)))))
+    rows.append(G.to_wkb(("polygon", [np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])])))
+    rows.append(G.to_wkb(G.segmentize(("linestring",
+        np.array([[0.0, 0.0], [3.0, 0.0]])), 0.7)))                     # multiline
+    rows.append(_bswap_wkb_point(1.0, 2.0))
+    return rows
+
+
+@pytest.mark.parametrize("tol", [0.1, 0.0, 2.9, float("nan")])
+def test_batch_simplify_bit_exact(tol):
+    zoo = _simp_zoo()
+    want = [
+        G.to_wkb(G.simplify(G.from_wkb(w), tol)) if w is not None else None
+        for w in zoo
+    ]
+    got = GB.batch_simplify(zoo, pd.Series([tol] * len(zoo), dtype="float64"))
+    assert got.tolist() == want
+
+
+@pytest.mark.parametrize("maxlen", [0.375, 0.7, 1.0, 100.0])
+def test_batch_segmentize_bit_exact(maxlen):
+    rng = np.random.RandomState(6)
+    zoo = [None, b"", G.to_wkb(("point", (1.0, 2.0)))]
+    # straight edges of assorted lengths/directions, incl. exactly
+    # divisible (frac 1.0 -> final-piece skip), equal endpoints,
+    # sub-maxlen edges, NaN coords
+    for a, b in [((0.0, 0.0), (3.0, 0.0)), ((0.0, 0.0), (0.75, 0.0)),
+                 ((1.0, 1.0), (1.0, 1.0)), ((0.0, 0.0), (0.2, 0.1)),
+                 ((-5.0, 2.0), (7.0, -3.0)), ((0.0, 0.0), (float("nan"), 1.0))]:
+        zoo.append(G.to_wkb(("linestring", np.array([a, b]))))
+    for _ in range(20):
+        zoo.append(G.to_wkb(("linestring", rng.uniform(-4, 4, (2, 2)))))
+    # multi-point lines and multilinestrings -> scalar fallback
+    zoo.append(G.to_wkb(("linestring", rng.uniform(-4, 4, (5, 2)))))
+    zoo.append(G.to_wkb(G.segmentize(("linestring",
+        np.array([[0.0, 0.0], [3.0, 0.0]])), 0.7)))
+    zoo.append(G.to_wkb(("polygon", [np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])])))
+    want = [
+        G.to_wkb(G.segmentize(G.from_wkb(w), maxlen)) if w is not None else None
+        for w in zoo
+    ]
+    got = GB.batch_segmentize(zoo, pd.Series([maxlen] * len(zoo), dtype="float64"))
+    assert got.tolist() == want
