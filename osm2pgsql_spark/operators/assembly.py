@@ -119,7 +119,15 @@ def _linestring_kernel(flat: pd.Series) -> pd.Series:
     """Batch-vectorized byte-exact twin of
     to_wkb(make_linestring(...)): consecutive-dup removal and the
     <2-points->null rule computed over the whole Arrow batch at once
-    (pinned identical to the scalar path by tests/test_assembly.py)."""
+    (pinned identical to the scalar path by tests/test_geometry.py)."""
+    return _line_batch(flat, None)
+
+
+def _line_batch(flat: pd.Series, transform) -> pd.Series:
+    """_linestring_kernel body, with an optional coordinate transform
+    applied to the kept points (the 3857 variant).  Kept separate so
+    the pandas_udf entry points have plain single-parameter
+    signatures."""
     nrow = len(flat)
     out: list = [None] * nrow
     vals = flat.tolist()
@@ -144,6 +152,8 @@ def _linestring_kernel(flat: pd.Series) -> pd.Series:
     K = A[keep]
     kstarts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=kstarts[1:])
+    if transform is not None:
+        K = np.ascontiguousarray(transform(K), dtype="<f8")
     buf = K.tobytes()
     cnt_bytes = counts.astype("<u4").tobytes()
     hdr = b"\x01\x02\x00\x00\x00"  # little-endian, LINESTRING
@@ -159,15 +169,116 @@ def _linestring_kernel(flat: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def _polygon_kernel(flat: pd.Series) -> pd.Series:
-    out = []
-    for v in flat:
-        if v is None or len(v) == 0:
-            out.append(None)
-            continue
-        g = G.make_polygon_from_array(np.asarray(v, dtype="f8").reshape(-1, 2))
-        out.append(G.to_wkb(g))
+def _quad_pair_hit(pi, qi, cj, qj):
+    """Vectorized twin of geometry._seg_pair_hit for ONE candidate
+    segment per anchor: anchor pi->qi against candidate cj->qj, over
+    whole row batches.  Same expressions in the same order (2-element
+    cross/dot products are plain multiply-subtract/multiply-add, no
+    FMA — pinned by tests)."""
+    d = qi - pi
+    e = qj - cj
+    v1 = cj - pi
+    v2 = (cj + e) - pi
+    r1 = d[:, 0] * v1[:, 1] - d[:, 1] * v1[:, 0]
+    r2 = d[:, 0] * v2[:, 1] - d[:, 1] * v2[:, 0]
+    v3 = pi - cj
+    v4 = qi - cj
+    r3 = e[:, 0] * v3[:, 1] - e[:, 1] * v3[:, 0]
+    r4 = e[:, 0] * v4[:, 1] - e[:, 1] * v4[:, 0]
+    hit = ((r1 > 0) != (r2 > 0)) & ((r3 > 0) != (r4 > 0))
+    col = (r1 == 0) & (r2 == 0) & (r3 == 0) & (r4 == 0)
+    if col.any():
+        t0 = v1[:, 0] * d[:, 0] + v1[:, 1] * d[:, 1]
+        t1 = v2[:, 0] * d[:, 0] + v2[:, 1] * d[:, 1]
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        dd = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+        hit = hit | (col & (hi > 0) & (lo < dd))
+    return hit
+
+
+_POLY_HDR = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00"  # LE POLYGON, 1 ring
+
+
+def _polygon_batch(flat: pd.Series, transform=None):
+    """Batch-vectorized byte-exact twin of
+    to_wkb(make_polygon_from_array(...)) [+ optional coordinate
+    transform applied to valid rings, like the 3857 variant]:
+    consecutive-dup removal, closed-ring + >=4-points checks and the
+    quad self-intersection test run over the whole Arrow batch; rings
+    with more than 4 segments take the scalar sweep per row."""
+    nrow = len(flat)
+    out: list = [None] * nrow
+    vals = flat.tolist()
+    lens = np.array(
+        [0 if v is None else len(v) // 2 for v in vals], dtype=np.int64
+    )
+    tot = int(lens.sum())
+    if tot == 0:
+        return pd.Series(out, dtype=object)
+    A = (
+        np.concatenate([v for v in vals if v is not None and len(v)])
+        .reshape(-1, 2)
+        .astype("<f8", copy=False)
+    )
+    starts = np.zeros(nrow, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    keep = np.ones(tot, dtype=bool)
+    keep[1:] = (A[1:] != A[:-1]).any(axis=1)
+    nz = lens > 0
+    keep[starts[nz]] = True  # never dedupe across row boundaries
+    counts = np.add.reduceat(keep, starts[nz])
+    K = A[keep]
+    kstarts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=kstarts[1:])
+    nzi = np.nonzero(nz)[0]  # original row per kept group
+
+    c = counts
+    s = kstarts
+    ok = c >= 4
+    closed = np.zeros(len(c), dtype=bool)
+    if ok.any():
+        closed[ok] = (K[s[ok]] == K[s[ok] + c[ok] - 1]).all(axis=1)
+    good = ok & closed
+    quad = good & (c == 5)
+    if quad.any():
+        q = np.nonzero(quad)[0]
+        sq = s[q]
+        P0, P1, P2, P3 = K[sq], K[sq + 1], K[sq + 2], K[sq + 3]
+        # ring_self_intersects for m=4: non-adjacent pairs (0,2), (1,3)
+        hit = _quad_pair_hit(P0, P1, P2, P3) | _quad_pair_hit(P1, P2, P3, P0)
+        good[q[hit]] = False
+    big = good & (c > 5)
+    if big.any():
+        # larger rings: the scalar sweep owns the semantics
+        for g_idx in np.nonzero(big)[0]:
+            i = nzi[g_idx]
+            g = G.make_polygon_from_array(
+                np.asarray(vals[i], dtype="f8").reshape(-1, 2)
+            )
+            if g is not None and transform is not None:
+                g = ("polygon", [transform(r) for r in g[1]])
+            out[i] = G.to_wkb(g)
+        good &= ~big
+
+    KT = K
+    if transform is not None:
+        KT = transform(K)
+    buf = np.ascontiguousarray(KT, dtype="<f8").tobytes()
+    cnt_bytes = counts.astype("<u4").tobytes()
+    for g_idx in np.nonzero(good)[0].tolist():
+        i = nzi[g_idx]
+        st = kstarts[g_idx]
+        out[i] = (
+            _POLY_HDR
+            + cnt_bytes[4 * g_idx : 4 * g_idx + 4]
+            + buf[16 * st : 16 * (st + counts[g_idx])]
+        )
     return pd.Series(out, dtype=object)
+
+
+def _polygon_kernel(flat: pd.Series) -> pd.Series:
+    return _polygon_batch(flat, None)
 
 
 def _flat_pts(col: Column) -> Column:

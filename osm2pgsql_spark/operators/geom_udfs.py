@@ -64,30 +64,24 @@ def point_wkb(lon: Column, lat: Column, srid: int = 4326) -> Column:
 # assembly kernels (see operators/assembly.py _flat_pts — dict-free
 # numpy per row, §4.2)
 
+def _merc_fwd(a: np.ndarray) -> np.ndarray:
+    """Same elementwise web-mercator forward as
+    G.transform_4326_to_3857's inner mapping, applied to (N, 2)."""
+    x = np.radians(a[:, 0]) * G.EARTH_RADIUS
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(a[:, 1]) / 2.0)) * G.EARTH_RADIUS
+    return np.column_stack([x, y])
+
+
 def _pts_line_3857(flat: pd.Series) -> pd.Series:
-    out = []
-    for v in flat:
-        if v is None or len(v) == 0:
-            out.append(None)
-            continue
-        g = G.make_linestring_from_array(np.asarray(v, dtype="f8").reshape(-1, 2))
-        if g is not None:
-            g = G.transform_4326_to_3857(g)
-        out.append(G.to_wkb(g))
-    return pd.Series(out, dtype=object)
+    from osm2pgsql_spark.operators.assembly import _line_batch
+
+    return _line_batch(flat, _merc_fwd)
 
 
 def _pts_poly_3857(flat: pd.Series) -> pd.Series:
-    out = []
-    for v in flat:
-        if v is None or len(v) == 0:
-            out.append(None)
-            continue
-        g = G.make_polygon_from_array(np.asarray(v, dtype="f8").reshape(-1, 2))
-        if g is not None:
-            g = G.transform_4326_to_3857(g)
-        out.append(G.to_wkb(g))
-    return pd.Series(out, dtype=object)
+    from osm2pgsql_spark.operators.assembly import _polygon_batch
+
+    return _polygon_batch(flat, _merc_fwd)
 
 
 _pts_line_3857_udf = _lazy("line3857", _pts_line_3857, "binary")

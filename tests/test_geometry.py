@@ -332,3 +332,93 @@ def test_polygon_batch_kernel_matches_scalar_path():
         for r in rows
     ]
     assert list(got) == want
+
+
+def test_polygon_batch_kernel_adversarial_equivalence():
+    """The vectorized polygon kernel's quad self-intersection test and
+    closed/>=4-point checks must match make_polygon_from_way exactly,
+    including collinear-overlap rejections, vertex-touching
+    acceptances, larger rings (scalar sweep fallback) and NaN
+    coordinates."""
+    import pandas as pd
+    from osm2pgsql_spark.operators.assembly import _polygon_kernel
+
+    rows = [
+        # valid squares / rectangles
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        [(1.0, 1.0), (9.0, 1.0), (9.0, 2.0), (1.0, 2.0), (1.0, 1.0)],
+        # bowtie / figure-eight: proper crossing -> null
+        [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)],
+        [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)],
+        # collinear overlap (spike ring) -> null
+        [(0.0, 0.0), (4.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)],
+        # degenerate zero-area ring (full collinear overlap) -> null
+        [(0.0, 0.0), (4.0, 0.0), (2.0, 0.0), (3.0, 0.0), (0.0, 0.0)],
+        # not closed -> null
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 1.0)],
+        # < 4 points after dedup -> null
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 0.0), (0.0, 0.0), (0.0, 0.0)],
+        # triangle (4 pts closed, m=3: no self-int test possible)
+        [(0.0, 0.0), (4.0, 0.0), (2.0, 3.0), (0.0, 0.0)],
+        # consecutive dup collapses to a valid square
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        # hexagon (scalar fallback path) valid + self-intersecting
+        [(0.0, 0.0), (2.0, -1.0), (4.0, 0.0), (4.0, 3.0), (2.0, 4.0),
+         (0.0, 3.0), (0.0, 0.0)],
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, -1.0), (0.0, 4.0),
+         (2.0, 2.0), (0.0, 0.0)],
+        # NaN coordinate
+        [(0.0, 0.0), (float("nan"), 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+        None,
+        [],
+    ]
+    got = _polygon_kernel(pd.Series([_flat(r) for r in rows], dtype=object))
+    want = [
+        G.to_wkb(G.make_polygon_from_way(r)) if r is not None and len(r) else None
+        for r in rows
+    ]
+    assert list(got) == want
+    # randomized quads: batch verdict must equal the scalar verdict
+    rng = np.random.RandomState(12)
+    quads = []
+    for _ in range(300):
+        p = [tuple(q) for q in rng.randint(-3, 4, (4, 2)).astype(float)]
+        quads.append(p + [p[0]])
+    got = _polygon_kernel(pd.Series([_flat(r) for r in quads], dtype=object))
+    want = [G.to_wkb(G.make_polygon_from_way(r)) for r in quads]
+    assert list(got) == want
+
+
+def test_pts_3857_kernels_match_scalar_path():
+    """The merc-fused line/polygon kernels must equal
+    make_* -> transform_4326_to_3857 -> to_wkb byte-exactly."""
+    import pandas as pd
+    from osm2pgsql_spark.operators.geom_udfs import _pts_line_3857, _pts_poly_3857
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    bow = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]
+    lines = [[(0.0, 0.0), (3.0, 4.0)], [(1.0, 1.0)], sq, None, []]
+    got = _pts_line_3857(pd.Series([_flat(r) for r in lines], dtype=object))
+    want = []
+    for r in lines:
+        if r is None or not len(r):
+            want.append(None)
+            continue
+        g = G.make_linestring(r)
+        if g is not None:
+            g = G.transform_4326_to_3857(g)
+        want.append(G.to_wkb(g))
+    assert list(got) == want
+
+    polys = [sq, bow, sq[:-1], None, []]
+    got = _pts_poly_3857(pd.Series([_flat(r) for r in polys], dtype=object))
+    want = []
+    for r in polys:
+        if r is None or not len(r):
+            want.append(None)
+            continue
+        g = G.make_polygon_from_way(r)
+        if g is not None:
+            g = G.transform_4326_to_3857(g)
+        want.append(G.to_wkb(g))
+    assert list(got) == want
