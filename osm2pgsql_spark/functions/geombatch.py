@@ -700,3 +700,90 @@ def batch_segmentize(vals: Sequence, maxlen: pd.Series) -> pd.Series:
     for i in fb:
         out[i] = G.to_wkb(G.segmentize(G.from_wkb(vals[i]), float(tolv[i])))
     return pd.Series(out, dtype=object)
+
+
+# ------------------------------------------- interpolate / distance
+
+def batch_interpolate_xy(vals: Sequence, frac: pd.Series) -> pd.DataFrame:
+    """Twin of _interpolate_xy for 2-point linestrings (the dominant
+    shape: interpolating along a straight diagonal).  Replicates
+    G.interpolate exactly: total = np.sum of the single np.hypot
+    segment length, target = min(max(f,0),1) * total, and the same
+    zero-length / fell-through-loop (NaN target) branches.  Longer
+    lines go through the scalar kernel."""
+    sc = _Scan(vals)
+    xs = np.full(sc.n, np.nan)
+    ys = np.full(sc.n, np.nan)
+    C = sc.coords
+    fv = frac.to_numpy(dtype="f8")
+    fb = []
+    two = []
+    for i, c in enumerate(sc.cls):
+        if c == _FALLBACK:
+            fb.append(i)
+        elif c == 2:
+            if sc.row_end[i] - sc.row_start[i] == 2:
+                two.append(i)
+            else:
+                fb.append(i)
+        # null/empty/non-linestring rows -> NaN (scalar returns None)
+    if two:
+        rows = np.asarray(two, dtype=np.int64)
+        s = sc.row_start[rows]
+        A = C[s]
+        B = C[s + 1]
+        seg = B - A                         # np.diff row
+        ln = np.hypot(seg[:, 0], seg[:, 1])
+        total = 0.0 + ln                    # np.sum of the 1-elem array
+        # exact twin of Python's min(max(fraction, 0.0), 1.0): keep the
+        # original value unless strictly outside (NaN and -0.0 pass
+        # through, unlike np.minimum/np.maximum)
+        fr = fv[rows]
+        f = np.where(0.0 > fr, 0.0, fr)
+        f = np.where(f > 1.0, 1.0, f)
+        target = f * total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (target - 0.0) / ln
+        P = A + t[:, None] * seg
+        hit = ln >= target                  # acc(0) + ln >= target
+        zero = total == 0
+        px = np.where(zero, A[:, 0], np.where(hit, P[:, 0], B[:, 0]))
+        py = np.where(zero, A[:, 1], np.where(hit, P[:, 1], B[:, 1]))
+        xs[rows] = px
+        ys[rows] = py
+    for i in fb:
+        p = G.interpolate(G.from_wkb(bytes(vals[i])), float(fv[i]))
+        if p is not None:
+            xs[i] = p[1][0]
+            ys[i] = p[1][1]
+    return pd.DataFrame({"x": xs, "y": ys}, dtype="float64")
+
+
+def batch_distance(va: Sequence, vb: Sequence) -> pd.Series:
+    """Twin of _distance for point-point rows: the vertex-distance
+    formula with the same square/sum/sqrt staging.  Every other
+    combination goes through the scalar G.distance."""
+    sa = _Scan(va, need_coords=False)
+    sb = _Scan(vb, need_coords=False)
+    n = sa.n
+    out = np.full(n, np.nan)
+    fb = []
+    pts = []
+    for i in range(n):
+        ca, cb = sa.cls[i], sb.cls[i]
+        if ca == _NULL or cb == _NULL:
+            pass  # wrapper emits null when either side is None
+        elif ca == 1 and cb == 1:
+            pts.append(i)
+        else:
+            fb.append(i)
+    if pts:
+        rows = np.asarray(pts, dtype=np.int64)
+        A = sa.pt_xy[rows]
+        B = sb.pt_xy[rows]
+        D = (A - B) ** 2
+        out[rows] = np.sqrt(0.0 + D[:, 0] + D[:, 1])  # sum from 0.0
+    for i in fb:
+        out[i] = G.distance(G.from_wkb(bytes(va[i])), G.from_wkb(bytes(vb[i])))
+    res = pd.Series(out, dtype="float64")
+    return res

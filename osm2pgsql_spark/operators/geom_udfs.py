@@ -302,26 +302,14 @@ wkb_centroid_xy = _lazy("centroid_xy", _centroid_xy, "struct<x:double,y:double>"
 
 
 def _distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
-    out = []
-    for a, b in zip(wa, wb):
-        if a is None or b is None:
-            out.append(None)
-            continue
-        out.append(G.distance(G.from_wkb(bytes(a)), G.from_wkb(bytes(b))))
-    return pd.Series(out, dtype="float64")
+    return GB.batch_distance(wa.tolist(), wb.tolist())
 
 
 wkb_distance = _lazy("distance", _distance, "double")
 
 
 def _interpolate_xy(wkb: pd.Series, frac: pd.Series) -> pd.DataFrame:
-    rows = []
-    for w, f in zip(wkb, frac):
-        p = G.interpolate(G.from_wkb(bytes(w)), float(f)) if w is not None else None
-        rows.append(
-            {"x": None, "y": None} if p is None else {"x": p[1][0], "y": p[1][1]}
-        )
-    return pd.DataFrame(rows, dtype="float64")
+    return GB.batch_interpolate_xy(wkb.tolist(), frac)
 
 
 _interpolate_udf = _lazy("interp_xy", _interpolate_xy, "struct<x:double,y:double>")

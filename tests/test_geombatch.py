@@ -358,3 +358,57 @@ def test_batch_segmentize_bit_exact(maxlen):
     ]
     got = GB.batch_segmentize(zoo, pd.Series([maxlen] * len(zoo), dtype="float64"))
     assert got.tolist() == want
+
+
+@pytest.mark.parametrize("frac", [0.25, 0.0, 1.0, -0.5, 2.0, float("nan")])
+def test_batch_interpolate_bit_exact(frac):
+    rng = np.random.RandomState(8)
+    zoo = [None, b"", G.to_wkb(("point", (1.0, 2.0)))]
+    for a, b in [((0.0, 0.0), (4.0, 4.0)), ((1.0, 1.0), (1.0, 1.0)),
+                 ((-3.0, 2.0), (5.0, -1.0)), ((0.0, 0.0), (float("nan"), 1.0))]:
+        zoo.append(G.to_wkb(("linestring", np.array([a, b]))))
+    for _ in range(10):
+        zoo.append(G.to_wkb(("linestring", rng.uniform(-9, 9, (2, 2)))))
+    zoo.append(G.to_wkb(("linestring", rng.uniform(-9, 9, (6, 2)))))  # fallback
+    zoo.append(G.to_wkb(("polygon", [np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])])))
+    got = GB.batch_interpolate_xy(zoo, pd.Series([frac] * len(zoo), dtype="float64"))
+    for i, w in enumerate(zoo):
+        p = G.interpolate(G.from_wkb(w), frac) if w is not None else None
+        row = got.iloc[i]
+        if p is None:
+            assert row.isna().all(), i
+        else:
+            for col, v in zip(("x", "y"), p[1]):
+                if isinstance(v, float) and math.isnan(v):
+                    assert math.isnan(row[col]), (i, col)
+                else:
+                    assert struct.pack("<d", row[col]) == struct.pack("<d", v), (i, col, row[col], v)
+
+
+def test_batch_distance_bit_exact():
+    rng = np.random.RandomState(13)
+    pt = lambda: G.to_wkb(("point", tuple(rng.uniform(-9, 9, 2))))
+    line = G.to_wkb(("linestring", rng.uniform(-9, 9, (3, 2))))
+    poly = G.to_wkb(("polygon", [np.array(
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])]))
+    pairs = [(pt(), pt()) for _ in range(20)]
+    pairs += [(pt(), line), (line, poly), (poly, pt()), (None, pt()),
+              (pt(), None), (b"", pt()),
+              (G.to_wkb(("point", (float("nan"), 1.0))), pt()),
+              (G.to_wkb(("point", (2.0, 2.0))), poly)]
+    va = [a for a, _ in pairs]
+    vb = [b for _, b in pairs]
+    got = GB.batch_distance(va, vb)
+    for i, (a, b) in enumerate(pairs):
+        if a is None or b is None:
+            assert math.isnan(got.iloc[i]), i
+            continue
+        want = G.distance(G.from_wkb(a), G.from_wkb(b))
+        g = got.iloc[i]
+        if math.isnan(want):
+            assert math.isnan(g), i
+        elif math.isinf(want):
+            assert math.isinf(g), i
+        else:
+            assert struct.pack("<d", g) == struct.pack("<d", want), (i, g, want)
