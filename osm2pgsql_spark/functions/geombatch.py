@@ -787,3 +787,50 @@ def batch_distance(va: Sequence, vb: Sequence) -> pd.Series:
         out[i] = G.distance(G.from_wkb(bytes(va[i])), G.from_wkb(bytes(vb[i])))
     res = pd.Series(out, dtype="float64")
     return res
+
+
+def batch_split_multi(vals: Sequence) -> pd.Series:
+    """Twin of _split_multi (explode a multi-geometry into part WKBs).
+    For little-endian multipoint/multilinestring rows the sub-WKBs are
+    rebuilt from the scanned parts — constant header + count + the
+    part's own coordinate bytes, exactly what to_wkb re-emits.  Plain
+    point/linestring/polygon rows split to themselves (re-emitted at
+    canonical length); everything else falls back to the scalar path."""
+    sc = _Scan(vals)
+    out: list = [None] * sc.n
+    fb = list(sc.fallback_rows)
+    C = sc.coords
+    buf = np.ascontiguousarray(C, dtype="<f8").tobytes() if C.shape[0] else b""
+    line_hdr = b"\x01\x02\x00\x00\x00"
+    for i, c in enumerate(sc.cls):
+        if c == _NULL or c == _EMPTY:
+            out[i] = []
+        elif c == 1:
+            out[i] = [_PT_HDR + bytes(vals[i][5:21])]
+        elif c == 2:
+            s, e = sc.row_start[i], sc.row_end[i]
+            out[i] = [bytes(vals[i][:9]) + buf[16 * s : 16 * e]]
+        elif c == 3:
+            # single polygon splits to itself; re-emit via the scalar
+            # path (cheap relative to its ring structure)
+            fb.append(i)
+        elif c == 4:
+            p0 = sc.row_part_start[i]
+            parts = []
+            for p in range(p0, p0 + sc.row_part_count[i]):
+                s = int(sc.part_starts[p])
+                parts.append(_PT_HDR + buf[16 * s : 16 * s + 16])
+            out[i] = parts
+        elif c == 5:
+            p0 = sc.row_part_start[i]
+            parts = []
+            for p in range(p0, p0 + sc.row_part_count[i]):
+                s = int(sc.part_starts[p])
+                cnt = int(sc.part_counts[p])
+                parts.append(
+                    line_hdr + _U32.pack(cnt) + buf[16 * s : 16 * (s + cnt)]
+                )
+            out[i] = parts
+    for i in fb:
+        out[i] = [G.to_wkb(g) for g in G.split_multi(G.from_wkb(vals[i]))]
+    return pd.Series(out, dtype=object)

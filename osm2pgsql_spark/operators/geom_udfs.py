@@ -219,13 +219,7 @@ _transform_epsg_udf = _lazy("toepsg", _transform_epsg, "binary")
 
 
 def _split_parts(wkb: pd.Series) -> pd.Series:
-    out = []
-    for w in wkb:
-        if w is None:
-            out.append([])
-            continue
-        out.append([G.to_wkb(g) for g in G.split_multi(G.from_wkb(w))])
-    return pd.Series(out, dtype=object)
+    return GB.batch_split_multi(wkb.tolist())
 
 
 wkb_split_parts = _lazy("splitparts", _split_parts, "array<binary>")
@@ -270,14 +264,7 @@ def wkb_segmentize(
 
 
 def _split_multi(wkb: pd.Series) -> pd.Series:
-    out = []
-    for w in wkb:
-        if w is None:
-            out.append([])
-            continue
-        parts = G.split_multi(G.from_wkb(w))
-        out.append([G.to_wkb(p) for p in parts])
-    return pd.Series(out, dtype=object)
+    return GB.batch_split_multi(wkb.tolist())
 
 
 wkb_split_multi = _lazy("split", _split_multi, "array<binary>")

@@ -22,6 +22,8 @@ a handful of rings.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -230,8 +232,16 @@ def _ml_kernel(wkb_list: pd.Series) -> pd.Series:
         if merged is None:
             out.append(None)
             continue
-        parts_sorted = sorted(merged[1], key=lambda a: G.to_wkb(("linestring", a)))
-        out.append(G.to_wkb(("multilinestring", parts_sorted)))
+        # serialize each part once and sort the WKB strings directly —
+        # to_wkb(multilinestring) is exactly header + count + the
+        # concatenated part WKBs, so this matches the old
+        # sort-by-key + re-serialize output byte for byte
+        part_wkbs = sorted(G.to_wkb(("linestring", a)) for a in merged[1])
+        out.append(
+            b"\x01\x05\x00\x00\x00"
+            + struct.pack("<I", len(part_wkbs))
+            + b"".join(part_wkbs)
+        )
     return pd.Series(out, dtype=object)
 
 

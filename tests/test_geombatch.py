@@ -412,3 +412,13 @@ def test_batch_distance_bit_exact():
             assert math.isinf(g), i
         else:
             assert struct.pack("<d", g) == struct.pack("<d", want), (i, g, want)
+
+
+def test_batch_split_multi_bit_exact():
+    want = [
+        [G.to_wkb(g) for g in G.split_multi(G.from_wkb(w))]
+        if w is not None
+        else []
+    for w in ZOO]
+    got = GB.batch_split_multi(ZOO)
+    assert got.tolist() == want
