@@ -834,3 +834,56 @@ def batch_split_multi(vals: Sequence) -> pd.Series:
     for i in fb:
         out[i] = [G.to_wkb(g) for g in G.split_multi(G.from_wkb(vals[i]))]
     return pd.Series(out, dtype=object)
+
+
+def batch_spherical_area_sphere(vals: Sequence) -> pd.Series:
+    """Twin of _measure(spherical_area(ellipsoid=False)): the
+    Danielsen excess sum over great-circle edges, per polygon ring.
+    Every stage is elementwise except the per-ring np.sum, which runs
+    grouped by ring point count (same pairwise reduction).  The
+    ellipsoid mode (Vincenty densification + authalic mapping, an
+    iterative per-edge algorithm) and the planar shoelace (np.dot,
+    whose BLAS accumulation batch ops cannot reproduce bitwise) stay
+    scalar."""
+    sc = _Scan(vals)
+    out = np.full(sc.n, np.nan)
+    C = sc.coords
+    if C.shape[0] > 1:
+        lam = np.radians(C[:, 0])
+        phi = np.radians(C[:, 1])
+        dl = lam[1:] - lam[:-1]
+        dl = np.where(np.abs(dl) > np.pi, dl - np.sign(dl) * 2.0 * np.pi, dl)
+        mid = (phi[1:] + phi[:-1]) / 2.0
+        half = (phi[1:] - phi[:-1]) / 2.0
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            E = 2.0 * np.arctan(np.tan(dl / 2.0) * np.sin(mid) / np.cos(half))
+    else:
+        E = np.empty(0)
+    # per-ring |excess sums| over rings' edge runs (count-1 edges)
+    rsums = np.abs(
+        _group_sums(E, sc.part_starts, np.maximum(sc.part_counts - 1, 0))
+    )
+    rl = rsums.tolist()
+    R = G.AUTHALIC_RADIUS
+    fb = list(sc.fallback_rows)
+    for i, c in enumerate(sc.cls):
+        if c == _NULL:
+            continue
+        if c == _EMPTY or c in (1, 2, 4, 5):
+            out[i] = 0.0
+        elif c == 3:
+            k = sc.row_part_count[i]
+            if k == 0:
+                # scalar: 0 rings -> total starts from ring0 -> raises
+                fb.append(i)
+                continue
+            p0 = sc.row_part_start[i]
+            total = rl[p0]
+            for p in range(p0 + 1, p0 + k):
+                total -= rl[p]
+            # same association as the scalar: (total * R) * R
+            out[i] = total * R * R
+    sph = lambda g: G.spherical_area(g, ellipsoid=False)
+    for i, v in _scalar_rows(vals, fb, sph).items():
+        out[i] = v
+    return pd.Series(out, dtype="float64")

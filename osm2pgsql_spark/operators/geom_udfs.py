@@ -131,9 +131,11 @@ def _measure(fn):
 # parse (pinned identical by tests/test_geombatch.py).
 wkb_area = _lazy("area", _measure(G.area), "double")
 wkb_spherical_area = _lazy("sph_area", _measure(G.spherical_area), "double")
-wkb_spherical_area_sphere = _lazy(
-    "sph_area_sphere", _measure(lambda g: G.spherical_area(g, ellipsoid=False)), "double"
-)
+def _sph_area_sphere(wkb: pd.Series) -> pd.Series:
+    return GB.batch_spherical_area_sphere(wkb.tolist())
+
+
+wkb_spherical_area_sphere = _lazy("sph_area_sphere", _sph_area_sphere, "double")
 
 
 def _length(wkb: pd.Series) -> pd.Series:

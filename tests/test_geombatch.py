@@ -422,3 +422,22 @@ def test_batch_split_multi_bit_exact():
     for w in ZOO]
     got = GB.batch_split_multi(ZOO)
     assert got.tolist() == want
+
+
+def test_batch_spherical_area_sphere_bit_exact():
+    fn = lambda g: G.spherical_area(g, ellipsoid=False)
+    zoo = _rows_where_scalar_ok(fn)
+    want = [fn(G.from_wkb(w)) if w is not None else None for w in zoo]
+    _assert_float_series_equal(GB.batch_spherical_area_sphere(zoo), want)
+    # antimeridian-crossing ring exercises the dl wrap branch
+    ring = np.array([[179.5, 10.0], [-179.5, 10.0], [-179.5, 11.0],
+                     [179.5, 11.0], [179.5, 10.0]])
+    w = G.to_wkb(("polygon", [ring]))
+    got = GB.batch_spherical_area_sphere([w])
+    assert struct.pack("<d", got.iloc[0]) == struct.pack("<d", fn(G.from_wkb(w)))
+    # polygon with a hole
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]])
+    w = G.to_wkb(("polygon", [sq, hole]))
+    got = GB.batch_spherical_area_sphere([w])
+    assert struct.pack("<d", got.iloc[0]) == struct.pack("<d", fn(G.from_wkb(w)))
