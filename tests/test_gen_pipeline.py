@@ -179,6 +179,7 @@ def test_gen_tool_rivers_cli(tmp_path, spark):
     assert widths["right"] == 5.0
 
 
+@pytest.mark.slow
 def test_gen_tool_style_forests_lua(tmp_path, spark):
     """forests.lua drives the gen step (reference osm2pgsql-gen -S,
     src/gen/osm2pgsql-gen.cpp:289-360): its process_gen() records

@@ -67,6 +67,7 @@ def test_create_lands_tables_middle_properties(imported, spark):
     assert props["style"] == "generic"
 
 
+@pytest.mark.slow
 def test_append_propagates_and_expires(imported, spark):
     d, out, _ = imported
     osc = d / "change.osc"
@@ -120,6 +121,7 @@ def test_append_rejects_incompatible_style(imported, tmp_path):
     assert "incompatible" in (r.stderr + r.stdout)
 
 
+@pytest.mark.slow
 def test_append_incremental_equals_full(tmp_path, spark):
     """--refresh incremental (touched rows only) must produce exactly
     the tables --refresh full re-derives."""
@@ -143,6 +145,7 @@ def test_append_incremental_equals_full(tmp_path, spark):
         assert a == b, name
 
 
+@pytest.mark.slow
 def test_append_reference_multipolygon_diff(tmp_path, spark):
     """The reference's multipolygon diff through the CLI: a way whose
     <modify> is (mis)labelled version=1 must still be recomputed
@@ -234,6 +237,7 @@ OSC_TC = """<?xml version='1.0'?>
 """
 
 
+@pytest.mark.slow
 def test_append_track_changes_log_table(tmp_path, spark):
     src = tmp_path / "in.opl"
     src.write_text(OPL_TC)
@@ -255,6 +259,7 @@ def test_append_track_changes_log_table(tmp_path, spark):
     assert dates[20].startswith("2024-02-01")
 
 
+@pytest.mark.slow
 def test_append_track_changes_accumulates(tmp_path, spark):
     """A second append keeps the first one's rows (append-only: the
     reference never deletes from an ids=nil table)."""
@@ -283,6 +288,7 @@ DEFAULT_STYLE = "/root/reference/default.style"
 
 
 @pytest.mark.skipif(not os.path.exists(LI_PBF), reason="fixture missing")
+@pytest.mark.slow
 def test_pgsql_output_cli_liechtenstein(tmp_path, spark):
     """The reference's historic front door: `osm2pgsql file.pbf` with
     the pgsql output + default.style — our `-O pgsql -S` twin end to
@@ -371,6 +377,7 @@ OSC_GEOMLOG = """<?xml version='1.0'?>
 """
 
 
+@pytest.mark.slow
 def test_append_log_table_member_geometry_from_middle(tmp_path, spark):
     """ids=nil log-table file pass: a diff relation whose member ways
     are NOT in the diff still resolves geometry — against the updated
@@ -436,6 +443,7 @@ PGSQL_OSC = """<?xml version='1.0'?>
 """
 
 
+@pytest.mark.slow
 def test_pgsql_output_append_incremental(tmp_path, spark):
     """-O pgsql append: moving a node refreshes the dependent way rows
     (dependency propagation through the 'area' mapped id space) and a
@@ -592,6 +600,7 @@ ANY_IDS_OSC = """<?xml version='1.0'?>
 """
 
 
+@pytest.mark.slow
 def test_append_any_ids_delete_and_reinsert(tmp_path, spark):
     """ADVICE round-7 (medium): ids={type='any'} tables are
     ID-TRACKED (two-column osm_type/osm_id delete + reinsert,
@@ -686,6 +695,7 @@ class TestMergeTablesFormat:
             outs[fmt] = out
         return outs
 
+    @pytest.mark.slow
     def test_append_matches_plain_format(self, tmp_path, spark):
         from osm2pgsql_spark.streaming.merge_sink import ParquetMergeTable
 
@@ -707,6 +717,7 @@ class TestMergeTablesFormat:
                   if r["geom"] is not None}
             assert ga == gb, table
 
+    @pytest.mark.slow
     def test_append_rewrites_only_touched_buckets(self, tmp_path, spark):
         outs = self._both(tmp_path)
         r = _run([str(tmp_path / "change.osc"), str(outs["merge"]),
@@ -948,6 +959,7 @@ class TestHstoreIndexAndMiddleNodes:
             str(out / "tables" / "planet_osm_point")).columns
         assert "name_" in cols and "name" in cols
 
+    @pytest.mark.slow
     def test_hstore_add_index_ignored_without_hstore(self, tmp_path):
         src = tmp_path / "in.opl"
         src.write_text(OPL)
@@ -959,6 +971,7 @@ class TestHstoreIndexAndMiddleNodes:
                 "enabled; ignored.") in r.stderr
         assert not (out / "indexes.sql").exists()
 
+    @pytest.mark.slow
     def test_hstore_match_only_ignored_without_hstore(self, tmp_path):
         src = tmp_path / "in.opl"
         src.write_text(OPL)
@@ -968,6 +981,7 @@ class TestHstoreIndexAndMiddleNodes:
         assert ("--hstore-match-only only makes sense with --hstore, "
                 "--hstore-all, or --hstore-column; ignored.") in r.stderr
 
+    @pytest.mark.slow
     def test_middle_with_nodes_accepted(self, tmp_path, spark):
         src = tmp_path / "in.opl"
         src.write_text(OPL)
@@ -981,6 +995,7 @@ class TestHstoreIndexAndMiddleNodes:
         assert dict(rows[1]["tags"]).get("amenity") == "pub"
 
 
+@pytest.mark.slow
 def test_expire_zoom_clamped_to_31(tmp_path):
     src = tmp_path / "in.opl"
     src.write_text(OPL)

@@ -110,6 +110,7 @@ def test_sql_batch_writer_against_live_pg(spark, pg):
     assert rows["100"] == "n100"
 
 
+@pytest.mark.slow
 def test_pgsql_output_lands_in_live_pg(spark, pg):
     """The reference's headline behavior, executed for real: the
     style-driven pgsql output tables COPY-load into PostgreSQL and
@@ -161,6 +162,7 @@ def test_pgsql_output_lands_in_live_pg(spark, pg):
     assert wkb == bytes(local).hex()
 
 
+@pytest.mark.slow
 def test_import_tool_pg_flag(spark, pg):
     """`import_tool --pg 'conninfo'` — the reference's -d/--database
     twin: one command reads OSM and lands queryable tables in a live
@@ -409,6 +411,7 @@ def test_pg_type_of_arrays_and_maps():
         pg_live.pg_type_of("struct<a:int>")
 
 
+@pytest.mark.slow
 def test_full_create_append_cycle_live_pg(spark, pg):
     """The r9 VERDICT's live-PG completion gate: one CLI create
     (--pg: COPY load + osm_id btree indexes + osm2pgsql_properties)
@@ -618,6 +621,7 @@ def test_tablespace_index_ddl_live(pg):
     assert row and row[0][0] == "tablespacetest"
 
 
+@pytest.mark.slow
 def test_import_tool_pg_with_hstore(spark, pg):
     """--pg combined with -k/--hstore (the r9 ADVICE crash: map
     columns had no PG type mapping): tags land as REAL hstore,
@@ -692,6 +696,7 @@ class TestResolveSchemas:
             resolve_schemas(self._args(middle_schema="a'b"))
 
 
+@pytest.mark.slow
 def test_import_tool_pg_schema_flag(spark, pg):
     """--pg --schema osm10: output tables, middle, and properties all
     land in the named schema on the live server."""

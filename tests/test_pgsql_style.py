@@ -73,6 +73,7 @@ def test_hstore_match_only(spark):
     assert t["planet_osm_roads"].count() == 3
 
 
+@pytest.mark.slow
 def test_way_area_fixture(spark):
     t = _tables(spark, "test_output_pgsql_way_area.osm", DEFAULT_STYLE)
     assert t["planet_osm_point"].count() == 0
@@ -85,6 +86,7 @@ def test_way_area_fixture(spark):
     assert rows[0]["way_area"] > 0
 
 
+@pytest.mark.slow
 def test_route_relation(spark):
     t = _tables(spark, "test_output_pgsql_route_rel.osm", DEFAULT_STYLE)
     assert t["planet_osm_point"].count() == 0

@@ -78,6 +78,7 @@ def test_append_invariant_real_diff(spark, osm):
     assert still == 0
 
 
+@pytest.mark.slow
 def test_import_cli_on_liechtenstein(tmp_path):
     """The main CLI imports the real reference extract end-to-end;
     table counts pinned as a regression surface."""
@@ -110,6 +111,7 @@ def test_import_cli_on_liechtenstein(tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_append_cli_swiss_diff(tmp_path):
     """Real replication shape: the Swiss .osc.gz folds into the
     Liechtenstein import through the CLI (incremental refresh) with a

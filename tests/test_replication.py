@@ -196,6 +196,7 @@ class TestUpdateE2E:
             "http://example.com/europe/liechtenstein-updates")
         assert p.get("replication_timestamp") == "2013-08-03T19:00:02Z"
 
+    @pytest.mark.slow
     def test_multi_batch_catchup(self, tmp_path, spark):
         from osm2pgsql_spark.sources.opl import read_opl
 
@@ -301,6 +302,7 @@ class TestHttpServer:
 
 
 class TestUpdateOnce:
+    @pytest.mark.slow
     def test_update_once_applies_one_batch(self, tmp_path, spark):
         """replication.feature 'Updates can run only once': --once with
         a tiny --max-diff-size stops after the first batch instead of

@@ -185,6 +185,7 @@ def li(spark):
 
 
 @pytest.mark.skipif(not os.path.exists(PBF), reason="fixture missing")
+@pytest.mark.slow
 class TestStyleLuaVsCTransform:
     """The shipped style.lua (Lua path) vs the C transform
     (plans/pgsql_style) with the same default.style on the real

@@ -102,6 +102,7 @@ def test_generic_import_waterway_generalization(spark):
     assert [r["width"] for r in rows if r["name"] == "trib"] == [9.0]
 
 
+@pytest.mark.slow
 def test_training_data_pipeline_example(spark, tmp_path):
     """The end-to-end curation example runs and each stage only ever
     narrows the kept set."""

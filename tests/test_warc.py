@@ -192,6 +192,7 @@ def _gz_member_with_fname(plain, fname_len):
     return header + name + body + tail
 
 
+@pytest.mark.slow
 def test_pathological_member_probe_bounded_and_rows_identical(
         spark, tmp_path):
     """r12 VERDICT #6: a member whose gzip header defers the first
