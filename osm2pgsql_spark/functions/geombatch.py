@@ -336,6 +336,59 @@ def batch_geom_type(vals: Sequence) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def batch_multi_part_stats(vals: Sequence) -> pd.DataFrame:
+    """Fused twin of split_multi + per-part n_points + (count, max):
+    per row the number of split parts and the max point count over
+    them, straight off the header scan — no part WKBs are built, no
+    explode, no aggregation shuffle.  (None, None) when the split
+    yields no parts (None/empty geometry, empty multi), matching the
+    rows the old explode dropped; a downstream isNotNull filter on
+    n_parts reproduces the explode's row drop exactly."""
+    sc = _Scan(vals, need_coords=False)
+    n_parts: list = [None] * sc.n
+    max_pts: list = [None] * sc.n
+    pc = sc.part_counts
+    p0s = sc.row_part_start
+    pks = sc.row_part_count
+    for i, c in enumerate(sc.cls):
+        if c == _NULL or c == _EMPTY:
+            continue  # split -> [] -> explode drops the row
+        if c == 1:
+            n_parts[i], max_pts[i] = 1, 1
+        elif c == 2:
+            n_parts[i] = 1
+            max_pts[i] = int(pc[p0s[i]]) if pks[i] else 0
+        elif c == 3:
+            # a single polygon splits to itself: one part whose
+            # n_points is the sum over its rings
+            n_parts[i] = 1
+            k = pks[i]
+            p0 = p0s[i]
+            max_pts[i] = int(pc[p0 : p0 + k].sum()) if k else 0
+        elif c == 4:
+            k = int(pks[i])
+            if k:
+                n_parts[i], max_pts[i] = k, 1
+        elif c == 5:
+            k = int(pks[i])
+            if k:
+                p0 = p0s[i]
+                n_parts[i] = k
+                max_pts[i] = int(pc[p0 : p0 + k].max())
+    for i in sc.fallback_rows:
+        parts = G.split_multi(G.from_wkb(bytes(vals[i])))
+        if not parts:
+            continue
+        n_parts[i] = len(parts)
+        max_pts[i] = max(G.n_points(p) for p in parts)
+    return pd.DataFrame(
+        {
+            "n_parts": pd.array(n_parts, dtype="Int64"),
+            "part_points": pd.array(max_pts, dtype="Int64"),
+        }
+    )
+
+
 def batch_bbox(vals: Sequence) -> pd.DataFrame:
     """Twin of _bbox (struct<min_x,min_y,max_x,max_y>).  min/max over
     the row's contiguous coordinate gather — min/max reductions are

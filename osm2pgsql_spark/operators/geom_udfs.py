@@ -274,6 +274,20 @@ wkb_split_multi = _lazy("split", _split_multi, "array<binary>")
 (src/geom-functions.cpp:497 + legacy -G handling)."""
 
 
+def _multi_part_stats(wkb: pd.Series) -> pd.DataFrame:
+    return GB.batch_multi_part_stats(wkb.tolist())
+
+
+wkb_multi_part_stats = _lazy(
+    "part_stats", _multi_part_stats, "struct<n_parts:bigint,part_points:bigint>"
+)
+"""Fused split_multi + per-part num_points + (count, max) for callers
+that only need the part statistics: one kernel pass, no part WKBs
+across the boundary, no explode, no aggregation shuffle (guide §2.4 +
+§4.2).  Null struct fields when the split yields no parts — filter
+n_parts isNotNull to reproduce the explode's row drop."""
+
+
 def _bbox(wkb: pd.Series) -> pd.DataFrame:
     return GB.batch_bbox(wkb.tolist())
 

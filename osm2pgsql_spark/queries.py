@@ -4439,27 +4439,27 @@ def q_geom_reverse_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         rels, ways_df, nodes,
         kernel_partitions=spark.sparkContext.defaultParallelism,
     )
-    # staged projections: explode over a nested pandas-UDF call and a
-    # UDF inside the agg expression both defeat batch pipelining —
-    # evaluating each kernel in its own projection is ~25% faster at
-    # identical results (PERF_NOTES round-14)
-    # single_eval on split_multi: with `geom` now a materialized column
-    # (the line_merge kernel is nondeterministic-pinned), the explode's
-    # inferred size()>0 guard would otherwise push below the split
-    # kernel and duplicate it (§4.4)
+    # fused part stats (r15): the old split_multi -> explode ->
+    # num_points -> groupBy chain paid two extra Python boundary
+    # crossings (the part WKB array out, the exploded parts back in)
+    # plus an aggregation Exchange (ArrowEvalPython does not propagate
+    # its child's partitioning, so the groupBy re-shuffled rows the
+    # rel_id repartition had already placed).  wkb_multi_part_stats
+    # computes (n_parts, max part_points) straight off the merged
+    # geometry's header scan — one kernel, no explode, no shuffle;
+    # n_parts IS NULL reproduces the explode's empty-array row drop.
+    # single_eval + staged column: the filter must not push below the
+    # kernel (§4.4), and an ND expression referenced twice in one
+    # projection would run twice — consumers share the staged
+    # attribute (the `rev` pattern above).
+    st = geom_udfs.wkb_multi_part_stats(F.col("geom"), single_eval=True)
     parts = (
-        ml.select(
-            F.col("rel_id").alias("id"),
-            geom_udfs.wkb_split_multi(F.col("geom"), single_eval=True).alias("ps"),
-        )
-        .select("id", F.explode("ps").alias("part"))
+        ml.select(F.col("rel_id").alias("id"), st.alias("st"))
+        .where(F.col("st.n_parts").isNotNull())
         .select(
-            "id", geom_udfs.wkb_num_points(F.col("part")).alias("np")
-        )
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.max("np").alias("part_points"),
+            "id",
+            F.col("st.n_parts").alias("n_parts"),
+            F.col("st.part_points").alias("part_points"),
         )
     )
     return scalar.join(parts, "id").select(

@@ -441,3 +441,22 @@ def test_batch_spherical_area_sphere_bit_exact():
     w = G.to_wkb(("polygon", [sq, hole]))
     got = GB.batch_spherical_area_sphere([w])
     assert struct.pack("<d", got.iloc[0]) == struct.pack("<d", fn(G.from_wkb(w)))
+
+
+def test_batch_multi_part_stats_matches_split_chain():
+    """The fused (n_parts, part_points) kernel must equal the old
+    Spark chain it replaces: split_multi -> explode -> npoints per
+    part -> groupBy count(1)/max(np), with (None, None) exactly where
+    the explode dropped the row (empty part array)."""
+    got = GB.batch_multi_part_stats(ZOO)
+    parts_col = GB.batch_split_multi(ZOO)
+    for i in range(len(ZOO)):
+        parts = parts_col.iloc[i]
+        g_np = got["n_parts"].iloc[i]
+        g_mx = got["part_points"].iloc[i]
+        if not parts:  # explode drops the row
+            assert pd.isna(g_np) and pd.isna(g_mx), i
+            continue
+        nps = GB.batch_npoints(parts).tolist()
+        assert g_np == len(parts), (i, g_np, len(parts))
+        assert g_mx == max(nps), (i, g_mx, nps)
